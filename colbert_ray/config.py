@@ -1,0 +1,88 @@
+"""Engine configuration with layered merge semantics.
+
+Analog of the reference's layered config stack
+(``colbert/infra/config/settings.py:11-219``, merge semantics
+``colbert/infra/config/core_config.py:24-52`` / ``base_config.py:19-99``):
+a single typed dataclass whose "assigned wins" merge is expressed as
+``replace(defaults, **overrides)``; the effective config is persisted into the
+build manifest (``plan.json``) and re-loaded (and re-merged, index-metadata <
+explicit overrides) when an index is opened — mirroring
+``ColBERTConfig.from_existing`` (base_config.py:19-33).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """All knobs of the BM25 build + query engine.
+
+    Defaults are chosen for the single-node test environment but every
+    scale-sensitive knob (``num_term_partitions``, ``salt_max_run``,
+    ``posting_block_size``) is independent of the cluster size so that an
+    index built at N and 4N CPUs is byte-identical (north_rule).
+    """
+
+    # --- BM25 scoring (exact, float64) ---
+    k1: float = 1.2
+    b: float = 0.75
+
+    # --- tokenizer (code-aware; see functions/tokenizer.py) ---
+    split_camel_case: bool = True
+    lowercase: bool = True
+    min_token_len: int = 1
+    max_token_len: int = 64
+
+    # --- index layout (MUST NOT depend on parallelism) ---
+    num_term_partitions: int = 32        # hash partitions of term_id space (A2 analog)
+    salt_max_run: int = 100_000          # postings per salted sub-run of a head term
+    posting_block_size: int = 128        # docids per block-max block (K4 analog)
+
+    # --- physical execution (free to vary; never affects results) ---
+    tokenize_batch_size: int = 2048
+    score_batch_size: int = 256
+    scorer_concurrency: int = 4
+    read_concurrency: int | None = None
+
+    # --- query defaults by k (searcher.py:127-148 analog) ---
+    default_k: int = 10
+    prune: bool = True                   # exact MaxScore pruning; False = brute force
+
+    def merged(self, **overrides) -> "EngineConfig":
+        """Layered merge: assigned (non-None) overrides win (base_config.py:19-33)."""
+        kept = {k: v for k, v in overrides.items() if v is not None}
+        return dataclasses.replace(self, **kept)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "EngineConfig":
+        names = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in names})
+
+    def semantic_hash(self) -> str:
+        """Hash of the knobs that affect index CONTENT (not physical knobs).
+
+        Used in manifests: a resume is only valid if the semantic hash
+        matches (collection_indexer.py:87-95 analog).
+        """
+        semantic = {
+            k: v
+            for k, v in self.to_dict().items()
+            if k in (
+                "k1", "b", "split_camel_case", "lowercase", "min_token_len",
+                "max_token_len", "num_term_partitions", "salt_max_run",
+                "posting_block_size",
+            )
+        }
+        blob = json.dumps(semantic, sort_keys=True).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = EngineConfig()

@@ -1,0 +1,157 @@
+"""Deterministic synthetic code-corpus + query fixtures (FIXTURES.md).
+
+Input-hint shape: Parquet ``(repo, path, commit, lang, content)``. Generation
+is fully seeded and byte-stable (fixed row order, fixed writer options);
+mirrors the reference's fixture conventions (``collection.tsv`` pid-by-line,
+``colbert/evaluation/loaders.py:155-174``; queries ``loaders.py:15-30``).
+
+Guaranteed properties (FIXTURES.md §5):
+- Zipfian vocabulary: head terms hold a large posting share (salting path
+  is exercised at every scale).
+- (repo, path) unique; at least one near-empty doc; one duplicated content
+  pair (sha256 collision by design); every lang present.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+LANGS = ["python", "java", "go", "js", "rust", "c"]
+_EXT = {"python": "py", "java": "java", "go": "go", "js": "js", "rust": "rs", "c": "c"}
+
+_KEYWORDS = {
+    "python": ["def", "return", "import", "class", "self", "None", "lambda"],
+    "java": ["public", "static", "void", "class", "return", "new", "final"],
+    "go": ["func", "return", "package", "import", "struct", "defer", "chan"],
+    "js": ["function", "return", "const", "let", "var", "async", "await"],
+    "rust": ["fn", "return", "let", "mut", "impl", "match", "pub"],
+    "c": ["int", "return", "void", "struct", "static", "char", "sizeof"],
+}
+
+# seeded identifier vocabulary: camelCase + snake_case + plain
+_ROOTS = [
+    "get", "set", "parse", "build", "index", "query", "token", "stream",
+    "batch", "merge", "sort", "hash", "shard", "block", "score", "rank",
+    "read", "write", "flush", "cache", "buffer", "node", "list", "tree",
+    "map", "filter", "join", "group", "count", "sum", "delta", "varint",
+]
+_NL_WORDS = [
+    "the", "a", "of", "to", "and", "in", "for", "this", "that", "with",
+    "computes", "returns", "given", "over", "each", "value", "result",
+]
+
+
+def _vocab(rng: np.random.Generator) -> list[str]:
+    vocab: list[str] = []
+    for i, r1 in enumerate(_ROOTS):
+        for r2 in _ROOTS:
+            if r1 == r2:
+                continue
+            if (i + len(r2)) % 3 == 0:
+                vocab.append(r1 + r2.capitalize())        # camelCase
+            elif (i + len(r2)) % 3 == 1:
+                vocab.append(f"{r1}_{r2}")                # snake_case
+            else:
+                vocab.append(r1 + r2)
+    return vocab
+
+
+def generate_corpus(n_files: int, seed: int = 42) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    vocab = _vocab(rng)
+    v = len(vocab)
+    # Zipfian weights over vocab (head-heavy)
+    ranks = np.arange(1, v + 1, dtype=np.float64)
+    weights = 1.0 / ranks
+    weights /= weights.sum()
+
+    n_repos = max(1, int(np.sqrt(n_files)))
+    repos, paths, commits, langs, contents = [], [], [], [], []
+    for i in range(n_files):
+        repo = f"org{i % 7}/repo{i % n_repos}"
+        lang = LANGS[int(rng.integers(0, len(LANGS)))] if i >= len(LANGS) else LANGS[i]
+        path = f"src/module_{i % 13}/file_{i // n_repos}_{i}.{_EXT[lang]}"
+        commit = hashlib.sha1(f"{repo}/{path}".encode()).hexdigest()
+        if i == 1:
+            body = "x"  # near-empty doc (<5 terms)
+        else:
+            n_tokens = int(rng.integers(30, 400))
+            idents = rng.choice(v, size=n_tokens, p=weights)
+            kws = rng.choice(_KEYWORDS[lang], size=max(3, n_tokens // 8))
+            nls = rng.choice(_NL_WORDS, size=max(3, n_tokens // 6))
+            words = np.concatenate([np.array(vocab, dtype=object)[idents], kws, nls])
+            rng.shuffle(words)
+            lines = []
+            for j in range(0, len(words), 9):
+                chunk = " ".join(words[j:j + 9])
+                lines.append(("    " if j % 27 else "") + chunk + ("();" if j % 2 else ":"))
+            body = "\n".join(lines)
+        repos.append(repo)
+        paths.append(path)
+        commits.append(commit)
+        langs.append(lang)
+        contents.append(body)
+    if n_files >= 4:
+        contents[3] = contents[2]  # duplicated content pair, distinct (repo,path)
+    return pa.table(
+        {
+            "repo": pa.array(repos, type=pa.string()),
+            "path": pa.array(paths, type=pa.string()),
+            "commit": pa.array(commits, type=pa.string()),
+            "lang": pa.array(langs, type=pa.string()),
+            "content": pa.array(contents, type=pa.string()),
+        }
+    )
+
+
+def generate_queries(n_queries: int, seed: int = 777) -> pa.Table:
+    """MS MARCO-style dev query analog: seeded bags of 2-6 corpus terms,
+    with a few out-of-vocabulary terms (zero-df handling)."""
+    rng = np.random.default_rng(seed)
+    vocab = _vocab(rng)
+    v = len(vocab)
+    ranks = np.arange(1, v + 1, dtype=np.float64)
+    weights = (1.0 / ranks) / (1.0 / ranks).sum()
+    qids, texts = [], []
+    for qid in range(n_queries):
+        n_terms = int(rng.integers(2, 7))
+        terms = [vocab[int(t)] for t in rng.choice(v, size=n_terms, p=weights)]
+        if qid % 17 == 0:
+            terms.append(f"zzqoov{qid}")  # OOV term
+        if qid % 5 == 0:
+            terms.append(rng.choice(_NL_WORDS))
+        qids.append(qid)
+        texts.append(" ".join(terms))
+    return pa.table({"qid": pa.array(qids, type=pa.int64()), "query": pa.array(texts, type=pa.string())})
+
+
+def write_corpus(out_dir: str, n_files: int, seed: int = 42, files_per_part: int = 2000) -> str:
+    """Write the corpus as MULTIPLE parquet files (scale-shaped input layout)."""
+    os.makedirs(out_dir, exist_ok=True)
+    t = generate_corpus(n_files, seed)
+    for p, lo in enumerate(range(0, t.num_rows, files_per_part)):
+        pq.write_table(
+            t.slice(lo, files_per_part), os.path.join(out_dir, f"part-{p:05d}.parquet"),
+            compression="zstd",
+        )
+    return out_dir
+
+
+def ensure_fixture(root: str, n_files: int, n_queries: int, seed: int = 42) -> tuple[str, str]:
+    """Idempotently materialize (corpus_dir, queries_path) under ``root``."""
+    corpus_dir = os.path.join(root, f"corpus_n{n_files}_s{seed}")
+    queries_path = os.path.join(root, f"queries_n{n_queries}.parquet")
+    done = os.path.join(corpus_dir, "_DONE")
+    if not os.path.exists(done):
+        write_corpus(corpus_dir, n_files, seed)
+        with open(done, "w") as f:
+            f.write("ok")
+    if not os.path.exists(queries_path):
+        os.makedirs(root, exist_ok=True)
+        pq.write_table(generate_queries(n_queries), queries_path, compression="zstd")
+    return corpus_dir, queries_path

@@ -1,0 +1,102 @@
+"""Delta + varint posting-list codec — numpy-vectorized, no Python per-int loop.
+
+Capability analog of the reference's residual compression
+(``colbert/indexing/codecs/residual.py:186-202`` bit-packing via
+``np.packbits`` and the decompress kernels ``residual.py:240-276``): the
+lexical engine compresses posting lists instead of embedding residuals —
+docids are sorted, delta-encoded and LEB128-varint packed; tfs are varint
+packed directly. Decode is the vectorized inverse (the analog of
+``decompress_residuals.cpp``).
+
+Encoding: little-endian base-128; 7 payload bits per byte, MSB = continuation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MASK7 = np.uint64(0x7F)
+_CONT = np.uint8(0x80)
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """uint64 array -> LEB128 bytes (vectorized)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    if v.size and int(v.max()) >= (1 << 63):
+        raise ValueError("varint values must be < 2^63")
+    # number of 7-bit groups per value (>=1)
+    nbits = np.ones(v.shape, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbits += (tmp != 0)
+        tmp >>= np.uint64(7)
+    total = int(nbits.sum())
+    out = np.empty(total, dtype=np.uint8)
+    # byte positions: for value i, bytes go at end[i]-nbits[i] .. end[i]-1
+    ends = np.cumsum(nbits)
+    starts = ends - nbits
+    # fill group g (g = 0..max_groups-1): byte at starts+g for values with nbits > g
+    max_groups = int(nbits.max())
+    shifted = v.copy()
+    for g in range(max_groups):
+        sel = nbits > g
+        pos = starts[sel] + g
+        payload = (shifted[sel] & _MASK7).astype(np.uint8)
+        more = (nbits[sel] - 1) > g
+        out[pos] = payload | np.where(more, _CONT, np.uint8(0))
+        shifted[sel] >>= np.uint64(7)
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes, count: int) -> np.ndarray:
+    """LEB128 bytes -> uint64 array of ``count`` values (vectorized)."""
+    if count == 0:
+        return np.empty(0, dtype=np.uint64)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    is_last = (raw & _CONT) == 0
+    # value index for each byte: cumsum of "starts new value" flags
+    starts_new = np.empty(len(raw), dtype=bool)
+    starts_new[0] = True
+    starts_new[1:] = is_last[:-1]
+    value_idx = np.cumsum(starts_new) - 1
+    if value_idx[-1] != count - 1 or not is_last[-1]:
+        raise ValueError("corrupt varint stream")
+    # within-value byte position (group index)
+    byte_pos = np.arange(len(raw), dtype=np.int64)
+    first_byte_of_value = byte_pos[starts_new]
+    group = byte_pos - first_byte_of_value[value_idx]
+    out = np.zeros(count, dtype=np.uint64)
+    np.bitwise_or.at(
+        out, value_idx, (raw & np.uint8(0x7F)).astype(np.uint64) << (np.uint64(7) * group.astype(np.uint64))
+    )
+    return out
+
+
+def delta_encode_docids(docids: np.ndarray) -> bytes:
+    """Strictly-increasing int64 docids -> varint(first, then gaps)."""
+    d = np.ascontiguousarray(docids, dtype=np.int64)
+    if d.size == 0:
+        return b""
+    gaps = np.empty(d.shape, dtype=np.uint64)
+    gaps[0] = np.uint64(d[0])
+    if d.size > 1:
+        diffs = np.diff(d)
+        if (diffs <= 0).any():
+            raise ValueError("docids must be strictly increasing")
+        gaps[1:] = diffs.astype(np.uint64)
+    return varint_encode(gaps)
+
+
+def delta_decode_docids(buf: bytes, count: int) -> np.ndarray:
+    gaps = varint_decode(buf, count).astype(np.int64)
+    return np.cumsum(gaps)
+
+
+def encode_tfs(tfs: np.ndarray) -> bytes:
+    return varint_encode(np.ascontiguousarray(tfs, dtype=np.uint64))
+
+
+def decode_tfs(buf: bytes, count: int) -> np.ndarray:
+    return varint_decode(buf, count).astype(np.int64)
