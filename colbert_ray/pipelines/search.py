@@ -1,0 +1,71 @@
+"""Query pipeline: queries Dataset -> ranking Dataset via a scorer actor pool.
+
+Analog of ``Searcher.search_all`` (``colbert/searcher.py:84-125``) — but
+where the reference loops queries sequentially on one process
+(``searcher.py:90-99``), here queries are rows of a Dataset fanned out over
+a ``map_batches`` actor pool; each actor holds the loaded index
+(``IndexScorer`` analog, T3). Output schema matches the reference ranking
+``(qid, pid, rank, score)`` (``colbert/data/ranking.py:63-72``) with
+``content_sha256`` carried for the per-row invariant.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+
+from colbert_ray.config import EngineConfig
+from colbert_ray.state.index import BM25Scorer
+
+
+def search(
+    queries: "ray.data.Dataset | pa.Table",
+    index_dir: str,
+    k: int = 10,
+    *,
+    concurrency: int | tuple[int, int] = 4,
+    batch_size: int | None = None,
+    with_sha: bool = True,
+    prune: bool | None = None,
+) -> "ray.data.Dataset":
+    """Top-k BM25 over the index for every query row (qid, query)."""
+    if isinstance(queries, pa.Table):
+        queries = ray.data.from_arrow(queries)
+    cfg = EngineConfig()
+    # a small query table arrives as ONE block -> the actor pool would get a
+    # single task; split so every actor draws work
+    n_blocks = concurrency if isinstance(concurrency, int) else concurrency[-1]
+    queries = queries.repartition(max(1, n_blocks * 2))
+    return queries.map_batches(
+        BM25Scorer,
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "k": k,
+            "with_sha": with_sha,
+            "prune": prune,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size or cfg.score_batch_size,
+        concurrency=concurrency,
+    )
+
+
+def search_table(
+    queries: "ray.data.Dataset | pa.Table", index_dir: str, k: int = 10, **kw
+) -> pa.Table:
+    """Convenience: materialized ranking table sorted by (qid, rank)."""
+    ds = search(queries, index_dir, k, **kw)
+    t = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+    if "qid" not in t.column_names:  # no query produced any hit
+        schema = pa.schema(
+            [("qid", pa.int64()), ("docid", pa.int64()),
+             ("rank", pa.int32()), ("score", pa.float64())]
+            + ([("content_sha256", pa.string())] if kw.get("with_sha", True) else [])
+        )
+        return schema.empty_table()
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(
+        t, sort_keys=[("qid", "ascending"), ("rank", "ascending")]
+    )
+    return t.take(order)

@@ -1,0 +1,100 @@
+"""Per-stage / per-partition build manifests: lineage + resume.
+
+Analog of the reference's plan/metadata/provenance machinery
+(``plan.json`` write/reload ``collection_indexer.py:80-112, 185-223``;
+chunk-completeness check ``index_saver.py:30-50`` used for resume
+``collection_indexer.py:360-363``; provenance ``colbert/infra/provenance.py``).
+
+A phase is complete iff its manifest exists AND records the same
+``semantic_hash`` (config) and ``inputs_hash`` (input fingerprint). Segment
+writes are atomic (tmp + rename) so a crash never leaves a manifest without
+its data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def atomic_write_json(path: str, obj: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def atomic_write_bytes(path: str, data: bytes) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def phase_manifest_path(index_dir: str, phase: str) -> str:
+    return os.path.join(index_dir, f"_manifest_{phase}.json")
+
+
+def phase_complete(index_dir: str, phase: str, semantic_hash: str, inputs_hash: str) -> bool:
+    p = phase_manifest_path(index_dir, phase)
+    if not os.path.exists(p):
+        return False
+    try:
+        with open(p) as f:
+            m = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return False
+    return m.get("semantic_hash") == semantic_hash and m.get("inputs_hash") == inputs_hash
+
+
+def mark_phase_complete(
+    index_dir: str, phase: str, semantic_hash: str, inputs_hash: str, **metrics
+) -> None:
+    atomic_write_json(
+        phase_manifest_path(index_dir, phase),
+        {
+            "phase": phase,
+            "semantic_hash": semantic_hash,
+            "inputs_hash": inputs_hash,
+            "completed_at": time.time(),
+            **metrics,
+        },
+    )
+
+
+def segment_manifest_path(seg_dir: str, part: int) -> str:
+    return os.path.join(seg_dir, f"_manifest_part_{part:05d}.json")
+
+
+def segment_complete(seg_dir: str, part: int, semantic_hash: str, inputs_hash: str) -> bool:
+    p = segment_manifest_path(seg_dir, part)
+    if not os.path.exists(p):
+        return False
+    try:
+        with open(p) as f:
+            m = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return False
+    if m.get("semantic_hash") != semantic_hash or m.get("inputs_hash") != inputs_hash:
+        return False
+    data = os.path.join(seg_dir, m.get("file", ""))
+    return os.path.exists(data) and os.path.getsize(data) == m.get("bytes", -1)
+
+
+def mark_segment_complete(
+    seg_dir: str, part: int, semantic_hash: str, inputs_hash: str, file: str, **metrics
+) -> None:
+    size = os.path.getsize(os.path.join(seg_dir, file))
+    atomic_write_json(
+        segment_manifest_path(seg_dir, part),
+        {
+            "partition": part,
+            "file": file,
+            "bytes": size,
+            "semantic_hash": semantic_hash,
+            "inputs_hash": inputs_hash,
+            "completed_at": time.time(),
+            **metrics,
+        },
+    )

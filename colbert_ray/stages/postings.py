@@ -1,0 +1,187 @@
+"""Posting-list construction: explode, term-id mapping, segment encoding.
+
+The engine's one big shuffle (SURVEY.md §2.5 A5/A6, §7.1 M3): tokenized docs
+are exploded to ``(term, docid, tf, dl)`` rows, mapped to dense term_ids via
+the dictionary (stateful actor pool — dictionary loaded once per actor,
+T1/T2 analog of ``index_saver.py:52-57``), hash-partitioned by
+``part = term_id % P`` with **salting of head terms** (df > salt_max_run is
+split into docid-RANGE sub-runs so salted partials concatenate in sorted
+docid order without a merge sort — SURVEY.md §7.3 #2), then
+``groupby('part').map_groups`` delta+varint encodes each (term_id, salt) run
+into a posting segment with block-max metadata (``optimize_ivf`` analog,
+``colbert/indexing/utils.py:8-65``; chunk writer analog
+``index_saver.py:79-90``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from colbert_ray.config import EngineConfig
+from colbert_ray.functions.bm25 import tf_saturation
+from colbert_ray.functions.codec import delta_encode_docids, encode_tfs
+from colbert_ray.stages import manifests
+
+SEGMENT_SCHEMA = pa.schema(
+    [
+        ("term_id", pa.int64()),
+        ("salt", pa.int32()),
+        ("n", pa.int64()),
+        ("docids_bin", pa.binary()),
+        ("tfs_bin", pa.binary()),
+        ("block_last_docid", pa.list_(pa.int64())),
+        ("block_max_tfsat", pa.list_(pa.float64())),
+        ("max_tfsat", pa.float64()),
+    ]
+)
+
+
+def explode_batch(batch: pa.Table) -> pa.Table:
+    """(docid, doclen, terms, tfs) -> rows (term, docid, tf, dl). Vectorized."""
+    terms = batch.column("terms").combine_chunks()
+    tfs = batch.column("tfs").combine_chunks()
+    parents = pc.list_parent_indices(terms)
+    docids = pc.take(batch.column("docid"), parents)
+    dls = pc.take(batch.column("doclen"), parents)
+    return pa.table(
+        {
+            "term": terms.flatten(),
+            "docid": docids,
+            "tf": tfs.flatten(),
+            "dl": dls,
+        }
+    )
+
+
+class TermIdMapper:
+    """Actor-pool stage: term string -> (term_id, part, salt).
+
+    ``__init__`` loads the dictionary once per actor (sorted term array +
+    df); ``__call__`` maps a batch via ``np.searchsorted`` (vectorized binary
+    search — the classical analog of compress-into-codes,
+    ``residual.py:204-220``).
+    """
+
+    def __init__(self, dictionary_path: str | list[str], cfg_dict: dict, n_docs: int):
+        import pyarrow.dataset as pads
+
+        self.cfg = EngineConfig.from_dict(cfg_dict)
+        t = pads.dataset(dictionary_path).to_table(columns=["term", "term_id", "df"])
+        order = pc.sort_indices(t.column("term"))
+        t = t.take(order)
+        self.terms = np.asarray(t.column("term").to_numpy(zero_copy_only=False))
+        self.term_ids = t.column("term_id").to_numpy(zero_copy_only=False)
+        self.dfs = t.column("df").to_numpy(zero_copy_only=False)
+        # salt count per dictionary term: ceil(df / salt_max_run)
+        self.n_salts = np.maximum(
+            1, -(-self.dfs // self.cfg.salt_max_run)
+        ).astype(np.int64)
+        self.n_docs = max(1, n_docs)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        term_str = batch.column("term").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(self.terms, term_str)
+        # every term seen at build time is in the dictionary by construction
+        term_id = self.term_ids[pos]
+        docid = batch.column("docid").to_numpy(zero_copy_only=False)
+        n_salt = self.n_salts[pos]
+        # docid-RANGE salt: partials are docid-disjoint, ordered by salt id
+        salt = ((docid.astype(np.int64) * n_salt) // self.n_docs).astype(np.int32)
+        part = (term_id % self.cfg.num_term_partitions).astype(np.int32)
+        return pa.table(
+            {
+                "part": pa.array(part),
+                "term_id": pa.array(term_id.astype(np.int64)),
+                "salt": pa.array(salt),
+                "docid": batch.column("docid"),
+                "tf": batch.column("tf"),
+                "dl": batch.column("dl"),
+            }
+        )
+
+
+def encode_runs(
+    df: pd.DataFrame, cfg: EngineConfig, avgdl: float
+) -> pa.Table:
+    """Postings of ONE partition -> encoded segment rows (one per term_id,salt).
+
+    Fully numpy: one lexsort + run-length split; per-run varint encode.
+    """
+    term_id = df["term_id"].to_numpy(dtype=np.int64)
+    salt = df["salt"].to_numpy(dtype=np.int32)
+    docid = df["docid"].to_numpy(dtype=np.int64)
+    tf = df["tf"].to_numpy(dtype=np.int64)
+    dl = df["dl"].to_numpy(dtype=np.int64)
+
+    order = np.lexsort((docid, salt, term_id))
+    term_id, salt, docid, tf, dl = (
+        term_id[order], salt[order], docid[order], tf[order], dl[order]
+    )
+    tfsat = tf_saturation(tf, dl, avgdl, cfg.k1, cfg.b)
+
+    new_run = np.empty(len(term_id), dtype=bool)
+    new_run[0] = True
+    new_run[1:] = (term_id[1:] != term_id[:-1]) | (salt[1:] != salt[:-1])
+    starts = np.flatnonzero(new_run)
+    ends = np.append(starts[1:], len(term_id))
+
+    bs = cfg.posting_block_size
+    rows = {k: [] for k in SEGMENT_SCHEMA.names}
+    for s, e in zip(starts, ends):
+        d = docid[s:e]
+        rows["term_id"].append(int(term_id[s]))
+        rows["salt"].append(int(salt[s]))
+        rows["n"].append(int(e - s))
+        rows["docids_bin"].append(delta_encode_docids(d))
+        rows["tfs_bin"].append(encode_tfs(tf[s:e]))
+        ts = tfsat[s:e]
+        n_blocks = -(-(e - s) // bs)
+        pad = n_blocks * bs - (e - s)
+        blk_last = d[np.minimum(np.arange(1, n_blocks + 1) * bs - 1, e - s - 1)]
+        ts_pad = np.pad(ts, (0, pad), constant_values=0.0).reshape(n_blocks, bs)
+        rows["block_last_docid"].append(blk_last.tolist())
+        rows["block_max_tfsat"].append(ts_pad.max(axis=1).tolist())
+        rows["max_tfsat"].append(float(ts.max()))
+    return pa.table(
+        {name: pa.array(rows[name], type=SEGMENT_SCHEMA.field(name).type)
+         for name in SEGMENT_SCHEMA.names}
+    )
+
+
+def make_segment_writer(
+    seg_dir: str, cfg: EngineConfig, avgdl: float, inputs_hash: str
+):
+    """map_groups fn for ``groupby('part')``: encode + atomically write one
+    segment parquet per term partition, emit a one-row manifest summary."""
+    sem_hash = cfg.semantic_hash()
+
+    def write_segment(group: pd.DataFrame) -> pd.DataFrame:
+        part = int(group["part"].iloc[0])
+        fname = f"part_{part:05d}.parquet"
+        fpath = os.path.join(seg_dir, fname)
+        if manifests.segment_complete(seg_dir, part, sem_hash, inputs_hash):
+            t = pq.read_metadata(fpath)
+            return pd.DataFrame(
+                {"part": [part], "n_runs": [t.num_rows],
+                 "n_postings": [int(group.shape[0])], "skipped": [True]}
+            )
+        seg = encode_runs(group, cfg, avgdl)
+        tmp = fpath + ".tmp"
+        pq.write_table(seg, tmp, compression="zstd")
+        os.replace(tmp, fpath)
+        manifests.mark_segment_complete(
+            seg_dir, part, sem_hash, inputs_hash, fname,
+            n_runs=seg.num_rows, n_postings=int(group.shape[0]),
+        )
+        return pd.DataFrame(
+            {"part": [part], "n_runs": [seg.num_rows],
+             "n_postings": [int(group.shape[0])], "skipped": [False]}
+        )
+
+    return write_segment

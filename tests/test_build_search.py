@@ -1,0 +1,153 @@
+"""End-to-end conformance: the Ray engine must be rank-identical (docids AND
+float64 scores) to the single-process oracle, with the sha256 per-row
+invariant preserved; an index built at parallelism 1 vs 4 must be logically
+identical (reference patterns: e2e_test.py + index_coalesce_test.py)."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from colbert_ray.config import EngineConfig
+from colbert_ray.fixtures import generate_corpus, generate_queries
+from colbert_ray.oracle import OracleIndex, assign_docids_oracle
+from colbert_ray.pipelines.build import build_index
+from colbert_ray.pipelines.search import search_table
+
+N_DOCS, N_QUERIES = 300, 40
+# tiny salt_max_run + few partitions => salting and multi-run terms are
+# exercised even on the small fixture (FIXTURES.md §5)
+CFG = EngineConfig(salt_max_run=20, num_term_partitions=8)
+
+
+@pytest.fixture(scope="module")
+def built(small_fixture, tmp_path_factory):
+    corpus_dir, queries_path = small_fixture
+    index_dir = str(tmp_path_factory.mktemp("idx"))
+    report = build_index(corpus_dir, index_dir, CFG)
+    return corpus_dir, queries_path, index_dir, report
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    corpus = assign_docids_oracle(generate_corpus(N_DOCS))
+    return corpus, OracleIndex.build(corpus, CFG)
+
+
+def test_metadata_counts(built, oracle):
+    *_, report = built
+    corpus, oi = oracle
+    md = report["metadata"]
+    assert md["n_docs"] == N_DOCS
+    assert md["n_terms"] == len(oi.postings)
+    assert md["avgdl"] == pytest.approx(oi.avgdl, abs=0)
+    assert md["n_postings"] == sum(len(v) for v in oi.postings.values())
+
+
+def test_salting_exercised(built):
+    """Head terms must be split into multiple salted runs."""
+    _, _, index_dir, report = built
+    seg = pa.concat_tables(
+        pq.read_table(f) for f in glob.glob(os.path.join(index_dir, "segments", "*.parquet"))
+    )
+    assert report["metadata"]["n_runs"] > report["metadata"]["n_terms"]
+    salts = seg.column("salt").to_numpy(zero_copy_only=False)
+    assert salts.max() > 0
+
+
+def test_rank_identical_to_oracle(built, oracle):
+    _, queries_path, index_dir, _ = built
+    _, oi = oracle
+    queries = pq.read_table(queries_path)
+    got = (
+        search_table(queries, index_dir, k=10)
+        .select(["qid", "docid", "rank", "score"]).to_pandas()
+        .sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    want = (
+        oi.search_all(queries, k=10).to_pandas()
+        .sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)  # exact float64
+
+
+def test_rank_identical_k100_and_pruning_exact(built, oracle):
+    _, queries_path, index_dir, _ = built
+    queries = pq.read_table(queries_path).slice(0, 10)
+    pruned = search_table(queries, index_dir, k=100, prune=True)
+    brute = search_table(queries, index_dir, k=100, prune=False)
+    pd.testing.assert_frame_equal(pruned.to_pandas(), brute.to_pandas())
+
+
+def test_sha256_invariant_end_to_end(built):
+    """content sha256 travels corpus -> index -> ranking rows unchanged."""
+    import hashlib
+
+    corpus_dir, queries_path, index_dir, _ = built
+    corpus = assign_docids_oracle(generate_corpus(N_DOCS))
+    truth = {
+        int(d): hashlib.sha256(c.encode()).hexdigest()
+        for d, c in zip(
+            corpus.column("docid").to_pylist(), corpus.column("content").to_pylist()
+        )
+    }
+    res = search_table(pq.read_table(queries_path), index_dir, k=10)
+    for d, sha in zip(res.column("docid").to_pylist(),
+                      res.column("content_sha256").to_pylist()):
+        assert truth[d] == sha
+
+
+def test_duplicate_content_distinct_docids(built):
+    """Two docs share content (sha collision by design): both indexable,
+    distinct docids (docids, not hashes, key the index — FIXTURES.md §5)."""
+    _, _, index_dir, _ = built
+    docs = pa.concat_tables(
+        pq.read_table(f) for f in glob.glob(os.path.join(index_dir, "docs", "*.parquet"))
+    )
+    df = docs.select(["docid", "content_sha256"]).to_pandas()
+    dup = df[df.duplicated("content_sha256", keep=False)]
+    assert len(dup) >= 2
+    assert dup["docid"].is_unique
+
+
+def test_parallelism_equivalence(small_fixture, tmp_path_factory):
+    """Index built with different block structure must be logically identical
+    (coalesce-test pattern): same segments content, same docids."""
+    corpus_dir, _ = small_fixture
+    cfg1 = EngineConfig(salt_max_run=20, num_term_partitions=8, tokenize_batch_size=16)
+    cfg2 = EngineConfig(salt_max_run=20, num_term_partitions=8, tokenize_batch_size=4096)
+    d1 = str(tmp_path_factory.mktemp("idxp1"))
+    d2 = str(tmp_path_factory.mktemp("idxp2"))
+    build_index(corpus_dir, d1, cfg1)
+    build_index(corpus_dir, d2, cfg2)
+
+    def load_segments(d):
+        seg = pa.concat_tables(
+            pq.read_table(f) for f in sorted(glob.glob(os.path.join(d, "segments", "*.parquet")))
+        ).to_pandas()
+        return seg.sort_values(["term_id", "salt"]).reset_index(drop=True)
+
+    s1, s2 = load_segments(d1), load_segments(d2)
+    pd.testing.assert_frame_equal(s1, s2)   # byte-identical posting runs
+
+    def load_docids(d):
+        t = pa.concat_tables(
+            pq.read_table(f, columns=["repo", "path", "docid"])
+            for f in sorted(glob.glob(os.path.join(d, "docs", "*.parquet")))
+        ).to_pandas()
+        return t.sort_values("docid").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(load_docids(d1), load_docids(d2))
+
+
+def test_oov_and_empty_queries(built):
+    _, _, index_dir, _ = built
+    queries = pa.table({"qid": pa.array([0, 1], type=pa.int64()),
+                        "query": pa.array(["zzzznotaterm", "...!!!..."])})
+    res = search_table(queries, index_dir, k=10)
+    assert res.num_rows == 0

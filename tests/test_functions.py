@@ -1,0 +1,112 @@
+"""Unit tests for leaf functions: tokenizer golden vectors (reference pattern:
+``colbert/tests/tokenizers_test.py:78-137`` frozen-vector equality),
+codec roundtrip, BM25 scalar math vs hand-computed values."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from colbert_ray.config import EngineConfig
+from colbert_ray.functions import bm25
+from colbert_ray.functions.codec import (
+    decode_tfs,
+    delta_decode_docids,
+    delta_encode_docids,
+    encode_tfs,
+    varint_decode,
+    varint_encode,
+)
+from colbert_ray.functions.tokenizer import (
+    doc_term_frequencies,
+    tokenize_column,
+    tokenize_query,
+)
+
+CFG = EngineConfig()
+
+
+class TestTokenizer:
+    def test_golden_vectors(self):
+        # frozen expected outputs (tokenizers_test.py pattern)
+        cases = {
+            "getHTTPServer foo_bar": ["get", "http", "server", "foo", "bar"],
+            "parseJSON2XML": ["parse", "json2", "xml"],
+            "snake_case camelCase UPPER lower123": [
+                "snake", "case", "camel", "case", "upper", "lower123"],
+            "": [],
+            "  !!  ": [],
+            "a-b.c;d": ["a", "b", "c", "d"],
+        }
+        toks = tokenize_column(pa.array(list(cases.keys())), CFG)
+        for got, want in zip(toks.to_pylist(), cases.values()):
+            assert [t for t in got if t] == want
+
+    def test_doc_term_frequencies_sorted_and_counted(self):
+        dl, terms, tfs = doc_term_frequencies(pa.array(["b a b c a b"]), CFG)
+        assert dl.tolist() == [6]
+        assert terms.to_pylist() == [["a", "b", "c"]]   # sorted per doc
+        assert tfs.to_pylist() == [[2, 3, 1]]
+
+    def test_query_tokenize(self):
+        terms, tfs = tokenize_query("mergeSort merge zz", CFG)
+        assert terms == ["merge", "sort", "zz"]
+        assert tfs == [2, 1, 1]
+
+    def test_empty_and_null_free(self):
+        dl, terms, tfs = doc_term_frequencies(pa.array(["", "x"]), CFG)
+        assert dl.tolist() == [0, 1]
+        assert terms.to_pylist() == [[], ["x"]]
+
+
+class TestCodec:
+    @given(st.lists(st.integers(min_value=0, max_value=2**62), max_size=300))
+    @settings(max_examples=50, deadline=None)
+    def test_varint_roundtrip(self, vals):
+        v = np.array(vals, dtype=np.uint64)
+        assert (varint_decode(varint_encode(v), len(v)) == v).all()
+
+    @given(st.sets(st.integers(min_value=0, max_value=10**12), max_size=300))
+    @settings(max_examples=50, deadline=None)
+    def test_delta_roundtrip(self, s):
+        d = np.array(sorted(s), dtype=np.int64)
+        assert (delta_decode_docids(delta_encode_docids(d), len(d)) == d).all()
+
+    def test_tfs_roundtrip(self):
+        t = np.array([1, 1, 200, 3, 10**6], dtype=np.int64)
+        assert (decode_tfs(encode_tfs(t), len(t)) == t).all()
+
+    def test_nonincreasing_rejected(self):
+        with pytest.raises(ValueError):
+            delta_encode_docids(np.array([3, 3], dtype=np.int64))
+
+    def test_corrupt_stream_rejected(self):
+        with pytest.raises(ValueError):
+            varint_decode(b"\x80", 1)   # dangling continuation
+
+
+class TestBM25Math:
+    def test_idf_hand_computed(self):
+        # N=100, df=10 -> ln((100-10+.5)/(10+.5)+1) = ln(9.61904761...)
+        assert bm25.idf(10.0, 100) == pytest.approx(np.log((90.5 / 10.5) + 1.0))
+
+    def test_tf_saturation_hand_computed(self):
+        # tf=2, dl=100, avgdl=100, k1=1.2, b=0.75 -> 2*2.2/(2+1.2) = 1.375
+        got = bm25.tf_saturation(np.array([2.0]), np.array([100.0]), 100.0, 1.2, 0.75)
+        assert got[0] == pytest.approx(2 * 2.2 / 3.2)
+
+    def test_topk_tie_break_by_docid(self):
+        scores = np.array([1.0, 2.0, 2.0, 0.5])
+        docids = np.array([9, 7, 3, 1], dtype=np.int64)
+        d, s, r = bm25.topk_with_ties(scores, docids, 3)
+        assert d.tolist() == [3, 7, 9]          # tie at 2.0 -> lower docid first
+        assert s.tolist() == [2.0, 2.0, 1.0]
+        assert r.tolist() == [1, 2, 3]
+
+    def test_topk_boundary_ties_not_dropped(self):
+        # kth boundary has equal scores: canonical (-score, docid) must win
+        scores = np.ones(10)
+        docids = np.arange(10, 0, -1, dtype=np.int64)
+        d, _, _ = bm25.topk_with_ties(scores, docids, 3)
+        assert d.tolist() == [1, 2, 3]

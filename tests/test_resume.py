@@ -1,0 +1,90 @@
+"""Resume semantics (north_rule): an interrupted build restarted must skip
+finished work and produce an identical final index (reference pattern:
+``check_chunk_exists`` / resume flag, ``index_saver.py:30-50``,
+``collection_indexer.py:360-363``; incremental test pattern
+``colbert/tests/index_updater_test.py``)."""
+
+import glob
+import json
+import os
+import shutil
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from colbert_ray.config import EngineConfig
+from colbert_ray.pipelines.build import build_index
+from colbert_ray.stages import manifests
+
+CFG = EngineConfig(salt_max_run=20, num_term_partitions=8)
+
+
+def _segments(d):
+    return (
+        pa.concat_tables(
+            pq.read_table(f)
+            for f in sorted(glob.glob(os.path.join(d, "segments", "*.parquet")))
+        )
+        .to_pandas()
+        .sort_values(["term_id", "salt"])
+        .reset_index(drop=True)
+    )
+
+
+def test_resume_skips_finished_phases(small_fixture, tmp_path_factory):
+    corpus_dir, _ = small_fixture
+    d = str(tmp_path_factory.mktemp("idx_resume"))
+    r1 = build_index(corpus_dir, d, CFG)
+    assert set(r1["phases"]) >= {"tokenize", "docids", "stats", "dictionary", "segments"}
+    # re-run: everything already complete -> no phase re-executed
+    r2 = build_index(corpus_dir, d, CFG)
+    assert not any(
+        k in r2["phases"] for k in ("tokenize", "docids", "stats", "dictionary", "segments")
+    )
+
+
+def test_interrupted_segments_phase_resumes_partition_level(
+    small_fixture, tmp_path_factory
+):
+    """Simulate a crash mid-phase-E: some segments written, manifest for the
+    phase absent. Restart must rebuild ONLY the missing partitions and the
+    final index must equal a clean build."""
+    corpus_dir, _ = small_fixture
+    clean = str(tmp_path_factory.mktemp("idx_clean"))
+    crash = str(tmp_path_factory.mktemp("idx_crash"))
+    build_index(corpus_dir, clean, CFG)
+    build_index(corpus_dir, crash, CFG)
+
+    # "crash": drop the segments phase manifest + delete half the segments
+    os.remove(manifests.phase_manifest_path(crash, "segments"))
+    os.remove(manifests.phase_manifest_path(crash, "finalize"))
+    seg_dir = os.path.join(crash, "segments")
+    victims = sorted(glob.glob(os.path.join(seg_dir, "part_*.parquet")))[::2]
+    for f in victims:
+        part = int(os.path.basename(f)[5:10])
+        os.remove(f)
+        os.remove(manifests.segment_manifest_path(seg_dir, part))
+
+    r = build_index(corpus_dir, crash, CFG)
+    detail = r["phases"].get("segments_detail", [])
+    rebuilt = {row["part"] for row in detail if not row.get("skipped")}
+    surviving = {
+        int(os.path.basename(f)[5:10])
+        for f in glob.glob(os.path.join(seg_dir, "part_*.parquet"))
+    } - rebuilt
+    # every surviving partition was skipped, every victim rebuilt
+    assert all(int(os.path.basename(f)[5:10]) in rebuilt for f in victims)
+    assert surviving  # some partitions really were preserved
+    pd.testing.assert_frame_equal(_segments(clean), _segments(crash))
+
+
+def test_config_change_invalidates_resume(small_fixture, tmp_path_factory):
+    corpus_dir, _ = small_fixture
+    d = str(tmp_path_factory.mktemp("idx_cfg"))
+    build_index(corpus_dir, d, CFG)
+    cfg2 = EngineConfig(salt_max_run=20, num_term_partitions=8, k1=2.0)
+    r = build_index(corpus_dir, d, cfg2)
+    assert "segments" in r["phases"]       # semantic change -> rebuilt
+    with open(os.path.join(d, "metadata.json")) as f:
+        assert f and json.load(f)["config"]["k1"] == 2.0
