@@ -1,44 +1,500 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (BM25 index build + top-k search over
+the ``documents`` table) at sf0.001. ``queries()`` exposes one callable per
+implemented operator/pipeline from SURVEY.md §2 (+ the training-data-pipeline
+extras); ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible entry. Ray is initialised by the driver — nothing here calls
+``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Float policy: any float-valued compared column is rounded to 6 decimals on
+BOTH sides and ranks are computed over the ROUNDED value with a docid
+tie-break, so bit-level summation-order differences between numpy and DuckDB
+cannot flip a rank or a hash.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+
+from colbert_ray.config import EngineConfig
+from colbert_ray.extras import dedup as x_dedup
+from colbert_ray.extras import relational as x_rel
+from colbert_ray.extras import simsearch as x_sim
+from colbert_ray.extras import textstats as x_text
+from colbert_ray.functions.tokenizer import sql_tokenize_expr, tokenize_query
+
+# ---------------------------------------------------------------------------
+# shared constants (embedded in BOTH the Ray callables and the oracle SQL)
+# ---------------------------------------------------------------------------
+
+CFG = EngineConfig()
+
+# fixed reference query set over the documents table (vocabulary drawn from
+# the synthetic corpus; last query carries an OOV term for zero-df handling)
+QUERY_SET: list[tuple[int, str]] = [
+    (0, "join merge sort"),
+    (1, "window agg stream"),
+    (2, "hash join spark"),
+    (3, "slow query filter"),
+    (4, "customer order line"),
+    (5, "batch stream data"),
+    (6, "the fast scan"),
+    (7, "dup key value zzznotaterm"),
+]
+
+KNN_QUERY_IDS = [0, 1, 2, 3, 4]
+JACCARD_MAX_ID = 200
+JACCARD_THRESHOLD_NUM = 6      # threshold = 6/10, tested in exact integer
+JACCARD_THRESHOLD_DEN = 10     # arithmetic on both sides
+
+
+def _doc_path(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(_doc_path(sf_dir, table), columns=columns)
+
+
+def _index_dir_for(sf_dir: str) -> str:
+    key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join("/tmp/colbert_ray_driver", f"idx_{key}")
+
+
+def _ensure_index(sf_dir: str) -> str:
+    """Build (or resume) the documents-table index once per sf_dir."""
+    from colbert_ray.pipelines.build import build_index
+
+    idx = _index_dir_for(sf_dir)
+    build_index(
+        _doc_path(sf_dir, "documents"),
+        idx,
+        CFG,
+        content_col="text",
+        key_cols=(),
+        meta_cols=("lang", "source"),
+        docid_col="doc_id",
+    )
+    return idx
+
+
+def _rerank_rounded(df: pd.DataFrame, score_col: str, id_col: str, k: int) -> pd.DataFrame:
+    """Re-rank by (rounded score desc, id asc) within qid and cut to k."""
+    df = df.copy()
+    df[score_col] = df[score_col].round(6)
+    df = df.sort_values(["qid", score_col, id_col], ascending=[True, False, True])
+    df["rank"] = df.groupby("qid").cumcount() + 1
+    df = df[df["rank"] <= k].reset_index(drop=True)
+    df["rank"] = df["rank"].astype(np.int64)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# query callables
+# ---------------------------------------------------------------------------
+
+def _q_bm25_top10(sf_dir: str) -> pd.DataFrame:
+    import pyarrow as pa
+
+    from colbert_ray.pipelines.search import search_table
+
+    idx = _ensure_index(sf_dir)
+    qt = pa.table(
+        {
+            "qid": pa.array([q for q, _ in QUERY_SET], type=pa.int64()),
+            "query": pa.array([t for _, t in QUERY_SET], type=pa.string()),
+        }
+    )
+    res = search_table(qt, idx, k=50, with_sha=False).to_pandas()
+    out = _rerank_rounded(res, "score", "docid", 10)
+    return out[["qid", "docid", "rank", "score"]].rename(columns={"score": "score_r"})
+
+
+def _q_corpus_stats(sf_dir: str) -> pd.DataFrame:
+    ds = x_text.corpus_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
+    df = ds.to_pandas()
+    df["avgdl"] = df["avgdl"].round(6)
+    return df[["n_docs", "total_tokens", "avgdl"]]
+
+
+def _q_term_df_top100(sf_dir: str) -> pd.DataFrame:
+    ds = x_text.term_stats(_read(sf_dir, "documents", ["text"]))
+    df = ds.to_pandas().sort_values(["df", "term"], ascending=[False, True]).head(100)
+    return df[["term", "df", "cf"]].reset_index(drop=True)
+
+
+def _q_token_counts(sf_dir: str) -> pd.DataFrame:
+    ds = x_text.token_counts(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_exact_dedup(sf_dir: str) -> pd.DataFrame:
+    ds = x_dedup.exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return (
+        ds.to_pandas()[["doc_id", "dup_count"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _q_quality_scores(sf_dir: str) -> pd.DataFrame:
+    ds = x_text.quality_scores(_read(sf_dir, "documents", ["doc_id", "text"]))
+    df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    df["stopword_ratio"] = df["stopword_ratio"].round(6)
+    df["mean_token_len"] = df["mean_token_len"].round(6)
+    return df[["doc_id", "n_tokens", "n_chars", "stopword_ratio", "mean_token_len"]]
+
+
+def _q_lang_doc_counts(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count, Mean
+
+    ds = (
+        _read(sf_dir, "documents", ["lang", "n_chars"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Mean("n_chars", alias_name="avg_chars"))
+    )
+    df = ds.to_pandas().sort_values("lang").reset_index(drop=True)
+    df["avg_chars"] = df["avg_chars"].round(6)
+    return df
+
+
+def _q_jaccard_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    ds = x_dedup.jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        threshold_num=JACCARD_THRESHOLD_NUM,
+        threshold_den=JACCARD_THRESHOLD_DEN,
+        max_id=JACCARD_MAX_ID,
+    )
+    return ds.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _knn_queries(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_doc_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    mask = np.isin(t.column("vec_id").to_numpy(zero_copy_only=False), KNN_QUERY_IDS)
+    idxs = np.flatnonzero(mask)
+    sub = t.take(idxs)
+    ids = sub.column("vec_id").to_numpy(zero_copy_only=False)
+    vecs = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in sub.column("embedding").to_pylist()]
+    )
+    order = np.argsort(ids)
+    return vecs[order], ids[order]
+
+
+def _q_knn_cosine_top5(sf_dir: str) -> pd.DataFrame:
+    vecs, ids = _knn_queries(sf_dir)
+    ds = x_sim.knn_cosine(_read(sf_dir, "embeddings"), vecs, ids, k=10)
+    df = ds.to_pandas()
+    out = _rerank_rounded(df, "cosine", "vec_id", 5)
+    return out[["qid", "vec_id", "rank", "cosine"]].rename(columns={"cosine": "cosine_r"})
+
+
+def _q_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    ds = x_rel.pricing_summary(
+        _read(sf_dir, "lineitem",
+              ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+    )
+    df = ds.to_pandas().sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    for c in ("sum_qty", "sum_base_price", "sum_revenue"):
+        df[c] = df[c].round(2)
+    df["avg_qty"] = df["avg_qty"].round(6)
+    df["count_order"] = df["count_order"].astype(np.int64)
+    return df
+
+
+def _q_events_hourly(sf_dir: str) -> pd.DataFrame:
+    ds = x_rel.events_hourly_window(_read(sf_dir, "events", ["user_id", "ts", "value"]))
+    df = ds.to_pandas().sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    df["sum_value"] = df["sum_value"].round(4)
+    df["n_events"] = df["n_events"].astype(np.int64)
+    return df
+
+
+# ---- rows-only (non-SQL-expressible) --------------------------------------
+
+def _q_minhash_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    ds = x_dedup.minhash_lsh_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.8
+    )
+    df = ds.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                             "id_b": pd.Series(dtype=np.int64),
+                             "jaccard": pd.Series(dtype=np.float64)})
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _q_simhash(sf_dir: str) -> pd.DataFrame:
+    ds = x_dedup.simhash(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_fingerprints(sf_dir: str) -> pd.DataFrame:
+    ds = x_text.fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_lang_id(sf_dir: str) -> pd.DataFrame:
+    ds = x_text.lang_id(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_ivf_knn_top5(sf_dir: str) -> pd.DataFrame:
+    vecs, ids = _knn_queries(sf_dir)
+    ds = x_sim.ivf_knn(_read(sf_dir, "embeddings"), vecs, ids, k=5)
+    df = ds.to_pandas()
+    df["cosine"] = df["cosine"].round(6)
+    return df.sort_values(["qid", "rank"]).reset_index(drop=True)
+
+
+def _q_media_features(sf_dir: str) -> pd.DataFrame:
+    """Multimodal plumbing demo: documents' bytes as opaque payloads."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from colbert_ray.extras.multimodal import extract_media_features, make_payload_table
+
+    t = pq.read_table(_doc_path(sf_dir, "documents"), columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)[:256]
+    blobs = [s.encode() for s in t.column("text").to_pylist()[:256]]
+    payloads = ray.data.from_arrow(make_payload_table(ids, blobs))
+    df = extract_media_features(payloads).to_pandas()
+    return (
+        df[["item_id", "n_bytes", "pixel_mean", "decoded"]]
+        .sort_values("item_id").reset_index(drop=True)
+    )
+
+
+def _q_code_corpus_rankings(sf_dir: str) -> pd.DataFrame:
+    """Flagship end-to-end on the input_hint-shaped CODE corpus (generated
+    deterministically — the testdata star schema has no such table). Scale of
+    the generated corpus follows the sf directory name."""
+    import pyarrow.parquet as pq
+
+    from colbert_ray.fixtures import ensure_fixture
+    from colbert_ray.pipelines.build import build_index
+    from colbert_ray.pipelines.search import search_table
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    n_files = max(200, int(float(sf) * 50_000)) if sf else 500
+    root = os.path.join("/tmp/colbert_ray_driver", f"code_{n_files}")
+    corpus_dir, queries_path = ensure_fixture(root, n_files, 100)
+    idx = os.path.join(root, "index")
+    build_index(corpus_dir, idx, CFG)
+    res = search_table(pq.read_table(queries_path), idx, k=10)
+    return res.to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# driver API
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: BM25 build + search."""
+    return _q_bm25_top10("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "bm25_top10": _q_bm25_top10,
+        "corpus_stats": _q_corpus_stats,
+        "term_df_top100": _q_term_df_top100,
+        "token_counts": _q_token_counts,
+        "exact_dedup": _q_exact_dedup,
+        "quality_scores": _q_quality_scores,
+        "lang_doc_counts": _q_lang_doc_counts,
+        "jaccard_dup_pairs": _q_jaccard_dup_pairs,
+        "knn_cosine_top5": _q_knn_cosine_top5,
+        "pricing_summary": _q_pricing_summary,
+        "events_hourly": _q_events_hourly,
+        # rows-only (non-SQL-expressible / stateful / approximate)
+        "minhash_dup_pairs": _q_minhash_dup_pairs,
+        "simhash64": _q_simhash,
+        "fingerprints": _q_fingerprints,
+        "lang_id_pred": _q_lang_id,
+        "ivf_knn_top5": _q_ivf_knn_top5,
+        "media_features": _q_media_features,
+        "code_corpus_rankings": _q_code_corpus_rankings,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+def _toks_expr() -> str:
+    return sql_tokenize_expr("text", CFG)
+
+
+def _bm25_sql() -> str:
+    values = ",\n      ".join(
+        f"({qid}, '{term}')"
+        for qid, text in QUERY_SET
+        for term in tokenize_query(text, CFG)[0]
+    )
+    k1, b = CFG.k1, CFG.b
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {_toks_expr()} AS toks FROM documents
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM docs
+),
+tok AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM docs
+),
+tf AS (
+  SELECT doc_id, term, any_value(dl) AS dl, count(*) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+q(qid, term) AS (
+  VALUES {values}
+),
+scores AS (
+  SELECT q.qid, tf.doc_id AS docid,
+         sum( ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * tf.tf * ({k1} + 1.0)
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+)
+SELECT qid, docid,
+       row_number() OVER (PARTITION BY qid ORDER BY round(score, 6) DESC, docid) AS rank,
+       round(score, 6) AS score_r
+FROM scores
+QUALIFY rank <= 10
+ORDER BY qid, rank
+"""
+
+
+def _jaccard_sql() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < {JACCARD_MAX_ID}
+),
+g AS (
+  SELECT doc_id, list(DISTINCT substr(text, n.n::int, 3)) AS grams
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(text) - 2)) AS n) n
+  GROUP BY doc_id
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.grams, b.grams)) AS n_common,
+         len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS n_union
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, n_common, n_union
+FROM p
+WHERE n_common > 0
+  AND n_common * {JACCARD_THRESHOLD_DEN} >= {JACCARD_THRESHOLD_NUM} * n_union
+ORDER BY id_a, id_b
+"""
+
+
+def _knn_sql() -> str:
+    ids = ", ".join(str(i) for i in KNN_QUERY_IDS)
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN ({ids})
+),
+sims AS (
+  SELECT q.qid, e.vec_id,
+         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cosine
+  FROM q JOIN embeddings e ON e.vec_id <> q.qid
+)
+SELECT qid, vec_id,
+       row_number() OVER (PARTITION BY qid ORDER BY round(cosine, 6) DESC, vec_id) AS rank,
+       round(cosine, 6) AS cosine_r
+FROM sims
+QUALIFY rank <= 5
+ORDER BY qid, rank
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = _toks_expr()
+    stop = x_text.sql_stopword_list()
+    return {
+        "bm25_top10": _bm25_sql(),
+        "corpus_stats": f"""
+SELECT count(*) AS n_docs,
+       sum(len(toks)) AS total_tokens,
+       round(avg(len(toks)), 6) AS avgdl
+FROM (SELECT {toks} AS toks FROM documents)
+""",
+        "term_df_top100": f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+)
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+FROM tok GROUP BY term
+ORDER BY df DESC, term
+LIMIT 100
+""",
+        "token_counts": f"""
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_unique_terms
+FROM (SELECT doc_id, {toks} AS toks FROM documents)
+ORDER BY doc_id
+""",
+        "exact_dedup": """
+SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+FROM documents GROUP BY text ORDER BY doc_id
+""",
+        "quality_scores": f"""
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(text) AS n_chars,
+       round(len(list_filter(toks, t -> list_contains({stop}, t)))::DOUBLE
+             / greatest(1, len(toks)), 6) AS stopword_ratio,
+       round(list_sum(list_transform(toks, t -> len(t)))::DOUBLE
+             / greatest(1, len(toks)), 6) AS mean_token_len
+FROM (SELECT doc_id, text, {toks} AS toks FROM documents)
+ORDER BY doc_id
+""",
+        "lang_doc_counts": """
+SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
+FROM documents GROUP BY lang ORDER BY lang
+""",
+        "jaccard_dup_pairs": _jaccard_sql(),
+        "knn_cosine_top5": _knn_sql(),
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_revenue,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+        "events_hourly": """
+SELECT user_id,
+       (epoch_us(ts) // 3600000000) * 3600000000 AS window_start,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY user_id, window_start
+ORDER BY user_id, window_start
+""",
+    }

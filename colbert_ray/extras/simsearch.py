@@ -1,0 +1,184 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``knn_cosine``: exact brute-force top-k — numpy matmul per batch against a
+  broadcast query matrix (``ray.put`` once, read per actor), per-batch
+  partial top-k, then a tiny per-query merge. The baseline/oracle path.
+- ``ivf_knn``: IVF-bucketed approximate variant — deterministic centroids
+  (seeded), assign via argmax cosine inside ``map_batches``, probe the top
+  ``nprobe`` buckets per query. The scale path (reference capability analog:
+  PLAID centroid candidate generation, ``candidate_generation.py:12-37``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(n, 1e-30)
+
+
+def _stack(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch.column(col).combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    offs = arr.offsets.to_numpy(zero_copy_only=False)
+    dim = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+    return flat.reshape(-1, dim)
+
+
+def knn_cosine(
+    ds: "ray.data.Dataset",
+    query_vecs: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> "ray.data.Dataset":
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output rows: (qid, vec_id, rank, cosine) — rank 1..k by
+    (-cosine, vec_id), exact float64.
+    """
+    qm = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    ref = ray.put((qm, qids))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q, qi = ray.get(ref)
+        m = _normalize(_stack(batch, vec_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = q @ m.T                                    # (nq, nb)
+        if exclude_self:
+            mask = qi[:, None] == ids[None, :]
+            sims = np.where(mask, -np.inf, sims)
+        kk = min(k, sims.shape[1])
+        out_q, out_id, out_s = [], [], []
+        for r in range(sims.shape[0]):
+            row = sims[r]
+            # partial select per batch; exact merge happens in the reduce
+            sel = np.argpartition(-row, kk - 1)[:kk] if len(row) > kk else np.arange(len(row))
+            sel = sel[np.lexsort((ids[sel], -row[sel]))]
+            out_q.append(np.full(len(sel), qi[r], dtype=np.int64))
+            out_id.append(ids[sel])
+            out_s.append(row[sel])
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_id)),
+                "cosine": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g[["qid", id_col, "rank", "cosine"]]
+
+    return (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("qid")
+        .map_groups(merge_topk, batch_format="pandas")
+    )
+
+
+def ivf_knn(
+    ds: "ray.data.Dataset",
+    query_vecs: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "ray.data.Dataset":
+    """Approximate IVF top-k: deterministic pseudo-random unit centroids
+    (seed 123, the reference's k-means seed), coarse-assign each vector to
+    its nearest centroid in a map_batches pass, then score queries only
+    against vectors in their ``nprobe`` closest buckets."""
+    qm = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    dim = qm.shape[1]
+    rng = np.random.default_rng(123)
+    centroids = _normalize(rng.standard_normal((n_centroids, dim)))
+    probe = np.argsort(-(qm @ centroids.T), axis=1)[:, :nprobe]   # (nq, nprobe)
+    ref = ray.put((qm, qids, centroids, probe))
+
+    def bucket_score(batch: pa.Table) -> pa.Table:
+        q, qi, cents, prb = ray.get(ref)
+        m = _normalize(_stack(batch, vec_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        assign = np.argmax(m @ cents.T, axis=1)            # coarse bucket
+        out_q, out_id, out_s = [], [], []
+        for r in range(q.shape[0]):
+            sel = np.isin(assign, prb[r]) & (ids != qi[r])
+            if not sel.any():
+                continue
+            sims = q[r] @ m[sel].T
+            sids = ids[sel]
+            kk = min(k, len(sims))
+            top = np.argpartition(-sims, kk - 1)[:kk] if len(sims) > kk else np.arange(len(sims))
+            top = top[np.lexsort((sids[top], -sims[top]))]
+            out_q.append(np.full(len(top), qi[r], dtype=np.int64))
+            out_id.append(sids[top])
+            out_s.append(sims[top])
+        if not out_q:
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        return pa.table({"qid": pa.array(np.concatenate(out_q)),
+                         id_col: pa.array(np.concatenate(out_id)),
+                         "cosine": pa.array(np.concatenate(out_s))})
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g[["qid", id_col, "rank", "cosine"]]
+
+    return (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(bucket_score, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("qid")
+        .map_groups(merge_topk, batch_format="pandas")
+    )
+
+
+def embedding_dup_pairs(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.98,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_id: int | None = None,
+) -> "ray.data.Dataset":
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= thr).
+
+    Broadcast the (bounded) reference matrix, compare each batch against it —
+    the embedding analog of jaccard near-dup."""
+    if max_id is not None:
+        ds = ds.filter(expr=f"{id_col} < {max_id}")
+    ref_tbl = ds.select_columns([id_col, vec_col]).to_pandas()
+    ids = ref_tbl[id_col].to_numpy(dtype=np.int64)
+    mat = _normalize(np.stack(ref_tbl[vec_col].to_numpy()).astype(np.float64))
+    ref = ray.put((ids, mat))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        r_ids, r_m = ray.get(ref)
+        m = _normalize(_stack(batch, vec_col))
+        b_ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = m @ r_m.T
+        bi, ri = np.nonzero((sims >= threshold) & (b_ids[:, None] < r_ids[None, :]))
+        return pa.table({"id_a": pa.array(b_ids[bi]),
+                         "id_b": pa.array(r_ids[ri]),
+                         "cosine": pa.array(sims[bi, ri])})
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        pairs, batch_format="pyarrow", zero_copy_batch=True
+    )

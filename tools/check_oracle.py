@@ -1,0 +1,114 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+and its oracle_sql() side by side on one sf dir, compare row count, schema
+(column names) and order-insensitive values. Usage:
+
+    PYTHONPATH=. python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+
+def to_pandas(obj) -> pd.DataFrame:
+    import pyarrow as pa
+
+    if isinstance(obj, pd.DataFrame):
+        return obj
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    return obj.to_pandas()  # ray Dataset
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.integer):
+            df[c] = df[c].astype(np.int64)
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].astype(np.float64)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            got = canon(to_pandas(fn(sf_dir)))
+        except Exception as e:
+            print(f"[{name}] RAY-ERROR: {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        wall = time.time() - t0
+        if name not in oracles:
+            print(f"[{name}] rows-only: {len(got)} rows, {wall:.1f}s cols={list(got.columns)}")
+            continue
+        try:
+            want = canon(con.execute(oracles[name]).fetchdf())
+        except Exception as e:
+            print(f"[{name}] SQL-ERROR: {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        ok_rows = len(got) == len(want)
+        ok_schema = list(got.columns) == list(want.columns)
+        ok_vals = False
+        if ok_rows and ok_schema:
+            try:
+                pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                              check_exact=True)
+                ok_vals = True
+            except AssertionError as e:
+                msg = str(e).splitlines()
+                print(f"[{name}] VALUE-MISMATCH: {msg[0] if msg else ''}")
+                # show first differing rows
+                neq = (got != want) & ~(got.isna() & want.isna())
+                bad = neq.any(axis=1)
+                print(got[bad].head(3))
+                print(want[bad].head(3))
+        status = "OK" if (ok_rows and ok_schema and ok_vals) else "FAIL"
+        if status == "FAIL":
+            failures += 1
+        print(f"[{name}] {status} rows={len(got)}/{len(want)} "
+              f"schema={'=' if ok_schema else f'{list(got.columns)} vs {list(want.columns)}'} "
+              f"{wall:.1f}s")
+    ray.shutdown()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
