@@ -1,0 +1,203 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "files_per_sec": ..., "query_p95_ms": ..., "rankings_sha": ...}
+
+Headline: code-corpus (input_hint shape) index build + 1000-query BM25
+search, plus the documents-table pipelines. ``--scaling`` runs the identical
+job at num_cpus=8 and num_cpus=32 in fresh processes on the same input and
+reports both throughputs + scaling efficiency + rank-identity across levels
+(BASELINE.md protocol).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ROOT = "/tmp/colbert_ray_bench"
+N_QUERIES = 1000
+K = 10
+
+
+def _sf() -> float:
+    base = os.path.basename(os.path.normpath(SF_DIR))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _rankings_sha(df) -> str:
+    df = df.sort_values(["qid", "rank"]).reset_index(drop=True)
+    blob = df.assign(score=df["score"].round(9)).to_csv(index=False).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
+def run_bench() -> dict:
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from colbert_ray.config import EngineConfig
+    from colbert_ray.extras import dedup as x_dedup
+    from colbert_ray.extras import relational as x_rel
+    from colbert_ray.extras import simsearch as x_sim
+    from colbert_ray.fixtures import ensure_fixture
+    from colbert_ray.pipelines.build import build_index
+    from colbert_ray.pipelines.search import search_table
+    from colbert_ray.state.index import BM25Scorer
+
+    import ray.data as rd
+
+    sf = _sf()
+    n_files = max(1000, int(500_000 * sf))          # sf0.1 -> 50k files
+    cfg = EngineConfig(scorer_concurrency=max(2, NUM_CPUS - 2))
+
+    # fixture corpus is cached across runs (generation is NOT benchmarked)
+    corpus_dir, queries_path = ensure_fixture(BENCH_ROOT, n_files, N_QUERIES)
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    for f in sorted(os.listdir(corpus_dir)):
+        if f.endswith(".parquet"):
+            pq.read_table(os.path.join(corpus_dir, f))
+
+    queries_t = pq.read_table(queries_path)
+    timings: dict[str, float] = {}
+    extras: dict = {}
+
+    # --- headline: code-corpus build (fresh dir every run) -------------
+    idx = os.path.join(BENCH_ROOT, f"index_cpus{NUM_CPUS}")
+    shutil.rmtree(idx, ignore_errors=True)
+    t0 = time.time()
+    build_index(corpus_dir, idx, cfg)
+    timings["code_build"] = round(time.time() - t0, 3)
+    extras["files_per_sec"] = round(n_files / timings["code_build"], 1)
+
+    # --- headline: 1000-query batch search ------------------------------
+    t0 = time.time()
+    res = search_table(queries_t, idx, k=K, with_sha=False,
+                       concurrency=max(2, NUM_CPUS - 2))
+    timings["code_search1000"] = round(time.time() - t0, 3)
+    extras["rankings_sha"] = _rankings_sha(res.to_pandas())
+
+    # --- single-query p95 latency (loaded scorer, sequential) ----------
+    scorer = BM25Scorer(idx, k=K, with_sha=False)
+    texts = queries_t.column("query").to_pylist()[:200]
+    lat = []
+    for q in texts:
+        t0 = time.time()
+        scorer.score_query(q)
+        lat.append(time.time() - t0)
+    extras["query_p95_ms"] = round(float(np.percentile(lat, 95)) * 1000, 3)
+    extras["query_mean_ms"] = round(float(np.mean(lat)) * 1000, 3)
+
+    # --- documents-table pipelines --------------------------------------
+    doc_path = os.path.join(SF_DIR, "documents.parquet")
+    if os.path.exists(doc_path):
+        docs_idx = os.path.join(BENCH_ROOT, f"docs_index_cpus{NUM_CPUS}")
+        shutil.rmtree(docs_idx, ignore_errors=True)
+        t0 = time.time()
+        build_index(doc_path, docs_idx, cfg, content_col="text", key_cols=(),
+                    meta_cols=("lang", "source"), docid_col="doc_id")
+        import __ray_entry__ as entrymod
+
+        import pyarrow as pa
+
+        qt = pa.table(
+            {"qid": pa.array([q for q, _ in entrymod.QUERY_SET], type=pa.int64()),
+             "query": pa.array([t for _, t in entrymod.QUERY_SET], type=pa.string())}
+        )
+        search_table(qt, docs_idx, k=10, with_sha=False)
+        timings["docs_bm25_e2e"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        x_dedup.minhash_lsh_pairs(
+            rd.read_parquet(doc_path, columns=["doc_id", "text"])
+        ).to_pandas()
+        timings["minhash_dedup"] = round(time.time() - t0, 3)
+
+        emb_path = os.path.join(SF_DIR, "embeddings.parquet")
+        et = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+        qv = np.stack([np.asarray(v, dtype=np.float64)
+                       for v in et.column("embedding").to_pylist()[:16]])
+        t0 = time.time()
+        x_sim.knn_cosine(rd.read_parquet(emb_path), qv,
+                         np.arange(16, dtype=np.int64), k=10).to_pandas()
+        timings["knn_cosine"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        x_rel.pricing_summary(
+            rd.read_parquet(os.path.join(SF_DIR, "lineitem.parquet"),
+                            columns=["l_returnflag", "l_linestatus", "l_quantity",
+                                     "l_extendedprice", "l_discount"])
+        ).to_pandas()
+        timings["pricing_summary"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        x_rel.events_hourly_window(
+            rd.read_parquet(os.path.join(SF_DIR, "events.parquet"),
+                            columns=["user_id", "ts", "value"])
+        ).to_pandas()
+        timings["events_hourly"] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "colbert_ray_bench_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "n_code_files": n_files,
+        **extras,
+    }
+
+
+def run_scaling():
+    """Same job at 8 and 32 CPUs in fresh processes (north_rule protocol)."""
+    results = {}
+    for n in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        results[n] = json.loads(out.strip().splitlines()[-1])
+    f8 = results[8]["files_per_sec"]
+    f32 = results[32]["files_per_sec"]
+    eff = (f32 / f8) / (32 / 8)
+    print(json.dumps({
+        "metric": "scaling_efficiency_build_throughput",
+        "files_per_sec_8": f8,
+        "files_per_sec_32": f32,
+        "build_sec_8": results[8]["queries"]["code_build"],
+        "build_sec_32": results[32]["queries"]["code_build"],
+        "scaling_efficiency": round(eff, 3),
+        "rank_identical_across_levels":
+            results[8]["rankings_sha"] == results[32]["rankings_sha"],
+        "rankings_sha_8": results[8]["rankings_sha"],
+        "rankings_sha_32": results[32]["rankings_sha"],
+        "query_p95_ms_32": results[32]["query_p95_ms"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

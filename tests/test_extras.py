@@ -1,0 +1,169 @@
+"""Tests for the training-data-pipeline extras: dedup, similarity search,
+text stats, multimodal plumbing. Pattern: small in-memory tables + a naive
+numpy/python oracle; determinism across batch sizes (parallelism proxy)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from colbert_ray.extras import dedup as x_dedup
+from colbert_ray.extras import simsearch as x_sim
+from colbert_ray.extras import textstats as x_text
+from colbert_ray.extras.multimodal import (
+    MediaFeatureExtractor,
+    extract_media_features,
+    make_payload_table,
+)
+
+
+def _docs_table():
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",          # exact dup of 0
+        "the quick brown fox jumps over the lazy cat today",    # near dup
+        "completely different content about database systems",
+        "x",
+        "",
+    ]
+    return pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+         "text": pa.array(texts, type=pa.string())}
+    )
+
+
+class TestDedup:
+    def test_exact_dedup_keeps_min_id(self):
+        ds = ray.data.from_arrow(_docs_table())
+        out = x_dedup.exact_dedup(ds).to_pandas().sort_values("doc_id")
+        reps = dict(zip(out["doc_id"], out["dup_count"]))
+        assert reps[0] == 2          # docs 0,1 merged under min id 0
+        assert 1 not in reps
+        assert reps[3] == 1
+
+    def test_jaccard_pairs_integer_exact(self):
+        ds = ray.data.from_arrow(_docs_table())
+        out = x_dedup.jaccard_pairs(ds, threshold_num=6, threshold_den=10).to_pandas()
+        pairs = {(a, b) for a, b in zip(out["id_a"], out["id_b"])}
+        assert (0, 1) in pairs       # identical -> jaccard 1
+        assert (0, 2) in pairs       # near dup above 0.6
+        row01 = out[(out.id_a == 0) & (out.id_b == 1)].iloc[0]
+        assert row01["n_common"] == row01["n_union"]
+
+    def test_minhash_lsh_finds_planted_dups(self):
+        ds = ray.data.from_arrow(_docs_table())
+        out = x_dedup.minhash_lsh_pairs(ds, threshold=0.8).to_pandas()
+        pairs = {(a, b) for a, b in zip(out["id_a"], out["id_b"])}
+        assert (0, 1) in pairs
+        assert (0, 3) not in pairs
+
+    def test_simhash_identical_and_deterministic(self):
+        ds = ray.data.from_arrow(_docs_table())
+        s1 = x_dedup.simhash(ds).to_pandas().sort_values("doc_id")["simhash"].tolist()
+        s2 = x_dedup.simhash(ray.data.from_arrow(_docs_table()).repartition(3)) \
+            .to_pandas().sort_values("doc_id")["simhash"].tolist()
+        assert s1 == s2                       # parallelism-invariant
+        assert s1[0] == s1[1]                 # identical docs -> identical sig
+        assert s1[0] != s1[3]
+
+
+class TestSimsearch:
+    @pytest.fixture()
+    def emb(self):
+        rng = np.random.default_rng(7)
+        m = rng.standard_normal((50, 16))
+        t = pa.table(
+            {"vec_id": pa.array(range(50), type=pa.int64()),
+             "embedding": pa.array([row.astype(np.float32).tolist() for row in m],
+                                    type=pa.list_(pa.float32()))}
+        )
+        return t, m.astype(np.float32).astype(np.float64)
+
+    def test_knn_matches_numpy_oracle(self, emb):
+        t, m = emb
+        q = m[:3]
+        ds = ray.data.from_arrow(t).repartition(4)
+        got = x_sim.knn_cosine(ds, q, np.arange(3), k=5).to_pandas()
+        norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = norm[:3] @ norm.T
+        for qi in range(3):
+            row = sims[qi].copy()
+            row[qi] = -np.inf
+            want = np.lexsort((np.arange(50), -row))[:5]
+            g = got[got.qid == qi].sort_values("rank")["vec_id"].tolist()
+            assert g == want.tolist()
+
+    def test_ivf_recall_reasonable(self, emb):
+        t, m = emb
+        q = m[:3]
+        ds = ray.data.from_arrow(t).repartition(4)
+        exact = x_sim.knn_cosine(ds, q, np.arange(3), k=5).to_pandas()
+        approx = x_sim.ivf_knn(ds, q, np.arange(3), k=5, n_centroids=4, nprobe=3).to_pandas()
+        # nprobe 3/4 buckets -> should recover most exact neighbors
+        inter = 0
+        for qi in range(3):
+            e = set(exact[exact.qid == qi]["vec_id"])
+            a = set(approx[approx.qid == qi]["vec_id"])
+            inter += len(e & a)
+        assert inter >= 9   # >=60% recall on this easy fixture
+
+    def test_embedding_dup_pairs(self, emb):
+        t, m = emb
+        # plant a duplicate vector
+        dup = pa.table(
+            {"vec_id": pa.array([100], type=pa.int64()),
+             "embedding": pa.array([t.column("embedding")[0].as_py()],
+                                    type=pa.list_(pa.float32()))}
+        )
+        ds = ray.data.from_arrow(pa.concat_tables([t, dup]))
+        out = x_sim.embedding_dup_pairs(ds, threshold=0.999).to_pandas()
+        assert (0, 100) in set(zip(out["id_a"], out["id_b"]))
+
+
+class TestTextStats:
+    def test_token_counts(self):
+        ds = ray.data.from_arrow(_docs_table())
+        out = x_text.token_counts(ds).to_pandas().sort_values("doc_id")
+        assert out.iloc[0]["n_tokens"] == 9
+        assert out.iloc[0]["n_unique_terms"] == 8     # 'the' twice
+        assert out.iloc[5]["n_tokens"] == 0
+
+    def test_quality_scores(self):
+        ds = ray.data.from_arrow(_docs_table())
+        out = x_text.quality_scores(ds).to_pandas().sort_values("doc_id")
+        r0 = out.iloc[0]
+        assert r0["stopword_ratio"] == pytest.approx(2 / 9)   # 'the' x2 of 9
+        assert r0["n_chars"] == len(_docs_table().column("text")[0].as_py())
+
+    def test_fingerprints_parallelism_invariant(self):
+        ds1 = ray.data.from_arrow(_docs_table())
+        ds2 = ray.data.from_arrow(_docs_table()).repartition(3)
+        f1 = x_text.fingerprints(ds1).to_pandas().sort_values("doc_id")["fingerprint"].tolist()
+        f2 = x_text.fingerprints(ds2).to_pandas().sort_values("doc_id")["fingerprint"].tolist()
+        assert f1 == f2
+        assert f1[0] == f1[1] and f1[0] != f1[3]
+
+    def test_term_stats_df_cf(self):
+        ds = ray.data.from_arrow(_docs_table())
+        out = x_text.term_stats(ds).to_pandas().set_index("term")
+        assert out.loc["the", "df"] == 3      # docs 0,1,2
+        assert out.loc["the", "cf"] == 6      # 2+2+2
+
+
+class TestMultimodal:
+    def test_extractor_deterministic_and_typed(self):
+        ids = np.arange(5)
+        blobs = [bytes([i]) * (10 + i) for i in range(5)]
+        ds = ray.data.from_arrow(make_payload_table(ids, blobs))
+        out1 = extract_media_features(ds, concurrency=1).to_pandas().sort_values("item_id")
+        out2 = extract_media_features(ds, concurrency=2).to_pandas().sort_values("item_id")
+        assert out1["pixel_mean"].tolist() == out2["pixel_mean"].tolist()
+        assert out1["decoded"].all()
+        assert all(len(f) == 48 for f in out1["features"])    # 4x4x3
+
+    def test_unsupported_media_marked_not_decoded(self):
+        t = make_payload_table(np.array([0]), [b"audio-bytes"], media_type="audio")
+        out = MediaFeatureExtractor()(t)
+        assert out.column("decoded").to_pylist() == [False]
+        assert out.column("n_bytes").to_pylist() == [11]
