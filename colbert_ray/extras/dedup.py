@@ -111,25 +111,39 @@ def jaccard_pairs(
 
 
 _MINHASH_K = 64
-_LSH_BANDS = 16            # 16 bands x 4 rows
+# 8 bands x 8 rows: band-collision prob = j^8, so merely-similar docs
+# (j~0.6-0.7) rarely collide and buckets stay small on look-alike corpora.
+# Recall at j=0.8 is 1-(1-0.8^8)^8 ~ 0.77, ~0.99 at j=0.9, 1.0 at j=1.0 —
+# the standard LSH trade; tune bands/rows per workload.
+_LSH_BANDS = 8
 _LSH_ROWS = _MINHASH_K // _LSH_BANDS
 
 
-def _minhash_matrix(shingle_sets: list[set], k: int = _MINHASH_K) -> np.ndarray:
-    """k minhashes per doc via k universal-hash permutations of blake2b
-    shingle hashes (seeded, deterministic)."""
+def _trigram_codes(texts: list[str], n: int = _NGRAM) -> list[np.ndarray]:
+    """Distinct byte-trigram codes per text — fully vectorized (each trigram
+    packed into a 24-bit int; no per-shingle hashing). Equivalent to char
+    trigrams for ASCII text."""
+    out = []
+    for t in texts:
+        b = np.frombuffer(t.encode(), dtype=np.uint8).astype(np.uint64)
+        if len(b) < n:
+            out.append(np.empty(0, dtype=np.uint64))
+            continue
+        codes = (b[:-2] << np.uint64(16)) | (b[1:-1] << np.uint64(8)) | b[2:]
+        out.append(np.unique(codes))
+    return out
+
+
+def _minhash_matrix(code_sets: list[np.ndarray], k: int = _MINHASH_K) -> np.ndarray:
+    """k minhashes per doc via k universal-hash permutations of the integer
+    shingle codes (seeded, deterministic, vectorized)."""
     rng = np.random.default_rng(12345)
     a = rng.integers(1, (1 << 61) - 1, size=k, dtype=np.uint64) | np.uint64(1)
     b = rng.integers(0, (1 << 61) - 1, size=k, dtype=np.uint64)
-    out = np.full((len(shingle_sets), k), np.iinfo(np.uint64).max, dtype=np.uint64)
-    for i, s in enumerate(shingle_sets):
-        if not s:
+    out = np.full((len(code_sets), k), np.iinfo(np.uint64).max, dtype=np.uint64)
+    for i, hs in enumerate(code_sets):
+        if len(hs) == 0:
             continue
-        hs = np.fromiter(
-            (int.from_bytes(hashlib.blake2b(x.encode(), digest_size=8).digest(), "little")
-             for x in s),
-            dtype=np.uint64, count=len(s),
-        )
         # (a*h + b) mod 2^64, min per permutation — fully vectorized
         vals = (hs[None, :] * a[:, None] + b[:, None])
         out[i] = vals.min(axis=1)
@@ -150,9 +164,12 @@ def minhash_lsh_pairs(
     """
 
     def sigs(batch: pa.Table) -> pa.Table:
+        """Per-batch minhash -> (band, band_hash, doc_id) rows. IDs ONLY go
+        through the shuffle; text never does."""
         texts = batch.column(text_col).to_pylist()
-        mh = _minhash_matrix(_char_ngrams(texts))
-        band_hash = np.empty((len(texts), _LSH_BANDS), dtype=np.int64)
+        mh = _minhash_matrix(_trigram_codes(texts))
+        n = len(texts)
+        band_hash = np.empty((n, _LSH_BANDS), dtype=np.int64)
         for bband in range(_LSH_BANDS):
             seg = mh[:, bband * _LSH_ROWS:(bband + 1) * _LSH_ROWS]
             # blake2b, NOT python hash() (randomized per process)
@@ -160,51 +177,88 @@ def minhash_lsh_pairs(
                 [int.from_bytes(
                     hashlib.blake2b(seg[i].tobytes(), digest_size=8).digest(), "little")
                  & 0x7FFFFFFFFFFFFFFF
-                 for i in range(len(texts))],
+                 for i in range(n)],
                 dtype=np.int64,
             )
-        n = len(texts)
         return pa.table(
             {
                 "band": pa.array(np.repeat(np.arange(_LSH_BANDS, dtype=np.int32), n)),
                 "band_hash": pa.array(band_hash.T.reshape(-1)),
                 id_col: pa.array(np.tile(
                     batch.column(id_col).to_numpy(zero_copy_only=False), _LSH_BANDS)),
-                text_col: pa.array(
-                    [t for _ in range(_LSH_BANDS) for t in texts], type=pa.string()),
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-        g = g.drop_duplicates(id_col).sort_values(id_col)
-        ids = g[id_col].to_numpy(dtype=np.int64)
-        sh = _char_ngrams(g[text_col].tolist())
-        out_a, out_b, out_j = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if not sh[i] or not sh[j]:
-                    continue
-                inter = len(sh[i] & sh[j])
-                union = len(sh[i]) + len(sh[j]) - inter
-                jac = inter / union if union else 0.0
-                if jac >= threshold:
-                    out_a.append(int(ids[i])); out_b.append(int(ids[j])); out_j.append(jac)
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
+    # broadcast the full signature matrix once: buckets prefilter their
+    # pairwise candidates by ESTIMATED jaccard (fraction of matching
+    # minhashes) before any exact verification, so a giant bucket of merely
+    # look-alike docs doesn't explode into O(n^2) exact checks.
+    # (At cluster scale the sig matrix is per-docid-shard; ~0.5KB/doc.)
+    ref_all = ds.select_columns([id_col, text_col]).to_pandas()
+    all_ids = ref_all[id_col].to_numpy(dtype=np.int64)
+    id_order = np.argsort(all_ids)
+    all_ids_sorted = all_ids[id_order]
+    sig_matrix = _minhash_matrix(
+        _trigram_codes(ref_all[text_col].tolist()))[id_order]
+    sig_ref = ray.put((all_ids_sorted, sig_matrix))
+    est_cut = max(0.0, threshold - 0.15)     # safety margin on the estimate
 
-    pairs = (
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g[id_col].to_numpy(dtype=np.int64))
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64)})
+        sid, sm = ray.get(sig_ref)
+        m = sm[np.searchsorted(sid, ids)]
+        out_a, out_b = [], []
+        chunk = 256
+        for lo in range(0, len(ids), chunk):
+            hi = min(lo + chunk, len(ids))
+            est = (m[lo:hi, None, :] == m[None, :, :]).mean(axis=2)
+            ai, bi = np.nonzero(est >= est_cut)
+            keep = (ai + lo) < bi            # upper triangle, global order
+            out_a.append(ids[ai[keep] + lo])
+            out_b.append(ids[bi[keep]])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)})
+
+    candidates = (
         ds.select_columns([id_col, text_col])
         .map_batches(sigs, batch_format="pyarrow")
         .groupby(["band", "band_hash"])
         .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")  # pair distinct
     )
 
-    # same pair can surface from several bands -> distinct
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    # verify stage: true trigram Jaccard on the (small) candidate set.
+    # Shingle codes for the referenced docs are broadcast once via ray.put;
+    # at cluster scale replace with a hash join of pair ids against the
+    # corpus (ray_guide.md join pattern) — candidates ≪ corpus either way.
+    codes = dict(zip(all_ids, _trigram_codes(ref_all[text_col].tolist())))
+    codes_ref = ray.put(codes)
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(dedup_pairs, batch_format="pandas")
+    def verify(batch: pa.Table) -> pa.Table:
+        cmap = ray.get(codes_ref)
+        out_a, out_b, out_j = [], [], []
+        for ia, ib in zip(batch.column("id_a").to_pylist(),
+                          batch.column("id_b").to_pylist()):
+            sa, sb = cmap.get(ia), cmap.get(ib)
+            if sa is None or sb is None or len(sa) == 0 or len(sb) == 0:
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac = inter / union if union else 0.0
+            if jac >= threshold:
+                out_a.append(ia); out_b.append(ib); out_j.append(jac)
+        return pa.table({"id_a": pa.array(out_a, type=pa.int64()),
+                         "id_b": pa.array(out_b, type=pa.int64()),
+                         "jaccard": pa.array(out_j, type=pa.float64())})
+
+    return candidates.map_batches(verify, batch_format="pyarrow")
 
 
 def simhash(ds: "ray.data.Dataset", text_col: str = "text",

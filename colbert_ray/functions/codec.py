@@ -68,9 +68,12 @@ def varint_decode(buf: bytes, count: int) -> np.ndarray:
     first_byte_of_value = byte_pos[starts_new]
     group = byte_pos - first_byte_of_value[value_idx]
     out = np.zeros(count, dtype=np.uint64)
-    np.bitwise_or.at(
-        out, value_idx, (raw & np.uint8(0x7F)).astype(np.uint64) << (np.uint64(7) * group.astype(np.uint64))
-    )
+    payload = (raw & np.uint8(0x7F)).astype(np.uint64)
+    # loop over byte positions within a value (<=10 iterations), each a
+    # fully-vectorized masked OR — far faster than ufunc.at per byte
+    for g in range(int(group.max()) + 1):
+        sel = group == g
+        out[value_idx[sel]] |= payload[sel] << np.uint64(7 * g)
     return out
 
 

@@ -42,9 +42,62 @@ from colbert_ray.stages.postings import TermIdMapper, explode_batch, make_segmen
 from colbert_ray.stages.tokenize import make_tokenize_fn
 
 TOKENIZED = "tokenized"
-DOCS = "docs"
+DOCID_MAP = "docid_map"
+DOCMETA = "docmeta"
 DICTIONARY = "dictionary"
 SEGMENTS = "segments"
+
+
+def _attach_docid(
+    ds: "ray.data.Dataset",
+    map_dir: str,
+    key_cols: tuple[str, ...],
+    cfg: EngineConfig,
+    docid_col: str | None,
+) -> "ray.data.Dataset":
+    """Attach the docid column to a tokenized-derived dataset.
+
+    - source already has ids (``docid_col``): no-op.
+    - ``broadcast`` (default): the docid map is ``ray.put`` once as sorted
+      key/docid arrays; each batch does a vectorized ``np.searchsorted``
+      lookup. Right for maps that fit a worker heap (<~10^8 docs).
+    - ``join``: hash-partitioned ``Dataset.join`` on the key columns — the
+      multi-node scale path when the map itself is huge.
+    """
+    if docid_col:
+        return ds
+    map_ds = ray.data.read_parquet(map_dir)
+    if cfg.docid_map_strategy == "join":
+        return ds.join(map_ds, join_type="inner", on=tuple(key_cols),
+                       num_partitions=cfg.num_term_partitions)
+
+    mt = pa.concat_tables(
+        pq.read_table(f)
+        for f in sorted(glob.glob(os.path.join(map_dir, "*.parquet")))
+    )
+    import numpy as np
+
+    def composite(tbl: pa.Table) -> "np.ndarray":
+        parts = [
+            pc.cast(tbl.column(c), pa.string()).to_numpy(zero_copy_only=False)
+            for c in key_cols
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = np.char.add(np.char.add(out.astype(str), "\x00"), p.astype(str))
+        return out
+
+    keys = composite(mt)
+    docids = mt.column("docid").to_numpy(zero_copy_only=False)
+    order = np.argsort(keys, kind="stable")
+    ref = ray.put((keys[order], docids[order]))
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        k_sorted, d_sorted = ray.get(ref)
+        pos = np.searchsorted(k_sorted, composite(batch))
+        return batch.append_column("docid", pa.array(d_sorted[pos], type=pa.int64()))
+
+    return ds.map_batches(lookup, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def corpus_fingerprint(paths: list[str]) -> str:
@@ -102,12 +155,21 @@ def build_index(
     read_cols = list(dict.fromkeys(read_cols))
 
     # ---- A: tokenize --------------------------------------------------
+    # tokenized/ holds the ONLY persisted copy of the heavy (terms, tfs)
+    # columns; every later phase reads it and attaches the (tiny) docid map
+    # in-stream instead of rewriting the corpus (a second full-copy write
+    # would double the I/O of a 100TB build).
     tok_dir = os.path.join(index_dir, TOKENIZED)
     if _phase("tokenize"):
         t0 = time.time()
         ds = ray.data.read_parquet(files, columns=read_cols)
+        renames = {}
         if content_col != "content":
-            ds = ds.rename_columns({content_col: "content"})
+            renames[content_col] = "content"
+        if docid_col and docid_col != "docid":
+            renames[docid_col] = "docid"
+        if renames:
+            ds = ds.rename_columns(renames)
         ds = ds.map_batches(
             make_tokenize_fn(cfg),
             batch_format="pyarrow",
@@ -121,17 +183,26 @@ def build_index(
         )
         report["phases"]["tokenize"] = time.time() - t0
 
-    # ---- B: docid assignment -> docs/ --------------------------------
-    docs_dir = os.path.join(index_dir, DOCS)
+    # ---- B: docid map + light doc metadata ----------------------------
+    map_dir = os.path.join(index_dir, DOCID_MAP)
+    meta_dir = os.path.join(index_dir, DOCMETA)
+    light_cols = [c for c in (*key_cols, *meta_cols) if c != docid_col]
     if _phase("docids"):
         t0 = time.time()
-        tok = ray.data.read_parquet(tok_dir)
-        if docid_col:
-            tok = tok.rename_columns({docid_col: "docid"}) if docid_col != "docid" else tok
-            docs = tok
-        else:
-            docs = sorted_rank_dataset(tok, list(key_cols), "docid")
-        docs.write_parquet(docs_dir, mode="overwrite")
+        if not docid_col:
+            # docid = rank of key_cols under a global sort, computed on the
+            # KEYS-ONLY projection (never moves the heavy term lists)
+            keys = ray.data.read_parquet(tok_dir, columns=list(key_cols))
+            sorted_rank_dataset(keys, list(key_cols), "docid").write_parquet(
+                map_dir, mode="overwrite"
+            )
+        lite = ray.data.read_parquet(
+            tok_dir,
+            columns=light_cols + ["content_sha256", "doclen"]
+            + (["docid"] if docid_col else []),
+        )
+        lite = _attach_docid(lite, map_dir, key_cols, cfg, docid_col)
+        lite.write_parquet(meta_dir, mode="overwrite")
         manifests.mark_phase_complete(
             index_dir, "docids", sem, inputs_hash, wall_sec=time.time() - t0
         )
@@ -141,7 +212,7 @@ def build_index(
     stats_path = os.path.join(index_dir, "stats.json")
     if _phase("stats"):
         t0 = time.time()
-        dls = ray.data.read_parquet(docs_dir, columns=["doclen"])
+        dls = ray.data.read_parquet(tok_dir, columns=["doclen"])
         agg = dls.aggregate(Sum("doclen", alias_name="total_tokens"),
                             Count(alias_name="n_docs"))
         n_docs = int(agg["n_docs"])
@@ -163,11 +234,13 @@ def build_index(
     dict_dir = os.path.join(index_dir, DICTIONARY)
     if _phase("dictionary"):
         t0 = time.time()
-        tok = ray.data.read_parquet(docs_dir, columns=["docid", "doclen", "terms", "tfs"])
+        tok = ray.data.read_parquet(tok_dir, columns=["terms", "tfs"])
 
         def partial_df_cf(batch: pa.Table) -> pa.Table:
-            ex = explode_batch(batch)
-            g = ex.group_by("term").aggregate([("docid", "count"), ("tf", "sum")])
+            terms = batch.column("terms").combine_chunks()
+            tfs = batch.column("tfs").combine_chunks()
+            t = pa.table({"term": terms.flatten(), "tf": tfs.flatten()})
+            g = t.group_by("term").aggregate([("term", "count"), ("tf", "sum")])
             return g.rename_columns(["term", "df_p", "cf_p"])
 
         partials = tok.map_batches(partial_df_cf, batch_format="pyarrow",
@@ -196,8 +269,13 @@ def build_index(
         todo = set(range(cfg.num_term_partitions)) - done_parts
         if todo:
             tok = ray.data.read_parquet(
-                docs_dir, columns=["docid", "doclen", "terms", "tfs"]
+                tok_dir,
+                columns=(["docid"] if docid_col else list(key_cols))
+                + ["doclen", "terms", "tfs"],
             )
+            tok = _attach_docid(tok, map_dir, key_cols, cfg, docid_col)
+            if not docid_col:
+                tok = tok.drop_columns(list(key_cols))
             exploded = tok.map_batches(
                 explode_batch, batch_format="pyarrow",
                 batch_size=cfg.tokenize_batch_size, zero_copy_batch=True,

@@ -17,6 +17,26 @@ import ray.data
 from colbert_ray.config import EngineConfig
 from colbert_ray.state.index import BM25Scorer
 
+# one decoded index per (index_dir, metadata mtime) per driver process —
+# decoded ONCE, then shared zero-copy with all scorer actors via ray.put
+_INDEX_CACHE: dict = {}
+
+
+def _shared_index_ref(index_dir: str):
+    import os
+
+    import ray as _ray
+
+    from colbert_ray.state.decoded import DecodedIndex
+
+    key = (os.path.abspath(index_dir),
+           os.path.getmtime(os.path.join(index_dir, "metadata.json")))
+    ref = _INDEX_CACHE.get(key)
+    if ref is None:
+        ref = _ray.put(DecodedIndex.load(index_dir))
+        _INDEX_CACHE[key] = ref
+    return ref
+
 
 def search(
     queries: "ray.data.Dataset | pa.Table",
@@ -29,17 +49,34 @@ def search(
     prune: bool | None = None,
 ) -> "ray.data.Dataset":
     """Top-k BM25 over the index for every query row (qid, query)."""
-    if isinstance(queries, pa.Table):
-        queries = ray.data.from_arrow(queries)
     cfg = EngineConfig()
-    # a small query table arrives as ONE block -> the actor pool would get a
-    # single task; split so every actor draws work
-    n_blocks = concurrency if isinstance(concurrency, int) else concurrency[-1]
-    queries = queries.repartition(max(1, n_blocks * 2))
+    index_ref = _shared_index_ref(index_dir)
+    n_actors = concurrency if isinstance(concurrency, int) else concurrency[-1]
+    # leave >=1 CPU for non-actor tasks: an actor pool that reserves every
+    # CPU starves upstream AllToAll/read tasks and deadlocks the executor
+    try:
+        import ray as _ray
+
+        avail = int(_ray.cluster_resources().get("CPU", n_actors + 1))
+        n_actors = max(1, min(n_actors, avail - 1))
+    except Exception:
+        pass
+    concurrency = n_actors if isinstance(concurrency, int) else (concurrency[0], n_actors)
+    n_blocks = max(1, n_actors * 2)
+    if isinstance(queries, pa.Table):
+        # split driver-side (no repartition task needed) so every actor
+        # draws work even for a small query table
+        rows = queries.num_rows
+        step = -(-rows // n_blocks) or 1
+        queries = ray.data.from_arrow(
+            [queries.slice(i, step) for i in range(0, rows, step)] or [queries]
+        )
+    else:
+        queries = queries.repartition(n_blocks)
     return queries.map_batches(
         BM25Scorer,
         fn_constructor_kwargs={
-            "index_dir": index_dir,
+            "index_ref": index_ref,
             "k": k,
             "with_sha": with_sha,
             "prune": prune,

@@ -1,0 +1,150 @@
+"""DecodedIndex: fully-decoded, flat-array form of the index for serving.
+
+The serving analog of the reference's mmap'd coalesced index
+(``residual_embeddings.py:31-54`` + ``index_loader.py:13-66``): posting
+lists live as three flat numpy arrays (docids, tfs, precomputed float64
+tf-saturation) addressed by a dense ``term_id -> [start, end)`` offset
+table — exactly a StridedTensor (values + offsets, SURVEY.md §1.1).
+
+Built once per node from the on-disk segments, then shared ZERO-COPY with
+every scorer actor through the Ray object store (``ray.put`` of numpy
+arrays → plasma shared memory), so N actors on a node hold one copy and
+skip per-actor decode entirely.
+
+Scoring determinism: ``tfsat`` is precomputed per posting in float64;
+per-query accumulation scatter-adds ``idf_t * tfsat`` term-by-term in
+ascending term_id order — the same per-document float64 summation order as
+the oracle at any parallelism level.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from colbert_ray.config import EngineConfig
+from colbert_ray.functions.bm25 import idf as idf_fn
+from colbert_ray.functions.bm25 import tf_saturation
+from colbert_ray.functions.codec import decode_tfs, delta_decode_docids
+
+
+@dataclass
+class DecodedIndex:
+    cfg: EngineConfig
+    n_docs: int
+    avgdl: float
+    # dictionary (sorted by term string; term_id is the sorted rank)
+    dict_terms: np.ndarray          # object[str], sorted
+    dict_term_ids: np.ndarray       # int64
+    dict_dfs: np.ndarray            # int64
+    idf_by_term_id: np.ndarray      # float64[n_terms]
+    # postings: term_id -> slice of the flat arrays
+    posting_offsets: np.ndarray     # int64[n_terms + 1]
+    posting_docids: np.ndarray      # int64[total_postings]
+    posting_tfs: np.ndarray         # int32[total_postings]
+    posting_tfsat: np.ndarray       # float64[total_postings]
+    max_tfsat_by_term: np.ndarray   # float64[n_terms]
+    # docs
+    doclens: np.ndarray             # int64[max_docid + 1]
+    sha256: np.ndarray              # object[str][max_docid + 1]
+
+    @classmethod
+    def load(cls, index_dir: str) -> "DecodedIndex":
+        with open(os.path.join(index_dir, "metadata.json")) as f:
+            meta = json.load(f)
+        cfg = EngineConfig.from_dict(meta["config"])
+        n_docs = int(meta["n_docs"])
+        avgdl = float(meta["avgdl"])
+
+        dt = pads.dataset(os.path.join(index_dir, "dictionary")).to_table(
+            columns=["term", "term_id", "df"]
+        )
+        t_np = dt.column("term").to_numpy(zero_copy_only=False)
+        order = np.argsort(t_np, kind="stable")
+        dict_terms = t_np[order]
+        dict_term_ids = dt.column("term_id").to_numpy(zero_copy_only=False)[order]
+        dict_dfs = dt.column("df").to_numpy(zero_copy_only=False)[order]
+        n_terms = len(dict_terms)
+        idf_by_tid = np.zeros(n_terms, dtype=np.float64)
+        idf_by_tid[dict_term_ids] = idf_fn(dict_dfs.astype(np.float64), n_docs)
+
+        docs = pads.dataset(os.path.join(index_dir, "docmeta")).to_table(
+            columns=["docid", "doclen", "content_sha256"]
+        )
+        docids = docs.column("docid").to_numpy(zero_copy_only=False)
+        max_docid = int(docids.max()) if len(docids) else -1
+        doclens = np.zeros(max_docid + 1, dtype=np.int64)
+        doclens[docids] = docs.column("doclen").to_numpy(zero_copy_only=False)
+        sha256 = np.empty(max_docid + 1, dtype=object)
+        sha256[docids] = np.asarray(
+            docs.column("content_sha256").to_numpy(zero_copy_only=False)
+        )
+
+        # bulk-decode all runs, term_id-major, salt-minor (docid order within
+        # a term is preserved because salts are docid-range partitions)
+        seg_files = sorted(glob.glob(os.path.join(index_dir, "segments", "part_*.parquet")))
+        run_rows = []
+        for f in seg_files:
+            t = pq.read_table(f, columns=["term_id", "salt", "n", "docids_bin", "tfs_bin"])
+            tid = t.column("term_id").to_numpy(zero_copy_only=False)
+            salt = t.column("salt").to_numpy(zero_copy_only=False)
+            n = t.column("n").to_numpy(zero_copy_only=False)
+            db = t.column("docids_bin")
+            tb = t.column("tfs_bin")
+            for i in range(t.num_rows):
+                run_rows.append((int(tid[i]), int(salt[i]), int(n[i]),
+                                 db[i].as_py(), tb[i].as_py()))
+        run_rows.sort(key=lambda r: (r[0], r[1]))
+        total = sum(r[2] for r in run_rows)
+        posting_docids = np.empty(total, dtype=np.int64)
+        posting_tfs = np.empty(total, dtype=np.int32)
+        posting_offsets = np.zeros(n_terms + 1, dtype=np.int64)
+        pos = 0
+        for tid, _salt, n, dbin, tbin in run_rows:
+            posting_docids[pos:pos + n] = delta_decode_docids(dbin, n)
+            posting_tfs[pos:pos + n] = decode_tfs(tbin, n)
+            posting_offsets[tid + 1] += n
+            pos += n
+        np.cumsum(posting_offsets, out=posting_offsets)
+
+        posting_tfsat = tf_saturation(
+            posting_tfs.astype(np.float64),
+            doclens[posting_docids].astype(np.float64),
+            avgdl, cfg.k1, cfg.b,
+        )
+        max_tfsat = np.zeros(n_terms, dtype=np.float64)
+        if total and n_terms:
+            # every term has >=1 posting (dictionary is built FROM postings)
+            max_tfsat = np.maximum.reduceat(posting_tfsat, posting_offsets[:-1])
+
+        return cls(
+            cfg=cfg, n_docs=n_docs, avgdl=avgdl,
+            dict_terms=dict_terms, dict_term_ids=dict_term_ids, dict_dfs=dict_dfs,
+            idf_by_term_id=idf_by_tid,
+            posting_offsets=posting_offsets, posting_docids=posting_docids,
+            posting_tfs=posting_tfs, posting_tfsat=posting_tfsat,
+            max_tfsat_by_term=max_tfsat,
+            doclens=doclens, sha256=sha256,
+        )
+
+    # ---- query-side lookups -------------------------------------------
+
+    def lookup_terms(self, terms: list[str]) -> np.ndarray:
+        """terms -> sorted unique term_id array (OOV dropped)."""
+        if not terms:
+            return np.empty(0, dtype=np.int64)
+        t = np.asarray(terms, dtype=object)
+        pos = np.searchsorted(self.dict_terms, t)
+        pos_c = np.clip(pos, 0, max(0, len(self.dict_terms) - 1))
+        hit = (len(self.dict_terms) > 0) & (self.dict_terms[pos_c] == t)
+        return np.sort(self.dict_term_ids[pos_c[hit]])
+
+    def postings_slice(self, term_id: int):
+        s, e = self.posting_offsets[term_id], self.posting_offsets[term_id + 1]
+        return (self.posting_docids[s:e], self.posting_tfsat[s:e])

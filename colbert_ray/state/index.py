@@ -47,7 +47,7 @@ class IndexReader:
         self.dict_dfs = dt.column("df").to_numpy(zero_copy_only=False)[order]
 
         # doc metadata: doclen (+ sha256) addressed by docid
-        docs = pads.dataset(os.path.join(index_dir, "docs")).to_table(
+        docs = pads.dataset(os.path.join(index_dir, "docmeta")).to_table(
             columns=["docid", "doclen", "content_sha256"]
         )
         docids = docs.column("docid").to_numpy(zero_copy_only=False)
@@ -57,6 +57,9 @@ class IndexReader:
         sha = np.asarray(docs.column("content_sha256").to_numpy(zero_copy_only=False))
         self.sha256 = np.empty(self._max_docid + 1, dtype=object)
         self.sha256[docids] = sha
+
+        self._postings_cache: dict = {}
+        self._postings_cached = 0
 
         # posting runs: term_id -> row indices (salt-ordered) into run arrays
         seg_files = sorted(glob.glob(os.path.join(index_dir, "segments", "part_*.parquet")))
@@ -91,9 +94,18 @@ class IndexReader:
         hit = (len(self.dict_terms) > 0) & (self.dict_terms[pos_c] == t)
         return self.dict_term_ids[pos_c[hit]], self.dict_dfs[pos_c[hit]]
 
+    # decoded-postings cache: query workloads reuse the same (few thousand)
+    # hot terms constantly; cap by decoded postings count so a shard-sized
+    # actor heap is respected (T3 mmap analog: decode once, reuse)
+    _CACHE_MAX_POSTINGS = 32_000_000
+
     def postings(self, term_id: int) -> tuple[np.ndarray, np.ndarray]:
         """Decoded (docids, tfs) for one term — salted runs concatenated in
-        salt order (docid-range salting => already globally docid-sorted)."""
+        salt order (docid-range salting => already globally docid-sorted).
+        Results are cached (read-only arrays) up to a posting budget."""
+        hit = self._postings_cache.get(term_id)
+        if hit is not None:
+            return hit
         lo = np.searchsorted(self.run_term_ids, term_id, side="left")
         hi = np.searchsorted(self.run_term_ids, term_id, side="right")
         if hi == lo:
@@ -103,7 +115,14 @@ class IndexReader:
             n = int(self.run_n[i])
             docid_parts.append(delta_decode_docids(self.run_docids_bin[i], n))
             tf_parts.append(decode_tfs(self.run_tfs_bin[i], n))
-        return np.concatenate(docid_parts), np.concatenate(tf_parts)
+        docids = np.concatenate(docid_parts)
+        tfs = np.concatenate(tf_parts)
+        docids.setflags(write=False)
+        tfs.setflags(write=False)
+        if self._postings_cached + len(docids) <= self._CACHE_MAX_POSTINGS:
+            self._postings_cache[term_id] = (docids, tfs)
+            self._postings_cached += len(docids)
+        return docids, tfs
 
     def term_max_tfsat(self, term_id: int) -> float:
         lo = np.searchsorted(self.run_term_ids, term_id, side="left")
@@ -115,99 +134,86 @@ class BM25Scorer:
     """Actor-pool batch scorer: query rows in -> ranking rows out.
 
     Used as ``queries.map_batches(BM25Scorer, fn_constructor_kwargs=...,
-    concurrency=N)`` (T3 analog). Scoring is exact float64 TAAT, per-doc
-    contributions accumulated in ascending term_id order (== lexicographic
-    term order) -> bit-identical to the oracle at any parallelism.
+    concurrency=N)`` (T3 analog). The index is a ``DecodedIndex`` — either
+    loaded from ``index_dir`` or received ZERO-COPY as a Ray object ref
+    (``index_ref``), so every actor on a node shares one decoded copy
+    (the mmap-shared-index analog, ``residual_embeddings.py:31-54``).
+
+    Scoring is exact float64 TAAT: per-document contributions are
+    scatter-added in ascending term_id order (== lexicographic term order)
+    with tf-saturation precomputed per posting -> bit-identical to the
+    oracle at any parallelism level. ``docid_filter`` is the analog of the
+    reference's ``filter_fn`` pid hook (``searcher.py:76-99``).
     """
 
-    def __init__(self, index_dir: str, k: int = 10, prune: bool | None = None,
-                 with_sha: bool = True):
-        self.reader = IndexReader(index_dir)
+    # dense accumulator path is used while the per-shard docid space fits
+    # comfortably in a worker heap; beyond that, candidate-based (sparse)
+    DENSE_MAX_DOCIDS = 8_000_000
+
+    def __init__(self, index_dir: str | None = None, k: int = 10,
+                 prune: bool | None = None, with_sha: bool = True,
+                 index_ref=None):
+        from colbert_ray.state.decoded import DecodedIndex
+
+        if index_ref is not None:
+            import ray as _ray
+
+            self.idx = _ray.get(index_ref)   # zero-copy numpy views
+        else:
+            self.idx = DecodedIndex.load(index_dir)
         self.k = k
-        cfg = self.reader.cfg
-        self.prune = cfg.prune if prune is None else prune
+        self.prune = self.idx.cfg.prune if prune is None else prune
         self.with_sha = with_sha
+        self._dense = len(self.idx.doclens) <= self.DENSE_MAX_DOCIDS
+
+    @property
+    def reader(self):   # transitional alias used by callers wanting metadata
+        return self.idx
 
     def score_query(self, text: str, k: int | None = None,
                     docid_filter: np.ndarray | None = None):
-        """-> (docids, scores, ranks) for one query. Exact top-k.
-
-        ``docid_filter``: optional sorted docid whitelist — the analog of the
-        reference's ``filter_fn`` pid hook (``searcher.py:76-99``,
-        ``index_storage.py:95-101``).
-        """
+        """-> (docids, scores, ranks) for one query. Exact top-k."""
         k = k or self.k
-        r = self.reader
-        term_ids, dfs = r.lookup_terms(tokenize_query(text, r.cfg)[0])
-        if len(term_ids) == 0:
+        idx = self.idx
+        tids = idx.lookup_terms(tokenize_query(text, idx.cfg)[0])
+        if len(tids) == 0:
             return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64),
                     np.empty(0, dtype=np.int32))
-        order = np.argsort(term_ids)          # ascending term_id == sorted term
-        term_ids, dfs = term_ids[order], dfs[order]
-        idfs = idf(dfs.astype(np.float64), r.n_docs)
 
-        posts = [r.postings(int(t)) for t in term_ids]
+        if self._dense:
+            scores_dense = np.zeros(len(idx.doclens), dtype=np.float64)
+            # ascending term_id => fixed per-doc summation order
+            for tid in tids:
+                d, ts = idx.postings_slice(int(tid))
+                scores_dense[d] += idx.idf_by_term_id[tid] * ts
+            cand = np.flatnonzero(scores_dense)
+            if docid_filter is not None:
+                cand = cand[np.isin(cand, docid_filter)]
+            if len(cand) == 0:
+                return (np.empty(0, dtype=np.int64),
+                        np.empty(0, dtype=np.float64),
+                        np.empty(0, dtype=np.int32))
+            return topk_with_ties(scores_dense[cand], cand, k)
+
+        # ---- sparse path: candidate union + searchsorted accumulate ----
+        posts = [idx.postings_slice(int(t)) for t in tids]
         if docid_filter is not None:
-            for i, (d, f) in enumerate(posts):
-                m = np.isin(d, docid_filter)
-                posts[i] = (d[m], f[m])
-
-        # --- exact MaxScore candidate selection ------------------------
-        # A doc appearing ONLY in posting lists with UB sum < theta (the
-        # current k-th best exact score over the candidate set) cannot enter
-        # the top-k. Grow the candidate set by descending term upper bound
-        # until the tail bound proves no outside doc can qualify; every
-        # candidate's score is always computed exactly over ALL terms, so
-        # results are identical to brute force (K4 analog, lossless).
-        if self.prune and len(term_ids) > 1:
-            ubs = np.array(
-                [i * r.term_max_tfsat(int(t)) for t, i in zip(term_ids, idfs)]
-            )
-            ub_order = np.argsort(-ubs, kind="stable")
-            cand = np.empty(0, dtype=np.int64)
-            m = 0
-            while m < len(ub_order):
-                j = ub_order[m]
-                cand = np.union1d(cand, posts[j][0])
-                m += 1
-                tail_ub = float(ubs[ub_order[m:]].sum())
-                if len(cand) >= k:
-                    scores = self._score_candidates(cand, posts, idfs)
-                    kth = np.partition(scores, len(scores) - k)[len(scores) - k]
-                    if tail_ub < kth:
-                        break
-                elif tail_ub == 0.0:
-                    break
-        else:
-            nonempty = [d for d, _ in posts if len(d)]
-            cand = (np.unique(np.concatenate(nonempty)) if nonempty
-                    else np.empty(0, dtype=np.int64))
-        if len(cand) == 0:
+            posts = [
+                (d[np.isin(d, docid_filter)], ts[np.isin(d, docid_filter)])
+                for d, ts in posts
+            ]
+        nonempty = [d for d, _ in posts if len(d)]
+        if not nonempty:
             return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64),
                     np.empty(0, dtype=np.int32))
-
-        scores = self._score_candidates(cand, posts, idfs)
-        return topk_with_ties(scores, cand, k)
-
-    def _score_candidates(self, cand: np.ndarray, posts, idfs) -> np.ndarray:
-        """Exact float64 scores of ``cand`` — accumulated in ascending
-        term_id order (``posts``/``idfs`` are term_id-sorted), the fixed
-        summation order shared with the oracle."""
-        r = self.reader
+        cand = np.unique(np.concatenate(nonempty))
         scores = np.zeros(len(cand), dtype=np.float64)
-        for (docids_t, tfs_t), t_idf in zip(posts, idfs):
-            if len(docids_t) == 0:
+        for (d, ts), tid in zip(posts, tids):
+            if len(d) == 0:
                 continue
-            pos = np.searchsorted(cand, docids_t)
-            pos_c = np.clip(pos, 0, len(cand) - 1)
-            hit = cand[pos_c] == docids_t
-            if not hit.any():
-                continue
-            d, f = docids_t[hit], tfs_t[hit]
-            contrib = t_idf * tf_saturation(f, r.doclens[d], r.avgdl, r.cfg.k1, r.cfg.b)
-            # hit positions are unique (docids strictly increasing per run)
-            scores[pos_c[hit]] += contrib
-        return scores
+            pos = np.searchsorted(cand, d)
+            scores[pos] += idx.idf_by_term_id[tid] * ts
+        return topk_with_ties(scores, cand, k)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = batch.column("qid").to_pylist()

@@ -107,7 +107,7 @@ def test_duplicate_content_distinct_docids(built):
     distinct docids (docids, not hashes, key the index — FIXTURES.md §5)."""
     _, _, index_dir, _ = built
     docs = pa.concat_tables(
-        pq.read_table(f) for f in glob.glob(os.path.join(index_dir, "docs", "*.parquet"))
+        pq.read_table(f) for f in glob.glob(os.path.join(index_dir, "docmeta", "*.parquet"))
     )
     df = docs.select(["docid", "content_sha256"]).to_pandas()
     dup = df[df.duplicated("content_sha256", keep=False)]
@@ -138,7 +138,7 @@ def test_parallelism_equivalence(small_fixture, tmp_path_factory):
     def load_docids(d):
         t = pa.concat_tables(
             pq.read_table(f, columns=["repo", "path", "docid"])
-            for f in sorted(glob.glob(os.path.join(d, "docs", "*.parquet")))
+            for f in sorted(glob.glob(os.path.join(d, "docmeta", "*.parquet")))
         ).to_pandas()
         return t.sort_values("docid").reset_index(drop=True)
 
