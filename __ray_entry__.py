@@ -221,6 +221,65 @@ def _q_events_hourly(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def _q_retrieval_metrics(sf_dir: str) -> pd.DataFrame:
+    """MRR@10 / Recall@10 / Success@{1,5} of the BM25 ranking against
+    rule-derived qrels (a doc is relevant to a query iff it contains ALL the
+    query's terms) — metric-harness analog (msmarco_passages.py:73-114)."""
+    import pyarrow as pa
+    import ray.data
+
+    from colbert_ray.extras.textstats import _cfg
+    from colbert_ray.functions.tokenizer import tokenize_column
+    from colbert_ray.pipelines import evaluate as ev
+    from colbert_ray.pipelines.search import search
+
+    idx = _ensure_index(sf_dir)
+    qt = pa.table(
+        {"qid": pa.array([q for q, _ in QUERY_SET], type=pa.int64()),
+         "query": pa.array([t for _, t in QUERY_SET], type=pa.string())}
+    )
+    ranking = search(qt, idx, k=10, with_sha=False)
+
+    # qrels by rule, computed distributed: per batch, per query, a vectorized
+    # all-terms-present membership test over each doc's token set
+    qterms = [(qid, tokenize_query(text, CFG)[0]) for qid, text in QUERY_SET]
+
+    def qrels_batch(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch.column("text"), CFG)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        import pyarrow.compute as pc
+
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        out_q, out_d = [], []
+        n = batch.num_rows
+        for qid, terms in qterms:
+            if not terms:
+                continue
+            ok = np.ones(n, dtype=bool)
+            for t in terms:
+                has = np.zeros(n, dtype=bool)
+                sel = flat == t
+                has[np.unique(parents[sel])] = True
+                ok &= has
+            out_q.extend([qid] * int(ok.sum()))
+            out_d.extend(ids[ok].tolist())
+        return pa.table({"qid": pa.array(out_q, type=pa.int64()),
+                         "docid": pa.array(out_d, type=pa.int64())})
+
+    qrels = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        qrels_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    m = ev.ranking_metrics(ranking, qrels, mrr_at=10, recall_at=(10,),
+                           success_at=(1, 5))
+    for c in ("mrr@10", "recall@10", "success@1", "success@5"):
+        m[c] = m[c].round(6)
+    return m[["mrr@10", "recall@10", "success@1", "success@5",
+              "n_judged"]].rename(
+        columns={"mrr@10": "mrr10", "recall@10": "recall10",
+                 "success@1": "success1", "success@5": "success5"})
+
+
 # ---- rows-only (non-SQL-expressible) --------------------------------------
 
 def _q_minhash_dup_pairs(sf_dir: str) -> pd.DataFrame:
@@ -316,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_doc_counts": _q_lang_doc_counts,
         "jaccard_dup_pairs": _q_jaccard_dup_pairs,
         "knn_cosine_top5": _q_knn_cosine_top5,
+        "retrieval_metrics": _q_retrieval_metrics,
         "pricing_summary": _q_pricing_summary,
         "events_hourly": _q_events_hourly,
         # rows-only (non-SQL-expressible / stateful / approximate)
@@ -429,6 +489,76 @@ ORDER BY qid, rank
 """
 
 
+def _metrics_sql() -> str:
+    """MRR/recall/success of the SQL BM25 top-10 against all-terms qrels."""
+    values = ",\n      ".join(
+        f"({qid}, '{term}')"
+        for qid, text in QUERY_SET
+        for term in tokenize_query(text, CFG)[0]
+    )
+    k1, b = CFG.k1, CFG.b
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {_toks_expr()} AS toks FROM documents
+),
+stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM docs),
+tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM docs),
+tf AS (SELECT doc_id, term, any_value(dl) AS dl, count(*) AS tf
+       FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(qid, term) AS (VALUES {values}),
+qt AS (SELECT qid, count(*) AS nt FROM q GROUP BY qid),
+matched AS (
+  SELECT q.qid, tf.doc_id, count(*) AS m
+  FROM q JOIN tf ON tf.term = q.term GROUP BY q.qid, tf.doc_id
+),
+qrels AS (
+  SELECT matched.qid, matched.doc_id
+  FROM matched JOIN qt ON qt.qid = matched.qid AND matched.m = qt.nt
+),
+judged AS (SELECT DISTINCT qid FROM qrels),
+scores AS (
+  SELECT q.qid, tf.doc_id AS docid,
+         sum( ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * tf.tf * ({k1} + 1.0)
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.dl / s.avgdl)) ) AS score
+  FROM q JOIN df ON df.term = q.term JOIN tf ON tf.term = q.term
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+),
+ranking AS (
+  SELECT qid, docid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid) AS rank
+  FROM scores QUALIFY rank <= 10
+),
+hits AS (
+  SELECT r.qid, r.rank,
+         EXISTS(SELECT 1 FROM qrels x
+                WHERE x.qid = r.qid AND x.doc_id = r.docid) AS rel
+  FROM ranking r JOIN judged j ON j.qid = r.qid
+),
+per_q AS (
+  SELECT j.qid,
+         coalesce((SELECT 1.0 / min(h.rank) FROM hits h
+                   WHERE h.qid = j.qid AND h.rel), 0.0) AS mrr,
+         coalesce((SELECT count(*)::DOUBLE FROM hits h
+                   WHERE h.qid = j.qid AND h.rel), 0.0)
+           / (SELECT count(*) FROM qrels x WHERE x.qid = j.qid) AS recall10,
+         coalesce((SELECT max(CASE WHEN h.rank <= 1 AND h.rel THEN 1.0 ELSE 0.0 END)
+                   FROM hits h WHERE h.qid = j.qid), 0.0) AS s1,
+         coalesce((SELECT max(CASE WHEN h.rank <= 5 AND h.rel THEN 1.0 ELSE 0.0 END)
+                   FROM hits h WHERE h.qid = j.qid), 0.0) AS s5
+  FROM judged j
+)
+SELECT round(sum(mrr) / count(*), 6) AS mrr10,
+       round(sum(recall10) / count(*), 6) AS recall10,
+       round(sum(s1) / count(*), 6) AS success1,
+       round(sum(s5) / count(*), 6) AS success5,
+       count(*) AS n_judged
+FROM per_q
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     toks = _toks_expr()
     stop = x_text.sql_stopword_list()
@@ -477,6 +607,7 @@ FROM documents GROUP BY lang ORDER BY lang
 """,
         "jaccard_dup_pairs": _jaccard_sql(),
         "knn_cosine_top5": _knn_sql(),
+        "retrieval_metrics": _metrics_sql(),
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

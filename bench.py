@@ -67,7 +67,9 @@ def run_bench() -> dict:
     import ray.data as rd
 
     sf = _sf()
-    n_files = max(1000, int(500_000 * sf))          # sf0.1 -> 50k files
+    # sized so the build is COMPUTE-bound, not phase-overhead-bound, at 32
+    # CPUs (the scaling-efficiency protocol needs real parallel work)
+    n_files = max(1000, int(2_000_000 * sf))        # sf0.1 -> 200k files
     cfg = EngineConfig(scorer_concurrency=max(2, NUM_CPUS - 2))
 
     # fixture corpus is cached across runs (generation is NOT benchmarked)

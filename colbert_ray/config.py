@@ -67,6 +67,10 @@ class EngineConfig:
         names = {f.name for f in dataclasses.fields(cls)}
         return cls(**{k: v for k, v in d.items() if k in names})
 
+    #: bumped whenever the on-disk index layout changes incompatibly; part of
+    #: the semantic hash so resume NEVER accepts an old-layout index
+    LAYOUT_VERSION = 2
+
     def semantic_hash(self) -> str:
         """Hash of the knobs that affect index CONTENT (not physical knobs).
 
@@ -82,6 +86,7 @@ class EngineConfig:
                 "posting_block_size",
             )
         }
+        semantic["__layout__"] = self.LAYOUT_VERSION
         blob = json.dumps(semantic, sort_keys=True).encode()
         return hashlib.sha256(blob).hexdigest()[:16]
 

@@ -1,0 +1,158 @@
+"""Evaluation harness: ranking metrics, joins, merges, splits.
+
+Analogs:
+- MRR@k / Recall@d / Success@d per qid then averaged — the MS MARCO /
+  LoTTE metric harness (``utility/evaluate/msmarco_passages.py:73-114``,
+  ``evaluate/evaluate_lotte_rankings.py:9-44``; A7).
+- ranking ⋈ qrels with unjudged handling (J8); ranking ⋈ corpus annotate
+  (J6/J1); ranked-list merge by score with depth cut (K7,
+  ``utility/rankings/merge.py:13-41``); seeded deterministic splits
+  (K9/K12, ``queries_split.py``); subset-docid translation (J5).
+
+Metric math is float64 and per-qid work runs in ``groupby('qid')`` groups
+(small), so results are parallelism-invariant.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Mean
+
+
+def ranking_metrics(
+    ranking: "ray.data.Dataset",
+    qrels: "ray.data.Dataset",
+    mrr_at: int = 10,
+    recall_at: tuple[int, ...] = (5, 10, 50),
+    success_at: tuple[int, ...] = (1, 5),
+) -> pd.DataFrame:
+    """-> one-row DataFrame of averaged metrics over JUDGED queries.
+
+    Queries present in qrels but absent from the ranking count as zero
+    (reference convention: metrics normalized by judged-query count,
+    msmarco_passages.py:95-114); ranked-but-unjudged queries are skipped
+    (J8 anti-join semantics).
+    """
+    qrels_pd = qrels.to_pandas()          # labels are small by construction
+    gold: dict[int, set] = {}
+    for q, d in zip(qrels_pd["qid"], qrels_pd["docid"]):
+        gold.setdefault(int(q), set()).add(int(d))
+    import ray as _ray
+
+    gold_ref = _ray.put(gold)
+    n_judged = len(gold)
+
+    def per_qid(g: pd.DataFrame) -> pd.DataFrame:
+        relset = _ray.get(gold_ref).get(int(g["qid"].iloc[0]))
+        if not relset:
+            return pd.DataFrame()        # unjudged -> skipped
+        g = g.sort_values("rank")
+        docs = g["docid"].to_numpy()
+        hits = np.isin(docs, list(relset))
+        row = {"qid": [int(g["qid"].iloc[0])]}
+        first = np.flatnonzero(hits[:mrr_at])
+        row[f"mrr@{mrr_at}"] = [1.0 / (first[0] + 1) if len(first) else 0.0]
+        for d in recall_at:
+            row[f"recall@{d}"] = [float(hits[:d].sum()) / len(relset)]
+        for d in success_at:
+            row[f"success@{d}"] = [1.0 if hits[:d].any() else 0.0]
+        return pd.DataFrame(row)
+
+    per_q = ranking.groupby("qid").map_groups(per_qid, batch_format="pandas")
+    pdf = per_q.to_pandas()
+    cols = [c for c in pdf.columns if c != "qid"]
+    out = {}
+    for c in cols:
+        # normalize by judged-query count: missing judged queries score 0
+        out[c] = [float(pdf[c].sum()) / max(1, n_judged)]
+    out["n_judged"] = [n_judged]
+    out["n_ranked_judged"] = [len(pdf)]
+    return pd.DataFrame(out)
+
+
+def annotate_ranking(
+    ranking: "ray.data.Dataset",
+    corpus: "ray.data.Dataset",
+    qrels: "ray.data.Dataset | None" = None,
+    corpus_cols: tuple[str, ...] = ("docid", "repo", "path", "lang"),
+) -> "ray.data.Dataset":
+    """Expand ranking rows with document fields (+ relevance label) —
+    annotate-EM analog (utility/evaluate/annotate_EM.py:28-46; J6/J1).
+    The corpus side is joined via broadcast of the needed columns only."""
+    import ray as _ray
+
+    side = corpus.select_columns(list(corpus_cols)).to_pandas()
+    side_ref = _ray.put(side.set_index("docid"))
+    gold = None
+    if qrels is not None:
+        q = qrels.to_pandas()
+        gold = {(int(a), int(b)) for a, b in zip(q["qid"], q["docid"])}
+    gold_ref = _ray.put(gold)
+
+    def expand(batch: pd.DataFrame) -> pd.DataFrame:
+        s = _ray.get(side_ref)
+        out = batch.join(s, on="docid")
+        g = _ray.get(gold_ref)
+        if g is not None:
+            out["label"] = [
+                (int(q), int(d)) in g for q, d in zip(out["qid"], out["docid"])
+            ]
+        return out
+
+    return ranking.map_batches(expand, batch_format="pandas")
+
+
+def merge_rankings(
+    rankings: list["ray.data.Dataset"], depth: int = 1000
+) -> "ray.data.Dataset":
+    """Union >=2 rankings, re-rank per qid by (-score, docid), cut to depth
+    (merge.py:13-41 analog; K7 + D6 + K2 tie-break)."""
+    ds = rankings[0]
+    for other in rankings[1:]:
+        ds = ds.union(other)
+
+    def rerank(g: pd.DataFrame) -> pd.DataFrame:
+        # sort FIRST so dedup keeps each docid's best-scoring row
+        g = g.sort_values(["score", "docid"], ascending=[False, True])
+        g = g.drop_duplicates("docid").head(depth)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g
+
+    return ds.groupby("qid").map_groups(rerank, batch_format="pandas")
+
+
+def split_dataset(
+    ds: "ray.data.Dataset", proportions: list[float], seed: int = 12345
+) -> list["ray.data.Dataset"]:
+    """Seeded deterministic split (K9/K12 analog: randperm + slice,
+    queries_split.py:15-55). Shuffle is seeded => reproducible."""
+    return ds.random_shuffle(seed=seed).split_proportionately(proportions[:-1])
+
+
+def translate_ranking(
+    ranking: "ray.data.Dataset", mapping: dict[int, int]
+) -> "ray.data.Dataset":
+    """Map subset-docids -> full-corpus docids (J5, translate_dict analog).
+    Broadcast dict; vectorized lookup."""
+    import ray as _ray
+
+    ref = _ray.put(mapping)
+
+    def tr(batch: pd.DataFrame) -> pd.DataFrame:
+        m = _ray.get(ref)
+        batch["docid"] = batch["docid"].map(lambda d: m.get(int(d), d))
+        return batch
+
+    return ranking.map_batches(tr, batch_format="pandas")
+
+
+def scores_to_probs(table: pa.Table, group_col: str = "qid") -> pa.Table:
+    """Per-query softmax over scores (server.py:27-28 analog; M17)."""
+    df = table.to_pandas()
+    e = np.exp(df["score"] - df.groupby(group_col)["score"].transform("max"))
+    df["prob"] = e / e.groupby(df[group_col]).transform("sum")
+    return pa.Table.from_pandas(df, preserve_index=False)

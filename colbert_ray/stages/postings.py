@@ -86,9 +86,13 @@ class TermIdMapper:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         term_str = batch.column("term").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(self.terms, term_str)
+        # factorize first: the binary search over dictionary strings runs on
+        # the batch's UNIQUE terms (hundreds), not its 10^5-10^6 rows
+        codes, uniques = pd.factorize(term_str, sort=False)
+        upos = np.searchsorted(self.terms, uniques)
         # every term seen at build time is in the dictionary by construction
-        term_id = self.term_ids[pos]
+        term_id = self.term_ids[upos][codes]
+        pos = upos[codes]
         docid = batch.column("docid").to_numpy(zero_copy_only=False)
         n_salt = self.n_salts[pos]
         # docid-RANGE salt: partials are docid-disjoint, ordered by salt id

@@ -1,0 +1,162 @@
+"""Tests for readers/writers, the evaluation harness, ranked-list merge,
+splits, passage splitting, and segment compaction (coalesce-equivalence:
+reference pattern ``colbert/tests/index_coalesce_test.py``)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from colbert_ray.config import EngineConfig
+from colbert_ray.pipelines import evaluate as ev
+from colbert_ray.sources import readers, writers
+from colbert_ray.stages.passages import split_documents
+
+
+def _ranking_table():
+    # qid 0: docs 1,2,3 ranked; qid 1: docs 4,5
+    return pa.table({
+        "qid": pa.array([0, 0, 0, 1, 1], type=pa.int64()),
+        "docid": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "rank": pa.array([1, 2, 3, 1, 2], type=pa.int32()),
+        "score": pa.array([3.0, 2.0, 1.0, 9.0, 8.0]),
+    })
+
+
+def _qrels_table():
+    # qid 0: relevant {2}; qid 1: relevant {9} (never retrieved);
+    # qid 7: judged but never ranked
+    return pa.table({
+        "qid": pa.array([0, 1, 7], type=pa.int64()),
+        "docid": pa.array([2, 9, 1], type=pa.int64()),
+    })
+
+
+class TestMetrics:
+    def test_mrr_recall_success(self):
+        m = ev.ranking_metrics(
+            ray.data.from_arrow(_ranking_table()),
+            ray.data.from_arrow(_qrels_table()),
+            mrr_at=10, recall_at=(5,), success_at=(1, 5),
+        )
+        # 3 judged qids; only qid0 hits (rank 2) -> mrr = (1/2)/3
+        assert m["mrr@10"][0] == pytest.approx(0.5 / 3)
+        assert m["recall@5"][0] == pytest.approx(1.0 / 3)
+        assert m["success@1"][0] == 0.0
+        assert m["success@5"][0] == pytest.approx(1.0 / 3)
+        assert m["n_judged"][0] == 3
+
+    def test_merge_rankings_tie_break(self):
+        a = ray.data.from_arrow(_ranking_table())
+        b = ray.data.from_arrow(pa.table({
+            "qid": pa.array([0, 1], type=pa.int64()),
+            "docid": pa.array([10, 4], type=pa.int64()),   # docid 4 dup
+            "rank": pa.array([1, 1], type=pa.int32()),
+            "score": pa.array([3.0, 9.5]),
+        }))
+        merged = ev.merge_rankings([a, b], depth=3).to_pandas()
+        q0 = merged[merged.qid == 0].sort_values("rank")
+        # tie 3.0/3.0 between docid 1 and 10 -> lower docid first (K2)
+        assert q0["docid"].tolist() == [1, 10, 2]
+        q1 = merged[merged.qid == 1].sort_values("rank")
+        assert q1["docid"].tolist() == [4, 5]
+        assert q1["score"].tolist() == [9.5, 8.0]   # dedup keeps best score row
+
+    def test_translate_and_softmax(self):
+        r = ev.translate_ranking(
+            ray.data.from_arrow(_ranking_table()), {1: 100, 4: 400}
+        ).to_pandas()
+        assert set(r["docid"]) == {100, 2, 3, 400, 5}
+        probs = ev.scores_to_probs(_ranking_table()).to_pandas()
+        assert probs.groupby("qid")["prob"].sum().round(9).tolist() == [1.0, 1.0]
+
+    def test_split_deterministic(self):
+        ds = ray.data.range(100)
+        a1, b1 = ev.split_dataset(ds, [0.8, 0.2], seed=7)
+        a2, b2 = ev.split_dataset(ray.data.range(100), [0.8, 0.2], seed=7)
+        assert sorted(r["id"] for r in a1.take_all()) == sorted(r["id"] for r in a2.take_all())
+        assert a1.count() + b1.count() == 100
+
+
+class TestReadersWriters:
+    def test_queries_tsv_roundtrip(self, tmp_path):
+        t = pa.table({"qid": pa.array([1, 2], type=pa.int64()),
+                      "query": pa.array(["hello world", "foo bar"])})
+        p = writers.write_queries_tsv(t, str(tmp_path / "queries.tsv"))
+        back = readers.read_queries(p).to_pandas().sort_values("qid")
+        assert back["query"].tolist() == ["hello world", "foo bar"]
+
+    def test_ranking_tsv_roundtrip_with_meta(self, tmp_path):
+        p = writers.write_ranking_tsv(_ranking_table(), str(tmp_path / "r.tsv"), k=3)
+        assert os.path.exists(p + ".meta")
+        back = readers.read_ranking(p).to_pandas()
+        assert len(back) == 5
+        assert list(back.columns) == ["qid", "docid", "rank", "score"]
+
+    def test_qrels_reader_dedups(self):
+        t = pa.table({"qid": pa.array([1, 1], type=pa.int64()),
+                      "docid": pa.array([5, 5], type=pa.int64())})
+        out = readers.read_qrels(ray.data.from_arrow(t)).to_pandas()
+        assert len(out) == 1
+
+    def test_queries_reader_asserts_unique(self):
+        t = pa.table({"qid": pa.array([1, 1], type=pa.int64()),
+                      "query": pa.array(["a", "b"])})
+        with pytest.raises(AssertionError):
+            readers.read_queries(ray.data.from_arrow(t))
+
+    def test_annotate_ranking_labels(self):
+        corpus = ray.data.from_arrow(pa.table({
+            "docid": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+            "repo": pa.array(list("abcde")),
+            "path": pa.array(list("vwxyz")),
+            "lang": pa.array(["py"] * 5),
+        }))
+        out = ev.annotate_ranking(
+            ray.data.from_arrow(_ranking_table()), corpus,
+            qrels=ray.data.from_arrow(_qrels_table()),
+        ).to_pandas().sort_values(["qid", "rank"])
+        assert out["repo"].tolist() == ["a", "b", "c", "d", "e"]
+        assert out["label"].tolist() == [False, True, False, False, False]
+
+
+class TestPassages:
+    def test_split_with_overlap_and_wraparound(self):
+        text = " ".join(f"w{i}" for i in range(10))
+        ds = ray.data.from_arrow(pa.table({
+            "docid": pa.array([0, 1], type=pa.int64()),
+            "content": pa.array([text, "short doc"]),
+        }))
+        out = split_documents(ds, max_words=4, overlap=1).to_pandas()
+        p0 = out[out.docid == 0].sort_values("passage_idx")["content"].tolist()
+        assert p0[0] == "w0 w1 w2 w3"
+        assert p0[1] == "w3 w4 w5 w6"
+        # final window wraps back to exactly max_words
+        assert p0[-1].split()[-1] == "w9" and len(p0[-1].split()) == 4
+        assert out[out.docid == 1]["content"].tolist() == ["short doc"]
+
+
+class TestCompaction:
+    def test_coalesced_index_answers_identically(self, small_fixture, tmp_path_factory):
+        from colbert_ray.pipelines.build import build_index
+        from colbert_ray.pipelines.search import search_table
+        from colbert_ray.stages.compact import coalesce_segments
+
+        corpus_dir, queries_path = small_fixture
+        cfg = EngineConfig(salt_max_run=20, num_term_partitions=8)
+        d = str(tmp_path_factory.mktemp("idx_coal"))
+        build_index(corpus_dir, d, cfg)
+        queries = pq.read_table(queries_path)
+        before = search_table(queries, d, k=10).to_pandas()
+        seg_files_before = len(os.listdir(os.path.join(d, "segments")))
+        coalesce_segments(d, merge_salts=True)
+        files = [f for f in os.listdir(os.path.join(d, "segments"))
+                 if f.endswith(".parquet")]
+        assert files == ["part_00000.parquet"]
+        after = search_table(queries, d, k=10).to_pandas()
+        pd.testing.assert_frame_equal(before, after)   # logical equivalence
+        assert seg_files_before > 1
