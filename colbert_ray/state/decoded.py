@@ -53,6 +53,7 @@ class DecodedIndex:
     # docs
     doclens: np.ndarray             # int64[max_docid + 1]
     sha256: np.ndarray              # object[str][max_docid + 1]
+    tombstones: np.ndarray          # int64, sorted (removed docids)
 
     @classmethod
     def load(cls, index_dir: str) -> "DecodedIndex":
@@ -123,7 +124,7 @@ class DecodedIndex:
             # every term has >=1 posting (dictionary is built FROM postings)
             max_tfsat = np.maximum.reduceat(posting_tfsat, posting_offsets[:-1])
 
-        return cls(
+        self = cls(
             cfg=cfg, n_docs=n_docs, avgdl=avgdl,
             dict_terms=dict_terms, dict_term_ids=dict_term_ids, dict_dfs=dict_dfs,
             idf_by_term_id=idf_by_tid,
@@ -131,7 +132,115 @@ class DecodedIndex:
             posting_tfs=posting_tfs, posting_tfsat=posting_tfsat,
             max_tfsat_by_term=max_tfsat,
             doclens=doclens, sha256=sha256,
+            tombstones=np.empty(0, dtype=np.int64),
         )
+        self._fold_in_deltas(index_dir)
+        return self
+
+    def _fold_in_deltas(self, index_dir: str) -> None:
+        """Fold delta segments + tombstones into the in-memory arrays
+        (IndexUpdater T6 analog). Frozen-statistics semantics: avgdl and the
+        idf of PRE-EXISTING terms stay those of the last full build; terms
+        first seen in a delta get idf from their delta df (the analog of the
+        reference reusing its trained codec for added passages)."""
+        from colbert_ray.functions.codec import decode_tfs as _dtf
+        from colbert_ray.functions.codec import delta_decode_docids as _ddd
+        from colbert_ray.state.updates import load_deltas
+
+        segs, terms_tbls, metas, tomb = load_deltas(index_dir)
+        self.tombstones = tomb
+        if not segs:
+            return
+        n_terms_old = len(self.dict_terms)
+
+        # decode delta postings; map delta-local term ids -> term strings
+        d_docids, d_tfs, d_terms = [], [], []
+        new_docid_rows = []
+        for seg, tt, dm in zip(segs, terms_tbls, metas):
+            local_terms = tt.column("term").to_numpy(zero_copy_only=False)
+            tid = seg.column("term_id").to_numpy(zero_copy_only=False)
+            nn = seg.column("n").to_numpy(zero_copy_only=False)
+            db, tb = seg.column("docids_bin"), seg.column("tfs_bin")
+            for i in range(seg.num_rows):
+                n = int(nn[i])
+                d_docids.append(_ddd(db[i].as_py(), n))
+                d_tfs.append(_dtf(tb[i].as_py(), n))
+                d_terms.append(np.repeat(local_terms[int(tid[i])], n))
+            new_docid_rows.append(dm)
+        dd = np.concatenate(d_docids)
+        dt = np.concatenate(d_tfs)
+        dterm = np.concatenate(d_terms)
+
+        # extend doc arrays to the new max docid
+        import pyarrow as pa
+
+        dm_all = pa.concat_tables(new_docid_rows)
+        new_ids = dm_all.column("docid").to_numpy(zero_copy_only=False)
+        new_max = max(len(self.doclens) - 1,
+                      int(new_ids.max()) if len(new_ids) else -1)
+        doclens = np.zeros(new_max + 1, dtype=np.int64)
+        doclens[: len(self.doclens)] = self.doclens
+        doclens[new_ids] = dm_all.column("doclen").to_numpy(zero_copy_only=False)
+        sha = np.empty(new_max + 1, dtype=object)
+        sha[: len(self.sha256)] = self.sha256
+        sha[new_ids] = np.asarray(
+            dm_all.column("content_sha256").to_numpy(zero_copy_only=False))
+        self.doclens, self.sha256 = doclens, sha
+
+        # resolve delta terms -> global term ids (append brand-new terms)
+        uniq_new = np.sort(np.array(sorted(set(dterm.tolist())), dtype=object))
+        pos = np.searchsorted(self.dict_terms, uniq_new)
+        pos_c = np.clip(pos, 0, max(0, n_terms_old - 1))
+        known = (n_terms_old > 0) & (self.dict_terms[pos_c] == uniq_new)
+        gids = np.empty(len(uniq_new), dtype=np.int64)
+        gids[known] = self.dict_term_ids[pos_c[known]]
+        brand_new = uniq_new[~known]
+        gids[~known] = n_terms_old + np.arange(len(brand_new), dtype=np.int64)
+        term_to_gid = dict(zip(uniq_new.tolist(), gids.tolist()))
+        d_gid = np.array([term_to_gid[t] for t in dterm], dtype=np.int64)
+
+        n_terms_new = n_terms_old + len(brand_new)
+        # dictionary arrays stay term-string-sorted for searchsorted
+        if len(brand_new):
+            all_terms = np.concatenate([self.dict_terms, brand_new])
+            all_ids = np.concatenate(
+                [self.dict_term_ids,
+                 n_terms_old + np.arange(len(brand_new), dtype=np.int64)])
+            # df of brand-new terms = docs containing them in the deltas
+            bn_df = np.zeros(len(brand_new), dtype=np.int64)
+            bn_pos = {t: i for i, t in enumerate(brand_new.tolist())}
+            for t in set(brand_new.tolist()):
+                bn_df[bn_pos[t]] = len(np.unique(dd[dterm == t]))
+            all_dfs = np.concatenate([self.dict_dfs, bn_df])
+            order = np.argsort(all_terms, kind="stable")
+            self.dict_terms = all_terms[order]
+            self.dict_term_ids = all_ids[order]
+            self.dict_dfs = all_dfs[order]
+            idf_new = np.zeros(n_terms_new, dtype=np.float64)
+            idf_new[: n_terms_old] = self.idf_by_term_id
+            idf_new[n_terms_old:] = idf_fn(bn_df.astype(np.float64), self.n_docs)
+            self.idf_by_term_id = idf_new
+
+        # rebuild term-major flat posting arrays (stable: old before delta)
+        old_rep = np.repeat(np.arange(n_terms_old, dtype=np.int64),
+                            np.diff(self.posting_offsets).astype(np.int64))
+        all_tid = np.concatenate([old_rep, d_gid])
+        all_doc = np.concatenate([self.posting_docids, dd])
+        all_tf = np.concatenate([self.posting_tfs.astype(np.int64), dt])
+        d_tfsat = tf_saturation(dt.astype(np.float64),
+                                self.doclens[dd].astype(np.float64),
+                                self.avgdl, self.cfg.k1, self.cfg.b)
+        all_tfsat = np.concatenate([self.posting_tfsat, d_tfsat])
+        order = np.argsort(all_tid, kind="stable")
+        self.posting_docids = all_doc[order]
+        self.posting_tfs = all_tf[order].astype(np.int32)
+        self.posting_tfsat = all_tfsat[order]
+        counts = np.bincount(all_tid, minlength=n_terms_new)
+        self.posting_offsets = np.zeros(n_terms_new + 1, dtype=np.int64)
+        np.cumsum(counts, out=self.posting_offsets[1:])
+        self.max_tfsat_by_term = np.maximum.reduceat(
+            self.posting_tfsat, self.posting_offsets[:-1]
+        ) if len(self.posting_tfsat) else np.zeros(n_terms_new)
 
     # ---- query-side lookups -------------------------------------------
 

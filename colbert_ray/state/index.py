@@ -186,6 +186,8 @@ class BM25Scorer:
             for tid in tids:
                 d, ts = idx.postings_slice(int(tid))
                 scores_dense[d] += idx.idf_by_term_id[tid] * ts
+            if len(idx.tombstones):
+                scores_dense[idx.tombstones] = 0.0   # removed docs never rank
             cand = np.flatnonzero(scores_dense)
             if docid_filter is not None:
                 cand = cand[np.isin(cand, docid_filter)]
@@ -207,12 +209,18 @@ class BM25Scorer:
             return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64),
                     np.empty(0, dtype=np.int32))
         cand = np.unique(np.concatenate(nonempty))
+        if len(idx.tombstones):
+            cand = cand[~np.isin(cand, idx.tombstones)]
         scores = np.zeros(len(cand), dtype=np.float64)
         for (d, ts), tid in zip(posts, tids):
             if len(d) == 0:
                 continue
             pos = np.searchsorted(cand, d)
-            scores[pos] += idx.idf_by_term_id[tid] * ts
+            # membership mask: tombstoned/filtered docids are absent from
+            # cand and must not scatter into neighbours' slots
+            pos_c = np.minimum(pos, len(cand) - 1)
+            hit = cand[pos_c] == d
+            scores[pos_c[hit]] += idx.idf_by_term_id[tid] * ts[hit]
         return topk_with_ties(scores, cand, k)
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -1,0 +1,172 @@
+"""Incremental index updates: delta segments + tombstones + compaction.
+
+Analog of the reference's ``IndexUpdater`` (``colbert/index_updater.py:28-65,
+150-274``): add passages / remove pids against a built index without a full
+rebuild, persisted so a reloaded index reflects the changes. Mapped to the
+classical delta-segment design (SURVEY.md §2.3 T6):
+
+- ``add_documents``: tokenize the new docs, assign fresh docids after the
+  current max (the reference also appends new pids at the end,
+  index_updater.py:150-174), write ``deltas/delta_NNNNN/`` holding posting
+  runs (same SEGMENT_SCHEMA) + docmeta rows. Frozen-statistics semantics:
+  idf/avgdl stay those of the last full build until compaction — the exact
+  analog of the reference reusing the trained codec/centroids for added
+  passages (it never retrains on add).
+- ``remove_docids``: tombstone list; scoring masks tombstoned docs
+  (index_updater.py:67-110 analog).
+- ``compact()``: full rebuild from current corpus = the reference's
+  ``persist_to_disk`` + re-index path; statistics refresh here.
+
+``DecodedIndex.load`` folds deltas + tombstones in, so the scorer actor pool
+serves the updated view with no other changes.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from colbert_ray.config import EngineConfig
+from colbert_ray.functions.tokenizer import doc_term_frequencies
+from colbert_ray.stages.manifests import atomic_write_json
+from colbert_ray.stages.postings import SEGMENT_SCHEMA, encode_runs
+
+
+class IndexUpdater:
+    """Driver-side updater for small/medium deltas (the reference updater is
+    likewise single-process). Large backfills should use ``build_index`` on
+    the combined corpus instead."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "metadata.json")) as f:
+            self.meta = json.load(f)
+        self.cfg = EngineConfig.from_dict(self.meta["config"])
+
+    # ------------------------------------------------------------------
+    def _delta_dirs(self) -> list[str]:
+        return sorted(glob.glob(os.path.join(self.index_dir, "deltas", "delta_*")))
+
+    def _next_docid(self) -> int:
+        import pyarrow.dataset as pads
+
+        mx = -1
+        t = pads.dataset(os.path.join(self.index_dir, "docmeta")).to_table(
+            columns=["docid"])
+        if t.num_rows:
+            mx = int(t.column("docid").to_numpy(zero_copy_only=False).max())
+        for d in self._delta_dirs():
+            dm = pq.read_table(os.path.join(d, "docmeta.parquet"), columns=["docid"])
+            if dm.num_rows:
+                mx = max(mx, int(dm.column("docid").to_numpy(zero_copy_only=False).max()))
+        return mx + 1
+
+    def add_documents(self, corpus: pa.Table, content_col: str = "content") -> np.ndarray:
+        """Append documents; returns their assigned docids (sequential after
+        the current max — index_updater.py:150-174 analog)."""
+        import hashlib
+
+        cfg = self.cfg
+        n = corpus.num_rows
+        start = self._next_docid()
+        docids = np.arange(start, start + n, dtype=np.int64)
+
+        content = corpus.column(content_col)
+        doclens, terms, tfs = doc_term_frequencies(content, cfg)
+        # explode to (term, docid, tf, dl) then encode with FROZEN avgdl
+        import pyarrow.compute as pc
+
+        parents = pc.list_parent_indices(terms).to_numpy(zero_copy_only=False)
+        flat_terms = terms.flatten().to_numpy(zero_copy_only=False)
+        flat_tfs = tfs.flatten().to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                # term STRING kept: delta term-ids resolve at load time
+                "term": flat_terms,
+                "term_id": np.zeros(len(flat_terms), dtype=np.int64),  # filled below
+                "salt": np.zeros(len(flat_terms), dtype=np.int32),
+                "docid": docids[parents],
+                "tf": flat_tfs.astype(np.int64),
+                "dl": doclens[parents],
+            }
+        )
+        # per-delta local term ids (dense over the delta's sorted terms)
+        uniq = np.sort(pd.unique(df["term"]))
+        df["term_id"] = np.searchsorted(uniq, df["term"].to_numpy())
+        seg = encode_runs(df[["term_id", "salt", "docid", "tf", "dl"]],
+                          cfg, float(self.meta["avgdl"]))
+        terms_tbl = pa.table({"local_term_id": pa.array(np.arange(len(uniq), dtype=np.int64)),
+                              "term": pa.array(uniq, type=pa.string())})
+
+        shas = [hashlib.sha256(s.encode()).hexdigest() for s in content.to_pylist()]
+        docmeta = pa.table(
+            {
+                "docid": pa.array(docids),
+                "doclen": pa.array(doclens),
+                "content_sha256": pa.array(shas, type=pa.string()),
+            }
+        )
+
+        d = os.path.join(self.index_dir, "deltas",
+                         f"delta_{len(self._delta_dirs()):05d}")
+        os.makedirs(d + ".tmp", exist_ok=True)
+        pq.write_table(seg, os.path.join(d + ".tmp", "segments.parquet"),
+                       compression="zstd")
+        pq.write_table(terms_tbl, os.path.join(d + ".tmp", "terms.parquet"),
+                       compression="zstd")
+        pq.write_table(docmeta, os.path.join(d + ".tmp", "docmeta.parquet"),
+                       compression="zstd")
+        os.replace(d + ".tmp", d)
+        os.utime(os.path.join(self.index_dir, "metadata.json"))  # invalidate caches
+        return docids
+
+    def remove_docids(self, docids) -> None:
+        """Tombstone docids (index_updater.py:67-110 analog)."""
+        p = os.path.join(self.index_dir, "tombstones.json")
+        cur = set()
+        if os.path.exists(p):
+            with open(p) as f:
+                cur = set(json.load(f))
+        cur.update(int(d) for d in docids)
+        atomic_write_json(p, sorted(cur))
+        os.utime(os.path.join(self.index_dir, "metadata.json"))
+
+    def compact(self, corpus_path, **build_kwargs) -> dict:
+        """Full rebuild from the given corpus (statistics refresh) — the
+        persist+reindex path. Clears deltas and tombstones."""
+        import shutil
+
+        from colbert_ray.pipelines.build import build_index
+
+        shutil.rmtree(os.path.join(self.index_dir, "deltas"), ignore_errors=True)
+        for f in ("tombstones.json",):
+            try:
+                os.remove(os.path.join(self.index_dir, f))
+            except FileNotFoundError:
+                pass
+        # drop manifests so every phase rebuilds
+        for f in glob.glob(os.path.join(self.index_dir, "_manifest_*.json")):
+            os.remove(f)
+        return build_index(corpus_path, self.index_dir, self.cfg, **build_kwargs)
+
+
+def load_deltas(index_dir: str):
+    """-> (segments rows, terms tables, docmeta tables, tombstones array)."""
+    dirs = sorted(glob.glob(os.path.join(index_dir, "deltas", "delta_*")))
+    segs, terms, metas = [], [], []
+    for d in dirs:
+        segs.append(pq.read_table(os.path.join(d, "segments.parquet")))
+        terms.append(pq.read_table(os.path.join(d, "terms.parquet")))
+        metas.append(pq.read_table(os.path.join(d, "docmeta.parquet")))
+    tomb = np.empty(0, dtype=np.int64)
+    p = os.path.join(index_dir, "tombstones.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            tomb = np.array(sorted(json.load(f)), dtype=np.int64)
+    return segs, terms, metas, tomb

@@ -1,0 +1,126 @@
+"""Incremental-update tests (reference pattern:
+``colbert/tests/index_updater_test.py``): add docs -> searchable; remove
+docs -> gone; changes persist across reload; compaction refreshes stats and
+equals a clean build."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from colbert_ray.config import EngineConfig
+from colbert_ray.pipelines.build import build_index
+from colbert_ray.state.decoded import DecodedIndex
+from colbert_ray.state.index import BM25Scorer
+from colbert_ray.state.updates import IndexUpdater
+
+CFG = EngineConfig(salt_max_run=20, num_term_partitions=8)
+MAGIC = "xylophonequark"          # term that exists only in added docs
+
+
+@pytest.fixture()
+def built_index(small_fixture, tmp_path_factory):
+    corpus_dir, _ = small_fixture
+    d = str(tmp_path_factory.mktemp("idx_upd"))
+    build_index(corpus_dir, d, CFG)
+    return d
+
+
+def _added_docs():
+    return pa.table(
+        {
+            "repo": pa.array(["orgX/new"] * 2),
+            "path": pa.array(["a.py", "b.py"]),
+            "commit": pa.array(["0" * 40] * 2),
+            "lang": pa.array(["python"] * 2),
+            "content": pa.array(
+                [f"{MAGIC} {MAGIC} mergeSort buffer", f"{MAGIC} filter the data"]
+            ),
+        }
+    )
+
+
+def test_add_then_search_finds_new_docs(built_index):
+    up = IndexUpdater(built_index)
+    new_ids = up.add_documents(_added_docs())
+    assert len(new_ids) == 2
+    scorer = BM25Scorer(built_index, k=5)
+    d, s, r = scorer.score_query(MAGIC)
+    assert set(d.tolist()) == set(new_ids.tolist())
+    assert s[0] > s[1]                       # tf=2 doc outranks tf=1 doc
+    # existing (head) terms also score the new docs — they appear in the
+    # full match list (their rank is legitimately low: head-term idf ~0.08)
+    d2, _, _ = scorer.score_query("mergeSort buffer", k=10_000)
+    assert int(new_ids[0]) in d2.tolist()
+
+
+def test_remove_tombstones_docs(built_index):
+    up = IndexUpdater(built_index)
+    new_ids = up.add_documents(_added_docs())
+    up.remove_docids([int(new_ids[0])])
+    scorer = BM25Scorer(built_index, k=5)
+    d, _, _ = scorer.score_query(MAGIC)
+    assert int(new_ids[0]) not in d.tolist()
+    assert int(new_ids[1]) in d.tolist()
+
+
+def test_updates_persist_across_reload(built_index):
+    up = IndexUpdater(built_index)
+    new_ids = up.add_documents(_added_docs())
+    up.remove_docids([int(new_ids[1])])
+    # fresh loader (new process analog)
+    idx = DecodedIndex.load(built_index)
+    assert len(idx.tombstones) == 1
+    scorer = BM25Scorer(built_index, k=5)
+    d, _, _ = scorer.score_query(MAGIC)
+    assert d.tolist() == [int(new_ids[0])]
+
+
+def test_frozen_stats_until_compaction(built_index):
+    """avgdl/n_docs stay frozen on add (reference reuses its codec); a
+    pre-existing query's scores for OLD docs are unchanged by the add."""
+    scorer_before = BM25Scorer(built_index, k=5)
+    d0, s0, _ = scorer_before.score_query("mergeSort")
+    up = IndexUpdater(built_index)
+    up.add_documents(_added_docs())
+    scorer_after = BM25Scorer(built_index, k=5)
+    d1, s1, _ = scorer_after.score_query("indexQuery parse")  # unrelated terms
+    dd, ss, _ = scorer_after.score_query("mergeSort")
+    old = [i for i, d in enumerate(dd.tolist()) if d in d0.tolist()]
+    # old docs' per-doc scores unchanged (frozen idf/avgdl)
+    m0 = dict(zip(d0.tolist(), s0.tolist()))
+    for i in old:
+        assert ss[i] == pytest.approx(m0[dd[i]], abs=0)
+
+
+def test_compaction_equals_clean_build(small_fixture, tmp_path_factory):
+    corpus_dir, _ = small_fixture
+    d_inc = str(tmp_path_factory.mktemp("idx_inc"))
+    build_index(corpus_dir, d_inc, CFG)
+    up = IndexUpdater(d_inc)
+    up.add_documents(_added_docs())
+
+    # combined corpus: original fixture + the added docs appended
+    import glob
+
+    combined_dir = str(tmp_path_factory.mktemp("combined"))
+    for i, f in enumerate(sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))):
+        os.symlink(f, os.path.join(combined_dir, f"part-{i:05d}.parquet"))
+    pq.write_table(_added_docs(), os.path.join(combined_dir, "part-zz-new.parquet"))
+
+    up.compact(combined_dir)
+    d_clean = str(tmp_path_factory.mktemp("idx_clean2"))
+    build_index(combined_dir, d_clean, CFG)
+
+    s_inc = BM25Scorer(d_inc, k=10)
+    s_clean = BM25Scorer(d_clean, k=10)
+    for q in (MAGIC, "mergeSort buffer", "the data filter"):
+        a = s_inc.score_query(q)
+        b = s_clean.score_query(q)
+        assert a[0].tolist() == b[0].tolist()
+        assert a[1].tolist() == b[1].tolist()    # exact float equality
+    # deltas cleared
+    assert not glob.glob(os.path.join(d_inc, "deltas", "delta_*"))
