@@ -51,29 +51,28 @@ def varint_encode(values: np.ndarray) -> bytes:
 
 
 def varint_decode(buf: bytes, count: int) -> np.ndarray:
-    """LEB128 bytes -> uint64 array of ``count`` values (vectorized)."""
+    """LEB128 bytes -> uint64 array of ``count`` values (vectorized).
+
+    Pass k (k >= 1) touches ONLY the values that actually have > k bytes, so
+    decoding delta-gap streams (overwhelmingly 1-byte values) costs ~one
+    pass over the byte array plus tiny follow-ups.
+    """
     if count == 0:
         return np.empty(0, dtype=np.uint64)
     raw = np.frombuffer(buf, dtype=np.uint8)
     is_last = (raw & _CONT) == 0
-    # value index for each byte: cumsum of "starts new value" flags
     starts_new = np.empty(len(raw), dtype=bool)
     starts_new[0] = True
     starts_new[1:] = is_last[:-1]
-    value_idx = np.cumsum(starts_new) - 1
-    if value_idx[-1] != count - 1 or not is_last[-1]:
+    value_starts = np.flatnonzero(starts_new)
+    if len(value_starts) != count or not is_last[-1]:
         raise ValueError("corrupt varint stream")
-    # within-value byte position (group index)
-    byte_pos = np.arange(len(raw), dtype=np.int64)
-    first_byte_of_value = byte_pos[starts_new]
-    group = byte_pos - first_byte_of_value[value_idx]
-    out = np.zeros(count, dtype=np.uint64)
-    payload = (raw & np.uint8(0x7F)).astype(np.uint64)
-    # loop over byte positions within a value (<=10 iterations), each a
-    # fully-vectorized masked OR — far faster than ufunc.at per byte
-    for g in range(int(group.max()) + 1):
-        sel = group == g
-        out[value_idx[sel]] |= payload[sel] << np.uint64(7 * g)
+    nbytes = np.diff(np.append(value_starts, len(raw)))
+    out = (raw[value_starts] & np.uint8(0x7F)).astype(np.uint64)
+    for k in range(1, int(nbytes.max())):
+        idx = np.flatnonzero(nbytes > k)
+        out[idx] |= (raw[value_starts[idx] + k] & np.uint8(0x7F)).astype(np.uint64) \
+            << np.uint64(7 * k)
     return out
 
 

@@ -31,7 +31,7 @@ import pyarrow.parquet as pq
 from colbert_ray.config import EngineConfig
 from colbert_ray.functions.bm25 import idf as idf_fn
 from colbert_ray.functions.bm25 import tf_saturation
-from colbert_ray.functions.codec import decode_tfs, delta_decode_docids
+from colbert_ray.functions.codec import varint_decode
 
 
 @dataclass
@@ -87,32 +87,47 @@ class DecodedIndex:
             docs.column("content_sha256").to_numpy(zero_copy_only=False)
         )
 
-        # bulk-decode all runs, term_id-major, salt-minor (docid order within
-        # a term is preserved because salts are docid-range partitions)
+        # BULK decode: all runs' varint streams are concatenated (in global
+        # (term_id, salt) order -- salts are docid-range partitions, so docid
+        # order within a term is preserved) and decoded in ONE vectorized
+        # pass; per-run delta bases are then subtracted segment-wise. Load
+        # time is O(total postings) with no Python loop over runs.
         seg_files = sorted(glob.glob(os.path.join(index_dir, "segments", "part_*.parquet")))
-        run_rows = []
-        for f in seg_files:
-            t = pq.read_table(f, columns=["term_id", "salt", "n", "docids_bin", "tfs_bin"])
-            tid = t.column("term_id").to_numpy(zero_copy_only=False)
-            salt = t.column("salt").to_numpy(zero_copy_only=False)
-            n = t.column("n").to_numpy(zero_copy_only=False)
-            db = t.column("docids_bin")
-            tb = t.column("tfs_bin")
-            for i in range(t.num_rows):
-                run_rows.append((int(tid[i]), int(salt[i]), int(n[i]),
-                                 db[i].as_py(), tb[i].as_py()))
-        run_rows.sort(key=lambda r: (r[0], r[1]))
-        total = sum(r[2] for r in run_rows)
-        posting_docids = np.empty(total, dtype=np.int64)
-        posting_tfs = np.empty(total, dtype=np.int32)
-        posting_offsets = np.zeros(n_terms + 1, dtype=np.int64)
-        pos = 0
-        for tid, _salt, n, dbin, tbin in run_rows:
-            posting_docids[pos:pos + n] = delta_decode_docids(dbin, n)
-            posting_tfs[pos:pos + n] = decode_tfs(tbin, n)
-            posting_offsets[tid + 1] += n
-            pos += n
-        np.cumsum(posting_offsets, out=posting_offsets)
+        import pyarrow as pa
+
+        tables = [
+            pq.read_table(f, columns=["term_id", "salt", "n", "docids_bin", "tfs_bin"])
+            for f in seg_files
+        ]
+        if tables:
+            seg = pa.concat_tables(tables)
+        else:
+            seg = None
+        if seg is not None and seg.num_rows:
+            tid = seg.column("term_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            salt = seg.column("salt").to_numpy(zero_copy_only=False)
+            nper = seg.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.lexsort((salt, tid))
+            tid, nper = tid[order], nper[order]
+            db = seg.column("docids_bin").combine_chunks()
+            tb = seg.column("tfs_bin").combine_chunks()
+            total = int(nper.sum())
+            dbuf = b"".join(db[int(i)].as_py() for i in order)
+            tbuf = b"".join(tb[int(i)].as_py() for i in order)
+            gaps = varint_decode(dbuf, total).astype(np.int64)
+            g_cum = np.cumsum(gaps)
+            run_start = np.concatenate([[0], np.cumsum(nper)[:-1]])
+            base = np.where(run_start > 0, g_cum[run_start - 1], 0)
+            posting_docids = g_cum - np.repeat(base, nper)
+            posting_tfs = varint_decode(tbuf, total).astype(np.int32)
+            posting_offsets = np.zeros(n_terms + 1, dtype=np.int64)
+            np.add.at(posting_offsets, tid + 1, nper)
+            np.cumsum(posting_offsets, out=posting_offsets)
+        else:
+            total = 0
+            posting_docids = np.empty(0, dtype=np.int64)
+            posting_tfs = np.empty(0, dtype=np.int32)
+            posting_offsets = np.zeros(n_terms + 1, dtype=np.int64)
 
         posting_tfsat = tf_saturation(
             posting_tfs.astype(np.float64),
