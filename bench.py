@@ -68,12 +68,15 @@ def run_bench() -> dict:
 
     sf = _sf()
     # sized so the build is COMPUTE-bound, not phase-overhead-bound, at 32
-    # CPUs (the scaling-efficiency protocol needs real parallel work)
-    n_files = max(1000, int(2_000_000 * sf))        # sf0.1 -> 200k files
+    # CPUs (the scaling-efficiency protocol needs real parallel work):
+    # sf0.1 -> 200k files x ~860 tokens (~170M tokens, ~1GB corpus)
+    n_files = max(1000, int(2_000_000 * sf))
+    token_scale = 4
     cfg = EngineConfig(scorer_concurrency=max(2, NUM_CPUS - 2))
 
     # fixture corpus is cached across runs (generation is NOT benchmarked)
-    corpus_dir, queries_path = ensure_fixture(BENCH_ROOT, n_files, N_QUERIES)
+    corpus_dir, queries_path = ensure_fixture(BENCH_ROOT, n_files, N_QUERIES,
+                                              token_scale=token_scale)
     # warm the page cache so we measure compute+shuffle, not first disk read
     for f in sorted(os.listdir(corpus_dir)):
         if f.endswith(".parquet"):

@@ -61,9 +61,12 @@ def _vocab(rng: np.random.Generator) -> list[str]:
     return vocab
 
 
-def generate_corpus(n_files: int, seed: int = 42) -> pa.Table:
+def generate_corpus(n_files: int, seed: int = 42, token_scale: int = 1) -> pa.Table:
+    """Vectorized deterministic corpus generator. ``token_scale`` multiplies
+    per-document length (used by the benchmark to make builds compute-bound
+    without changing the corpus's statistical shape)."""
     rng = np.random.default_rng(seed)
-    vocab = _vocab(rng)
+    vocab = np.array(_vocab(rng), dtype=object)
     v = len(vocab)
     # Zipfian weights over vocab (head-heavy)
     ranks = np.arange(1, v + 1, dtype=np.float64)
@@ -71,31 +74,43 @@ def generate_corpus(n_files: int, seed: int = 42) -> pa.Table:
     weights /= weights.sum()
 
     n_repos = max(1, int(np.sqrt(n_files)))
-    repos, paths, commits, langs, contents = [], [], [], [], []
-    for i in range(n_files):
-        repo = f"org{i % 7}/repo{i % n_repos}"
-        lang = LANGS[int(rng.integers(0, len(LANGS)))] if i >= len(LANGS) else LANGS[i]
-        path = f"src/module_{i % 13}/file_{i // n_repos}_{i}.{_EXT[lang]}"
-        commit = hashlib.sha1(f"{repo}/{path}".encode()).hexdigest()
-        if i == 1:
-            body = "x"  # near-empty doc (<5 terms)
-        else:
-            n_tokens = int(rng.integers(30, 400))
-            idents = rng.choice(v, size=n_tokens, p=weights)
-            kws = rng.choice(_KEYWORDS[lang], size=max(3, n_tokens // 8))
-            nls = rng.choice(_NL_WORDS, size=max(3, n_tokens // 6))
-            words = np.concatenate([np.array(vocab, dtype=object)[idents], kws, nls])
-            rng.shuffle(words)
-            lines = []
-            for j in range(0, len(words), 9):
-                chunk = " ".join(words[j:j + 9])
-                lines.append(("    " if j % 27 else "") + chunk + ("();" if j % 2 else ":"))
-            body = "\n".join(lines)
-        repos.append(repo)
-        paths.append(path)
-        commits.append(commit)
-        langs.append(lang)
-        contents.append(body)
+    idx = np.arange(n_files)
+    lang_pick = rng.integers(0, len(LANGS), size=n_files)
+    lang_pick[: min(n_files, len(LANGS))] = np.arange(min(n_files, len(LANGS)))
+    langs = np.array(LANGS, dtype=object)[lang_pick]
+    repos = np.array([f"org{i % 7}/repo{i % n_repos}" for i in idx], dtype=object)
+    paths = np.array(
+        [f"src/module_{i % 13}/file_{i // n_repos}_{i}.{_EXT[langs[i]]}" for i in idx],
+        dtype=object,
+    )
+    commits = [hashlib.sha1(f"{r}/{p}".encode()).hexdigest()
+               for r, p in zip(repos, paths)]
+
+    # one draw for ALL tokens of all docs, then per-doc joins
+    n_tokens = rng.integers(30 * token_scale, 400 * token_scale, size=n_files)
+    total = int(n_tokens.sum())
+    words = vocab[rng.choice(v, size=total, p=weights)]
+    # sprinkle language keywords + natural-language words deterministically
+    kw_slots = np.flatnonzero(rng.random(total) < 0.12)
+    nl_slots = np.flatnonzero(rng.random(total) < 0.10)
+    doc_of = np.repeat(idx, n_tokens)
+    kw_tables = {lang: np.array(ws, dtype=object) for lang, ws in _KEYWORDS.items()}
+    for lang in LANGS:
+        sel = kw_slots[np.asarray(langs[doc_of[kw_slots]] == lang)]
+        if len(sel):
+            words[sel] = kw_tables[lang][rng.integers(0, len(kw_tables[lang]), len(sel))]
+    nl_arr = np.array(_NL_WORDS, dtype=object)
+    words[nl_slots] = nl_arr[rng.integers(0, len(nl_arr), len(nl_slots))]
+    # punctuation decoration on ~8% of tokens (exercises non-alnum split)
+    punct = np.flatnonzero(rng.random(total) < 0.08)
+    words[punct] = np.char.add(words[punct].astype(str), "();").astype(object)
+
+    offsets = np.concatenate([[0], np.cumsum(n_tokens)])
+    contents = [
+        " ".join(words[offsets[i]:offsets[i + 1]]) for i in range(n_files)
+    ]
+    if n_files > 1:
+        contents[1] = "x"          # near-empty doc (<5 terms)
     if n_files >= 4:
         contents[3] = contents[2]  # duplicated content pair, distinct (repo,path)
     return pa.table(
@@ -130,10 +145,11 @@ def generate_queries(n_queries: int, seed: int = 777) -> pa.Table:
     return pa.table({"qid": pa.array(qids, type=pa.int64()), "query": pa.array(texts, type=pa.string())})
 
 
-def write_corpus(out_dir: str, n_files: int, seed: int = 42, files_per_part: int = 2000) -> str:
+def write_corpus(out_dir: str, n_files: int, seed: int = 42,
+                 files_per_part: int = 2000, token_scale: int = 1) -> str:
     """Write the corpus as MULTIPLE parquet files (scale-shaped input layout)."""
     os.makedirs(out_dir, exist_ok=True)
-    t = generate_corpus(n_files, seed)
+    t = generate_corpus(n_files, seed, token_scale=token_scale)
     for p, lo in enumerate(range(0, t.num_rows, files_per_part)):
         pq.write_table(
             t.slice(lo, files_per_part), os.path.join(out_dir, f"part-{p:05d}.parquet"),
@@ -142,13 +158,15 @@ def write_corpus(out_dir: str, n_files: int, seed: int = 42, files_per_part: int
     return out_dir
 
 
-def ensure_fixture(root: str, n_files: int, n_queries: int, seed: int = 42) -> tuple[str, str]:
+def ensure_fixture(root: str, n_files: int, n_queries: int, seed: int = 42,
+                   token_scale: int = 1) -> tuple[str, str]:
     """Idempotently materialize (corpus_dir, queries_path) under ``root``."""
-    corpus_dir = os.path.join(root, f"corpus_n{n_files}_s{seed}")
+    suffix = f"_t{token_scale}" if token_scale != 1 else ""
+    corpus_dir = os.path.join(root, f"corpus_n{n_files}_s{seed}{suffix}")
     queries_path = os.path.join(root, f"queries_n{n_queries}.parquet")
     done = os.path.join(corpus_dir, "_DONE")
     if not os.path.exists(done):
-        write_corpus(corpus_dir, n_files, seed)
+        write_corpus(corpus_dir, n_files, seed, token_scale=token_scale)
         with open(done, "w") as f:
             f.write("ok")
     if not os.path.exists(queries_path):

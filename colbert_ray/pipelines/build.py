@@ -38,7 +38,7 @@ from ray.data.aggregate import Count, Sum
 from colbert_ray.config import DEFAULT_CONFIG, EngineConfig
 from colbert_ray.stages import manifests
 from colbert_ray.stages.docids import sorted_rank_dataset
-from colbert_ray.stages.postings import TermIdMapper, explode_batch, make_segment_writer
+from colbert_ray.stages.postings import PostingCombiner, explode_batch, make_segment_writer
 from colbert_ray.stages.tokenize import make_tokenize_fn
 
 TOKENIZED = "tokenized"
@@ -264,10 +264,17 @@ def build_index(
         p for p in range(cfg.num_term_partitions)
         if manifests.segment_complete(seg_dir, p, sem, inputs_hash)
     }
+    # The shuffle is EXPLICIT and disk-based (classical SPIMI external
+    # shuffle): E1 spills combiner mini-runs hive-partitioned by term
+    # partition; E2 encodes each partition independently. No AllToAll
+    # operator (Ray's sort-groupby carries ~10s of fixed coordination cost
+    # regardless of size), each E2 task is individually resumable, and the
+    # spill IS the map-output checkpoint.
+    spill_dir = os.path.join(index_dir, "spill")
     if _phase("segments"):
         t0 = time.time()
-        todo = set(range(cfg.num_term_partitions)) - done_parts
-        if todo:
+        todo = sorted(set(range(cfg.num_term_partitions)) - done_parts)
+        if todo and not manifests.phase_complete(index_dir, "spill", sem, inputs_hash):
             tok = ray.data.read_parquet(
                 tok_dir,
                 columns=(["docid"] if docid_col else list(key_cols))
@@ -276,17 +283,14 @@ def build_index(
             tok = _attach_docid(tok, map_dir, key_cols, cfg, docid_col)
             if not docid_col:
                 tok = tok.drop_columns(list(key_cols))
-            exploded = tok.map_batches(
-                explode_batch, batch_format="pyarrow",
-                batch_size=cfg.tokenize_batch_size, zero_copy_batch=True,
-            )
-            # size the actor pool to leave CPUs for the read + shuffle +
-            # write stages — a pool reserving every CPU deadlocks the
-            # streaming executor (ray_guide.md "Stateful stages" rule)
+            # size the actor pool to leave CPUs for the read + write stages —
+            # a pool reserving every CPU deadlocks the streaming executor
             avail = int(ray.cluster_resources().get("CPU", 8))
             pool = max(1, min(cfg.scorer_concurrency, avail - 2))
-            mapped = exploded.map_batches(
-                TermIdMapper,
+            # fused explode + term-id map + SPIMI map-side combiner: the
+            # spill holds encoded mini-runs, not raw posting rows
+            mapped = tok.map_batches(
+                PostingCombiner,
                 fn_constructor_kwargs={
                     "dictionary_path": dict_files,
                     "cfg_dict": cfg.to_dict(),
@@ -296,18 +300,32 @@ def build_index(
                 batch_size=cfg.tokenize_batch_size,
                 concurrency=pool,
             )
-            if done_parts:  # resume: shuffle only unfinished partitions
-                todo_arr = pa.array(sorted(todo), type=pa.int32())
-                mapped = mapped.map_batches(
-                    lambda t: t.filter(pc.is_in(t.column("part"), value_set=todo_arr)),
-                    batch_format="pyarrow",
-                )
+            # coalesce mini-run blocks before the hive write: p partitions x
+            # b blocks = p*b files; fewer, larger spill files keep the E2
+            # readers sequential instead of metadata-bound
+            mapped = mapped.repartition(max(2, min(8, avail // 4)))
+            mapped.write_parquet(spill_dir, partition_cols=["part"],
+                                 mode="overwrite")
+            manifests.mark_phase_complete(index_dir, "spill", sem, inputs_hash,
+                                          wall_sec=time.time() - t0)
+        if todo:
+            writer = make_segment_writer(seg_dir, cfg, stats["avgdl"], inputs_hash)
+
+            def encode_part(row: dict) -> dict:
+                part = int(row["part"])
+                pdir = os.path.join(spill_dir, f"part={part}")
+                if not os.path.isdir(pdir):
+                    return {"part": part, "n_runs": 0, "n_postings": 0,
+                            "skipped": False}
+                group = pq.read_table(pdir).to_pandas()
+                group["part"] = part
+                out = writer(group)
+                return out.iloc[0].to_dict()
+
             summary = (
-                mapped.groupby("part")
-                .map_groups(
-                    make_segment_writer(seg_dir, cfg, stats["avgdl"], inputs_hash),
-                    batch_format="pandas",
-                )
+                ray.data.from_items([{"part": p} for p in todo],
+                                    override_num_blocks=len(todo))
+                .map(encode_part)
                 .to_pandas()
             )
             report["phases"]["segments_detail"] = summary.to_dict("records")

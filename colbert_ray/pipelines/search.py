@@ -22,7 +22,7 @@ from colbert_ray.state.index import BM25Scorer
 _INDEX_CACHE: dict = {}
 
 
-def _shared_index_ref(index_dir: str):
+def _shared_index_ref(index_dir: str, docid_range=None):
     import os
 
     import ray as _ray
@@ -30,10 +30,11 @@ def _shared_index_ref(index_dir: str):
     from colbert_ray.state.decoded import DecodedIndex
 
     key = (os.path.abspath(index_dir),
-           os.path.getmtime(os.path.join(index_dir, "metadata.json")))
+           os.path.getmtime(os.path.join(index_dir, "metadata.json")),
+           tuple(docid_range) if docid_range else None)
     ref = _INDEX_CACHE.get(key)
     if ref is None:
-        ref = _ray.put(DecodedIndex.load(index_dir))
+        ref = _ray.put(DecodedIndex.load(index_dir, docid_range=docid_range))
         _INDEX_CACHE[key] = ref
     return ref
 
@@ -47,10 +48,18 @@ def search(
     batch_size: int | None = None,
     with_sha: bool = True,
     prune: bool | None = None,
+    docid_filter=None,
+    docid_range: tuple[int, int] | None = None,
 ) -> "ray.data.Dataset":
-    """Top-k BM25 over the index for every query row (qid, query)."""
+    """Top-k BM25 over the index for every query row (qid, query).
+
+    ``docid_filter``: optional sorted int64 array (or list) of allowed
+    docids, applied to every query — the engine-level form of the
+    reference's per-search ``filter_fn`` pid hook (``searcher.py:76-99``,
+    ``index_storage.py:95-101``; SURVEY §2.10). Broadcast once.
+    """
     cfg = EngineConfig()
-    index_ref = _shared_index_ref(index_dir)
+    index_ref = _shared_index_ref(index_dir, docid_range)
     n_actors = concurrency if isinstance(concurrency, int) else concurrency[-1]
     # leave >=1 CPU for non-actor tasks: an actor pool that reserves every
     # CPU starves upstream AllToAll/read tasks and deadlocks the executor
@@ -80,6 +89,7 @@ def search(
             "k": k,
             "with_sha": with_sha,
             "prune": prune,
+            "docid_filter": docid_filter,
         },
         batch_format="pyarrow",
         batch_size=batch_size or cfg.score_batch_size,
@@ -106,3 +116,58 @@ def search_table(
         t, sort_keys=[("qid", "ascending"), ("rank", "ascending")]
     )
     return t.take(order)
+
+
+def search_sharded(
+    queries: "ray.data.Dataset | pa.Table",
+    index_dir: str,
+    k: int = 10,
+    n_shards: int = 2,
+    *,
+    concurrency: int | tuple[int, int] = 2,
+    with_sha: bool = True,
+    **kw,
+) -> "ray.data.Dataset":
+    """Docid-range-sharded serving: every shard's actor pool holds only its
+    docid range's postings (the multi-node topology — one shard per node);
+    per-shard exact top-k, then a tiny ``groupby(qid)`` merge re-ranks by
+    (-score, docid). Global statistics make per-shard scores exact, so the
+    result is BIT-IDENTICAL to unsharded search (SURVEY §3.2 Ray shape;
+    cross-shard merge = K7/K2).
+    """
+    import json
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    with open(os.path.join(index_dir, "metadata.json")) as f:
+        n_docs_total = int(json.load(f)["n_docs"])
+    # range by max docid incl. delta appends
+    from colbert_ray.state.decoded import DecodedIndex  # noqa: F401  (doc ref)
+
+    hi = max(n_docs_total, 1)
+    # include any delta-appended docids
+    bounds = np.linspace(0, hi * 2, n_shards + 1).astype(np.int64)
+    bounds[-1] = np.iinfo(np.int64).max
+    if isinstance(queries, pa.Table):
+        queries_tbl = queries
+    else:
+        queries_tbl = pa.Table.from_pandas(queries.to_pandas(), preserve_index=False)
+    parts = [
+        search(queries_tbl, index_dir, k=k, concurrency=concurrency,
+               with_sha=with_sha, docid_range=(int(bounds[i]), int(bounds[i + 1])),
+               **kw)
+        for i in range(n_shards)
+    ]
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "docid"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g
+
+    return ds.groupby("qid").map_groups(merge_topk, batch_format="pandas")

@@ -25,7 +25,12 @@ import pyarrow.parquet as pq
 
 from colbert_ray.config import EngineConfig
 from colbert_ray.functions.bm25 import tf_saturation
-from colbert_ray.functions.codec import delta_encode_docids, encode_tfs
+from colbert_ray.functions.codec import (
+    delta_encode_docids,
+    delta_gaps_segmented,
+    encode_tfs,
+    varint_encode_segmented,
+)
 from colbert_ray.stages import manifests
 
 SEGMENT_SCHEMA = pa.schema(
@@ -110,6 +115,69 @@ class TermIdMapper:
         )
 
 
+MINIRUN_SCHEMA = pa.schema(
+    [
+        ("part", pa.int32()),
+        ("term_id", pa.int64()),
+        ("salt", pa.int32()),
+        ("n", pa.int64()),
+        ("docids_bin", pa.binary()),
+        ("tfs_bin", pa.binary()),
+        ("dls_bin", pa.binary()),
+    ]
+)
+
+
+class PostingCombiner(TermIdMapper):
+    """Fused explode + term-id map + SPIMI map-side combiner.
+
+    Input: tokenized doc batches ``(docid, doclen, terms, tfs)``.
+    Output: ONE row per (term_id, salt) per batch — postings delta+varint
+    packed into ``docids_bin/tfs_bin/dls_bin`` mini-runs. The shuffle then
+    moves ~3 orders of magnitude fewer rows at ~5x fewer bytes than raw
+    ``(term_id, docid, tf, dl)`` rows (the classical SPIMI combiner;
+    map-side pre-aggregation per ray_guide.md "Aggregation at scale").
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        ex = explode_batch(batch)
+        mapped = TermIdMapper.__call__(self, ex)
+        term_id = mapped.column("term_id").to_numpy(zero_copy_only=False)
+        salt = mapped.column("salt").to_numpy(zero_copy_only=False)
+        part = mapped.column("part").to_numpy(zero_copy_only=False)
+        docid = mapped.column("docid").to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = mapped.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+        dl = mapped.column("dl").to_numpy(zero_copy_only=False).astype(np.int64)
+
+        order = np.lexsort((docid, salt, term_id))
+        term_id, salt, part, docid, tf, dl = (
+            term_id[order], salt[order], part[order], docid[order], tf[order], dl[order]
+        )
+        if len(term_id) == 0:
+            return MINIRUN_SCHEMA.empty_table()
+        new_run = np.empty(len(term_id), dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (term_id[1:] != term_id[:-1]) | (salt[1:] != salt[:-1])
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], len(term_id))
+        # one vectorized encode pass for ALL runs, then buffer slicing
+        gaps = delta_gaps_segmented(docid, starts)
+        docids_bins = varint_encode_segmented(gaps, starts)
+        tfs_bins = varint_encode_segmented(tf.astype(np.uint64), starts)
+        dls_bins = varint_encode_segmented(dl.astype(np.uint64), starts)
+        return pa.table(
+            {
+                "part": pa.array(part[starts], type=pa.int32()),
+                "term_id": pa.array(term_id[starts], type=pa.int64()),
+                "salt": pa.array(salt[starts], type=pa.int32()),
+                "n": pa.array((ends - starts).astype(np.int64)),
+                "docids_bin": pa.array(docids_bins, type=pa.binary()),
+                "tfs_bin": pa.array(tfs_bins, type=pa.binary()),
+                "dls_bin": pa.array(dls_bins, type=pa.binary()),
+            }
+        )
+
+
 def encode_runs(
     df: pd.DataFrame, cfg: EngineConfig, avgdl: float
 ) -> pa.Table:
@@ -165,27 +233,48 @@ def make_segment_writer(
     segment parquet per term partition, emit a one-row manifest summary."""
     sem_hash = cfg.semantic_hash()
 
+    def _decode_miniruns(group: pd.DataFrame) -> pd.DataFrame:
+        """Mini-run rows -> per-posting arrays (reduce-side of the SPIMI
+        combiner), decoded in ONE bulk varint pass per column. Mini-runs of
+        one (term_id, salt) from different map tasks interleave in docid;
+        encode_runs re-sorts by docid exactly."""
+        from colbert_ray.functions.codec import varint_decode_segmented
+
+        ns = group["n"].to_numpy(dtype=np.int64)
+        term_id = np.repeat(group["term_id"].to_numpy(dtype=np.int64), ns)
+        salt = np.repeat(group["salt"].to_numpy(dtype=np.int32), ns)
+        gaps = varint_decode_segmented(group["docids_bin"].tolist(), ns).astype(np.int64)
+        g_cum = np.cumsum(gaps)
+        run_start = np.concatenate([[0], np.cumsum(ns)[:-1]]).astype(np.int64)
+        base = np.where(run_start > 0, g_cum[run_start - 1], 0)
+        docid = g_cum - np.repeat(base, ns)
+        tf = varint_decode_segmented(group["tfs_bin"].tolist(), ns).astype(np.int64)
+        dl = varint_decode_segmented(group["dls_bin"].tolist(), ns).astype(np.int64)
+        return pd.DataFrame({"term_id": term_id, "salt": salt,
+                             "docid": docid, "tf": tf, "dl": dl})
+
     def write_segment(group: pd.DataFrame) -> pd.DataFrame:
         part = int(group["part"].iloc[0])
+        n_postings = int(group["n"].sum()) if "n" in group else int(group.shape[0])
         fname = f"part_{part:05d}.parquet"
         fpath = os.path.join(seg_dir, fname)
         if manifests.segment_complete(seg_dir, part, sem_hash, inputs_hash):
             t = pq.read_metadata(fpath)
             return pd.DataFrame(
                 {"part": [part], "n_runs": [t.num_rows],
-                 "n_postings": [int(group.shape[0])], "skipped": [True]}
+                 "n_postings": [n_postings], "skipped": [True]}
             )
-        seg = encode_runs(group, cfg, avgdl)
+        seg = encode_runs(_decode_miniruns(group), cfg, avgdl)
         tmp = fpath + ".tmp"
         pq.write_table(seg, tmp, compression="zstd")
         os.replace(tmp, fpath)
         manifests.mark_segment_complete(
             seg_dir, part, sem_hash, inputs_hash, fname,
-            n_runs=seg.num_rows, n_postings=int(group.shape[0]),
+            n_runs=seg.num_rows, n_postings=n_postings,
         )
         return pd.DataFrame(
             {"part": [part], "n_runs": [seg.num_rows],
-             "n_postings": [int(group.shape[0])], "skipped": [False]}
+             "n_postings": [n_postings], "skipped": [False]}
         )
 
     return write_segment

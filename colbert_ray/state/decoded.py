@@ -56,7 +56,13 @@ class DecodedIndex:
     tombstones: np.ndarray          # int64, sorted (removed docids)
 
     @classmethod
-    def load(cls, index_dir: str) -> "DecodedIndex":
+    def load(cls, index_dir: str,
+             docid_range: tuple[int, int] | None = None) -> "DecodedIndex":
+        """Load the index; ``docid_range=(lo, hi)`` keeps only postings of
+        docids in [lo, hi) — the serve-time docid-range SHARD (each node of
+        a serving cluster holds one range; global statistics are unchanged,
+        so per-shard scores are exact and cross-shard merge by
+        (-score, docid) reproduces the unsharded ranking bit-for-bit)."""
         with open(os.path.join(index_dir, "metadata.json")) as f:
             meta = json.load(f)
         cfg = EngineConfig.from_dict(meta["config"])
@@ -150,7 +156,31 @@ class DecodedIndex:
             tombstones=np.empty(0, dtype=np.int64),
         )
         self._fold_in_deltas(index_dir)
+        if docid_range is not None:
+            self._restrict_to_docid_range(*docid_range)
         return self
+
+    def _restrict_to_docid_range(self, lo: int, hi: int) -> None:
+        """Drop postings outside [lo, hi); offsets rebuilt. Statistics
+        (n_docs, avgdl, idf) stay GLOBAL by design."""
+        n_terms = len(self.posting_offsets) - 1
+        term_rep = np.repeat(np.arange(n_terms, dtype=np.int64),
+                             np.diff(self.posting_offsets).astype(np.int64))
+        keep = (self.posting_docids >= lo) & (self.posting_docids < hi)
+        self.posting_docids = self.posting_docids[keep]
+        self.posting_tfs = self.posting_tfs[keep]
+        self.posting_tfsat = self.posting_tfsat[keep]
+        kept_terms = term_rep[keep]
+        counts = np.bincount(kept_terms, minlength=n_terms)
+        self.posting_offsets = np.zeros(n_terms + 1, dtype=np.int64)
+        np.cumsum(counts, out=self.posting_offsets[1:])
+        self.max_tfsat_by_term = np.zeros(n_terms, dtype=np.float64)
+        if len(self.posting_tfsat):
+            nonempty = counts > 0
+            starts = self.posting_offsets[:-1][nonempty]
+            self.max_tfsat_by_term[nonempty] = np.maximum.reduceat(
+                self.posting_tfsat, starts
+            ) if len(starts) else 0.0
 
     def _fold_in_deltas(self, index_dir: str) -> None:
         """Fold delta segments + tombstones into the in-memory arrays

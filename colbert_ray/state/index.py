@@ -152,7 +152,7 @@ class BM25Scorer:
 
     def __init__(self, index_dir: str | None = None, k: int = 10,
                  prune: bool | None = None, with_sha: bool = True,
-                 index_ref=None):
+                 index_ref=None, docid_filter=None):
         from colbert_ray.state.decoded import DecodedIndex
 
         if index_ref is not None:
@@ -164,6 +164,10 @@ class BM25Scorer:
         self.k = k
         self.prune = self.idx.cfg.prune if prune is None else prune
         self.with_sha = with_sha
+        self.docid_filter = (
+            np.sort(np.asarray(docid_filter, dtype=np.int64))
+            if docid_filter is not None else None
+        )
         self._dense = len(self.idx.doclens) <= self.DENSE_MAX_DOCIDS
 
     @property
@@ -174,6 +178,8 @@ class BM25Scorer:
                     docid_filter: np.ndarray | None = None):
         """-> (docids, scores, ranks) for one query. Exact top-k."""
         k = k or self.k
+        if docid_filter is None:
+            docid_filter = self.docid_filter
         idx = self.idx
         tids = idx.lookup_terms(tokenize_query(text, idx.cfg)[0])
         if len(tids) == 0:

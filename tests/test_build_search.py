@@ -145,6 +145,63 @@ def test_parallelism_equivalence(small_fixture, tmp_path_factory):
     pd.testing.assert_frame_equal(load_docids(d1), load_docids(d2))
 
 
+def test_docid_filter_hook(built, oracle):
+    """filter_fn analog (searcher.py:76-99): restrict search to a docid
+    whitelist; scores keep FULL-corpus statistics, so the filtered top-k
+    equals the oracle's unfiltered ranking post-filtered."""
+    _, queries_path, index_dir, _ = built
+    corpus, oi = oracle
+    allowed = np.array(sorted(
+        d for d, lang in zip(corpus.column("docid").to_pylist(),
+                             corpus.column("lang").to_pylist())
+        if lang == "python"
+    ), dtype=np.int64)
+    queries = pq.read_table(queries_path).slice(0, 10)
+    got = (
+        search_table(queries, index_dir, k=10, with_sha=False,
+                     docid_filter=allowed)
+        .to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    assert got["docid"].isin(allowed).all()
+    want_rows = []
+    for qid, text in zip(queries.column("qid").to_pylist(),
+                         queries.column("query").to_pylist()):
+        full = oi.search(text, k=N_DOCS)
+        kept = [(qid, d, s) for d, _, s in full if d in set(allowed.tolist())][:10]
+        want_rows.extend(
+            (q, d, r + 1, s) for r, (q, d, s) in enumerate(kept)
+        )
+    want = pd.DataFrame(want_rows, columns=["qid", "docid", "rank", "score"])
+    pd.testing.assert_frame_equal(
+        got.astype({"rank": np.int64}),
+        want.astype({"rank": np.int64}),
+        check_dtype=False,
+    )
+
+
+def test_sharded_search_bit_identical(built):
+    """Docid-range sharded serving (multi-node topology) must reproduce the
+    unsharded ranking exactly — per-shard scores use GLOBAL statistics and
+    the qid merge re-ranks by (-score, docid)."""
+    from colbert_ray.pipelines.search import search_sharded
+
+    _, queries_path, index_dir, _ = built
+    queries = pq.read_table(queries_path)
+    flat = (
+        search_table(queries, index_dir, k=10, with_sha=False)
+        .to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    shard = (
+        search_sharded(queries, index_dir, k=10, n_shards=3, with_sha=False)
+        .to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        flat[["qid", "docid", "rank", "score"]],
+        shard[["qid", "docid", "rank", "score"]],
+        check_dtype=False,
+    )
+
+
 def test_oov_and_empty_queries(built):
     _, _, index_dir, _ = built
     queries = pa.table({"qid": pa.array([0, 1], type=pa.int64()),
