@@ -119,6 +119,26 @@ def _q_bm25_top10(sf_dir: str) -> pd.DataFrame:
     return out[["qid", "docid", "rank", "score"]].rename(columns={"score": "score_r"})
 
 
+def _q_bm25_top10_sharded(sf_dir: str) -> pd.DataFrame:
+    """Same ranking as bm25_top10 but served through docid-range-sharded
+    actor pools + cross-shard merge (multi-node serving topology) — must be
+    identical, so it shares bm25_top10's SQL oracle."""
+    import pyarrow as pa
+
+    from colbert_ray.pipelines.search import search_sharded
+
+    idx = _ensure_index(sf_dir)
+    qt = pa.table(
+        {
+            "qid": pa.array([q for q, _ in QUERY_SET], type=pa.int64()),
+            "query": pa.array([t for _, t in QUERY_SET], type=pa.string()),
+        }
+    )
+    res = search_sharded(qt, idx, k=50, n_shards=3, with_sha=False).to_pandas()
+    out = _rerank_rounded(res, "score", "docid", 10)
+    return out[["qid", "docid", "rank", "score"]].rename(columns={"score": "score_r"})
+
+
 def _q_corpus_stats(sf_dir: str) -> pd.DataFrame:
     ds = x_text.corpus_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
     df = ds.to_pandas()
@@ -367,6 +387,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_top10": _q_bm25_top10,
+        "bm25_top10_sharded": _q_bm25_top10_sharded,
         "corpus_stats": _q_corpus_stats,
         "term_df_top100": _q_term_df_top100,
         "token_counts": _q_token_counts,
@@ -564,6 +585,7 @@ def oracle_sql() -> dict[str, str]:
     stop = x_text.sql_stopword_list()
     return {
         "bm25_top10": _bm25_sql(),
+        "bm25_top10_sharded": _bm25_sql(),   # sharding must not change results
         "corpus_stats": f"""
 SELECT count(*) AS n_docs,
        sum(len(toks)) AS total_tokens,
