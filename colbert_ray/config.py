@@ -44,6 +44,8 @@ class EngineConfig:
     posting_block_size: int = 128        # docids per block-max block (K4 analog)
 
     # --- physical execution (free to vary; never affects results) ---
+    tokenizer_impl: str = "regex"           # "regex" (RE2 kernels, default) |
+    #                                         "bytes"; outputs identical (diff-tested)
     docid_map_strategy: str = "broadcast"   # "broadcast" | "join" (scale path)
     tokenize_batch_size: int = 2048
     score_batch_size: int = 256

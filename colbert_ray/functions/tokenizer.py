@@ -56,6 +56,88 @@ def _flatten_tokens(toks: pa.ListArray, cfg: EngineConfig):
     return parents[keep], tokens[keep]
 
 
+def _byte_tokenize(s: pa.Array, cfg: EngineConfig):
+    """Byte-level tokenizer — semantically IDENTICAL to the regex path
+    (verified by a differential hypothesis test) but one pass over the raw
+    UTF-8 buffer with no intermediate strings:
+
+    token boundaries = non-alphanumeric bytes, plus camelCase boundaries
+    ([a-z0-9]→[A-Z] and [A-Z]→[A-Z][a-z]); tokens are lowercased byte
+    ranges. Non-ASCII bytes (>= 0x80) are separators — equivalent to the
+    RE2 classes, which only match ASCII [a-zA-Z0-9].
+
+    Known divergence vs the regex path: codepoints whose Unicode lowercase
+    maps INTO ASCII (U+0130 'İ' → 'i̇', U+212A Kelvin 'K' → 'k') are
+    separators here but contribute a letter there; everything else is
+    identical (differential-tested).
+
+    Returns (parents int64[n_tok], tokens StringArray) with per-doc original
+    order preserved.
+    """
+    if s.null_count:
+        s = pc.fill_null(s, "")
+    n_rows = len(s)
+    bufs = s.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int32)[s.offset: s.offset + n_rows + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    lo, hi = int(offs[0]), int(offs[-1])
+    b = data[lo:hi]
+    offs = (offs - lo).astype(np.int64)
+    if len(b) == 0:
+        return (np.empty(0, dtype=np.int64),
+                pa.array([], type=pa.string()))
+
+    is_low = (b >= 97) & (b <= 122)
+    is_dig = (b >= 48) & (b <= 57)
+    is_up = (b >= 65) & (b <= 90)
+    al = is_low | is_dig | is_up
+    # string starts break adjacency between consecutive rows' bytes:
+    # lookbehind is masked AT starts, lookahead AT last bytes of each row
+    sos = np.zeros(len(b), dtype=bool)
+    starts_pos = offs[:-1][offs[:-1] < len(b)]
+    sos[starts_pos] = True
+    prev_lowdig = np.concatenate([[False], (is_low | is_dig)[:-1]])
+    prev_up = np.concatenate([[False], is_up[:-1]])
+    prev_al = np.concatenate([[False], al[:-1]])
+    next_low = np.concatenate([is_low[1:], [False]])
+    prev_lowdig[sos] = False
+    prev_up[sos] = False
+    prev_al[sos] = False
+    row_last = offs[1:][(offs[1:] > 0) & (offs[1:] <= len(b))] - 1
+    next_low[row_last] = False
+    if cfg.split_camel_case:
+        camel = (is_up & prev_lowdig) | (is_up & prev_up & next_low)
+    else:
+        camel = np.zeros(len(b), dtype=bool)
+    is_start = al & (~prev_al | camel | sos)
+    token_starts = np.flatnonzero(is_start)
+    if len(token_starts) == 0:
+        return (np.empty(0, dtype=np.int64), pa.array([], type=pa.string()))
+    break_before = ~al | is_start
+    brk = np.flatnonzero(break_before)
+    pos = np.searchsorted(brk, token_starts, side="right")
+    token_ends = np.where(pos < len(brk), brk[np.minimum(pos, len(brk) - 1)], len(b))
+    lengths = token_ends - token_starts
+    keep = (lengths >= cfg.min_token_len) & (lengths <= cfg.max_token_len)
+    token_starts, token_ends, lengths = token_starts[keep], token_ends[keep], lengths[keep]
+    if len(token_starts) == 0:
+        return (np.empty(0, dtype=np.int64), pa.array([], type=pa.string()))
+    parents = np.searchsorted(offs, token_starts, side="right") - 1
+    lowered = np.where(is_up, b | np.uint8(0x20), b) if cfg.lowercase else b
+    total = int(lengths.sum())
+    run_off = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    flat_idx = np.repeat(token_starts, lengths) + (
+        np.arange(total, dtype=np.int64) - np.repeat(run_off, lengths)
+    )
+    values = lowered[flat_idx]
+    out_offsets = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int32)
+    tokens = pa.Array.from_buffers(
+        pa.utf8(), len(token_starts),
+        [None, pa.py_buffer(out_offsets.tobytes()), pa.py_buffer(values.tobytes())],
+    )
+    return parents.astype(np.int64), tokens
+
+
 def doc_term_frequencies(
     texts: pa.ChunkedArray | pa.Array, cfg: EngineConfig
 ) -> tuple[np.ndarray, pa.ListArray, pa.ListArray]:
@@ -66,41 +148,70 @@ def doc_term_frequencies(
     per-document term order that guarantees a deterministic float64 summation
     order at query time (SURVEY.md §7.3 hard-part #1).
     """
+    if cfg.tokenizer_impl == "bytes":
+        return _doc_term_frequencies_bytes(texts, cfg)
+    # regex path: RE2 kernels produce the token ListArray, then the same
+    # Arrow-native aggregation tail as the bytes path (no Python strings)
     toks = tokenize_column(texts, cfg)
     n_rows = len(toks)
-    parents, tokens = _flatten_tokens(toks, cfg)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    flat = toks.flatten()
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    keep = (lens >= cfg.min_token_len) & (lens <= cfg.max_token_len)
+    if not keep.all():
+        keep_idx = np.flatnonzero(keep)
+        parents = parents[keep_idx]
+        flat = flat.take(pa.array(keep_idx))
+    return _aggregate_tf(parents.astype(np.int64), flat, n_rows)
 
-    # doclen = number of kept tokens per doc (tf mass, not unique terms)
-    doclens = np.bincount(parents, minlength=n_rows).astype(np.int64)
 
-    if len(tokens) == 0:
-        empty_terms = pa.ListArray.from_arrays(
-            pa.array(np.zeros(n_rows + 1, dtype=np.int32)), pa.array([], type=pa.string())
+def _doc_term_frequencies_bytes(
+    texts: pa.ChunkedArray | pa.Array, cfg: EngineConfig
+) -> tuple[np.ndarray, pa.ListArray, pa.ListArray]:
+    """Byte-tokenizer path; output identical to the regex path
+    (differential-tested)."""
+    s = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+    s = pc.cast(s, pa.string())
+    n_rows = len(s)
+    parents, tokens = _byte_tokenize(s, cfg)
+    return _aggregate_tf(parents, tokens, n_rows)
+
+
+def _aggregate_tf(
+    parents: np.ndarray, tokens: pa.Array, n_rows: int
+) -> tuple[np.ndarray, pa.ListArray, pa.ListArray]:
+    """(parent, token) pairs -> per-doc sorted (terms, tfs) lists + doclens.
+    Arrow dictionary-encode (C++ hash) + one int64 unique; per-doc term
+    order is lexicographic (the fixed float64 summation order)."""
+    doclens = np.bincount(parents, minlength=n_rows).astype(np.int64) \
+        if len(parents) else np.zeros(n_rows, dtype=np.int64)
+    if len(parents) == 0:
+        empty_off = pa.array(np.zeros(n_rows + 1, dtype=np.int32))
+        return (
+            doclens,
+            pa.ListArray.from_arrays(empty_off, pa.array([], type=pa.string())),
+            pa.ListArray.from_arrays(empty_off, pa.array([], type=pa.int32())),
         )
-        empty_tfs = pa.ListArray.from_arrays(
-            pa.array(np.zeros(n_rows + 1, dtype=np.int32)), pa.array([], type=pa.int32())
-        )
-        return doclens, empty_terms, empty_tfs
-
-    # vectorized (row, token) -> tf. Strings are factorized to int codes once
-    # (hash-based, O(n)); codes are re-ranked so integer order ==
-    # lexicographic term order; then one int64 sort + run-length encode.
-    # (An object-dtype lexsort over the raw strings is ~10x slower.)
-    codes, uniques = pd.factorize(tokens, sort=False)
-    uniq_order = np.argsort(uniques, kind="stable")
-    rank_of_code = np.empty(len(uniques), dtype=np.int64)
-    rank_of_code[uniq_order] = np.arange(len(uniques), dtype=np.int64)
-    uniques_sorted = uniques[uniq_order]
-    n_u = max(1, len(uniques))
-    key = parents.astype(np.int64) * n_u + rank_of_code[codes]
+    denc = tokens.dictionary_encode()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dict_arr = denc.dictionary
+    dict_np = dict_arr.to_numpy(zero_copy_only=False)
+    uniq_order = np.argsort(dict_np, kind="stable")
+    rank_of_code = np.empty(len(dict_np), dtype=np.int64)
+    rank_of_code[uniq_order] = np.arange(len(dict_np), dtype=np.int64)
+    n_u = max(1, len(dict_np))
+    key = parents * n_u + rank_of_code[codes]
     run_keys, tfs = np.unique(key, return_counts=True)
     tfs = tfs.astype(np.int32)
     run_parents = (run_keys // n_u).astype(np.int64)
-    run_terms = uniques_sorted[run_keys % n_u]   # sorted by (row, term)
+    run_rank = (run_keys % n_u).astype(np.int64)
+    # term strings materialize via Arrow take on the dictionary (no Python)
+    dict_sorted = dict_arr.take(pa.array(uniq_order))
+    run_terms_arr = dict_sorted.take(pa.array(run_rank))
 
     offsets = np.zeros(n_rows + 1, dtype=np.int32)
     np.cumsum(np.bincount(run_parents, minlength=n_rows), out=offsets[1:])
-    terms_arr = pa.ListArray.from_arrays(pa.array(offsets), pa.array(run_terms, type=pa.string()))
+    terms_arr = pa.ListArray.from_arrays(pa.array(offsets), run_terms_arr)
     tfs_arr = pa.ListArray.from_arrays(pa.array(offsets), pa.array(tfs, type=pa.int32()))
     return doclens, terms_arr, tfs_arr
 

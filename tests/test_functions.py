@@ -60,6 +60,35 @@ class TestTokenizer:
         assert terms.to_pylist() == [[], ["x"]]
 
 
+class TestByteTokenizerEquivalence:
+    """The byte-level tokenizer must produce IDENTICAL output to the RE2
+    path for any input (golden-vector + randomized differential)."""
+
+    # U+0130 ('İ') and U+212A (Kelvin sign) lowercase INTO ASCII via
+    # utf8_lower — the one documented divergence of the byte path (which
+    # treats all non-ASCII bytes as separators); excluded here.
+    @given(st.lists(st.text(
+        alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FFF,
+                               exclude_characters="İK"),
+        max_size=80), max_size=20))
+    @settings(max_examples=60, deadline=None)
+    def test_differential_random(self, docs):
+        import dataclasses
+
+        import pyarrow as pa
+
+        from colbert_ray.functions.tokenizer import doc_term_frequencies
+
+        cfg_r = dataclasses.replace(CFG, tokenizer_impl="regex")
+        cfg_b = dataclasses.replace(CFG, tokenizer_impl="bytes")
+        t = pa.array(docs, type=pa.string())
+        dr = doc_term_frequencies(t, cfg_r)
+        db = doc_term_frequencies(t, cfg_b)
+        assert dr[0].tolist() == db[0].tolist()
+        assert dr[1].to_pylist() == db[1].to_pylist()
+        assert dr[2].to_pylist() == db[2].to_pylist()
+
+
 class TestCodec:
     @given(st.lists(st.integers(min_value=0, max_value=2**62), max_size=300))
     @settings(max_examples=50, deadline=None)
