@@ -1,0 +1,113 @@
+"""CLI entry points — the ``ray job submit`` surface.
+
+    python -m colbert_ray.cli build  --corpus DIR --index DIR [--docid-col COL ...]
+    python -m colbert_ray.cli search --index DIR --queries PATH [--k 10] [--out DIR]
+    python -m colbert_ray.cli eval   --ranking DIR --qrels PATH
+    python -m colbert_ray.cli compact --index DIR
+
+On a cluster this module is the job driver:
+``ray job submit -- python -m colbert_ray.cli build ...`` — ``ray.init()``
+here connects to the cluster it runs on (address from the environment); in
+the sandbox it starts local mode. The driver-side smoke path
+(`__ray_entry__`) never goes through here, so its no-ray.init contract holds.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="colbert_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build (or resume) an index")
+    b.add_argument("--corpus", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--content-col", default="content")
+    b.add_argument("--key-cols", default="repo,path")
+    b.add_argument("--meta-cols", default="commit,lang")
+    b.add_argument("--docid-col", default=None)
+    b.add_argument("--config", default=None, help="JSON dict of EngineConfig overrides")
+
+    s = sub.add_parser("search", help="batch top-k search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--queries", required=True, help="parquet/TSV of (qid, query)")
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--out", default=None, help="output parquet dir (default: stdout TSV)")
+    s.add_argument("--shards", type=int, default=1)
+
+    e = sub.add_parser("eval", help="MRR/recall/success of a ranking vs qrels")
+    e.add_argument("--ranking", required=True)
+    e.add_argument("--qrels", required=True)
+
+    c = sub.add_parser("compact", help="coalesce segments into one file")
+    c.add_argument("--index", required=True)
+
+    args = p.parse_args(argv)
+    _ensure_ray()
+
+    from colbert_ray.config import EngineConfig
+
+    if args.cmd == "build":
+        from colbert_ray.pipelines.build import build_index
+
+        cfg = EngineConfig().merged(**json.loads(args.config)) if args.config \
+            else EngineConfig()
+        report = build_index(
+            args.corpus, args.index, cfg,
+            content_col=args.content_col,
+            key_cols=tuple(x for x in args.key_cols.split(",") if x),
+            meta_cols=tuple(x for x in args.meta_cols.split(",") if x),
+            docid_col=args.docid_col,
+        )
+        print(json.dumps({"metadata": report["metadata"],
+                          "phases": {k: round(v, 2) for k, v in
+                                     report["phases"].items()
+                                     if isinstance(v, (int, float))}}))
+    elif args.cmd == "search":
+        from colbert_ray.pipelines.search import search, search_sharded, search_table
+        from colbert_ray.sources.readers import read_queries
+        from colbert_ray.sources.writers import write_ranking_parquet
+
+        queries = read_queries(args.queries)
+        if args.out:
+            ds = (search_sharded(queries, args.index, k=args.k, n_shards=args.shards)
+                  if args.shards > 1 else search(queries, args.index, k=args.k))
+            write_ranking_parquet(ds, args.out, k=args.k, index=args.index)
+            print(json.dumps({"out": args.out}))
+        else:
+            t = search_table(queries, args.index, k=args.k, with_sha=False)
+            for row in t.to_pylist():
+                print(f"{row['qid']}\t{row['docid']}\t{row['rank']}\t{row['score']}")
+    elif args.cmd == "eval":
+        from colbert_ray.pipelines.evaluate import ranking_metrics
+        from colbert_ray.sources.readers import read_qrels, read_ranking
+
+        m = ranking_metrics(read_ranking(args.ranking), read_qrels(args.qrels))
+        print(m.to_json(orient="records"))
+    elif args.cmd == "compact":
+        from colbert_ray.stages.compact import coalesce_segments
+
+        dest = coalesce_segments(args.index)
+        print(json.dumps({"coalesced": dest}))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -24,12 +24,19 @@ import ray.data
 
 
 def _cast(src, reader_tsv, schema_cols) -> "ray.data.Dataset":
+    import os
+
     if isinstance(src, ray.data.Dataset):
         return src
     if isinstance(src, pa.Table):
         return ray.data.from_arrow(src)
     if isinstance(src, str) and src.endswith(".parquet"):
         return ray.data.read_parquet(src, columns=schema_cols)
+    if isinstance(src, str) and os.path.isdir(src):
+        import glob as _glob
+
+        files = sorted(_glob.glob(os.path.join(src, "*.parquet")))
+        return ray.data.read_parquet(files, columns=schema_cols)
     return reader_tsv(src)
 
 

@@ -140,6 +140,32 @@ class TestPassages:
         assert out[out.docid == 1]["content"].tolist() == ["short doc"]
 
 
+class TestPruning:
+    def test_stop_term_pruning_semantics(self, small_fixture, tmp_path_factory):
+        """Pruned (ultra-common) terms stop matching; untouched terms keep
+        their posting lists (M11 lossy-shrink analog)."""
+        from colbert_ray.pipelines.build import build_index
+        from colbert_ray.stages.prune import prune_index
+        from colbert_ray.state.decoded import DecodedIndex
+
+        corpus_dir, _ = small_fixture
+        d = str(tmp_path_factory.mktemp("idx_prune"))
+        build_index(corpus_dir, d, EngineConfig(salt_max_run=20, num_term_partitions=8))
+        before = DecodedIndex.load(d)
+        rep = prune_index(d, max_df_ratio=0.5)
+        assert rep["n_terms_pruned"] > 0 and rep["n_postings_dropped"] > 0
+        after = DecodedIndex.load(d)
+        # a known head term ('the' appears in most docs) is gone
+        tid = after.lookup_terms(["the"])
+        assert len(tid) == 0 or len(after.postings_slice(int(tid[0]))[0]) == 0
+        # a rare term's postings are untouched
+        rare = before.dict_terms[np.argmin(before.dict_dfs)]
+        t_b = before.lookup_terms([rare])[0]
+        t_a = after.lookup_terms([rare])[0]
+        assert (before.postings_slice(int(t_b))[0]
+                == after.postings_slice(int(t_a))[0]).all()
+
+
 class TestCompaction:
     def test_coalesced_index_answers_identically(self, small_fixture, tmp_path_factory):
         from colbert_ray.pipelines.build import build_index
