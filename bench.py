@@ -7,9 +7,9 @@
 
 Headline: code-corpus (input_hint shape) index build + 1000-query BM25
 search, plus the documents-table pipelines. ``--scaling`` runs the identical
-job at num_cpus=8 and num_cpus=32 in fresh processes on the same input and
-reports both throughputs + scaling efficiency + rank-identity across levels
-(BASELINE.md protocol).
+job at N=4 and 4N=16 CPUs in fresh processes on the same input and reports
+strong + weak scaling efficiency and rank-identity across levels
+(BASELINE.md protocol; see run_scaling docstring for the rationale).
 """
 
 from __future__ import annotations
@@ -200,9 +200,17 @@ def run_scaling():
       bigger data' at 10^12-file scale).
     """
     lo, hi = 4, 16
-    r_lo = _run_once(lo)
-    r_hi = _run_once(hi)
-    small = _run_once(lo, n_files=r_lo["n_code_files"] // 4)
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "1"))
+
+    def best(n_cpus, n_files=None):
+        # best-of-N: this VM shows +-30% run-to-run noise (shared host);
+        # min wall per configuration is the standard noisy-host estimator
+        runs = [_run_once(n_cpus, n_files) for _ in range(reps)]
+        return min(runs, key=lambda r: r["queries"]["code_build"])
+
+    r_lo = best(lo)
+    r_hi = best(hi)
+    small = best(lo, n_files=r_lo["n_code_files"] // 4)
     strong = (r_hi["files_per_sec"] / r_lo["files_per_sec"]) / (hi / lo)
     weak = small["queries"]["code_build"] / r_hi["queries"]["code_build"]
     print(json.dumps({

@@ -68,8 +68,66 @@ def _attach_docid(
         return ds
     map_ds = ray.data.read_parquet(map_dir)
     if cfg.docid_map_strategy == "join":
-        return ds.join(map_ds, join_type="inner", on=tuple(key_cols),
-                       num_partitions=cfg.num_term_partitions)
+        # Acero hash joins reject list-typed payload columns: pack the
+        # (terms, tfs) lists into join-compatible scalars around the join
+        # (NUL-joined term string + varint-packed tfs), unpack after.
+        import numpy as np
+
+        from colbert_ray.functions.codec import (
+            varint_decode_segmented as _vds,
+        )
+        from colbert_ray.functions.codec import varint_encode_segmented as _ves
+
+        has_lists = "terms" in ds.schema().names
+
+        def pack(batch: pa.Table) -> pa.Table:
+            terms = batch.column("terms").combine_chunks()
+            tfs = batch.column("tfs").combine_chunks()
+            n_terms = pc.list_value_length(terms).cast(pa.int64())
+            flat_tfs = tfs.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+            offs = tfs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            starts = offs[:-1] - offs[0]
+            tf_bins = _ves(flat_tfs, starts)
+            packed_terms = pc.binary_join(terms, "\x00")
+            cols = {n: batch.column(n) for n in batch.column_names
+                    if n not in ("terms", "tfs")}
+            cols["terms_packed"] = packed_terms
+            cols["tfs_packed"] = pa.array(tf_bins, type=pa.binary())
+            cols["n_terms"] = n_terms
+            return pa.table(cols)
+
+        def unpack(batch: pa.Table) -> pa.Table:
+            n = batch.column("n_terms").to_numpy(zero_copy_only=False)
+            split = pc.split_pattern(batch.column("terms_packed"), "\x00")
+            # rows with 0 terms split to [""] — rebuild offsets from n_terms
+            flat = split.combine_chunks().flatten()
+            keep_offsets = np.concatenate([[0], np.cumsum(n)]).astype(np.int32)
+            # flatten yields n>=1 entries per row; drop the phantom "" of
+            # empty rows by taking exactly n_i strings per row in order
+            src_off = split.combine_chunks().offsets.to_numpy(zero_copy_only=False)
+            idx = np.concatenate([
+                np.arange(src_off[i], src_off[i] + n[i], dtype=np.int64)
+                for i in range(len(n))
+            ]) if len(n) else np.empty(0, dtype=np.int64)
+            terms_flat = flat.take(pa.array(idx))
+            terms = pa.ListArray.from_arrays(pa.array(keep_offsets), terms_flat)
+            tf_flat = _vds(batch.column("tfs_packed").to_pylist(), n).astype(np.int64)
+            tfs = pa.ListArray.from_arrays(
+                pa.array(keep_offsets), pa.array(tf_flat.astype(np.int32))
+            )
+            cols = {c: batch.column(c) for c in batch.column_names
+                    if c not in ("terms_packed", "tfs_packed", "n_terms")}
+            cols["terms"] = terms
+            cols["tfs"] = tfs
+            return pa.table(cols)
+
+        side = ds.map_batches(pack, batch_format="pyarrow",
+                              zero_copy_batch=True) if has_lists else ds
+        joined = side.join(map_ds, join_type="inner", on=tuple(key_cols),
+                           num_partitions=cfg.num_term_partitions)
+        if has_lists:
+            joined = joined.map_batches(unpack, batch_format="pyarrow")
+        return joined
 
     mt = pa.concat_tables(
         pq.read_table(f)

@@ -150,6 +150,50 @@ def translate_ranking(
     return ranking.map_batches(tr, batch_format="pandas")
 
 
+def normalize_answer(s: str) -> str:
+    """DPR-style answer normalization (M15 analog of ``utility/utils/dpr.py``
+    as used by ``annotate_EM.py:25-36``): unicode NFD normalize, lowercase,
+    strip punctuation and articles, collapse whitespace."""
+    import re
+    import unicodedata
+
+    s = unicodedata.normalize("NFD", s).lower()
+    s = "".join(ch for ch in s if not unicodedata.combining(ch))
+    s = re.sub(r"\b(a|an|the)\b", " ", s)
+    s = re.sub(r"[^\w\s]", " ", s)
+    return " ".join(s.split())
+
+
+def annotate_exact_match(
+    ranking: "ray.data.Dataset",
+    corpus: "ray.data.Dataset",
+    answers: dict[int, list[str]],
+    text_col: str = "content",
+) -> "ray.data.Dataset":
+    """Label each ranked row with answer-EM: does any gold answer for the
+    qid appear (normalized substring) in the document text?
+    (annotate_EM.py:28-46 + e2e_test.py:48-55 analog.)"""
+    import ray as _ray
+
+    side = corpus.select_columns(["docid", text_col]).to_pandas()
+    side[text_col] = side[text_col].map(normalize_answer)
+    side_ref = _ray.put(side.set_index("docid")[text_col].to_dict())
+    ans_ref = _ray.put({
+        int(q): [normalize_answer(a) for a in al] for q, al in answers.items()
+    })
+
+    def label(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = _ray.get(side_ref)
+        gold = _ray.get(ans_ref)
+        batch["answer_em"] = [
+            any(a in texts.get(int(d), "") for a in gold.get(int(q), []))
+            for q, d in zip(batch["qid"], batch["docid"])
+        ]
+        return batch
+
+    return ranking.map_batches(label, batch_format="pandas")
+
+
 def scores_to_probs(table: pa.Table, group_col: str = "qid") -> pa.Table:
     """Per-query softmax over scores (server.py:27-28 analog; M17)."""
     df = table.to_pandas()

@@ -179,6 +179,38 @@ def test_docid_filter_hook(built, oracle):
     )
 
 
+def test_docid_join_strategy_equivalent(small_fixture, tmp_path_factory):
+    """docid_map_strategy='join' (the multi-node scale path using
+    Dataset.join) must produce the same docids and segments as 'broadcast'."""
+    corpus_dir, _ = small_fixture
+    cfg_b = EngineConfig(salt_max_run=20, num_term_partitions=8,
+                         docid_map_strategy="broadcast")
+    cfg_j = EngineConfig(salt_max_run=20, num_term_partitions=8,
+                         docid_map_strategy="join")
+    db = str(tmp_path_factory.mktemp("idx_bcast"))
+    dj = str(tmp_path_factory.mktemp("idx_join"))
+    build_index(corpus_dir, db, cfg_b)
+    build_index(corpus_dir, dj, cfg_j)
+
+    def segs(d):
+        t = pa.concat_tables(
+            pq.read_table(f)
+            for f in sorted(glob.glob(os.path.join(d, "segments", "*.parquet")))
+        ).to_pandas()
+        return t.sort_values(["term_id", "salt"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(segs(db), segs(dj))
+
+    def meta(d):
+        t = pa.concat_tables(
+            pq.read_table(f, columns=["repo", "path", "docid"])
+            for f in sorted(glob.glob(os.path.join(d, "docmeta", "*.parquet")))
+        ).to_pandas()
+        return t.sort_values("docid").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(meta(db), meta(dj))
+
+
 def test_sharded_search_bit_identical(built):
     """Docid-range sharded serving (multi-node topology) must reproduce the
     unsharded ranking exactly — per-shard scores use GLOBAL statistics and

@@ -124,6 +124,26 @@ class TestReadersWriters:
         assert out["label"].tolist() == [False, True, False, False, False]
 
 
+class TestAnswerEM:
+    def test_normalize_and_em(self):
+        assert ev.normalize_answer("The  Quick-Brown FOX!") == "quick brown fox"
+        assert ev.normalize_answer("Élan") == "elan"
+        corpus = ray.data.from_arrow(pa.table({
+            "docid": pa.array([1, 2], type=pa.int64()),
+            "content": pa.array(["The quick brown fox jumps", "nothing here"]),
+        }))
+        ranking = ray.data.from_arrow(pa.table({
+            "qid": pa.array([0, 0], type=pa.int64()),
+            "docid": pa.array([1, 2], type=pa.int64()),
+            "rank": pa.array([1, 2], type=pa.int32()),
+            "score": pa.array([2.0, 1.0]),
+        }))
+        out = ev.annotate_exact_match(
+            ranking, corpus, {0: ["Quick,  BROWN fox"]}
+        ).to_pandas().sort_values("docid")
+        assert out["answer_em"].tolist() == [True, False]
+
+
 class TestPassages:
     def test_split_with_overlap_and_wraparound(self):
         text = " ".join(f"w{i}" for i in range(10))
