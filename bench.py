@@ -96,9 +96,11 @@ def run_bench() -> dict:
     extras["files_per_sec"] = round(n_files / timings["code_build"], 1)
 
     # --- headline: 1000-query batch search ------------------------------
+    # scoring is ~3ms/query: a modest pool finishes the work long before a
+    # 30-actor pool finishes STARTING (actor init dominates at this scale)
     t0 = time.time()
     res = search_table(queries_t, idx, k=K, with_sha=False,
-                       concurrency=max(2, NUM_CPUS - 2))
+                       concurrency=max(2, min(12, NUM_CPUS - 2)))
     timings["code_search1000"] = round(time.time() - t0, 3)
     extras["rankings_sha"] = _rankings_sha(res.to_pandas())
 
