@@ -186,6 +186,19 @@ class BM25Scorer:
             return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64),
                     np.empty(0, dtype=np.int32))
 
+        # --- exact term-level MaxScore (K4 analog, lossless) -------------
+        # candidates come only from "essential" lists (descending upper
+        # bound idf*max_tfsat) until the remaining lists' UB sum is provably
+        # below the current k-th best exact score; non-essential (head)
+        # lists are then PROBED per candidate (binary search into their
+        # sorted postings) instead of scanned. Bails out to the dense
+        # scatter path when the candidate set grows too large to win.
+        if (self.prune and len(tids) > 1 and docid_filter is None
+                and not len(idx.tombstones)):
+            res = self._maxscore_query(tids, k)
+            if res is not None:
+                return res
+
         if self._dense:
             scores_dense = np.zeros(len(idx.doclens), dtype=np.float64)
             # ascending term_id => fixed per-doc summation order
@@ -228,6 +241,62 @@ class BM25Scorer:
             hit = cand[pos_c] == d
             scores[pos_c[hit]] += idx.idf_by_term_id[tid] * ts[hit]
         return topk_with_ties(scores, cand, k)
+
+    def _maxscore_query(self, tids: np.ndarray, k: int):
+        """Exact term-level MaxScore. Returns None to signal bail-out (the
+        dense path wins when candidates would exceed ~1/8 of the corpus).
+
+        Exactness: every returned candidate's score is recomputed over ALL
+        query terms in ascending term_id order (identical summation order to
+        the oracle); docs outside the candidate set are provably bounded by
+        the non-essential lists' UB sum < kth best score.
+        """
+        idx = self.idx
+        cand_cap = max(4 * k, len(idx.doclens) // 8)
+        # cheap selectivity precheck: with no small list there is nothing to
+        # gain over one dense scatter pass — bail before doing any work
+        dfs = idx.posting_offsets[tids + 1] - idx.posting_offsets[tids]
+        if int(dfs.min()) > cand_cap:
+            return None
+        ubs = idx.idf_by_term_id[tids] * idx.max_tfsat_by_term[tids]
+        order = np.argsort(-ubs, kind="stable")
+        cand = np.empty(0, dtype=np.int64)
+        m = 0
+        while m < len(order):
+            d_new = idx.postings_slice(int(tids[order[m]]))[0]
+            if len(cand) + len(d_new) > cand_cap:
+                return None                      # dense scatter is cheaper
+            cand = np.union1d(cand, d_new)
+            m += 1
+            tail_ub = float(ubs[order[m:]].sum())
+            if len(cand) >= k:
+                scores = self._score_cand(tids, cand)
+                kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+                if tail_ub < kth:
+                    return topk_with_ties(scores, cand, k)
+            elif tail_ub == 0.0:
+                break
+        if len(cand) == 0:
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64),
+                    np.empty(0, dtype=np.int32))
+        scores = self._score_cand(tids, cand)
+        return topk_with_ties(scores, cand, k)
+
+    def _score_cand(self, tids: np.ndarray, cand: np.ndarray) -> np.ndarray:
+        """Exact scores of ``cand`` over all terms, ascending term_id order;
+        each list is PROBED at the candidate positions (both sides sorted)."""
+        idx = self.idx
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for tid in tids:                        # tids are sorted ascending
+            d, ts = idx.postings_slice(int(tid))
+            if len(d) == 0:
+                continue
+            pos = np.searchsorted(d, cand)
+            pos_c = np.minimum(pos, len(d) - 1)
+            hit = d[pos_c] == cand
+            if hit.any():
+                scores[hit] += idx.idf_by_term_id[tid] * ts[pos_c[hit]]
+        return scores
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = batch.column("qid").to_pylist()
