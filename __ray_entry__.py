@@ -588,7 +588,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_top10_sharded": _bm25_sql(),   # sharding must not change results
         "corpus_stats": f"""
 SELECT count(*) AS n_docs,
-       sum(len(toks)) AS total_tokens,
+       sum(len(toks))::BIGINT AS total_tokens,
        round(avg(len(toks)), 6) AS avgdl
 FROM (SELECT {toks} AS toks FROM documents)
 """,

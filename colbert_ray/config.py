@@ -86,6 +86,10 @@ class EngineConfig:
                 "k1", "b", "split_camel_case", "lowercase", "min_token_len",
                 "max_token_len", "num_term_partitions", "salt_max_run",
                 "posting_block_size",
+                # the byte tokenizer has a documented divergence from the
+                # regex path on two non-ASCII codepoints (U+0130/U+212A), so
+                # switching impls must NOT silently resume a cached tokenize
+                "tokenizer_impl",
             )
         }
         semantic["__layout__"] = self.LAYOUT_VERSION

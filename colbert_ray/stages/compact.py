@@ -103,7 +103,11 @@ _DOCLEN_CACHE: dict = {}
 
 
 def _block_max_tfsat(index_dir, docids, tfs, avgdl, cfg, bs):
-    dl = _DOCLEN_CACHE.get(index_dir)
+    # cache key includes metadata mtime: a same-process rebuild/compact of the
+    # index must not reuse stale doclens (same invalidation as _INDEX_CACHE)
+    key = (index_dir,
+           os.path.getmtime(os.path.join(index_dir, "metadata.json")))
+    dl = _DOCLEN_CACHE.get(key)
     if dl is None:
         import pyarrow.dataset as pads
 
@@ -113,7 +117,8 @@ def _block_max_tfsat(index_dir, docids, tfs, avgdl, cfg, bs):
         ids = docs.column("docid").to_numpy(zero_copy_only=False)
         dl = np.zeros(int(ids.max()) + 1, dtype=np.int64)
         dl[ids] = docs.column("doclen").to_numpy(zero_copy_only=False)
-        _DOCLEN_CACHE[index_dir] = dl
+        _DOCLEN_CACHE.clear()
+        _DOCLEN_CACHE[key] = dl
     ts = tf_saturation(tfs.astype(np.float64), dl[docids].astype(np.float64),
                        avgdl, cfg.k1, cfg.b)
     n_blocks = -(-len(docids) // bs)

@@ -34,6 +34,19 @@ from colbert_ray.functions.bm25 import tf_saturation
 from colbert_ray.functions.codec import varint_decode
 
 
+def _segment_max(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-segment max of ``values`` addressed by ``offsets`` (n+1 fenceposts),
+    0.0 for EMPTY segments (reduceat alone is out-of-bounds / wrong there)."""
+    n = len(offsets) - 1
+    out = np.zeros(n, dtype=np.float64)
+    counts = np.diff(offsets)
+    nonempty = counts > 0
+    starts = offsets[:-1][nonempty]
+    if len(starts):
+        out[nonempty] = np.maximum.reduceat(values, starts)
+    return out
+
+
 @dataclass
 class DecodedIndex:
     cfg: EngineConfig
@@ -140,10 +153,11 @@ class DecodedIndex:
             doclens[posting_docids].astype(np.float64),
             avgdl, cfg.k1, cfg.b,
         )
-        max_tfsat = np.zeros(n_terms, dtype=np.float64)
-        if total and n_terms:
-            # every term has >=1 posting (dictionary is built FROM postings)
-            max_tfsat = np.maximum.reduceat(posting_tfsat, posting_offsets[:-1])
+        # lossy pruning (stages/prune.py) can leave dictionary terms with ZERO
+        # postings — reduceat over an empty segment is out-of-bounds for the
+        # last term and silently wrong for the rest, so reduce only nonempty
+        # terms (same guard as _restrict_to_docid_range)
+        max_tfsat = _segment_max(posting_tfsat, posting_offsets)
 
         self = cls(
             cfg=cfg, n_docs=n_docs, avgdl=avgdl,
@@ -174,13 +188,8 @@ class DecodedIndex:
         counts = np.bincount(kept_terms, minlength=n_terms)
         self.posting_offsets = np.zeros(n_terms + 1, dtype=np.int64)
         np.cumsum(counts, out=self.posting_offsets[1:])
-        self.max_tfsat_by_term = np.zeros(n_terms, dtype=np.float64)
-        if len(self.posting_tfsat):
-            nonempty = counts > 0
-            starts = self.posting_offsets[:-1][nonempty]
-            self.max_tfsat_by_term[nonempty] = np.maximum.reduceat(
-                self.posting_tfsat, starts
-            ) if len(starts) else 0.0
+        self.max_tfsat_by_term = _segment_max(
+            self.posting_tfsat, self.posting_offsets)
 
     def _fold_in_deltas(self, index_dir: str) -> None:
         """Fold delta segments + tombstones into the in-memory arrays
@@ -283,9 +292,8 @@ class DecodedIndex:
         counts = np.bincount(all_tid, minlength=n_terms_new)
         self.posting_offsets = np.zeros(n_terms_new + 1, dtype=np.int64)
         np.cumsum(counts, out=self.posting_offsets[1:])
-        self.max_tfsat_by_term = np.maximum.reduceat(
-            self.posting_tfsat, self.posting_offsets[:-1]
-        ) if len(self.posting_tfsat) else np.zeros(n_terms_new)
+        self.max_tfsat_by_term = _segment_max(
+            self.posting_tfsat, self.posting_offsets)
 
     # ---- query-side lookups -------------------------------------------
 

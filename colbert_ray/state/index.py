@@ -24,6 +24,7 @@ from colbert_ray.config import EngineConfig
 from colbert_ray.functions.bm25 import idf, tf_saturation, topk_with_ties
 from colbert_ray.functions.codec import decode_tfs, delta_decode_docids
 from colbert_ray.functions.tokenizer import tokenize_query
+from colbert_ray.functions.util import search_defaults_for_k
 
 
 class IndexReader:
@@ -163,12 +164,18 @@ class BM25Scorer:
             self.idx = DecodedIndex.load(index_dir)
         self.k = k
         self.prune = self.idx.cfg.prune if prune is None else prune
+        # k-dependent execution defaults (K5, searcher.py:127-148 analog):
+        # oversample scales the MaxScore candidate budget; prefer_dense picks
+        # the fallback accumulator. Both affect SPEED only — every path is
+        # exact, so results are identical for any defaults.
+        self.defaults = search_defaults_for_k(k)
         self.with_sha = with_sha
         self.docid_filter = (
             np.sort(np.asarray(docid_filter, dtype=np.int64))
             if docid_filter is not None else None
         )
-        self._dense = len(self.idx.doclens) <= self.DENSE_MAX_DOCIDS
+        self._dense = (self.defaults["prefer_dense"]
+                       and len(self.idx.doclens) <= self.DENSE_MAX_DOCIDS)
 
     @property
     def reader(self):   # transitional alias used by callers wanting metadata
@@ -252,7 +259,8 @@ class BM25Scorer:
         the non-essential lists' UB sum < kth best score.
         """
         idx = self.idx
-        cand_cap = max(4 * k, len(idx.doclens) // 8)
+        cand_cap = max(self.defaults["oversample"] * 4 * k,
+                       len(idx.doclens) // 8)
         # cheap selectivity precheck: with no small list there is nothing to
         # gain over one dense scatter pass — bail before doing any work
         dfs = idx.posting_offsets[tids + 1] - idx.posting_offsets[tids]
@@ -272,7 +280,11 @@ class BM25Scorer:
             if len(cand) >= k:
                 scores = self._score_cand(tids, cand)
                 kth = np.partition(scores, len(scores) - k)[len(scores) - k]
-                if tail_ub < kth:
+                # float addition is not order-monotone: an excluded doc's
+                # exact score (ascending-term_id summation) can exceed the
+                # descending-UB tail sum by a few ulps. Stop only with a
+                # relative-eps safety margin so the bound stays lossless.
+                if tail_ub < kth - 1e-12 * max(1.0, abs(kth)):
                     return topk_with_ties(scores, cand, k)
             elif tail_ub == 0.0:
                 break

@@ -185,6 +185,41 @@ class TestPruning:
         assert (before.postings_slice(int(t_b))[0]
                 == after.postings_slice(int(t_a))[0]).all()
 
+    def test_pruned_last_term_still_loads(self, small_fixture, tmp_path_factory):
+        """Dropping the runs of the HIGHEST term_id (lexicographically last
+        term) must not break loading: max_tfsat reduceat over the trailing
+        empty segment was out-of-bounds before the nonempty-terms guard."""
+        import glob
+
+        from colbert_ray.pipelines.build import build_index
+        from colbert_ray.state.decoded import DecodedIndex
+        from colbert_ray.state.index import BM25Scorer
+
+        corpus_dir, _ = small_fixture
+        d = str(tmp_path_factory.mktemp("idx_prune_last"))
+        build_index(corpus_dir, d, EngineConfig(salt_max_run=20,
+                                                num_term_partitions=8))
+        before = DecodedIndex.load(d)
+        last_tid = int(before.dict_term_ids.max())
+        last_term = before.dict_terms[before.dict_term_ids == last_tid][0]
+        for f in sorted(glob.glob(os.path.join(d, "segments", "part_*.parquet"))):
+            t = pq.read_table(f)
+            tid = t.column("term_id").to_numpy(zero_copy_only=False)
+            if (tid == last_tid).any():
+                pq.write_table(t.filter(pa.array(tid != last_tid)), f + ".tmp")
+                os.replace(f + ".tmp", f)
+        os.utime(os.path.join(d, "metadata.json"))
+        after = DecodedIndex.load(d)                 # must not raise
+        assert float(after.max_tfsat_by_term[last_tid]) == 0.0
+        # other terms' bounds are unchanged (no off-by-one-segment smear)
+        others = np.arange(last_tid)
+        np.testing.assert_array_equal(after.max_tfsat_by_term[others],
+                                      before.max_tfsat_by_term[others])
+        # the pruned term no longer matches; a query over it still works
+        sc = BM25Scorer(index_dir=d, k=5)
+        docids, _, _ = sc.score_query(str(last_term))
+        assert len(docids) == 0
+
 
 class TestCompaction:
     def test_coalesced_index_answers_identically(self, small_fixture, tmp_path_factory):
