@@ -422,6 +422,17 @@ def build_index(
         )
         report["phases"]["finalize"] = time.time() - t0
 
+    # ---- G: serve artifact (mmap flat arrays; one task per segment) ---
+    from colbert_ray.state.serve import serve_valid, write_serve_artifact
+
+    if _phase("serve") or not serve_valid(index_dir):
+        t0 = time.time()
+        write_serve_artifact(index_dir)
+        manifests.mark_phase_complete(
+            index_dir, "serve", sem, inputs_hash, wall_sec=time.time() - t0
+        )
+        report["phases"]["serve"] = time.time() - t0
+
     with open(os.path.join(index_dir, "metadata.json")) as f:
         report["metadata"] = json.load(f)
     return report

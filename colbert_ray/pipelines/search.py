@@ -59,7 +59,16 @@ def search(
     ``index_storage.py:95-101``; SURVEY §2.10). Broadcast once.
     """
     cfg = EngineConfig()
-    index_ref = _shared_index_ref(index_dir, docid_range)
+    from colbert_ray.state.serve import serve_valid
+
+    # serve-artifact path: actors mmap-open the index themselves (page cache
+    # shared per node; shard restriction inside the actor reads ~1/N) — the
+    # driver never decodes or broadcasts the index. Fallback (no artifact):
+    # decode once in the driver process and share zero-copy via ray.put.
+    if serve_valid(index_dir):
+        index_kwargs = {"index_dir": index_dir, "docid_range": docid_range}
+    else:
+        index_kwargs = {"index_ref": _shared_index_ref(index_dir, docid_range)}
     n_actors = concurrency if isinstance(concurrency, int) else concurrency[-1]
     # leave >=1 CPU for non-actor tasks: an actor pool that reserves every
     # CPU starves upstream AllToAll/read tasks and deadlocks the executor
@@ -85,7 +94,7 @@ def search(
     return queries.map_batches(
         BM25Scorer,
         fn_constructor_kwargs={
-            "index_ref": index_ref,
+            **index_kwargs,
             "k": k,
             "with_sha": with_sha,
             "prune": prune,

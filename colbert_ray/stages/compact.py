@@ -96,6 +96,12 @@ def coalesce_segments(index_dir: str, merge_salts: bool = True) -> str:
     )
     # bump metadata mtime so driver-side decoded-index caches invalidate
     os.utime(os.path.join(index_dir, "metadata.json"))
+    # the segment rewrite stales the serve artifact's token; rebuild it so
+    # serving keeps the mmap fast path (cheap relative to the coalesce)
+    if os.path.isdir(os.path.join(index_dir, "serve")):
+        from colbert_ray.state.serve import write_serve_artifact
+
+        write_serve_artifact(index_dir)
     return dest
 
 

@@ -61,4 +61,8 @@ def prune_index(index_dir: str, max_df_ratio: float = 0.5) -> dict:
          "n_postings_dropped": dropped},
     )
     os.utime(os.path.join(index_dir, "metadata.json"))  # invalidate caches
+    if len(pruned) and os.path.isdir(os.path.join(index_dir, "serve")):
+        from colbert_ray.state.serve import write_serve_artifact
+
+        write_serve_artifact(index_dir)   # segment rewrite staled the token
     return {"n_terms_pruned": int(len(pruned)), "n_postings_dropped": dropped}

@@ -34,6 +34,38 @@ from colbert_ray.functions.bm25 import tf_saturation
 from colbert_ray.functions.codec import varint_decode
 
 
+# per-process loaded-index LRU (see DecodedIndex.load_cached)
+_PROC_CACHE: dict = {}
+_PROC_CACHE_MAX = 4
+
+
+def bulk_decode_runs(seg):
+    """Decode ALL posting runs of one segment table in one vectorized pass.
+
+    Returns ``(tid, salt, nper, docids, tfs)`` with runs sorted by
+    (term_id, salt) and postings concatenated in that order (salts are
+    docid-range partitions, so docid order within a term is preserved).
+    Load cost is O(total postings) with no Python loop over runs.
+    """
+    tid = seg.column("term_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    salt = seg.column("salt").to_numpy(zero_copy_only=False)
+    nper = seg.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((salt, tid))
+    tid, salt, nper = tid[order], salt[order], nper[order]
+    db = seg.column("docids_bin").combine_chunks()
+    tb = seg.column("tfs_bin").combine_chunks()
+    total = int(nper.sum())
+    dbuf = b"".join(db[int(i)].as_py() for i in order)
+    tbuf = b"".join(tb[int(i)].as_py() for i in order)
+    gaps = varint_decode(dbuf, total).astype(np.int64)
+    g_cum = np.cumsum(gaps)
+    run_start = np.concatenate([[0], np.cumsum(nper)[:-1]])
+    base = np.where(run_start > 0, g_cum[run_start - 1], 0)
+    docids = g_cum - np.repeat(base, nper)
+    tfs = varint_decode(tbuf, total).astype(np.int32)
+    return tid, salt, nper, docids, tfs
+
+
 def _segment_max(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     """Per-segment max of ``values`` addressed by ``offsets`` (n+1 fenceposts),
     0.0 for EMPTY segments (reduceat alone is out-of-bounds / wrong there)."""
@@ -65,17 +97,31 @@ class DecodedIndex:
     max_tfsat_by_term: np.ndarray   # float64[n_terms]
     # docs
     doclens: np.ndarray             # int64[max_docid + 1]
-    sha256: np.ndarray              # object[str][max_docid + 1]
+    sha256: np.ndarray | None       # object[str][max_docid + 1]; None if skipped
     tombstones: np.ndarray          # int64, sorted (removed docids)
+    # block-max metadata (K4 two-stage pruning): fixed-size posting blocks
+    block_offsets: np.ndarray = None      # int64[n_terms + 1]
+    block_last_docid: np.ndarray = None   # int64[n_blocks]
+    block_max_tfsat: np.ndarray = None    # float64[n_blocks]
 
     @classmethod
     def load(cls, index_dir: str,
-             docid_range: tuple[int, int] | None = None) -> "DecodedIndex":
+             docid_range: tuple[int, int] | None = None,
+             load_sha: bool = True) -> "DecodedIndex":
         """Load the index; ``docid_range=(lo, hi)`` keeps only postings of
         docids in [lo, hi) — the serve-time docid-range SHARD (each node of
         a serving cluster holds one range; global statistics are unchanged,
         so per-shard scores are exact and cross-shard merge by
-        (-score, docid) reproduces the unsharded ranking bit-for-bit)."""
+        (-score, docid) reproduces the unsharded ranking bit-for-bit).
+
+        Fast path: if the ``serve/`` artifact exists and matches the current
+        segments, every heavy array is ``np.load(mmap_mode='r')`` — opening
+        is O(metadata), postings page in on demand, and N loaders on a node
+        share one page-cache copy (the mmap'd-coalesced-index analog,
+        ``residual_embeddings.py:31-54``). Otherwise the varint segments are
+        bulk-decoded into RAM. ``load_sha=False`` skips the per-doc sha256
+        column entirely (serving with ``with_sha=False`` never pays for it).
+        """
         with open(os.path.join(index_dir, "metadata.json")) as f:
             meta = json.load(f)
         cfg = EngineConfig.from_dict(meta["config"])
@@ -94,23 +140,55 @@ class DecodedIndex:
         idf_by_tid = np.zeros(n_terms, dtype=np.float64)
         idf_by_tid[dict_term_ids] = idf_fn(dict_dfs.astype(np.float64), n_docs)
 
+        from colbert_ray.state import serve as serve_mod
+
+        arrays = serve_mod.open_arrays(index_dir)
+
+        sha256 = None
+        if load_sha:
+            docs = pads.dataset(os.path.join(index_dir, "docmeta")).to_table(
+                columns=["docid", "content_sha256"]
+            )
+            docids = docs.column("docid").to_numpy(zero_copy_only=False)
+            max_docid = int(docids.max()) if len(docids) else -1
+            sha256 = np.empty(max_docid + 1, dtype=object)
+            sha256[docids] = np.asarray(
+                docs.column("content_sha256").to_numpy(zero_copy_only=False)
+            )
+
+        if arrays is not None:
+            # ---- mmap fast path: no decode, no full-array read ---------
+            self = cls(
+                cfg=cfg, n_docs=n_docs, avgdl=avgdl,
+                dict_terms=dict_terms, dict_term_ids=dict_term_ids,
+                dict_dfs=dict_dfs, idf_by_term_id=idf_by_tid,
+                posting_offsets=np.asarray(arrays["posting_offsets"]),
+                posting_docids=arrays["posting_docids"],
+                posting_tfs=arrays["posting_tfs"],
+                posting_tfsat=arrays["posting_tfsat"],
+                max_tfsat_by_term=np.asarray(arrays["max_tfsat"]),
+                doclens=arrays["doclens"], sha256=sha256,
+                tombstones=np.empty(0, dtype=np.int64),
+                block_offsets=np.asarray(arrays["block_offsets"]),
+                block_last_docid=arrays["block_last_docid"],
+                block_max_tfsat=arrays["block_max_tfsat"],
+            )
+            self._fold_in_deltas(index_dir)
+            if docid_range is not None:
+                self._restrict_to_docid_range(*docid_range)
+            return self
+
+        # ---- segment-decode path (no serve artifact, or stale) --------
         docs = pads.dataset(os.path.join(index_dir, "docmeta")).to_table(
-            columns=["docid", "doclen", "content_sha256"]
+            columns=["docid", "doclen"]
         )
         docids = docs.column("docid").to_numpy(zero_copy_only=False)
         max_docid = int(docids.max()) if len(docids) else -1
         doclens = np.zeros(max_docid + 1, dtype=np.int64)
         doclens[docids] = docs.column("doclen").to_numpy(zero_copy_only=False)
-        sha256 = np.empty(max_docid + 1, dtype=object)
-        sha256[docids] = np.asarray(
-            docs.column("content_sha256").to_numpy(zero_copy_only=False)
-        )
 
-        # BULK decode: all runs' varint streams are concatenated (in global
-        # (term_id, salt) order -- salts are docid-range partitions, so docid
-        # order within a term is preserved) and decoded in ONE vectorized
-        # pass; per-run delta bases are then subtracted segment-wise. Load
-        # time is O(total postings) with no Python loop over runs.
+        # BULK decode: all runs' varint streams concatenated in global
+        # (term_id, salt) order and decoded in ONE vectorized pass.
         seg_files = sorted(glob.glob(os.path.join(index_dir, "segments", "part_*.parquet")))
         import pyarrow as pa
 
@@ -118,32 +196,13 @@ class DecodedIndex:
             pq.read_table(f, columns=["term_id", "salt", "n", "docids_bin", "tfs_bin"])
             for f in seg_files
         ]
-        if tables:
-            seg = pa.concat_tables(tables)
-        else:
-            seg = None
+        seg = pa.concat_tables(tables) if tables else None
         if seg is not None and seg.num_rows:
-            tid = seg.column("term_id").to_numpy(zero_copy_only=False).astype(np.int64)
-            salt = seg.column("salt").to_numpy(zero_copy_only=False)
-            nper = seg.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
-            order = np.lexsort((salt, tid))
-            tid, nper = tid[order], nper[order]
-            db = seg.column("docids_bin").combine_chunks()
-            tb = seg.column("tfs_bin").combine_chunks()
-            total = int(nper.sum())
-            dbuf = b"".join(db[int(i)].as_py() for i in order)
-            tbuf = b"".join(tb[int(i)].as_py() for i in order)
-            gaps = varint_decode(dbuf, total).astype(np.int64)
-            g_cum = np.cumsum(gaps)
-            run_start = np.concatenate([[0], np.cumsum(nper)[:-1]])
-            base = np.where(run_start > 0, g_cum[run_start - 1], 0)
-            posting_docids = g_cum - np.repeat(base, nper)
-            posting_tfs = varint_decode(tbuf, total).astype(np.int32)
+            tid, _salt, nper, posting_docids, posting_tfs = bulk_decode_runs(seg)
             posting_offsets = np.zeros(n_terms + 1, dtype=np.int64)
             np.add.at(posting_offsets, tid + 1, nper)
             np.cumsum(posting_offsets, out=posting_offsets)
         else:
-            total = 0
             posting_docids = np.empty(0, dtype=np.int64)
             posting_tfs = np.empty(0, dtype=np.int32)
             posting_offsets = np.zeros(n_terms + 1, dtype=np.int64)
@@ -154,9 +213,7 @@ class DecodedIndex:
             avgdl, cfg.k1, cfg.b,
         )
         # lossy pruning (stages/prune.py) can leave dictionary terms with ZERO
-        # postings — reduceat over an empty segment is out-of-bounds for the
-        # last term and silently wrong for the rest, so reduce only nonempty
-        # terms (same guard as _restrict_to_docid_range)
+        # postings — reduce only nonempty terms (guard inside _segment_max)
         max_tfsat = _segment_max(posting_tfsat, posting_offsets)
 
         self = cls(
@@ -169,27 +226,87 @@ class DecodedIndex:
             doclens=doclens, sha256=sha256,
             tombstones=np.empty(0, dtype=np.int64),
         )
+        self._build_block_arrays()
         self._fold_in_deltas(index_dir)
         if docid_range is not None:
             self._restrict_to_docid_range(*docid_range)
         return self
 
+    @classmethod
+    def load_cached(cls, index_dir: str,
+                    docid_range: tuple[int, int] | None = None,
+                    load_sha: bool = True) -> "DecodedIndex":
+        """Per-process LRU of loaded indexes keyed by (path, metadata mtime,
+        shard, sha) — Ray reuses worker processes across actor pools, so
+        repeated searches against the same index skip the load entirely."""
+        key = (os.path.abspath(index_dir),
+               os.path.getmtime(os.path.join(index_dir, "metadata.json")),
+               tuple(docid_range) if docid_range else None, bool(load_sha))
+        hit = _PROC_CACHE.get(key)
+        if hit is None:
+            hit = cls.load(index_dir, docid_range=docid_range, load_sha=load_sha)
+            _PROC_CACHE[key] = hit
+            while len(_PROC_CACHE) > _PROC_CACHE_MAX:
+                _PROC_CACHE.pop(next(iter(_PROC_CACHE)))
+        return hit
+
+    def _build_block_arrays(self) -> None:
+        """Fixed-size block-max metadata from the in-RAM posting arrays
+        (the serve artifact carries these precomputed; this is the fallback
+        for segment-decoded / delta-folded / restricted indexes)."""
+        bs = self.cfg.posting_block_size
+        counts = np.diff(self.posting_offsets)
+        from colbert_ray.state.serve import block_layout
+
+        nb, block_offsets = block_layout(counts, bs)
+        total_blocks = int(block_offsets[-1])
+        if total_blocks == 0:
+            self.block_offsets = block_offsets
+            self.block_last_docid = np.empty(0, dtype=np.int64)
+            self.block_max_tfsat = np.empty(0, dtype=np.float64)
+            return
+        term_start_rep = np.repeat(self.posting_offsets[:-1], nb)
+        intra = np.arange(total_blocks) - np.repeat(block_offsets[:-1], nb)
+        bstart = term_start_rep + intra * bs
+        bend = np.minimum(bstart + bs, np.repeat(self.posting_offsets[1:], nb)) - 1
+        self.block_offsets = block_offsets
+        self.block_last_docid = np.asarray(self.posting_docids)[bend]
+        # posting arrays are contiguous across terms, so consecutive block
+        # starts bound each block exactly (last segment runs to array end)
+        self.block_max_tfsat = np.maximum.reduceat(self.posting_tfsat, bstart)
+
     def _restrict_to_docid_range(self, lo: int, hi: int) -> None:
-        """Drop postings outside [lo, hi); offsets rebuilt. Statistics
-        (n_docs, avgdl, idf) stay GLOBAL by design."""
-        n_terms = len(self.posting_offsets) - 1
-        term_rep = np.repeat(np.arange(n_terms, dtype=np.int64),
-                             np.diff(self.posting_offsets).astype(np.int64))
-        keep = (self.posting_docids >= lo) & (self.posting_docids < hi)
-        self.posting_docids = self.posting_docids[keep]
-        self.posting_tfs = self.posting_tfs[keep]
-        self.posting_tfsat = self.posting_tfsat[keep]
-        kept_terms = term_rep[keep]
-        counts = np.bincount(kept_terms, minlength=n_terms)
-        self.posting_offsets = np.zeros(n_terms + 1, dtype=np.int64)
-        np.cumsum(counts, out=self.posting_offsets[1:])
+        """Keep only postings of docids in [lo, hi); offsets rebuilt.
+        Statistics (n_docs, avgdl, idf) stay GLOBAL by design.
+
+        Shard-pruned read: per-term docids are sorted, so the shard's slice
+        of each list is found by TWO binary searches — on the mmap fast path
+        this touches only O(log) pages per list and then copies exactly the
+        shard's ~1/N of the postings into compact RAM arrays (the whole
+        index is never materialized on any node)."""
+        offs = self.posting_offsets
+        n_terms = len(offs) - 1
+        d = self.posting_docids
+        lo_pos = np.empty(n_terms, dtype=np.int64)
+        hi_pos = np.empty(n_terms, dtype=np.int64)
+        for t in range(n_terms):
+            s, e = int(offs[t]), int(offs[t + 1])
+            seg = d[s:e]
+            lo_pos[t] = s + np.searchsorted(seg, lo, side="left")
+            hi_pos[t] = s + np.searchsorted(seg, hi, side="left")
+        counts = hi_pos - lo_pos
+        new_offsets = np.zeros(n_terms + 1, dtype=np.int64)
+        np.cumsum(counts, out=new_offsets[1:])
+        total = int(new_offsets[-1])
+        intra = np.arange(total) - np.repeat(new_offsets[:-1], counts)
+        src = np.repeat(lo_pos, counts) + intra
+        self.posting_docids = np.asarray(self.posting_docids[src])
+        self.posting_tfs = np.asarray(self.posting_tfs[src])
+        self.posting_tfsat = np.asarray(self.posting_tfsat[src])
+        self.posting_offsets = new_offsets
         self.max_tfsat_by_term = _segment_max(
             self.posting_tfsat, self.posting_offsets)
+        self._build_block_arrays()
 
     def _fold_in_deltas(self, index_dir: str) -> None:
         """Fold delta segments + tombstones into the in-memory arrays
@@ -235,11 +352,13 @@ class DecodedIndex:
         doclens = np.zeros(new_max + 1, dtype=np.int64)
         doclens[: len(self.doclens)] = self.doclens
         doclens[new_ids] = dm_all.column("doclen").to_numpy(zero_copy_only=False)
-        sha = np.empty(new_max + 1, dtype=object)
-        sha[: len(self.sha256)] = self.sha256
-        sha[new_ids] = np.asarray(
-            dm_all.column("content_sha256").to_numpy(zero_copy_only=False))
-        self.doclens, self.sha256 = doclens, sha
+        self.doclens = doclens
+        if self.sha256 is not None:
+            sha = np.empty(new_max + 1, dtype=object)
+            sha[: len(self.sha256)] = self.sha256
+            sha[new_ids] = np.asarray(
+                dm_all.column("content_sha256").to_numpy(zero_copy_only=False))
+            self.sha256 = sha
 
         # resolve delta terms -> global term ids (append brand-new terms)
         uniq_new = np.sort(np.array(sorted(set(dterm.tolist())), dtype=object))
@@ -294,6 +413,7 @@ class DecodedIndex:
         np.cumsum(counts, out=self.posting_offsets[1:])
         self.max_tfsat_by_term = _segment_max(
             self.posting_tfsat, self.posting_offsets)
+        self._build_block_arrays()
 
     # ---- query-side lookups -------------------------------------------
 

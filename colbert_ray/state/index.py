@@ -153,7 +153,8 @@ class BM25Scorer:
 
     def __init__(self, index_dir: str | None = None, k: int = 10,
                  prune: bool | None = None, with_sha: bool = True,
-                 index_ref=None, docid_filter=None):
+                 index_ref=None, docid_filter=None,
+                 docid_range: tuple[int, int] | None = None):
         from colbert_ray.state.decoded import DecodedIndex
 
         if index_ref is not None:
@@ -161,7 +162,11 @@ class BM25Scorer:
 
             self.idx = _ray.get(index_ref)   # zero-copy numpy views
         else:
-            self.idx = DecodedIndex.load(index_dir)
+            # per-actor open: with the serve artifact this is an mmap open
+            # (milliseconds; page cache shared across actors on a node) and
+            # docid_range restriction copies only the shard's ~1/N postings
+            self.idx = DecodedIndex.load_cached(
+                index_dir, docid_range=docid_range, load_sha=with_sha)
         self.k = k
         self.prune = self.idx.cfg.prune if prune is None else prune
         # k-dependent execution defaults (K5, searcher.py:127-148 analog):
@@ -176,6 +181,8 @@ class BM25Scorer:
         )
         self._dense = (self.defaults["prefer_dense"]
                        and len(self.idx.doclens) <= self.DENSE_MAX_DOCIDS)
+        # introspection counters (tests/bench assert pruning actually fires)
+        self.stats = {"blocks_skipped": 0, "maxscore_bailouts": 0}
 
     @property
     def reader(self):   # transitional alias used by callers wanting metadata
@@ -250,13 +257,19 @@ class BM25Scorer:
         return topk_with_ties(scores, cand, k)
 
     def _maxscore_query(self, tids: np.ndarray, k: int):
-        """Exact term-level MaxScore. Returns None to signal bail-out (the
-        dense path wins when candidates would exceed ~1/8 of the corpus).
+        """Exact block-max MaxScore (K4 two-stage analog,
+        ``index_storage.py:111-194`` / ``filter_pids.cpp:27-170``).
 
-        Exactness: every returned candidate's score is recomputed over ALL
-        query terms in ascending term_id order (identical summation order to
-        the oracle); docs outside the candidate set are provably bounded by
-        the non-essential lists' UB sum < kth best score.
+        Lists are merged in descending upper-bound (idf * max_tfsat) order;
+        each candidate is exact-scored ONCE over all query terms (ascending
+        term_id — the oracle's summation order). Once k candidates exist,
+        the running kth exact score θ prunes at BLOCK granularity: a block j
+        of the current list only contributes new candidates if
+        ``idf * block_max_tfsat[j] + tail_ub`` can still reach θ (tail_ub =
+        UB sum of the not-yet-merged lists). Skipped docs are provably below
+        θ - eps ≤ final kth - eps, so the result is lossless; the eps margin
+        absorbs float summation-order ulps. Returns None to bail to the
+        dense scatter path when candidates would exceed the cap.
         """
         idx = self.idx
         cand_cap = max(self.defaults["oversample"] * 4 * k,
@@ -265,33 +278,64 @@ class BM25Scorer:
         # gain over one dense scatter pass — bail before doing any work
         dfs = idx.posting_offsets[tids + 1] - idx.posting_offsets[tids]
         if int(dfs.min()) > cand_cap:
+            self.stats["maxscore_bailouts"] += 1
             return None
         ubs = idx.idf_by_term_id[tids] * idx.max_tfsat_by_term[tids]
         order = np.argsort(-ubs, kind="stable")
-        cand = np.empty(0, dtype=np.int64)
-        m = 0
-        while m < len(order):
-            d_new = idx.postings_slice(int(tids[order[m]]))[0]
+        bs = idx.cfg.posting_block_size
+        cand = np.empty(0, dtype=np.int64)      # sorted by docid
+        scores = np.empty(0, dtype=np.float64)  # exact, aligned with cand
+        theta = -np.inf
+        for m in range(len(order)):
+            t = int(tids[order[m]])
+            ub_t = float(ubs[order[m]])
+            tail_ub = float(ubs[order[m + 1:]].sum())
+            eps = 1e-12 * max(1.0, abs(theta)) if np.isfinite(theta) else 0.0
+            if np.isfinite(theta) and ub_t + tail_ub < theta - eps:
+                break        # no unseen doc can reach the top-k any more
+            s, e = int(idx.posting_offsets[t]), int(idx.posting_offsets[t + 1])
+            d_all = idx.posting_docids[s:e]
+            if np.isfinite(theta) and idx.block_offsets is not None and e > s:
+                # block-max skip: only blocks that can still beat θ yield
+                # NEW candidates (docs already in cand are fully scored)
+                bo, bh = int(idx.block_offsets[t]), int(idx.block_offsets[t + 1])
+                bmax = np.asarray(idx.block_max_tfsat[bo:bh])
+                good = np.flatnonzero(
+                    idx.idf_by_term_id[t] * bmax + tail_ub >= theta - eps)
+                if len(good) < bh - bo:
+                    self.stats["blocks_skipped"] += int(bh - bo - len(good))
+                    if len(good) == 0:
+                        continue
+                    starts = s + good * bs
+                    ends = np.minimum(starts + bs, e)
+                    counts = ends - starts
+                    base = np.zeros(len(counts), dtype=np.int64)
+                    np.cumsum(counts[:-1], out=base[1:])
+                    pos = (np.repeat(starts, counts)
+                           + np.arange(int(counts.sum())) - np.repeat(base, counts))
+                    d_all = idx.posting_docids[pos]
+            # keep only unseen docids (candidates are scored exactly once)
+            if len(cand):
+                p = np.searchsorted(cand, d_all)
+                pc = np.minimum(p, len(cand) - 1)
+                d_new = d_all[cand[pc] != d_all]
+            else:
+                d_new = np.asarray(d_all)
             if len(cand) + len(d_new) > cand_cap:
+                self.stats["maxscore_bailouts"] += 1
                 return None                      # dense scatter is cheaper
-            cand = np.union1d(cand, d_new)
-            m += 1
-            tail_ub = float(ubs[order[m:]].sum())
+            if len(d_new):
+                s_new = self._score_cand(tids, d_new)
+                cand = np.concatenate([cand, d_new])
+                scores = np.concatenate([scores, s_new])
+                o2 = np.argsort(cand, kind="stable")
+                cand, scores = cand[o2], scores[o2]
             if len(cand) >= k:
-                scores = self._score_cand(tids, cand)
-                kth = np.partition(scores, len(scores) - k)[len(scores) - k]
-                # float addition is not order-monotone: an excluded doc's
-                # exact score (ascending-term_id summation) can exceed the
-                # descending-UB tail sum by a few ulps. Stop only with a
-                # relative-eps safety margin so the bound stays lossless.
-                if tail_ub < kth - 1e-12 * max(1.0, abs(kth)):
-                    return topk_with_ties(scores, cand, k)
-            elif tail_ub == 0.0:
-                break
+                theta = float(
+                    np.partition(scores, len(scores) - k)[len(scores) - k])
         if len(cand) == 0:
             return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64),
                     np.empty(0, dtype=np.int32))
-        scores = self._score_cand(tids, cand)
         return topk_with_ties(scores, cand, k)
 
     def _score_cand(self, tids: np.ndarray, cand: np.ndarray) -> np.ndarray:

@@ -1,0 +1,205 @@
+"""Serve-artifact tests: mmap fast path vs segment decode, shard-pruned
+reads, staleness invalidation (the out-of-core serving contract)."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from colbert_ray.config import EngineConfig
+from colbert_ray.fixtures import ensure_fixture
+from colbert_ray.pipelines.build import build_index
+from colbert_ray.pipelines.search import search_sharded, search_table
+from colbert_ray.state.decoded import DecodedIndex
+from colbert_ray.state.serve import open_arrays, serve_valid
+
+CFG = EngineConfig(salt_max_run=30, num_term_partitions=8)
+N_DOCS = 400
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("serve_fix"))
+    corpus_dir, queries_path = ensure_fixture(root, N_DOCS, 20)
+    index_dir = os.path.join(root, "index")
+    build_index(corpus_dir, index_dir, CFG)
+    return corpus_dir, queries_path, index_dir
+
+
+def test_artifact_written_and_valid(built):
+    _, _, index_dir = built
+    assert serve_valid(index_dir)
+    arrays = open_arrays(index_dir)
+    with open(os.path.join(index_dir, "metadata.json")) as f:
+        meta = json.load(f)
+    assert int(arrays["posting_offsets"][-1]) == meta["n_postings"]
+    assert len(arrays["max_tfsat"]) == meta["n_terms"]
+    # arrays open as read-only memmaps (no full read at open time)
+    assert isinstance(arrays["posting_docids"], np.memmap)
+
+
+def test_mmap_load_equals_segment_decode(built):
+    _, queries_path, index_dir = built
+    mm = DecodedIndex.load(index_dir)
+    assert isinstance(mm.posting_docids, np.memmap)
+
+    # force the fallback: hide the manifest
+    man = os.path.join(index_dir, "serve", "manifest.json")
+    os.rename(man, man + ".hidden")
+    try:
+        dec = DecodedIndex.load(index_dir)
+        assert not isinstance(dec.posting_docids, np.memmap)
+        np.testing.assert_array_equal(np.asarray(mm.posting_offsets),
+                                      dec.posting_offsets)
+        np.testing.assert_array_equal(np.asarray(mm.posting_docids),
+                                      dec.posting_docids)
+        np.testing.assert_array_equal(np.asarray(mm.posting_tfsat),
+                                      dec.posting_tfsat)
+        np.testing.assert_array_equal(np.asarray(mm.max_tfsat_by_term),
+                                      dec.max_tfsat_by_term)
+        np.testing.assert_array_equal(np.asarray(mm.block_offsets),
+                                      dec.block_offsets)
+        np.testing.assert_array_equal(np.asarray(mm.block_last_docid),
+                                      dec.block_last_docid)
+        np.testing.assert_array_equal(np.asarray(mm.block_max_tfsat),
+                                      dec.block_max_tfsat)
+    finally:
+        os.rename(man + ".hidden", man)
+
+
+def test_search_identical_on_both_paths(built):
+    _, queries_path, index_dir = built
+    queries = pq.read_table(queries_path).slice(0, 10)
+    via_mmap = search_table(queries, index_dir, k=10).to_pandas()
+    man = os.path.join(index_dir, "serve", "manifest.json")
+    os.rename(man, man + ".hidden")
+    # metadata mtime is the load cache key; bump so the fallback reloads
+    os.utime(os.path.join(index_dir, "metadata.json"))
+    try:
+        via_decode = search_table(queries, index_dir, k=10).to_pandas()
+    finally:
+        os.rename(man + ".hidden", man)
+        os.utime(os.path.join(index_dir, "metadata.json"))
+    pd.testing.assert_frame_equal(via_mmap, via_decode)
+
+
+def test_shard_restriction_reads_about_one_nth(built):
+    """A 1/N docid shard must materialize ~1/N of the postings (shard-pruned
+    segment read: the full index is never resident on a shard's node)."""
+    _, _, index_dir = built
+    full = DecodedIndex.load(index_dir, load_sha=False)
+    total = int(full.posting_offsets[-1])
+    n_shards = 4
+    hi = len(full.doclens)
+    bounds = np.linspace(0, hi, n_shards + 1).astype(np.int64)
+    seen = 0
+    for i in range(n_shards):
+        shard = DecodedIndex.load(
+            index_dir, docid_range=(int(bounds[i]), int(bounds[i + 1])),
+            load_sha=False)
+        n_shard = int(shard.posting_offsets[-1])
+        seen += n_shard
+        assert not isinstance(shard.posting_docids, np.memmap)
+        # equal-width docid ranges on a uniform corpus: each shard holds
+        # roughly total/n_shards postings (generous 2x bound)
+        assert n_shard <= 2 * total / n_shards
+        lo_, hi_ = int(bounds[i]), int(bounds[i + 1])
+        assert ((shard.posting_docids >= lo_)
+                & (shard.posting_docids < hi_)).all()
+    assert seen == total   # shards partition the postings exactly
+
+
+def test_sharded_search_bit_identical(built):
+    _, queries_path, index_dir = built
+    queries = pq.read_table(queries_path).slice(0, 8)
+    unsharded = search_table(queries, index_dir, k=10, with_sha=False).to_pandas()
+    sharded = (
+        search_sharded(queries, index_dir, k=10, n_shards=3, with_sha=False)
+        .to_pandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        unsharded[["qid", "docid", "rank", "score"]].reset_index(drop=True),
+        sharded[["qid", "docid", "rank", "score"]].reset_index(drop=True),
+    )
+
+
+def test_segment_rewrite_invalidates_artifact(built, tmp_path_factory):
+    """Any segment rewrite (prune/coalesce) must stale the token."""
+    root = str(tmp_path_factory.mktemp("serve_inval"))
+    corpus_dir, _ = ensure_fixture(root, 100, 5)
+    index_dir = os.path.join(root, "index")
+    build_index(corpus_dir, index_dir, CFG)
+    assert serve_valid(index_dir)
+    seg = sorted(glob.glob(os.path.join(index_dir, "segments", "part_*.parquet")))[0]
+    t = pq.read_table(seg)
+    pq.write_table(t, seg)   # rewrite: same content, new size/mtime
+    assert not serve_valid(index_dir)
+
+
+def test_block_max_skipping_fires_and_is_exact(tmp_path_factory):
+    """Engineered corpus where θ lands BETWEEN the long list's block maxima:
+    'alpha' (df=5: 2 short/high-score docs + 3 long/low-score docs) merges
+    first and sets θ at the 3rd-best score; 'zebra' (df=200) has a max
+    tfsat (three tf=40 docs near the tail) ABOVE θ — so term-level MaxScore
+    cannot drop the list — while its ordinary blocks fall below θ and must
+    be skipped at BLOCK granularity (K4 two-stage). Results must equal brute
+    force exactly."""
+    import pyarrow as pa
+
+    from colbert_ray.state.index import BM25Scorer
+
+    root = str(tmp_path_factory.mktemp("bmx"))
+    n = 400
+
+    def filler(i, count):
+        return " ".join(f"f{i}x{j}" for j in range(count))
+
+    texts = []
+    for i in range(n):
+        if i < 2:                      # alpha, short (high tfsat)
+            texts.append("alpha " + filler(i, 24))
+        elif i < 5:                    # alpha, very long (low tfsat) -> θ
+            texts.append("alpha " + filler(i, 299))
+        elif 50 <= i < 247:            # zebra ordinary postings (block-skip)
+            texts.append("zebra " + filler(i, 34))
+        elif 340 <= i < 343:           # zebra heavy-hitters (keep ub high)
+            texts.append(" ".join(["zebra"] * 40) + " " + filler(i, 4))
+        else:                          # background docs
+            texts.append(filler(i, 25))
+    corpus = pa.table({
+        "repo": pa.array(["r"] * n),
+        "path": pa.array([f"{i:04d}.py" for i in range(n)]),
+        "commit": pa.array(["c"] * n),
+        "lang": pa.array(["py"] * n),
+        "content": pa.array(texts),
+    })
+    cpath = os.path.join(root, "corpus.parquet")
+    pq.write_table(corpus, cpath)
+    index_dir = os.path.join(root, "index")
+    cfg = EngineConfig(salt_max_run=1000, num_term_partitions=4,
+                       posting_block_size=16)
+    build_index(cpath, index_dir, cfg)
+
+    pruned = BM25Scorer(index_dir, k=3, prune=True, with_sha=False)
+    brute = BM25Scorer(index_dir, k=3, prune=False, with_sha=False)
+    d_p, s_p, r_p = pruned.score_query("alpha zebra")
+    d_b, s_b, r_b = brute.score_query("alpha zebra")
+    np.testing.assert_array_equal(d_p, d_b)
+    np.testing.assert_array_equal(s_p, s_b)   # exact float64, not approx
+    np.testing.assert_array_equal(r_p, r_b)
+    assert pruned.stats["blocks_skipped"] > 0
+    assert pruned.stats["maxscore_bailouts"] == 0
+
+
+def test_load_sha_skips_docmeta_strings(built):
+    _, _, index_dir = built
+    idx = DecodedIndex.load(index_dir, load_sha=False)
+    assert idx.sha256 is None
+    idx2 = DecodedIndex.load(index_dir, load_sha=True)
+    assert idx2.sha256 is not None and idx2.sha256[0]
