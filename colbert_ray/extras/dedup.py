@@ -150,66 +150,77 @@ def _minhash_matrix(code_sets: list[np.ndarray], k: int = _MINHASH_K) -> np.ndar
     return out
 
 
+def _pack_codes(code_sets: list[np.ndarray]) -> list[bytes]:
+    return [c.tobytes() for c in code_sets]
+
+
 def minhash_lsh_pairs(
     ds: "ray.data.Dataset",
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    num_partitions: int = 8,
 ) -> "ray.data.Dataset":
     """MinHash+LSH near-dup candidates verified by true trigram Jaccard.
 
-    Pipeline shape: per-batch minhash -> explode (band, band_hash, doc_id)
-    -> groupby band bucket -> within-bucket pairs -> exact verify.
+    Cluster-shaped end to end (nothing is ever materialized on the driver
+    and no whole-corpus broadcast exists):
+
+    1. ``map_batches``: minhash signatures per batch; emit one row per
+       (band, doc) carrying (band, band_hash, doc_id, sig_bin) — the packed
+       64-value signature (512 B/doc) rides through the shuffle, the TEXT
+       never does.
+    2. ``groupby(band, band_hash)``: within-bucket candidate pairs,
+       prefiltered by the ESTIMATED jaccard (matching-minhash fraction,
+       computed from the sigs carried into the bucket) so a giant bucket of
+       merely-look-alike docs doesn't explode into O(n^2) exact checks.
+    3. pair-distinct via ``groupby(id_a, id_b)``.
+    4. verify by TRUE trigram jaccard via two hash JOINS of the candidate
+       pairs against a (doc_id, packed shingle codes) dataset — the
+       ray_guide join pattern; candidates ≪ corpus.
+
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    Deterministic (fixed seeds) at any parallelism level.
     """
+    est_cut = max(0.0, threshold - 0.15)     # safety margin on the estimate
 
     def sigs(batch: pa.Table) -> pa.Table:
-        """Per-batch minhash -> (band, band_hash, doc_id) rows. IDs ONLY go
-        through the shuffle; text never does."""
         texts = batch.column(text_col).to_pylist()
         mh = _minhash_matrix(_trigram_codes(texts))
         n = len(texts)
-        band_hash = np.empty((n, _LSH_BANDS), dtype=np.int64)
-        for bband in range(_LSH_BANDS):
-            seg = mh[:, bband * _LSH_ROWS:(bband + 1) * _LSH_ROWS]
-            # blake2b, NOT python hash() (randomized per process)
-            band_hash[:, bband] = np.array(
-                [int.from_bytes(
-                    hashlib.blake2b(seg[i].tobytes(), digest_size=8).digest(), "little")
-                 & 0x7FFFFFFFFFFFFFFF
-                 for i in range(n)],
-                dtype=np.int64,
-            )
+        # band hash = seeded multiply-mix over the band's rows + splitmix64
+        # finalizer — fully vectorized, deterministic across processes (no
+        # per-row hashlib loop; a rare collision only creates a candidate
+        # pair, which exact verification then rejects)
+        rng = np.random.default_rng(777)
+        mixer = rng.integers(1, (1 << 63) - 1,
+                             size=(_LSH_BANDS, _LSH_ROWS),
+                             dtype=np.uint64) | np.uint64(1)
+        bh = (mh.reshape(n, _LSH_BANDS, _LSH_ROWS) * mixer[None]).sum(axis=2)
+        bh ^= bh >> np.uint64(30)
+        bh *= np.uint64(0xBF58476D1CE4E5B9)
+        bh ^= bh >> np.uint64(27)
+        band_hash = (bh & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        sig_bin = [mh[i].tobytes() for i in range(n)]
         return pa.table(
             {
                 "band": pa.array(np.repeat(np.arange(_LSH_BANDS, dtype=np.int32), n)),
                 "band_hash": pa.array(band_hash.T.reshape(-1)),
                 id_col: pa.array(np.tile(
                     batch.column(id_col).to_numpy(zero_copy_only=False), _LSH_BANDS)),
+                "sig_bin": pa.array(sig_bin * _LSH_BANDS, type=pa.binary()),
             }
         )
 
-    # broadcast the full signature matrix once: buckets prefilter their
-    # pairwise candidates by ESTIMATED jaccard (fraction of matching
-    # minhashes) before any exact verification, so a giant bucket of merely
-    # look-alike docs doesn't explode into O(n^2) exact checks.
-    # (At cluster scale the sig matrix is per-docid-shard; ~0.5KB/doc.)
-    ref_all = ds.select_columns([id_col, text_col]).to_pandas()
-    all_ids = ref_all[id_col].to_numpy(dtype=np.int64)
-    id_order = np.argsort(all_ids)
-    all_ids_sorted = all_ids[id_order]
-    sig_matrix = _minhash_matrix(
-        _trigram_codes(ref_all[text_col].tolist()))[id_order]
-    sig_ref = ray.put((all_ids_sorted, sig_matrix))
-    est_cut = max(0.0, threshold - 0.15)     # safety margin on the estimate
-
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g[id_col].to_numpy(dtype=np.int64))
+        empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                              "id_b": pd.Series(dtype=np.int64)})
+        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        ids = g[id_col].to_numpy(dtype=np.int64)
         if len(ids) < 2:
-            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
-                                 "id_b": pd.Series(dtype=np.int64)})
-        sid, sm = ray.get(sig_ref)
-        m = sm[np.searchsorted(sid, ids)]
+            return empty
+        m = np.frombuffer(b"".join(g["sig_bin"]), dtype=np.uint64)
+        m = m.reshape(len(ids), _MINHASH_K)
         out_a, out_b = [], []
         chunk = 256
         for lo in range(0, len(ids), chunk):
@@ -220,45 +231,69 @@ def minhash_lsh_pairs(
             out_a.append(ids[ai[keep] + lo])
             out_b.append(ids[bi[keep]])
         if not out_a:
-            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
-                                 "id_b": pd.Series(dtype=np.int64)})
+            return empty
         return pd.DataFrame({"id_a": np.concatenate(out_a),
                              "id_b": np.concatenate(out_b)})
 
+    base = ds.select_columns([id_col, text_col])
     candidates = (
-        ds.select_columns([id_col, text_col])
-        .map_batches(sigs, batch_format="pyarrow")
+        base.map_batches(sigs, batch_format="pyarrow")
         .groupby(["band", "band_hash"])
         .map_groups(bucket_pairs, batch_format="pandas")
         .groupby(["id_a", "id_b"])
         .map_groups(lambda g: g.head(1), batch_format="pandas")  # pair distinct
     )
 
-    # verify stage: true trigram Jaccard on the (small) candidate set.
-    # Shingle codes for the referenced docs are broadcast once via ray.put;
-    # at cluster scale replace with a hash join of pair ids against the
-    # corpus (ray_guide.md join pattern) — candidates ≪ corpus either way.
-    codes = dict(zip(all_ids, _trigram_codes(ref_all[text_col].tolist())))
-    codes_ref = ray.put(codes)
+    # verify stage: ONE hash join of the exploded pair-halves against the
+    # packed shingle codes (ids + codes through the join; never the text,
+    # never a broadcast), then groupby(pair) reassembles both halves.
+    def codes_tbl(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: batch.column(id_col),
+            "codes_bin": pa.array(
+                _pack_codes(_trigram_codes(batch.column(text_col).to_pylist())),
+                type=pa.binary()),
+        })
 
-    def verify(batch: pa.Table) -> pa.Table:
-        cmap = ray.get(codes_ref)
-        out_a, out_b, out_j = [], [], []
-        for ia, ib in zip(batch.column("id_a").to_pylist(),
-                          batch.column("id_b").to_pylist()):
-            sa, sb = cmap.get(ia), cmap.get(ib)
-            if sa is None or sb is None or len(sa) == 0 or len(sb) == 0:
-                continue
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            jac = inter / union if union else 0.0
-            if jac >= threshold:
-                out_a.append(ia); out_b.append(ib); out_j.append(jac)
-        return pa.table({"id_a": pa.array(out_a, type=pa.int64()),
-                         "id_b": pa.array(out_b, type=pa.int64()),
-                         "jaccard": pa.array(out_j, type=pa.float64())})
+    codes = base.map_batches(codes_tbl, batch_format="pyarrow")
 
-    return candidates.map_batches(verify, batch_format="pyarrow")
+    def explode_pairs(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(np.concatenate([a, b]).astype(np.int64)),
+            "id_a": pa.array(np.concatenate([a, a]).astype(np.int64)),
+            "id_b": pa.array(np.concatenate([b, b]).astype(np.int64)),
+            "side": pa.array(np.repeat(np.array([0, 1], dtype=np.int32),
+                                       len(a))),
+        })
+
+    halves = candidates.map_batches(explode_pairs, batch_format="pyarrow")
+    joined = halves.join(codes, join_type="inner", on=(id_col,),
+                         num_partitions=num_partitions)
+
+    def verify_group(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                              "id_b": pd.Series(dtype=np.int64),
+                              "jaccard": pd.Series(dtype=np.float64)})
+        by_side = {int(s): c for s, c in zip(g["side"], g["codes_bin"])}
+        if 0 not in by_side or 1 not in by_side:
+            return empty
+        sa = np.frombuffer(by_side[0], dtype=np.uint64)
+        sb = np.frombuffer(by_side[1], dtype=np.uint64)
+        if len(sa) == 0 or len(sb) == 0:
+            return empty
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        jac = inter / union if union else 0.0
+        if jac < threshold:
+            return empty
+        return pd.DataFrame({"id_a": [int(g["id_a"].iloc[0])],
+                             "id_b": [int(g["id_b"].iloc[0])],
+                             "jaccard": [jac]})
+
+    return joined.groupby(["id_a", "id_b"]).map_groups(
+        verify_group, batch_format="pandas")
 
 
 def simhash(ds: "ray.data.Dataset", text_col: str = "text",

@@ -58,6 +58,30 @@ class TestDedup:
         assert (0, 1) in pairs
         assert (0, 3) not in pairs
 
+    def test_minhash_subset_and_recall_gate(self):
+        """Quality gate (reference pattern e2e_test.py:79): every emitted
+        pair must appear in the EXACT jaccard result at the same threshold
+        (verification is exact, so false positives are impossible), and LSH
+        recall on near-certain dups (true j >= 0.9) must be >= 0.9."""
+        import os
+
+        sf = "/root/testdata/sf0.001/documents.parquet"
+        if not os.path.exists(sf):
+            pytest.skip("testdata not present")
+        ds = ray.data.read_parquet(sf, columns=["doc_id", "text"])
+        mh = x_dedup.minhash_lsh_pairs(ds, threshold=0.8).to_pandas()
+        ex = x_dedup.jaccard_pairs(
+            ray.data.read_parquet(sf, columns=["doc_id", "text"]),
+            threshold_num=8, threshold_den=10).to_pandas()
+        exset = set(zip(ex.id_a, ex.id_b))
+        mhset = set(zip(mh.id_a, mh.id_b))
+        assert mhset <= exset
+        hi = ex[ex.n_common * 10 >= 9 * ex.n_union]
+        hiset = set(zip(hi.id_a, hi.id_b))
+        if hiset:
+            recall = len(mhset & hiset) / len(hiset)
+            assert recall >= 0.9, (recall, len(hiset))
+
     def test_simhash_identical_and_deterministic(self):
         ds = ray.data.from_arrow(_docs_table())
         s1 = x_dedup.simhash(ds).to_pandas().sort_values("doc_id")["simhash"].tolist()
