@@ -399,11 +399,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retrieval_metrics": _q_retrieval_metrics,
         "pricing_summary": _q_pricing_summary,
         "events_hourly": _q_events_hourly,
-        # rows-only (non-SQL-expressible / stateful / approximate)
-        "minhash_dup_pairs": _q_minhash_dup_pairs,
         "simhash64": _q_simhash,
         "fingerprints": _q_fingerprints,
         "lang_id_pred": _q_lang_id,
+        # rows-only (approximate / stateful / non-SQL-expressible); each is
+        # gated in pytest instead: minhash vs exact jaccard (subset+recall),
+        # ivf recall vs exact knn, code rankings vs the in-process oracle
+        "minhash_dup_pairs": _q_minhash_dup_pairs,
         "ivf_knn_top5": _q_ivf_knn_top5,
         "media_features": _q_media_features,
         "code_corpus_rankings": _q_code_corpus_rankings,
@@ -580,6 +582,88 @@ FROM per_q
 """
 
 
+def _fingerprint_sql() -> str:
+    """Same polynomial-FNV rolling hash as extras/textstats.fingerprints,
+    in pure HUGEINT-mod-2^64 arithmetic (hash equality is exact)."""
+    from colbert_ray.functions.hashing import FNV_PRIME, sql_fnv1a64_expr
+
+    toks, fnv = _toks_expr(), sql_fnv1a64_expr("term")
+    M, B = 1 << 64, int(FNV_PRIME)
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),
+tok AS (
+  SELECT doc_id, s.i, toks[s.i] AS term
+  FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) s
+),
+th AS (SELECT doc_id, i, {fnv} AS h FROM tok),
+agg AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(0::HUGEINT, list(h ORDER BY i)),
+                     (a, x) -> ((a * {B}::HUGEINT + x) % {M}::HUGEINT)) AS f
+  FROM th GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CASE WHEN f2 >= {2 ** 63}::HUGEINT THEN (f2 - {M}::HUGEINT)::BIGINT
+       ELSE f2::BIGINT END AS fingerprint
+FROM (SELECT d.doc_id, coalesce(agg.f, 0::HUGEINT) AS f2
+      FROM d LEFT JOIN agg USING (doc_id)) d
+ORDER BY doc_id
+"""
+
+
+def _simhash_sql() -> str:
+    """Same 63-bit SimHash as extras/dedup.simhash (FNV token hashes,
+    tf-weighted ±1 bit votes) in SQL."""
+    from colbert_ray.functions.hashing import sql_fnv1a64_expr
+
+    toks, fnv = _toks_expr(), sql_fnv1a64_expr("term")
+    pw = ", ".join(f"({b}, {2 ** b}::HUGEINT)" for b in range(63))
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+th AS (SELECT doc_id, tf, {fnv} AS h FROM tf),
+pw(b, p) AS (VALUES {pw}),
+s AS (SELECT doc_id, pw.b, any_value(pw.p) AS p,
+             sum(tf * (2 * ((h // pw.p) % 2) - 1)) AS sgn
+      FROM th CROSS JOIN pw GROUP BY doc_id, pw.b),
+sig AS (SELECT doc_id, sum(CASE WHEN sgn > 0 THEN p::BIGINT ELSE 0 END) AS simhash
+        FROM s GROUP BY doc_id)
+SELECT d.doc_id, coalesce(sig.simhash, 0)::BIGINT AS simhash
+FROM d LEFT JOIN sig USING (doc_id) ORDER BY doc_id
+"""
+
+
+def _lang_id_sql() -> str:
+    """Marker-word voting with first-alphabetical tie-break, mirroring
+    extras/textstats.lang_id exactly."""
+    from colbert_ray.extras.textstats import _LANG_MARKERS
+
+    toks = _toks_expr()
+    langs = sorted(_LANG_MARKERS)
+
+    def lst(lang):
+        return "[" + ", ".join(f"'{w}'" for w in sorted(_LANG_MARKERS[lang])) + "]"
+
+    votes = ",\n  ".join(
+        f"len(list_filter(toks, t -> list_contains({lst(lang)}, t))) AS v_{lang}"
+        for lang in langs)
+    branches = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"v_{lang} >= v_{r}" for r in langs[i + 1:])
+        branches.append(f"WHEN {conds} THEN '{lang}'")
+    case = ("CASE WHEN greatest(" + ", ".join(f"v_{lang}" for lang in langs)
+            + ") = 0 THEN 'unknown' " + " ".join(branches)
+            + f" ELSE '{langs[-1]}' END")
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),
+v AS (SELECT doc_id,
+  {votes}
+FROM d)
+SELECT doc_id, {case} AS pred_lang FROM v ORDER BY doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     toks = _toks_expr()
     stop = x_text.sql_stopword_list()
@@ -630,6 +714,9 @@ FROM documents GROUP BY lang ORDER BY lang
         "jaccard_dup_pairs": _jaccard_sql(),
         "knn_cosine_top5": _knn_sql(),
         "retrieval_metrics": _metrics_sql(),
+        "fingerprints": _fingerprint_sql(),
+        "simhash64": _simhash_sql(),
+        "lang_id_pred": _lang_id_sql(),
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

@@ -298,34 +298,38 @@ def minhash_lsh_pairs(
 
 def simhash(ds: "ray.data.Dataset", text_col: str = "text",
             id_col: str = "doc_id") -> "ray.data.Dataset":
-    """64-bit SimHash of the token multiset (near-dup signature)."""
+    """64-bit SimHash of the token multiset (near-dup signature).
+
+    Token hashes are vectorized FNV-1a over dictionary uniques; the per-doc
+    ±1-bit reduction is one ``np.add.reduceat`` over the doc offsets (no
+    Python loop over rows or tokens). Masked to 63 bits (int64-positive).
+    SQL-oracle-exact (FNV is plain modular arithmetic)."""
     from colbert_ray.config import EngineConfig
+    from colbert_ray.functions.hashing import fnv1a64_strings
     from colbert_ray.functions.tokenizer import doc_term_frequencies
 
     cfg = EngineConfig()
 
     def fn(batch: pa.Table) -> pa.Table:
         _, terms, tfs = doc_term_frequencies(batch.column(text_col), cfg)
-        offsets = terms.offsets.to_numpy(zero_copy_only=False)
-        flat = terms.flatten().to_pylist()
+        offsets = terms.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = offsets - offsets[0]
         w = tfs.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-        th = np.fromiter(
-            (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
-             for t in flat),
-            dtype=np.uint64, count=len(flat),
-        )
-        bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-                ).astype(np.int64) * 2 - 1          # ±1 per bit
-        contrib = bits * w[:, None]
+        th = fnv1a64_strings(terms.flatten())
         n = batch.num_rows
         sig = np.zeros(n, dtype=np.int64)
-        for row in range(n):
-            seg = contrib[offsets[row]:offsets[row + 1]]
-            if len(seg) == 0:
-                continue
-            v = (seg.sum(axis=0) > 0).astype(np.uint64)
-            sig[row] = int((v << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
-                           & np.uint64(0x7FFFFFFFFFFFFFFF))
+        if len(th):
+            bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64) * 2 - 1    # ±1 per bit
+            contrib = bits * w[:, None]
+            lens = np.diff(offsets)
+            nonempty = lens > 0
+            starts = offsets[:-1][nonempty]
+            sums = np.add.reduceat(contrib, starts, axis=0)
+            v = (sums > 0).astype(np.uint64)
+            packed = (v << np.arange(64, dtype=np.uint64)[None, :]).sum(
+                axis=1, dtype=np.uint64) & np.uint64(0x7FFFFFFFFFFFFFFF)
+            sig[nonempty] = packed.astype(np.int64)
         return pa.table({id_col: batch.column(id_col), "simhash": pa.array(sig)})
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -160,36 +160,39 @@ def fingerprints(ds: "ray.data.Dataset", text_col: str = "text",
                  id_col: str = "doc_id") -> "ray.data.Dataset":
     """64-bit rolling (polynomial) hash fingerprint of each document's token
     stream — deterministic content fingerprint (doc-level dedup key that is
-    whitespace/punctuation-insensitive)."""
+    whitespace/punctuation-insensitive).
+
+    fp(doc) = Σ_i fnv1a64(token_i) · B^(L-1-i)  (mod 2^64) — the Horner
+    rolling hash evaluated as one vectorized polynomial: token hashes via
+    FNV over dictionary uniques, per-doc combine via a single
+    ``np.add.reduceat`` (uint64 wraparound IS the mod). SQL-oracle-exact."""
+    from colbert_ray.functions.hashing import FNV_PRIME, fnv1a64_strings
+
     cfg = _cfg()
-    B = np.uint64(1099511628211)   # FNV-ish base
+    B = FNV_PRIME
 
     def fn(batch: pa.Table) -> pa.Table:
         toks = tokenize_column(batch.column(text_col), cfg)
-        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        flat = toks.flatten().to_pylist()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = offsets - offsets[0]
+        th = fnv1a64_strings(toks.flatten())
         n = batch.num_rows
-        import hashlib
-
-        th = np.fromiter(
-            (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
-             for t in flat),
-            dtype=np.uint64, count=len(flat),
-        )
         fp = np.zeros(n, dtype=np.uint64)
-        # rolling hash per doc: fp = fp*B + h(token), vectorized per position
-        # via segmented evaluation (few iterations = max doclen of batch)
-        if len(flat):
-            order = np.argsort(parents, kind="stable")
-            p_s, h_s = parents[order], th[order]
-            starts = np.flatnonzero(np.diff(np.concatenate([[-1], p_s])))
-            pos_in_doc = np.arange(len(p_s)) - starts[
-                np.searchsorted(starts, np.arange(len(p_s)), side="right") - 1
-            ]
-            maxlen = int(pos_in_doc.max()) + 1
-            for i in range(maxlen):
-                sel = pos_in_doc == i
-                fp[p_s[sel]] = fp[p_s[sel]] * B + h_s[sel]
+        total = len(th)
+        if total:
+            lens = np.diff(offsets)
+            pos = np.arange(total) - np.repeat(offsets[:-1], lens)
+            exp = np.repeat(lens, lens) - 1 - pos
+            maxlen = int(lens.max())
+            powers = np.empty(maxlen, dtype=np.uint64)
+            powers[0] = 1
+            if maxlen > 1:
+                np.multiply.accumulate(
+                    np.full(maxlen - 1, B, dtype=np.uint64), out=powers[1:])
+            contrib = th * powers[exp]
+            nonempty = lens > 0
+            starts = offsets[:-1][nonempty]
+            fp[nonempty] = np.add.reduceat(contrib, starts)
         return pa.table(
             {id_col: batch.column(id_col),
              "fingerprint": pa.array(fp.astype(np.int64))}

@@ -1,0 +1,70 @@
+"""Vectorized 64-bit FNV-1a over Arrow string arrays.
+
+Replaces per-token ``hashlib`` Python loops in fingerprinting/simhash with:
+dictionary-encode the token column (tokens repeat heavily, so the hash runs
+over the batch's UNIQUE strings only), hash the dictionary bytes in a
+position-major vectorized loop (<= max token length iterations), scatter
+through the dictionary indices. FNV-1a is plain modular arithmetic, so the
+DuckDB oracle can reproduce it exactly (HUGEINT mod 2^64) — unlike blake2b.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+FNV_OFFSET = np.uint64(14695981039346656037)   # 0xcbf29ce484222325
+FNV_PRIME = np.uint64(1099511628211)           # 0x100000001b3
+U64_MOD = 1 << 64
+
+
+def _fnv1a64_segments(offsets: np.ndarray, data: np.ndarray) -> np.ndarray:
+    """FNV-1a of each byte segment ``data[offsets[i]:offsets[i+1]]``,
+    vectorized column-by-column over byte positions."""
+    n = len(offsets) - 1
+    h = np.full(n, FNV_OFFSET, dtype=np.uint64)
+    if n == 0:
+        return h
+    lens = np.diff(offsets)
+    maxlen = int(lens.max()) if len(lens) else 0
+    starts = offsets[:-1]
+    for j in range(maxlen):
+        active = lens > j
+        hv = h[active]
+        hv = (hv ^ data[starts[active] + j].astype(np.uint64)) * FNV_PRIME
+        h[active] = hv
+    return h
+
+
+def fnv1a64_strings(arr) -> np.ndarray:
+    """uint64 FNV-1a of every string's UTF-8 bytes (vectorized; uniques
+    hashed once via dictionary encoding, scattered through indices)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.uint64)
+    de = arr.dictionary_encode()
+    d = de.dictionary
+    bufs = d.buffers()
+    off0 = d.offset
+    offsets = np.frombuffer(bufs[1], dtype=np.int32)[off0: off0 + len(d) + 1]
+    offsets = offsets.astype(np.int64)
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None else np.empty(0, dtype=np.uint8))
+    uh = _fnv1a64_segments(offsets, data)
+    idx = de.indices.to_numpy(zero_copy_only=False)
+    return uh[idx]
+
+
+def sql_fnv1a64_expr(term_expr: str) -> str:
+    """DuckDB expression computing the same FNV-1a 64-bit hash of an ASCII
+    string expression (HUGEINT arithmetic mod 2^64; xor touches only the low
+    byte, so it is lifted to BIGINT)."""
+    return (
+        f"list_reduce(list_prepend({int(FNV_OFFSET)}::HUGEINT, "
+        f"list_transform(generate_series(1, length({term_expr})), "
+        f"j -> ord(substr({term_expr}, j, 1))::HUGEINT)), "
+        f"(a, x) -> (((a - a % 256 + "
+        f"xor((a % 256)::BIGINT, x::BIGINT)::HUGEINT) * "
+        f"{int(FNV_PRIME)}::HUGEINT) % {U64_MOD}::HUGEINT))"
+    )

@@ -139,3 +139,45 @@ class TestBM25Math:
         docids = np.arange(10, 0, -1, dtype=np.int64)
         d, _, _ = bm25.topk_with_ties(scores, docids, 3)
         assert d.tolist() == [1, 2, 3]
+
+
+class TestFnvHashing:
+    def test_frozen_vectors(self):
+        """Frozen FNV-1a 64 values (reference pattern tokenizers_test.py:
+        pinned outputs guard against silent hash drift — fingerprints and
+        simhash both derive from this function)."""
+        import pyarrow as pa
+
+        from colbert_ray.functions.hashing import fnv1a64_strings
+
+        got = [int(x) for x in fnv1a64_strings(
+            pa.array(["", "a", "hello", "the", "Zebra42"]))]
+        assert got == [
+            14695981039346656037,
+            12638187200555641996,
+            11831194018420276491,
+            6266135566914540924,
+            18424615568875470953,
+        ]
+
+    def test_matches_byte_loop_and_sql(self):
+        import duckdb
+        import pyarrow as pa
+
+        from colbert_ray.functions.hashing import fnv1a64_strings, sql_fnv1a64_expr
+
+        words = ["mixedCase", "x" * 64, "a1b2c3", "zz", "hello"]
+
+        def ref(s):
+            h = 14695981039346656037
+            for b in s.encode():
+                h = ((h ^ b) * 1099511628211) % (1 << 64)
+            return h
+
+        got = [int(x) for x in fnv1a64_strings(pa.array(words))]
+        assert got == [ref(w) for w in words]
+        con = duckdb.connect()
+        sql = (f"SELECT {sql_fnv1a64_expr('t')} AS h "
+               f"FROM (SELECT unnest(?::VARCHAR[]) AS t)")
+        via_sql = [int(r[0]) for r in con.execute(sql, [words]).fetchall()]
+        assert via_sql == got
