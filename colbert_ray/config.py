@@ -49,6 +49,12 @@ class EngineConfig:
     docid_map_strategy: str = "broadcast"   # "broadcast" | "join" (scale path)
     tokenize_batch_size: int = 2048
     score_batch_size: int = 256
+    #: decoded-postings budget of one E2 encode chunk: a term partition
+    #: whose postings exceed this is encoded in several (term_id, salt)-
+    #: aligned chunk files (part_XXXXX.cNN.parquet) so task memory stays
+    #: bounded as the corpus grows (A2 heuristic analog). Physical knob:
+    #: changes file layout, never logical content.
+    max_encode_postings: int = 32_000_000
     scorer_concurrency: int = 4
     read_concurrency: int | None = None
 

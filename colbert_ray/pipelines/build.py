@@ -333,10 +333,17 @@ def build_index(
         t0 = time.time()
         todo = sorted(set(range(cfg.num_term_partitions)) - done_parts)
         if todo and not manifests.phase_complete(index_dir, "spill", sem, inputs_hash):
+            # read with ~2 blocks per combiner actor: the hive write emits
+            # one file per (block, part), so fewer/larger input blocks keep
+            # the spill file count at ~2·pool·P without any repartition
+            # barrier (the old repartition materialized every mini-run in
+            # an all-to-all right before the write)
+            avail0 = int(ray.cluster_resources().get("CPU", 8))
             tok = ray.data.read_parquet(
                 tok_dir,
                 columns=(["docid"] if docid_col else list(key_cols))
                 + ["doclen", "terms", "tfs"],
+                override_num_blocks=max(2, (avail0 - 2) * 2),
             )
             tok = _attach_docid(tok, map_dir, key_cols, cfg, docid_col)
             if not docid_col:
@@ -358,10 +365,6 @@ def build_index(
                 batch_size=cfg.tokenize_batch_size,
                 concurrency=pool,
             )
-            # coalesce mini-run blocks before the hive write: p partitions x
-            # b blocks = p*b files; fewer, larger spill files keep the E2
-            # readers sequential instead of metadata-bound
-            mapped = mapped.repartition(max(2, min(8, avail // 4)))
             mapped.write_parquet(spill_dir, partition_cols=["part"],
                                  mode="overwrite")
             manifests.mark_phase_complete(index_dir, "spill", sem, inputs_hash,
@@ -375,10 +378,11 @@ def build_index(
                 if not os.path.isdir(pdir):
                     return {"part": part, "n_runs": 0, "n_postings": 0,
                             "skipped": False}
-                group = pq.read_table(pdir).to_pandas()
-                group["part"] = part
-                out = writer(group)
-                return out.iloc[0].to_dict()
+                # Arrow table (varint bins stay packed ~on-disk size); the
+                # writer decodes per (term_id, salt)-aligned CHUNK so task
+                # memory is bounded by cfg.max_encode_postings, not by the
+                # partition's total postings
+                return writer(part, pq.read_table(pdir))
 
             summary = (
                 ray.data.from_items([{"part": p} for p in todo],

@@ -78,20 +78,29 @@ def segment_complete(seg_dir: str, part: int, semantic_hash: str, inputs_hash: s
         return False
     if m.get("semantic_hash") != semantic_hash or m.get("inputs_hash") != inputs_hash:
         return False
-    data = os.path.join(seg_dir, m.get("file", ""))
-    return os.path.exists(data) and os.path.getsize(data) == m.get("bytes", -1)
+    # chunked parts record a file list; single-file parts record "file"
+    entries = m.get("files") or [{"name": m.get("file", ""), "bytes": m.get("bytes", -1)}]
+    for ent in entries:
+        data = os.path.join(seg_dir, ent.get("name", ""))
+        if not (os.path.exists(data) and os.path.getsize(data) == ent.get("bytes", -1)):
+            return False
+    return True
 
 
 def mark_segment_complete(
-    seg_dir: str, part: int, semantic_hash: str, inputs_hash: str, file: str, **metrics
+    seg_dir: str, part: int, semantic_hash: str, inputs_hash: str,
+    file: str | list[str], **metrics
 ) -> None:
-    size = os.path.getsize(os.path.join(seg_dir, file))
+    names = [file] if isinstance(file, str) else list(file)
+    entries = [{"name": n, "bytes": os.path.getsize(os.path.join(seg_dir, n))}
+               for n in names]
     atomic_write_json(
         segment_manifest_path(seg_dir, part),
         {
             "partition": part,
-            "file": file,
-            "bytes": size,
+            "file": names[0],
+            "bytes": entries[0]["bytes"],
+            "files": entries,
             "semantic_hash": semantic_hash,
             "inputs_hash": inputs_hash,
             "completed_at": time.time(),

@@ -229,8 +229,16 @@ def encode_runs(
 def make_segment_writer(
     seg_dir: str, cfg: EngineConfig, avgdl: float, inputs_hash: str
 ):
-    """map_groups fn for ``groupby('part')``: encode + atomically write one
-    segment parquet per term partition, emit a one-row manifest summary."""
+    """Encoder for one term partition: decode the spilled mini-runs, encode
+    delta+varint posting runs, atomically write segment parquet(s), record
+    the per-partition manifest.
+
+    Memory cap (A2 heuristic analog): if the partition's decoded postings
+    exceed ``cfg.max_encode_postings``, the mini-runs are split at
+    (term_id, salt) boundaries into chunk files ``part_XXXXX.cNN.parquet``
+    (salting bounds a single run to ``salt_max_run`` postings, so chunks
+    can never blow the budget by more than one run). Logical index content
+    is identical either way — readers concatenate and re-sort all files."""
     sem_hash = cfg.semantic_hash()
 
     def _decode_miniruns(group: pd.DataFrame) -> pd.DataFrame:
@@ -253,28 +261,54 @@ def make_segment_writer(
         return pd.DataFrame({"term_id": term_id, "salt": salt,
                              "docid": docid, "tf": tf, "dl": dl})
 
-    def write_segment(group: pd.DataFrame) -> pd.DataFrame:
-        part = int(group["part"].iloc[0])
-        n_postings = int(group["n"].sum()) if "n" in group else int(group.shape[0])
-        fname = f"part_{part:05d}.parquet"
-        fpath = os.path.join(seg_dir, fname)
+    def write_part(part: int, runs: pa.Table) -> dict:
+        n_postings = int(pc.sum(runs.column("n")).as_py() or 0)
         if manifests.segment_complete(seg_dir, part, sem_hash, inputs_hash):
-            t = pq.read_metadata(fpath)
-            return pd.DataFrame(
-                {"part": [part], "n_runs": [t.num_rows],
-                 "n_postings": [n_postings], "skipped": [True]}
+            n_runs = sum(
+                pq.read_metadata(os.path.join(seg_dir, f)).num_rows
+                for f in sorted(os.listdir(seg_dir))
+                if f.startswith(f"part_{part:05d}") and f.endswith(".parquet")
             )
-        seg = encode_runs(_decode_miniruns(group), cfg, avgdl)
-        tmp = fpath + ".tmp"
-        pq.write_table(seg, tmp, compression="zstd")
-        os.replace(tmp, fpath)
-        manifests.mark_segment_complete(
-            seg_dir, part, sem_hash, inputs_hash, fname,
-            n_runs=seg.num_rows, n_postings=n_postings,
-        )
-        return pd.DataFrame(
-            {"part": [part], "n_runs": [seg.num_rows],
-             "n_postings": [n_postings], "skipped": [False]}
-        )
+            return {"part": part, "n_runs": n_runs,
+                    "n_postings": n_postings, "skipped": True}
 
-    return write_segment
+        # chunk assignment at (term_id, salt) run boundaries
+        tid = runs.column("term_id").to_numpy(zero_copy_only=False)
+        salt = runs.column("salt").to_numpy(zero_copy_only=False)
+        nn = runs.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((salt, tid))
+        tid_s, salt_s, n_s = tid[order], salt[order], nn[order]
+        new_run = np.empty(len(order), dtype=bool)
+        if len(order):
+            new_run[0] = True
+            new_run[1:] = (tid_s[1:] != tid_s[:-1]) | (salt_s[1:] != salt_s[:-1])
+        run_id = np.cumsum(new_run) - 1 if len(order) else np.empty(0, np.int64)
+        run_total = np.bincount(run_id, weights=n_s).astype(np.int64) \
+            if len(order) else np.empty(0, np.int64)
+        cum = np.cumsum(run_total)
+        chunk_of_run = (np.maximum(cum - 1, 0) // max(1, cfg.max_encode_postings))
+        chunk_of_row = chunk_of_run[run_id] if len(order) else run_id
+        n_chunks = int(chunk_of_run.max()) + 1 if len(run_total) else 1
+
+        fnames, n_runs = [], 0
+        for c in range(n_chunks):
+            rows = order[chunk_of_row == c]
+            chunk = runs.take(pa.array(rows)) if n_chunks > 1 else runs
+            fname = (f"part_{part:05d}.parquet" if n_chunks == 1
+                     else f"part_{part:05d}.c{c:02d}.parquet")
+            fpath = os.path.join(seg_dir, fname)
+            seg = encode_runs(
+                _decode_miniruns(chunk.to_pandas()), cfg, avgdl)
+            tmp = fpath + ".tmp"
+            pq.write_table(seg, tmp, compression="zstd")
+            os.replace(tmp, fpath)
+            fnames.append(fname)
+            n_runs += seg.num_rows
+        manifests.mark_segment_complete(
+            seg_dir, part, sem_hash, inputs_hash, fnames,
+            n_runs=n_runs, n_postings=n_postings, n_chunks=n_chunks,
+        )
+        return {"part": part, "n_runs": n_runs,
+                "n_postings": n_postings, "skipped": False}
+
+    return write_part

@@ -42,10 +42,11 @@ _PROC_CACHE_MAX = 4
 def bulk_decode_runs(seg):
     """Decode ALL posting runs of one segment table in one vectorized pass.
 
-    Returns ``(tid, salt, nper, docids, tfs)`` with runs sorted by
+    Returns ``(tid, salt, nper, docids, tfs, order)`` with runs sorted by
     (term_id, salt) and postings concatenated in that order (salts are
-    docid-range partitions, so docid order within a term is preserved).
-    Load cost is O(total postings) with no Python loop over runs.
+    docid-range partitions, so docid order within a term is preserved);
+    ``order`` is the permutation from the table's row order to the sorted
+    run order. Load cost is O(total postings), no Python loop over runs.
     """
     tid = seg.column("term_id").to_numpy(zero_copy_only=False).astype(np.int64)
     salt = seg.column("salt").to_numpy(zero_copy_only=False)
@@ -63,7 +64,7 @@ def bulk_decode_runs(seg):
     base = np.where(run_start > 0, g_cum[run_start - 1], 0)
     docids = g_cum - np.repeat(base, nper)
     tfs = varint_decode(tbuf, total).astype(np.int32)
-    return tid, salt, nper, docids, tfs
+    return tid, salt, nper, docids, tfs, order
 
 
 def _segment_max(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
@@ -198,7 +199,7 @@ class DecodedIndex:
         ]
         seg = pa.concat_tables(tables) if tables else None
         if seg is not None and seg.num_rows:
-            tid, _salt, nper, posting_docids, posting_tfs = bulk_decode_runs(seg)
+            tid, _salt, nper, posting_docids, posting_tfs, _ = bulk_decode_runs(seg)
             posting_offsets = np.zeros(n_terms + 1, dtype=np.int64)
             np.add.at(posting_offsets, tid + 1, nper)
             np.cumsum(posting_offsets, out=posting_offsets)

@@ -94,25 +94,34 @@ def block_layout(counts: np.ndarray, block_size: int):
     return nb, block_offsets
 
 
-def _write_one_segment(seg_path: str, layout, index_dir: str) -> int:
-    """Decode one segment file and write its terms' slices of the shared
-    serve arrays (disjoint across tasks: a term lives in one segment file).
-    ``layout`` is the broadcast placement tuple (an ObjectRef arg resolves
-    to it automatically in the remote path). Returns postings written."""
+def _write_one_segment(seg_path: str, run_dest: np.ndarray, layout,
+                       index_dir: str) -> int:
+    """Pass 1: decode one segment file and scatter its runs into the shared
+    posting arrays. ``run_dest`` gives each run's (file-row-order) global
+    start — computed by the driver from ALL files' run metadata, so a term's
+    salted runs may legally be split across files (E2 chunking). Returns
+    postings written."""
     from colbert_ray.functions.bm25 import tf_saturation
     from colbert_ray.state.decoded import bulk_decode_runs
 
-    (posting_offsets, block_offsets, avgdl, k1, b, bs) = layout
+    (avgdl, k1, b) = layout
     sdir = os.path.join(index_dir, SERVE_DIR)
     seg = pq.read_table(seg_path,
                         columns=["term_id", "salt", "n", "docids_bin", "tfs_bin"])
     if seg.num_rows == 0:
         return 0
-    tid, _salt, nper, docids, tfs = bulk_decode_runs(seg)
+    _tid, _salt, nper, docids, tfs, order = bulk_decode_runs(seg)
     doclens = np.load(os.path.join(sdir, ARRAY_FILES["doclens"]), mmap_mode="r")
     tfsat = tf_saturation(tfs.astype(np.float64),
                           np.asarray(doclens[docids], dtype=np.float64),
                           avgdl, k1, b)
+
+    # destination of every posting: run start (aligned to the decode's run
+    # order) + intra-run offset
+    dest_sorted = np.asarray(run_dest)[order]
+    run_local = np.concatenate([[0], np.cumsum(nper)[:-1]])
+    dest = (np.repeat(dest_sorted, nper)
+            + np.arange(len(docids)) - np.repeat(run_local, nper))
 
     out_docids = np.lib.format.open_memmap(
         os.path.join(sdir, ARRAY_FILES["posting_docids"]), mode="r+")
@@ -120,6 +129,32 @@ def _write_one_segment(seg_path: str, layout, index_dir: str) -> int:
         os.path.join(sdir, ARRAY_FILES["posting_tfs"]), mode="r+")
     out_tfsat = np.lib.format.open_memmap(
         os.path.join(sdir, ARRAY_FILES["posting_tfsat"]), mode="r+")
+    out_docids[dest] = docids
+    out_tfs[dest] = tfs
+    out_tfsat[dest] = tfsat
+    for a in (out_docids, out_tfs, out_tfsat):
+        a.flush()
+    return int(len(docids))
+
+
+def _write_term_range(t0: int, t1: int, layout, index_dir: str) -> int:
+    """Pass 2: per-term max + fixed-size block-max metadata for terms
+    [t0, t1), read back from the already-written posting arrays (bounded:
+    ranges are picked to hold ~equal posting counts)."""
+    (posting_offsets, block_offsets, bs) = layout
+    sdir = os.path.join(index_dir, SERVE_DIR)
+    g0, g1 = int(posting_offsets[t0]), int(posting_offsets[t1])
+    docids = np.load(os.path.join(sdir, ARRAY_FILES["posting_docids"]),
+                     mmap_mode="r")[g0:g1]
+    tfsat = np.load(os.path.join(sdir, ARRAY_FILES["posting_tfsat"]),
+                    mmap_mode="r")[g0:g1]
+    offs = posting_offsets[t0:t1 + 1] - g0
+    counts = np.diff(offs)
+    nb = -(-counts // bs)
+    local_block_offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(nb, out=local_block_offsets[1:])
+    total_blocks = int(local_block_offsets[-1])
+
     out_max = np.lib.format.open_memmap(
         os.path.join(sdir, ARRAY_FILES["max_tfsat"]), mode="r+")
     out_blast = np.lib.format.open_memmap(
@@ -127,35 +162,21 @@ def _write_one_segment(seg_path: str, layout, index_dir: str) -> int:
     out_bmax = np.lib.format.open_memmap(
         os.path.join(sdir, ARRAY_FILES["block_max_tfsat"]), mode="r+")
 
-    # local per-term segments (runs are (term_id, salt)-sorted, so a term's
-    # postings are one contiguous local slice in final docid order)
-    run_starts = np.concatenate([[0], np.cumsum(nper)])
-    new_term = np.empty(len(tid), dtype=bool)
-    new_term[0] = True
-    new_term[1:] = tid[1:] != tid[:-1]
-    term_run_idx = np.flatnonzero(new_term)
-    term_ids = tid[term_run_idx]
-    term_lo = run_starts[term_run_idx]
-    term_hi = np.append(term_lo[1:], run_starts[-1])
+    from colbert_ray.state.decoded import _segment_max
 
-    for t, lo, hi in zip(term_ids, term_lo, term_hi):
-        g = int(posting_offsets[t])
-        d = docids[lo:hi]
-        ts = tfsat[lo:hi]
-        out_docids[g:g + (hi - lo)] = d
-        out_tfs[g:g + (hi - lo)] = tfs[lo:hi]
-        out_tfsat[g:g + (hi - lo)] = ts
-        out_max[t] = ts.max()
-        n = hi - lo
-        nb = -(-n // bs)
-        bends = np.minimum(np.arange(1, nb + 1) * bs, n) - 1
-        bstarts = np.arange(nb) * bs
-        bo = int(block_offsets[t])
-        out_blast[bo:bo + nb] = d[bends]
-        out_bmax[bo:bo + nb] = np.maximum.reduceat(ts, bstarts)
-    for a in (out_docids, out_tfs, out_tfsat, out_max, out_blast, out_bmax):
+    tfsat_ram = np.asarray(tfsat)
+    out_max[t0:t1] = _segment_max(tfsat_ram, offs)
+    if total_blocks:
+        term_start_rep = np.repeat(offs[:-1], nb)
+        intra = np.arange(total_blocks) - np.repeat(local_block_offsets[:-1], nb)
+        bstart = term_start_rep + intra * bs
+        bend = np.minimum(bstart + bs, np.repeat(offs[1:], nb)) - 1
+        b0 = int(block_offsets[t0])
+        out_blast[b0:b0 + total_blocks] = np.asarray(docids)[bend]
+        out_bmax[b0:b0 + total_blocks] = np.maximum.reduceat(tfsat_ram, bstart)
+    for a in (out_max, out_blast, out_bmax):
         a.flush()
-    return int(len(docids))
+    return total_blocks
 
 
 def write_serve_artifact(index_dir: str, parallel: bool = True) -> dict:
@@ -176,17 +197,41 @@ def write_serve_artifact(index_dir: str, parallel: bool = True) -> dict:
     os.makedirs(sdir, exist_ok=True)
 
     # ---- global placement from run metadata (small columns only) -------
+    # every run of every file gets its global destination from ONE lexsort
+    # over (term_id, salt, file, row) — a term's salted runs may span files
+    # (E2 chunking), and salts are docid ranges so (tid, salt) order IS
+    # docid order within a term. Ties (same (tid, salt) mini-runs from
+    # different map tasks) cannot happen here: E2 merged mini-runs.
     files = _segment_files(index_dir)
+    tids, salts, ns, file_of, rows_per_file = [], [], [], [], []
+    for fi, f in enumerate(files):
+        t = pq.read_table(f, columns=["term_id", "salt", "n"])
+        tids.append(t.column("term_id").to_numpy(zero_copy_only=False).astype(np.int64))
+        salts.append(t.column("salt").to_numpy(zero_copy_only=False).astype(np.int64))
+        ns.append(t.column("n").to_numpy(zero_copy_only=False).astype(np.int64))
+        file_of.append(np.full(t.num_rows, fi, dtype=np.int64))
+        rows_per_file.append(t.num_rows)
+    all_tid = np.concatenate(tids) if tids else np.empty(0, dtype=np.int64)
+    all_salt = np.concatenate(salts) if salts else np.empty(0, dtype=np.int64)
+    all_n = np.concatenate(ns) if ns else np.empty(0, dtype=np.int64)
+    all_file = np.concatenate(file_of) if file_of else np.empty(0, dtype=np.int64)
+
     counts = np.zeros(n_terms, dtype=np.int64)
-    for f in files:
-        t = pq.read_table(f, columns=["term_id", "n"])
-        np.add.at(counts, t.column("term_id").to_numpy(zero_copy_only=False),
-                  t.column("n").to_numpy(zero_copy_only=False))
+    np.add.at(counts, all_tid, all_n)
     posting_offsets = np.zeros(n_terms + 1, dtype=np.int64)
     np.cumsum(counts, out=posting_offsets[1:])
     total = int(posting_offsets[-1])
     _nb, block_offsets = block_layout(counts, cfg.posting_block_size)
     n_blocks = int(block_offsets[-1])
+
+    g_order = np.lexsort((all_salt, all_tid))
+    run_dest = np.empty(len(all_n), dtype=np.int64)
+    sorted_n = all_n[g_order]
+    starts = np.zeros(len(all_n), dtype=np.int64)
+    if len(all_n):
+        np.cumsum(sorted_n[:-1], out=starts[1:])
+    run_dest[g_order] = starts
+    per_file_dest = [run_dest[all_file == fi] for fi in range(len(files))]
 
     # ---- doclens (needed by every decode task for tf-saturation) -------
     docs = pads.dataset(os.path.join(index_dir, "docmeta")).to_table(
@@ -209,17 +254,35 @@ def write_serve_artifact(index_dir: str, parallel: bool = True) -> dict:
     _alloc("block_last_docid", (n_blocks,), np.int64)
     _alloc("block_max_tfsat", (n_blocks,), np.float64)
 
-    layout = (posting_offsets, block_offsets, float(meta["avgdl"]),
-              cfg.k1, cfg.b, cfg.posting_block_size)
+    # ---- pass 1: postings (one task per segment file) ------------------
+    layout1 = (float(meta["avgdl"]), cfg.k1, cfg.b)
+    # ---- pass 2: per-term max + blocks (tasks over ~equal-posting term
+    # ranges, reading back the written arrays) ---------------------------
+    n_ranges = max(1, min(len(files) or 1, 32))
+    targets = np.linspace(0, total, n_ranges + 1)
+    cuts = np.unique(np.searchsorted(posting_offsets, targets))
+    if len(cuts) < 2 or cuts[-1] != n_terms:
+        cuts = np.unique(np.append(cuts, n_terms))
+    ranges = [(int(cuts[i]), int(cuts[i + 1])) for i in range(len(cuts) - 1)
+              if cuts[i + 1] > cuts[i]]
+    layout2 = (posting_offsets, block_offsets, cfg.posting_block_size)
+
     if parallel and files and _ray.is_initialized():
-        layout_ref = _ray.put(layout)   # broadcast once, read per task
-        task = _ray.remote(num_cpus=1)(_write_one_segment)
-        written = sum(_ray.get([task.remote(f, layout_ref, index_dir)
-                                for f in files]))
+        t1 = _ray.remote(num_cpus=1)(_write_one_segment)
+        written = sum(_ray.get([
+            t1.remote(f, d, layout1, index_dir)
+            for f, d in zip(files, per_file_dest)]))
+        l2_ref = _ray.put(layout2)
+        t2 = _ray.remote(num_cpus=1)(_write_term_range)
+        blocks_written = sum(_ray.get([
+            t2.remote(a, b_, l2_ref, index_dir) for a, b_ in ranges]))
     else:
-        written = sum(_write_one_segment(f, layout, index_dir)
-                      for f in files)
+        written = sum(_write_one_segment(f, d, layout1, index_dir)
+                      for f, d in zip(files, per_file_dest))
+        blocks_written = sum(_write_term_range(a, b_, layout2, index_dir)
+                             for a, b_ in ranges)
     assert written == total, (written, total)
+    assert blocks_written == n_blocks, (blocks_written, n_blocks)
 
     manifest = {"token": segments_token(index_dir), "n_postings": total,
                 "n_terms": n_terms, "n_blocks": n_blocks,

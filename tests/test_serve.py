@@ -197,6 +197,33 @@ def test_block_max_skipping_fires_and_is_exact(tmp_path_factory):
     assert pruned.stats["maxscore_bailouts"] == 0
 
 
+def test_chunked_segment_encode_identical(built, tmp_path_factory):
+    """A tiny max_encode_postings budget forces E2 chunking (several
+    part_*.cNN.parquet files per partition, a term's salted runs split
+    across chunks) — search results and the serve artifact must be
+    identical to the unchunked build."""
+    corpus_dir, queries_path, index_dir = built
+    root = str(tmp_path_factory.mktemp("chunked"))
+    idx2 = os.path.join(root, "index")
+    cfg2 = EngineConfig(salt_max_run=30, num_term_partitions=8,
+                        max_encode_postings=100)
+    build_index(corpus_dir, idx2, cfg2)
+    chunk_files = glob.glob(os.path.join(idx2, "segments", "part_*.c*.parquet"))
+    assert chunk_files, "budget of 100 postings must force chunking"
+    queries = pq.read_table(queries_path).slice(0, 10)
+    a = search_table(queries, index_dir, k=10).to_pandas()
+    b = search_table(queries, idx2, k=10).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    # serve arrays identical across layouts
+    m1, m2 = DecodedIndex.load(index_dir), DecodedIndex.load(idx2)
+    np.testing.assert_array_equal(np.asarray(m1.posting_docids),
+                                  np.asarray(m2.posting_docids))
+    np.testing.assert_array_equal(np.asarray(m1.posting_offsets),
+                                  np.asarray(m2.posting_offsets))
+    np.testing.assert_array_equal(np.asarray(m1.block_max_tfsat),
+                                  np.asarray(m2.block_max_tfsat))
+
+
 def test_load_sha_skips_docmeta_strings(built):
     _, _, index_dir = built
     idx = DecodedIndex.load(index_dir, load_sha=False)
