@@ -372,7 +372,29 @@ def _q_code_corpus_rankings(sf_dir: str) -> pd.DataFrame:
     idx = os.path.join(root, "index")
     build_index(corpus_dir, idx, CFG)
     res = search_table(pq.read_table(queries_path), idx, k=10)
-    return res.to_pandas()
+    out = res.to_pandas()
+    if n_files <= 2000:
+        # self-check (VERDICT #8): the distributed ranking must be
+        # rank-identical (exact float64) to the single-process oracle
+        import glob as _glob
+
+        import pyarrow as pa
+
+        from colbert_ray.oracle import OracleIndex, assign_docids_oracle
+
+        corpus = pa.concat_tables(
+            pq.read_table(f)
+            for f in sorted(_glob.glob(os.path.join(corpus_dir, "*.parquet"))))
+        oi = OracleIndex.build(assign_docids_oracle(corpus), CFG)
+        sample_q = pq.read_table(queries_path).slice(0, 20)
+        want = oi.search_all(sample_q, k=10).to_pandas()
+        got = out[out.qid.isin(set(want.qid))].reset_index(drop=True)
+        cols = ["qid", "docid", "rank", "score"]
+        if not got[cols].reset_index(drop=True).equals(
+                want[cols].reset_index(drop=True)):
+            raise AssertionError(
+                "code_corpus_rankings diverged from the in-process oracle")
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -89,6 +89,34 @@ def knn_cosine(
     )
 
 
+def train_kmeans_centroids(
+    ds: "ray.data.Dataset",
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    train_size: int = 16384,
+    n_iter: int = 10,
+    seed: int = 123,
+) -> np.ndarray:
+    """Spherical k-means on a bounded sample (the reference trains its IVF
+    centroids on a heldout sample with seed 123,
+    ``collection_indexer.py:500-517``). Deterministic: seeded init from the
+    first ``train_size`` rows (stable read order), fixed Lloyd iterations,
+    empty clusters keep their previous centroid."""
+    sample = ds.select_columns([vec_col]).limit(train_size).to_pandas()
+    m = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+    rng = np.random.default_rng(seed)
+    c = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(m @ c.T, axis=1)
+        sums = np.zeros_like(c)
+        np.add.at(sums, assign, m)
+        counts = np.bincount(assign, minlength=len(c)).astype(np.float64)
+        nonempty = counts > 0
+        c = np.where(nonempty[:, None], sums, c)
+        c = _normalize(c)
+    return c
+
+
 def ivf_knn(
     ds: "ray.data.Dataset",
     query_vecs: np.ndarray,
@@ -98,16 +126,19 @@ def ivf_knn(
     nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
 ) -> "ray.data.Dataset":
-    """Approximate IVF top-k: deterministic pseudo-random unit centroids
-    (seed 123, the reference's k-means seed), coarse-assign each vector to
-    its nearest centroid in a map_batches pass, then score queries only
-    against vectors in their ``nprobe`` closest buckets."""
+    """Approximate IVF top-k: TRAINED spherical-k-means centroids (seeded,
+    deterministic), coarse-assign each vector to its nearest centroid in a
+    map_batches pass, then score queries only against vectors in their
+    ``nprobe`` closest buckets (PLAID centroid candidate-generation analog,
+    ``candidate_generation.py:12-37``). Recall vs exact knn is gated in
+    pytest (recall@5 >= 0.9 at nprobe=4 on the test embeddings)."""
     qm = _normalize(np.asarray(query_vecs, dtype=np.float64))
     qids = np.asarray(query_ids, dtype=np.int64)
-    dim = qm.shape[1]
-    rng = np.random.default_rng(123)
-    centroids = _normalize(rng.standard_normal((n_centroids, dim)))
+    if centroids is None:
+        centroids = train_kmeans_centroids(ds, n_centroids, vec_col=vec_col)
+    centroids = np.asarray(centroids, dtype=np.float64)
     probe = np.argsort(-(qm @ centroids.T), axis=1)[:, :nprobe]   # (nq, nprobe)
     ref = ray.put((qm, qids, centroids, probe))
 

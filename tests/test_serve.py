@@ -230,3 +230,46 @@ def test_load_sha_skips_docmeta_strings(built):
     assert idx.sha256 is None
     idx2 = DecodedIndex.load(index_dir, load_sha=True)
     assert idx2.sha256 is not None and idx2.sha256[0]
+
+
+def test_http_server_endpoint(built):
+    """T5 serving analog: the HTTP endpoint answers with the same ranking
+    as the in-process scorer, caches repeats, and 400s bad input."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from colbert_ray.server import make_server
+    from colbert_ray.state.index import BM25Scorer
+
+    _, queries_path, index_dir = built
+    httpd = make_server(index_dir, port=0, k=10)   # port 0 = ephemeral
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        query = pq.read_table(queries_path).column("query").to_pylist()[0]
+        url = (f"http://127.0.0.1:{port}/api/search?"
+               f"query={urllib.request.quote(query)}&k=5")
+        with urllib.request.urlopen(url, timeout=30) as r:
+            body = _json.loads(r.read())
+        assert body["k"] == 5 and len(body["topk"]) <= 5
+        scorer = BM25Scorer(index_dir, k=5)
+        d, s, rk = scorer.score_query(query)
+        assert [row["docid"] for row in body["topk"]] == d.tolist()
+        assert [row["score"] for row in body["topk"]] == s.tolist()
+        assert all(row["content_sha256"] for row in body["topk"])
+        # repeat hits the LRU cache
+        with urllib.request.urlopen(url, timeout=30) as r:
+            _json.loads(r.read())
+        assert httpd.cached_search.cache_info().hits >= 1
+        # bad input -> 400
+        import urllib.error
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/api/search?k=5", timeout=30)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()
