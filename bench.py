@@ -117,7 +117,9 @@ def run_bench() -> dict:
 
     # --- documents-table pipelines --------------------------------------
     doc_path = os.path.join(SF_DIR, "documents.parquet")
-    if os.path.exists(doc_path):
+    if os.environ.get("GRAFT_BUILD_ONLY"):
+        doc_path = ""                      # scaling runs: headline job only
+    if doc_path and os.path.exists(doc_path):
         docs_idx = os.path.join(BENCH_ROOT, f"docs_index_cpus{NUM_CPUS}")
         shutil.rmtree(docs_idx, ignore_errors=True)
         t0 = time.time()
@@ -178,7 +180,7 @@ def run_bench() -> dict:
 
 
 def _run_once(n_cpus: int, n_files: int | None = None) -> dict:
-    env = dict(os.environ, RAY_GRAFT_CPUS=str(n_cpus))
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(n_cpus), GRAFT_BUILD_ONLY="1")
     if n_files is not None:
         env["GRAFT_N_FILES"] = str(n_files)
     out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,

@@ -302,12 +302,34 @@ def build_index(
             return g.rename_columns(["term", "df_p", "cf_p"])
 
         partials = tok.map_batches(partial_df_cf, batch_format="pyarrow",
-                                   batch_size=cfg.tokenize_batch_size)
-        terms = partials.groupby("term").aggregate(
-            Sum("df_p", alias_name="df"), Sum("cf_p", alias_name="cf")
-        )
-        with_ids = sorted_rank_dataset(terms, ["term"], "term_id")
-        with_ids.write_parquet(dict_dir, mode="overwrite")
+                                   batch_size=cfg.tokenize_batch_size).materialize()
+        if partials.count() <= 2_000_000:
+            # small-side fast path: the per-batch partials are already
+            # pre-aggregated, so the final merge is tiny — Ray's AllToAll
+            # groupby + sample sort carry ~5-10 s of fixed coordination
+            # that dominates small dictionaries and wrecks strong scaling
+            pt = pa.concat_tables(
+                [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows],
+                promote_options="default")
+            g = pt.group_by("term").aggregate([("df_p", "sum"), ("cf_p", "sum")])
+            g = g.rename_columns(["term", "df", "cf"])
+            order = pc.sort_indices(g.column("term"))
+            g = g.take(order)
+            import numpy as np
+
+            g = g.append_column(
+                "term_id",
+                pa.array(np.arange(g.num_rows, dtype=np.int64), type=pa.int64()))
+            os.makedirs(dict_dir, exist_ok=True)
+            for f in glob.glob(os.path.join(dict_dir, "*.parquet")):
+                os.remove(f)
+            pq.write_table(g, os.path.join(dict_dir, "dictionary_0.parquet"))
+        else:
+            terms = partials.groupby("term").aggregate(
+                Sum("df_p", alias_name="df"), Sum("cf_p", alias_name="cf")
+            )
+            with_ids = sorted_rank_dataset(terms, ["term"], "term_id")
+            with_ids.write_parquet(dict_dir, mode="overwrite")
         manifests.mark_phase_complete(
             index_dir, "dictionary", sem, inputs_hash, wall_sec=time.time() - t0
         )

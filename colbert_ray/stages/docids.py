@@ -35,14 +35,37 @@ def _append_range_column(t: pa.Table, name: str, offset: int) -> pa.Table:
 
 
 def sorted_rank_dataset(
-    ds: "ray.data.Dataset", sort_keys: list[str], id_col: str
+    ds: "ray.data.Dataset", sort_keys: list[str], id_col: str,
+    driver_threshold: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """Sort ``ds`` by ``sort_keys`` and append a dense global-rank column.
 
     The result's ``id_col`` is the 0-based rank under the sort — identical at
     any parallelism level (keys must be unique for full determinism).
+
+    Small inputs (<= ``driver_threshold`` rows — key projections, term
+    dictionaries) skip Ray's range-partitioned sample sort entirely: its
+    fixed coordination cost (~5 s regardless of size) dominates tiny sorts
+    and wrecks strong-scaling on small corpora. The driver sort uses
+    pyarrow ``sort_indices`` — the same UTF-8-byte ordering the distributed
+    sort produces, so ranks are identical on either path.
     """
-    mat = ds.sort(sort_keys).materialize()
+    import pyarrow.compute as pc
+
+    mat = ds.materialize()
+    if mat.count() <= driver_threshold:
+        tables = [t for t in ray.get(mat.to_arrow_refs()) if t.num_rows]
+        if not tables:
+            return mat
+        t = pa.concat_tables(tables, promote_options="default")
+        order = pc.sort_indices(
+            t, sort_keys=[(k, "ascending") for k in sort_keys])
+        t = t.take(order)
+        ids = np.arange(t.num_rows, dtype=np.int64)
+        return ray.data.from_arrow(
+            t.append_column(id_col, pa.array(ids, type=pa.int64())))
+
+    mat = mat.sort(sort_keys).materialize()
     refs = mat.to_arrow_refs()
     if not refs:
         return mat

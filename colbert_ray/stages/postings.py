@@ -179,17 +179,18 @@ class PostingCombiner(TermIdMapper):
 
 
 def encode_runs(
-    df: pd.DataFrame, cfg: EngineConfig, avgdl: float
+    df, cfg: EngineConfig, avgdl: float
 ) -> pa.Table:
     """Postings of ONE partition -> encoded segment rows (one per term_id,salt).
 
     Fully numpy: one lexsort + run-length split; per-run varint encode.
+    ``df`` is any column mapping (pandas DataFrame or dict of arrays).
     """
-    term_id = df["term_id"].to_numpy(dtype=np.int64)
-    salt = df["salt"].to_numpy(dtype=np.int32)
-    docid = df["docid"].to_numpy(dtype=np.int64)
-    tf = df["tf"].to_numpy(dtype=np.int64)
-    dl = df["dl"].to_numpy(dtype=np.int64)
+    term_id = np.asarray(df["term_id"], dtype=np.int64)
+    salt = np.asarray(df["salt"], dtype=np.int32)
+    docid = np.asarray(df["docid"], dtype=np.int64)
+    tf = np.asarray(df["tf"], dtype=np.int64)
+    dl = np.asarray(df["dl"], dtype=np.int64)
 
     order = np.lexsort((docid, salt, term_id))
     term_id, salt, docid, tf, dl = (
@@ -241,25 +242,32 @@ def make_segment_writer(
     is identical either way — readers concatenate and re-sort all files."""
     sem_hash = cfg.semantic_hash()
 
-    def _decode_miniruns(group: pd.DataFrame) -> pd.DataFrame:
-        """Mini-run rows -> per-posting arrays (reduce-side of the SPIMI
-        combiner), decoded in ONE bulk varint pass per column. Mini-runs of
-        one (term_id, salt) from different map tasks interleave in docid;
-        encode_runs re-sorts by docid exactly."""
+    def _decode_miniruns(group: pa.Table) -> dict:
+        """Mini-run rows (Arrow) -> per-posting numpy column dict (reduce
+        side of the SPIMI combiner), decoded in ONE bulk varint pass per
+        column — no pandas materialization (DataFrame consolidation was
+        ~40% of the encode task's wall). Mini-runs of one (term_id, salt)
+        from different map tasks interleave in docid; encode_runs re-sorts
+        by docid exactly."""
         from colbert_ray.functions.codec import varint_decode_segmented
 
-        ns = group["n"].to_numpy(dtype=np.int64)
-        term_id = np.repeat(group["term_id"].to_numpy(dtype=np.int64), ns)
-        salt = np.repeat(group["salt"].to_numpy(dtype=np.int32), ns)
-        gaps = varint_decode_segmented(group["docids_bin"].tolist(), ns).astype(np.int64)
+        ns = group.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        term_id = np.repeat(
+            group.column("term_id").to_numpy(zero_copy_only=False).astype(np.int64), ns)
+        salt = np.repeat(
+            group.column("salt").to_numpy(zero_copy_only=False).astype(np.int32), ns)
+        gaps = varint_decode_segmented(
+            group.column("docids_bin").to_pylist(), ns).astype(np.int64)
         g_cum = np.cumsum(gaps)
         run_start = np.concatenate([[0], np.cumsum(ns)[:-1]]).astype(np.int64)
         base = np.where(run_start > 0, g_cum[run_start - 1], 0)
         docid = g_cum - np.repeat(base, ns)
-        tf = varint_decode_segmented(group["tfs_bin"].tolist(), ns).astype(np.int64)
-        dl = varint_decode_segmented(group["dls_bin"].tolist(), ns).astype(np.int64)
-        return pd.DataFrame({"term_id": term_id, "salt": salt,
-                             "docid": docid, "tf": tf, "dl": dl})
+        tf = varint_decode_segmented(
+            group.column("tfs_bin").to_pylist(), ns).astype(np.int64)
+        dl = varint_decode_segmented(
+            group.column("dls_bin").to_pylist(), ns).astype(np.int64)
+        return {"term_id": term_id, "salt": salt,
+                "docid": docid, "tf": tf, "dl": dl}
 
     def write_part(part: int, runs: pa.Table) -> dict:
         n_postings = int(pc.sum(runs.column("n")).as_py() or 0)
@@ -297,8 +305,7 @@ def make_segment_writer(
             fname = (f"part_{part:05d}.parquet" if n_chunks == 1
                      else f"part_{part:05d}.c{c:02d}.parquet")
             fpath = os.path.join(seg_dir, fname)
-            seg = encode_runs(
-                _decode_miniruns(chunk.to_pandas()), cfg, avgdl)
+            seg = encode_runs(_decode_miniruns(chunk), cfg, avgdl)
             tmp = fpath + ".tmp"
             pq.write_table(seg, tmp, compression="zstd")
             os.replace(tmp, fpath)
