@@ -125,6 +125,35 @@ def merge_rankings(
     return ds.groupby("qid").map_groups(rerank, batch_format="pandas")
 
 
+def split_ranking_by_queryset(
+    ranking: "ray.data.Dataset", querysets: dict[str, "object"]
+) -> dict[str, "ray.data.Dataset"]:
+    """Split one ranking into per-queryset rankings by qid membership
+    (J7, ``utility/rankings/split_by_queryset.py`` analog). Each queryset's
+    qids are broadcast once (sorted array) and every batch does a
+    vectorized membership test — rows whose qid is in no set are dropped.
+    """
+    import ray as _ray
+
+    refs = {
+        name: _ray.put(np.sort(np.asarray(list(qids), dtype=np.int64)))
+        for name, qids in querysets.items()
+    }
+
+    def make_filter(ref):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            allowed = _ray.get(ref)
+            keep = np.isin(batch["qid"].to_numpy(dtype=np.int64), allowed)
+            return batch[keep]
+
+        return fn
+
+    return {
+        name: ranking.map_batches(make_filter(ref), batch_format="pandas")
+        for name, ref in refs.items()
+    }
+
+
 def split_dataset(
     ds: "ray.data.Dataset", proportions: list[float], seed: int = 12345
 ) -> list["ray.data.Dataset"]:

@@ -156,8 +156,10 @@ def search_sharded(
     from colbert_ray.state.decoded import DecodedIndex  # noqa: F401  (doc ref)
 
     hi = max(n_docs_total, 1)
-    # include any delta-appended docids
-    bounds = np.linspace(0, hi * 2, n_shards + 1).astype(np.int64)
+    # equal-width ranges over the base corpus; the LAST shard's upper bound
+    # is +inf so delta-appended docids (> n_docs) route there instead of
+    # falling outside every shard
+    bounds = np.linspace(0, hi, n_shards + 1).astype(np.int64)
     bounds[-1] = np.iinfo(np.int64).max
     if isinstance(queries, pa.Table):
         queries_tbl = queries

@@ -241,3 +241,18 @@ class TestCompaction:
         after = search_table(queries, d, k=10).to_pandas()
         pd.testing.assert_frame_equal(before, after)   # logical equivalence
         assert seg_files_before > 1
+
+
+class TestSplitByQueryset:
+    def test_split_partitions_and_drops_unlisted(self):
+        """J7: rows route to their queryset; qids in no set are dropped;
+        the two splits partition the listed rows exactly."""
+        ranking = ray.data.from_arrow(_ranking_table())
+        out = ev.split_ranking_by_queryset(
+            ranking, {"dev": [0], "test": [1, 99]})
+        dev = out["dev"].to_pandas()
+        test = out["test"].to_pandas()
+        assert set(dev["qid"]) == {0} and len(dev) == 3
+        assert set(test["qid"]) == {1} and len(test) == 2
+        only = ev.split_ranking_by_queryset(ranking, {"none": [42]})
+        assert len(only["none"].to_pandas()) == 0
