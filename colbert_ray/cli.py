@@ -4,6 +4,7 @@
     python -m colbert_ray.cli search --index DIR --queries PATH [--k 10] [--out DIR]
     python -m colbert_ray.cli eval   --ranking DIR --qrels PATH
     python -m colbert_ray.cli compact --index DIR
+    python -m colbert_ray.cli serve  --index DIR [--port 8893]
 
 On a cluster this module is the job driver:
 ``ray job submit -- python -m colbert_ray.cli build ...`` — ``ray.init()``
@@ -56,7 +57,20 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact", help="coalesce segments into one file")
     c.add_argument("--index", required=True)
 
+    v = sub.add_parser("serve", help="HTTP search endpoint (see colbert_ray.server)")
+    v.add_argument("--index", required=True)
+    v.add_argument("--port", type=int, default=8893)
+    v.add_argument("--k", type=int, default=10)
+    v.add_argument("--no-sha", action="store_true")
+
     args = p.parse_args(argv)
+    if args.cmd == "serve":
+        # serving needs no Ray session: the scorer mmap-opens the artifact
+        from colbert_ray.server import main as serve_main
+
+        argv2 = ["--index", args.index, "--port", str(args.port),
+                 "--k", str(args.k)] + (["--no-sha"] if args.no_sha else [])
+        return serve_main(argv2)
     _ensure_ray()
 
     from colbert_ray.config import EngineConfig

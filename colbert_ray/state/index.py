@@ -1,134 +1,23 @@
-"""Index artifacts reader + exact BM25 scorer (the query-serving state).
+"""Exact BM25 scorer — the query-serving state (T3).
 
 Analog of the reference's ``IndexScorer`` / ``IndexLoader`` stack
 (``colbert/search/index_loader.py:13-66``, ``index_storage.py:20-30``):
-loaded ONCE per query-serving actor (actor-pool ``__init__``), then reused
-across query batches. Posting runs are decoded on demand (decompress
-analog, ``residual.py:240-276``); candidate pruning is an exact MaxScore
-bound (the classical analog of PLAID's two-stage centroid pruning,
-``index_storage.py:111-194`` — ours is provably lossless for top-k).
+the index is opened ONCE per query-serving actor (actor-pool ``__init__``
+mmap-opens the serve artifact via ``DecodedIndex.load_cached``), then
+reused across query batches. Candidate pruning is exact BLOCK-MAX MaxScore
+(the classical analog of PLAID's two-stage centroid pruning,
+``index_storage.py:111-194`` / ``filter_pids.cpp:27-170`` — ours is
+provably lossless for top-k).
 """
 
 from __future__ import annotations
 
-import glob
-import json
-import os
-
 import numpy as np
 import pyarrow as pa
-import pyarrow.dataset as pads
-import pyarrow.parquet as pq
 
-from colbert_ray.config import EngineConfig
-from colbert_ray.functions.bm25 import idf, tf_saturation, topk_with_ties
-from colbert_ray.functions.codec import decode_tfs, delta_decode_docids
+from colbert_ray.functions.bm25 import topk_with_ties
 from colbert_ray.functions.tokenizer import tokenize_query
 from colbert_ray.functions.util import search_defaults_for_k
-
-
-class IndexReader:
-    """mmap-style loader of dictionary + doclens + posting segments."""
-
-    def __init__(self, index_dir: str):
-        self.index_dir = index_dir
-        with open(os.path.join(index_dir, "metadata.json")) as f:
-            self.meta = json.load(f)
-        self.cfg = EngineConfig.from_dict(self.meta["config"])
-        self.n_docs = int(self.meta["n_docs"])
-        self.avgdl = float(self.meta["avgdl"])
-
-        # dictionary: sorted term array -> (term_id, df)
-        dt = pads.dataset(os.path.join(index_dir, "dictionary")).to_table(
-            columns=["term", "term_id", "df"]
-        )
-        order = np.argsort(dt.column("term").to_numpy(zero_copy_only=False), kind="stable")
-        self.dict_terms = dt.column("term").to_numpy(zero_copy_only=False)[order]
-        self.dict_term_ids = dt.column("term_id").to_numpy(zero_copy_only=False)[order]
-        self.dict_dfs = dt.column("df").to_numpy(zero_copy_only=False)[order]
-
-        # doc metadata: doclen (+ sha256) addressed by docid
-        docs = pads.dataset(os.path.join(index_dir, "docmeta")).to_table(
-            columns=["docid", "doclen", "content_sha256"]
-        )
-        docids = docs.column("docid").to_numpy(zero_copy_only=False)
-        self._max_docid = int(docids.max()) if len(docids) else -1
-        self.doclens = np.zeros(self._max_docid + 1, dtype=np.int64)
-        self.doclens[docids] = docs.column("doclen").to_numpy(zero_copy_only=False)
-        sha = np.asarray(docs.column("content_sha256").to_numpy(zero_copy_only=False))
-        self.sha256 = np.empty(self._max_docid + 1, dtype=object)
-        self.sha256[docids] = sha
-
-        self._postings_cache: dict = {}
-        self._postings_cached = 0
-
-        # posting runs: term_id -> row indices (salt-ordered) into run arrays
-        seg_files = sorted(glob.glob(os.path.join(index_dir, "segments", "part_*.parquet")))
-        tables = [pq.read_table(f) for f in seg_files]
-        seg = pa.concat_tables(tables) if tables else None
-        if seg is not None and seg.num_rows:
-            tid = seg.column("term_id").to_numpy(zero_copy_only=False)
-            salt = seg.column("salt").to_numpy(zero_copy_only=False)
-            order = np.lexsort((salt, tid))
-            self.run_term_ids = tid[order]
-            self.run_n = seg.column("n").to_numpy(zero_copy_only=False)[order]
-            docb = seg.column("docids_bin")
-            tfb = seg.column("tfs_bin")
-            self.run_docids_bin = [docb[int(i)].as_py() for i in order]
-            self.run_tfs_bin = [tfb[int(i)].as_py() for i in order]
-            self.run_max_tfsat = seg.column("max_tfsat").to_numpy(zero_copy_only=False)[order]
-        else:
-            self.run_term_ids = np.empty(0, dtype=np.int64)
-            self.run_n = np.empty(0, dtype=np.int64)
-            self.run_docids_bin = []
-            self.run_tfs_bin = []
-            self.run_max_tfsat = np.empty(0, dtype=np.float64)
-
-    def lookup_terms(self, terms: list[str]):
-        """terms -> (term_id, df) arrays; OOV terms dropped (df=0 contributes 0
-        in the reference convention as well — absent posting list)."""
-        if not terms:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-        t = np.asarray(terms, dtype=object)
-        pos = np.searchsorted(self.dict_terms, t)
-        pos_c = np.clip(pos, 0, len(self.dict_terms) - 1)
-        hit = (len(self.dict_terms) > 0) & (self.dict_terms[pos_c] == t)
-        return self.dict_term_ids[pos_c[hit]], self.dict_dfs[pos_c[hit]]
-
-    # decoded-postings cache: query workloads reuse the same (few thousand)
-    # hot terms constantly; cap by decoded postings count so a shard-sized
-    # actor heap is respected (T3 mmap analog: decode once, reuse)
-    _CACHE_MAX_POSTINGS = 32_000_000
-
-    def postings(self, term_id: int) -> tuple[np.ndarray, np.ndarray]:
-        """Decoded (docids, tfs) for one term — salted runs concatenated in
-        salt order (docid-range salting => already globally docid-sorted).
-        Results are cached (read-only arrays) up to a posting budget."""
-        hit = self._postings_cache.get(term_id)
-        if hit is not None:
-            return hit
-        lo = np.searchsorted(self.run_term_ids, term_id, side="left")
-        hi = np.searchsorted(self.run_term_ids, term_id, side="right")
-        if hi == lo:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-        docid_parts, tf_parts = [], []
-        for i in range(lo, hi):
-            n = int(self.run_n[i])
-            docid_parts.append(delta_decode_docids(self.run_docids_bin[i], n))
-            tf_parts.append(decode_tfs(self.run_tfs_bin[i], n))
-        docids = np.concatenate(docid_parts)
-        tfs = np.concatenate(tf_parts)
-        docids.setflags(write=False)
-        tfs.setflags(write=False)
-        if self._postings_cached + len(docids) <= self._CACHE_MAX_POSTINGS:
-            self._postings_cache[term_id] = (docids, tfs)
-            self._postings_cached += len(docids)
-        return docids, tfs
-
-    def term_max_tfsat(self, term_id: int) -> float:
-        lo = np.searchsorted(self.run_term_ids, term_id, side="left")
-        hi = np.searchsorted(self.run_term_ids, term_id, side="right")
-        return float(self.run_max_tfsat[lo:hi].max()) if hi > lo else 0.0
 
 
 class BM25Scorer:
