@@ -104,6 +104,20 @@ def run_bench() -> dict:
     timings["code_search1000"] = round(time.time() - t0, 3)
     extras["rankings_sha"] = _rankings_sha(res.to_pandas())
 
+    # persistent-session serving: spawn cost paid once (Searcher analog)
+    from colbert_ray.pipelines.search import SearchSession
+
+    t0 = time.time()
+    sess = SearchSession(idx, k=K, with_sha=False,
+                         n_actors=max(2, min(12, NUM_CPUS - 2)))
+    sess.search_table(queries_t)
+    timings["code_search1000_session_cold"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    res_warm = sess.search_table(queries_t)
+    timings["code_search1000_session_warm"] = round(time.time() - t0, 3)
+    assert _rankings_sha(res_warm.to_pandas()) == extras["rankings_sha"]
+    sess.close()
+
     # --- single-query p95 latency (loaded scorer, sequential) ----------
     scorer = BM25Scorer(idx, k=K, with_sha=False)
     texts = queries_t.column("query").to_pylist()[:200]

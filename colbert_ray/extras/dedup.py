@@ -240,13 +240,17 @@ def minhash_lsh_pairs(
         base.map_batches(sigs, batch_format="pyarrow")
         .groupby(["band", "band_hash"])
         .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["id_a", "id_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")  # pair distinct
     )
 
     # verify stage: ONE hash join of the exploded pair-halves against the
     # packed shingle codes (ids + codes through the join; never the text,
-    # never a broadcast), then groupby(pair) reassembles both halves.
+    # never a broadcast). Pairs are then reassembled per HASH BUCKET — not
+    # per pair — so the candidate set is processed in ~n_pair_buckets
+    # vectorized pandas merges instead of one Python call per pair; the
+    # same bucket pass drops duplicate candidates (a pair collides in
+    # several bands), so no separate pair-distinct shuffle is needed.
+    n_pair_buckets = 256
+
     def codes_tbl(batch: pa.Table) -> pa.Table:
         return pa.table({
             id_col: batch.column(id_col),
@@ -260,40 +264,47 @@ def minhash_lsh_pairs(
     def explode_pairs(batch: pa.Table) -> pa.Table:
         a = batch.column("id_a").to_numpy(zero_copy_only=False)
         b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        bucket = ((a * np.int64(1000003) + b) % n_pair_buckets).astype(np.int32)
         return pa.table({
             id_col: pa.array(np.concatenate([a, b]).astype(np.int64)),
             "id_a": pa.array(np.concatenate([a, a]).astype(np.int64)),
             "id_b": pa.array(np.concatenate([b, b]).astype(np.int64)),
             "side": pa.array(np.repeat(np.array([0, 1], dtype=np.int32),
                                        len(a))),
+            "pair_bucket": pa.array(np.concatenate([bucket, bucket])),
         })
 
     halves = candidates.map_batches(explode_pairs, batch_format="pyarrow")
     joined = halves.join(codes, join_type="inner", on=(id_col,),
                          num_partitions=num_partitions)
 
-    def verify_group(g: pd.DataFrame) -> pd.DataFrame:
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
                               "id_b": pd.Series(dtype=np.int64),
                               "jaccard": pd.Series(dtype=np.float64)})
-        by_side = {int(s): c for s, c in zip(g["side"], g["codes_bin"])}
-        if 0 not in by_side or 1 not in by_side:
+        g = g.drop_duplicates(subset=["id_a", "id_b", "side"])
+        merged = g[g["side"] == 0].merge(
+            g[g["side"] == 1], on=["id_a", "id_b"], suffixes=("_a", "_b"))
+        out_a, out_b, out_j = [], [], []
+        for ia, ib, ca, cb in zip(merged["id_a"], merged["id_b"],
+                                  merged["codes_bin_a"], merged["codes_bin_b"]):
+            sa = np.frombuffer(ca, dtype=np.uint64)
+            sb = np.frombuffer(cb, dtype=np.uint64)
+            if len(sa) == 0 or len(sb) == 0:
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac = inter / union if union else 0.0
+            if jac >= threshold:
+                out_a.append(int(ia)); out_b.append(int(ib)); out_j.append(jac)
+        if not out_a:
             return empty
-        sa = np.frombuffer(by_side[0], dtype=np.uint64)
-        sb = np.frombuffer(by_side[1], dtype=np.uint64)
-        if len(sa) == 0 or len(sb) == 0:
-            return empty
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        union = len(sa) + len(sb) - inter
-        jac = inter / union if union else 0.0
-        if jac < threshold:
-            return empty
-        return pd.DataFrame({"id_a": [int(g["id_a"].iloc[0])],
-                             "id_b": [int(g["id_b"].iloc[0])],
-                             "jaccard": [jac]})
+        return pd.DataFrame({"id_a": np.array(out_a, dtype=np.int64),
+                             "id_b": np.array(out_b, dtype=np.int64),
+                             "jaccard": np.array(out_j, dtype=np.float64)})
 
-    return joined.groupby(["id_a", "id_b"]).map_groups(
-        verify_group, batch_format="pandas")
+    return joined.groupby("pair_bucket").map_groups(
+        verify_bucket, batch_format="pandas")
 
 
 def simhash(ds: "ray.data.Dataset", text_col: str = "text",

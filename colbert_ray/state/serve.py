@@ -195,6 +195,13 @@ def write_serve_artifact(index_dir: str, parallel: bool = True) -> dict:
     n_terms = int(meta["n_terms"])
     sdir = os.path.join(index_dir, SERVE_DIR)
     os.makedirs(sdir, exist_ok=True)
+    # invalidate FIRST: a crash mid-rebuild must never leave a still-valid
+    # manifest pointing at half-overwritten arrays (manifest is rewritten
+    # atomically as the last step)
+    try:
+        os.remove(os.path.join(sdir, "manifest.json"))
+    except FileNotFoundError:
+        pass
 
     # ---- global placement from run metadata (small columns only) -------
     # every run of every file gets its global destination from ONE lexsort

@@ -273,3 +273,22 @@ def test_http_server_endpoint(built):
             assert e.code == 400
     finally:
         httpd.shutdown()
+
+
+def test_search_session_matches_batch_search(built):
+    """Persistent-actor session (Searcher analog) returns the same ranking
+    as the per-call Ray Data pool, across repeated calls."""
+    from colbert_ray.pipelines.search import SearchSession
+
+    _, queries_path, index_dir = built
+    queries = pq.read_table(queries_path).slice(0, 10)
+    want = search_table(queries, index_dir, k=10).to_pandas()
+    sess = SearchSession(index_dir, k=10, n_actors=3)
+    try:
+        got1 = sess.search_table(queries).to_pandas()
+        got2 = sess.search_table(queries).to_pandas()   # reuse, no respawn
+    finally:
+        sess.close()
+    pd.testing.assert_frame_equal(
+        got1[want.columns].reset_index(drop=True), want)
+    pd.testing.assert_frame_equal(got2, got1)
