@@ -480,7 +480,7 @@ scores AS (
   CROSS JOIN stats s
   GROUP BY q.qid, tf.doc_id
 )
-SELECT qid, docid,
+SELECT qid::BIGINT AS qid, docid,
        row_number() OVER (PARTITION BY qid ORDER BY round(score, 6) DESC, docid) AS rank,
        round(score, 6) AS score_r
 FROM scores

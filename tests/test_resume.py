@@ -88,3 +88,34 @@ def test_config_change_invalidates_resume(small_fixture, tmp_path_factory):
     assert "segments" in r["phases"]       # semantic change -> rebuilt
     with open(os.path.join(d, "metadata.json")) as f:
         assert f and json.load(f)["config"]["k1"] == 2.0
+
+
+def test_serve_phase_rebuilds_after_crash(small_fixture, tmp_path_factory):
+    """A crash during the serve-artifact write leaves no valid manifest;
+    re-running the build rebuilds ONLY the serve phase and serving works."""
+    import pyarrow.parquet as pq
+
+    from colbert_ray.pipelines.build import build_index
+    from colbert_ray.pipelines.search import search_table
+    from colbert_ray.state.serve import serve_valid
+
+    corpus_dir, queries_path = small_fixture
+    d = str(tmp_path_factory.mktemp("idx_serve_resume"))
+    cfg = EngineConfig(salt_max_run=20, num_term_partitions=8)
+    build_index(corpus_dir, d, cfg)
+    before = search_table(pq.read_table(queries_path).slice(0, 5), d, k=5).to_pandas()
+
+    # simulate mid-write crash: manifest gone, one array torn
+    os.remove(os.path.join(d, "serve", "manifest.json"))
+    with open(os.path.join(d, "serve", "posting_docids.npy"), "r+b") as f:
+        f.truncate(128)
+    assert not serve_valid(d)
+
+    report = build_index(corpus_dir, d, cfg)   # resume
+    assert list(report["phases"].keys()) == ["serve"]   # only serve reran
+    assert serve_valid(d)
+    import os as _os
+    _os.utime(os.path.join(d, "metadata.json"))  # drop the load cache
+    after = search_table(pq.read_table(queries_path).slice(0, 5), d, k=5).to_pandas()
+    import pandas as pd
+    pd.testing.assert_frame_equal(before, after)
