@@ -237,7 +237,8 @@ def build_index(
         os.makedirs(tok_dir, exist_ok=True)
         ds.write_parquet(tok_dir, mode="overwrite")
         manifests.mark_phase_complete(
-            index_dir, "tokenize", sem, inputs_hash, wall_sec=time.time() - t0
+            index_dir, "tokenize", sem, inputs_hash, wall_sec=time.time() - t0,
+            ray_stats=ds.stats()[:4000],
         )
         report["phases"]["tokenize"] = time.time() - t0
 
@@ -390,7 +391,8 @@ def build_index(
             mapped.write_parquet(spill_dir, partition_cols=["part"],
                                  mode="overwrite")
             manifests.mark_phase_complete(index_dir, "spill", sem, inputs_hash,
-                                          wall_sec=time.time() - t0)
+                                          wall_sec=time.time() - t0,
+                                          ray_stats=mapped.stats()[:4000])
         if todo:
             writer = make_segment_writer(seg_dir, cfg, stats["avgdl"], inputs_hash)
 
