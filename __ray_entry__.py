@@ -50,6 +50,8 @@ QUERY_SET: list[tuple[int, str]] = [
 ]
 
 KNN_QUERY_IDS = [0, 1, 2, 3, 4]
+EMB_DUP_MAX_ID = 200
+EMB_DUP_THRESHOLD = 0.3          # rounded-cosine threshold (float policy)
 JACCARD_MAX_ID = 200
 JACCARD_THRESHOLD_NUM = 6      # threshold = 6/10, tested in exact integer
 JACCARD_THRESHOLD_DEN = 10     # arithmetic on both sides
@@ -218,6 +220,19 @@ def _q_knn_cosine_top5(sf_dir: str) -> pd.DataFrame:
     df = ds.to_pandas()
     out = _rerank_rounded(df, "cosine", "vec_id", 5)
     return out[["qid", "vec_id", "rank", "cosine"]].rename(columns={"cosine": "cosine_r"})
+
+
+def _q_embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    ds = x_sim.embedding_dup_pairs(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        threshold=EMB_DUP_THRESHOLD, max_id=EMB_DUP_MAX_ID)
+    df = ds.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                             "id_b": pd.Series(dtype=np.int64),
+                             "cosine_r": pd.Series(dtype=np.float64)})
+    df = df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return df.rename(columns={"cosine": "cosine_r"})
 
 
 def _q_pricing_summary(sf_dir: str) -> pd.DataFrame:
@@ -418,6 +433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_doc_counts": _q_lang_doc_counts,
         "jaccard_dup_pairs": _q_jaccard_dup_pairs,
         "knn_cosine_top5": _q_knn_cosine_top5,
+        "embedding_dup_pairs": _q_embedding_dup_pairs,
         "retrieval_metrics": _q_retrieval_metrics,
         "pricing_summary": _q_pricing_summary,
         "events_hourly": _q_events_hourly,
@@ -735,6 +751,20 @@ FROM documents GROUP BY lang ORDER BY lang
 """,
         "jaccard_dup_pairs": _jaccard_sql(),
         "knn_cosine_top5": _knn_sql(),
+        "embedding_dup_pairs": f"""
+WITH t AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < {EMB_DUP_MAX_ID}
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.v, b.v), 6) AS cosine_r
+  FROM t a JOIN t b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine_r FROM p
+WHERE cosine_r >= {EMB_DUP_THRESHOLD}
+ORDER BY id_a, id_b
+""",
         "retrieval_metrics": _metrics_sql(),
         "fingerprints": _fingerprint_sql(),
         "simhash64": _simhash_sql(),

@@ -204,7 +204,10 @@ def embedding_dup_pairs(
         r_ids, r_m = ray.get(ref)
         m = _normalize(_stack(batch, vec_col))
         b_ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        sims = m @ r_m.T
+        # threshold on the ROUNDED cosine (float policy: both engine and
+        # oracle compare 6-decimal-rounded values, so summation-order ulps
+        # cannot flip a pair's membership)
+        sims = np.round(m @ r_m.T, 6)
         bi, ri = np.nonzero((sims >= threshold) & (b_ids[:, None] < r_ids[None, :]))
         return pa.table({"id_a": pa.array(b_ids[bi]),
                          "id_b": pa.array(r_ids[ri]),
