@@ -370,6 +370,25 @@ def _q_media_features(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _q_video_frame_sample(sf_dir: str) -> pd.DataFrame:
+    """Multimodal frame-sampling plumbing (decode stubbed per brief):
+    documents' bytes as opaque 'video' payloads -> one row per sampled
+    frame. Deterministic; rows-only check."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from colbert_ray.extras.multimodal import make_payload_table, sample_video_frames
+
+    t = pq.read_table(_doc_path(sf_dir, "documents"), columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)[:128]
+    blobs = [s.encode() for s in t.column("text").to_pylist()[:128]]
+    payloads = ray.data.from_arrow(
+        make_payload_table(ids, blobs, media_type="video"))
+    df = sample_video_frames(payloads, stride=4, max_frames=4).to_pandas()
+    df["frame_mean"] = df["frame_mean"].round(6)
+    return df.sort_values(["item_id", "frame_idx"]).reset_index(drop=True)
+
+
 def _q_code_corpus_rankings(sf_dir: str) -> pd.DataFrame:
     """Flagship end-to-end on the input_hint-shaped CODE corpus (generated
     deterministically — the testdata star schema has no such table). Scale of
@@ -446,6 +465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dup_pairs": _q_minhash_dup_pairs,
         "ivf_knn_top5": _q_ivf_knn_top5,
         "media_features": _q_media_features,
+        "video_frame_sample": _q_video_frame_sample,
         "code_corpus_rankings": _q_code_corpus_rankings,
     }
 

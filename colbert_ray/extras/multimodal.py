@@ -126,3 +126,102 @@ def extract_media_features(
         concurrency=concurrency,
         zero_copy_batch=True,
     )
+
+
+class FakeVideoDecoder:
+    """STUB video decode: a payload 'decodes' to n_frames 8x8x3 frames
+    seeded by (payload digest, frame index). Real impl: ffmpeg/pyav."""
+
+    def n_frames(self, payload: bytes) -> int:
+        return 4 + len(payload) % 28          # 4..31 fake frames
+
+    def decode_frame(self, payload: bytes, i: int) -> np.ndarray:
+        seed = int.from_bytes(
+            hashlib.blake2b(payload + i.to_bytes(4, "little"),
+                            digest_size=8).digest(), "little")
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+
+
+class FrameSampler:
+    """Actor-pool stage: sample every ``stride``-th frame of each video
+    payload and emit one ROW PER SAMPLED FRAME (flat_map-shaped output —
+    downstream stages treat frames as independent items). Decoder loads
+    once per actor; only sampled frames are decoded (the real-decoder
+    contract: seek, don't scan)."""
+
+    def __init__(self, stride: int = 4, max_frames: int = 8):
+        self.decoder = FakeVideoDecoder()
+        self.stride = stride
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("item_id").to_numpy(zero_copy_only=False)
+        payloads = batch.column("payload").to_pylist()
+        out_id, out_fi, out_mean = [], [], []
+        for item, p in zip(ids, payloads):
+            total = self.decoder.n_frames(p)
+            picks = list(range(0, total, self.stride))[: self.max_frames]
+            for fi in picks:
+                px = self.decoder.decode_frame(p, fi)
+                out_id.append(int(item))
+                out_fi.append(fi)
+                out_mean.append(float(px.mean()))
+        return pa.table({
+            "item_id": pa.array(out_id, type=pa.int64()),
+            "frame_idx": pa.array(out_fi, type=pa.int32()),
+            "frame_mean": pa.array(out_mean, type=pa.float64()),
+        })
+
+
+def sample_video_frames(
+    ds: "ray.data.Dataset", stride: int = 4, max_frames: int = 8,
+    concurrency: int = 2, batch_size: int = 16,
+) -> "ray.data.Dataset":
+    """Video payload table -> sampled-frame rows (1 row per frame)."""
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"stride": stride, "max_frames": max_frames},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, zero_copy_batch=True,
+    )
+
+
+class AudioFeatureExtractor:
+    """Actor-pool stage: fixed-size 'audio' features. The stub treats the
+    payload bytes as int16-ish samples and computes real DSP-lite features
+    (RMS energy per of 8 equal windows + zero-crossing rate) — these are
+    genuine vectorized computations over the payload; only the CODEC
+    (compressed-audio decode) is stubbed as identity."""
+
+    N_WINDOWS = 8
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("item_id").to_numpy(zero_copy_only=False)
+        payloads = batch.column("payload").to_pylist()
+        feats, zcrs, n_samples = [], [], []
+        for p in payloads:
+            buf = p[: len(p) - len(p) % 2]
+            x = (np.frombuffer(buf, dtype=np.int16).astype(np.float64)
+                 if buf else np.zeros(2))
+            n = len(x)
+            n_samples.append(n)
+            pad = (-n) % self.N_WINDOWS
+            xw = np.pad(x, (0, pad)).reshape(self.N_WINDOWS, -1)
+            feats.append(np.sqrt((xw ** 2).mean(axis=1)).astype(np.float32).tolist())
+            zcrs.append(float((np.diff(np.signbit(x)) != 0).mean()) if n > 1 else 0.0)
+        return pa.table({
+            "item_id": pa.array(ids.astype(np.int64)),
+            "n_samples": pa.array(np.array(n_samples, dtype=np.int64)),
+            "rms_windows": pa.array(feats, type=pa.list_(pa.float32())),
+            "zero_crossing_rate": pa.array(np.array(zcrs, dtype=np.float64)),
+        })
+
+
+def extract_audio_features(
+    ds: "ray.data.Dataset", concurrency: int = 2, batch_size: int = 64
+) -> "ray.data.Dataset":
+    return ds.map_batches(
+        AudioFeatureExtractor, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency, zero_copy_batch=True,
+    )

@@ -241,3 +241,44 @@ class TestMultimodal:
         out = MediaFeatureExtractor()(t)
         assert out.column("decoded").to_pylist() == [False]
         assert out.column("n_bytes").to_pylist() == [11]
+
+
+class TestMultimodalVideoAudio:
+    def test_frame_sampling_deterministic_and_strided(self):
+        from colbert_ray.extras.multimodal import (
+            FakeVideoDecoder,
+            make_payload_table,
+            sample_video_frames,
+        )
+
+        blobs = [bytes(range(50)), b"x" * 200]
+        t = make_payload_table(np.array([7, 8]), blobs, media_type="video")
+        ds = ray.data.from_arrow(t)
+        out = sample_video_frames(ds, stride=4, max_frames=3).to_pandas()
+        dec = FakeVideoDecoder()
+        for item, blob in ((7, blobs[0]), (8, blobs[1])):
+            rows = out[out.item_id == item].sort_values("frame_idx")
+            picks = list(range(0, dec.n_frames(blob), 4))[:3]
+            assert rows["frame_idx"].tolist() == picks
+            # deterministic: frame mean matches a direct decode
+            assert rows["frame_mean"].tolist() == [
+                float(dec.decode_frame(blob, i).mean()) for i in picks]
+        out2 = sample_video_frames(ray.data.from_arrow(t).repartition(2),
+                                   stride=4, max_frames=3).to_pandas()
+        assert sorted(map(tuple, out2.values.tolist())) == \
+            sorted(map(tuple, out.values.tolist()))
+
+    def test_audio_features_shapes_and_values(self):
+        from colbert_ray.extras.multimodal import (
+            extract_audio_features,
+            make_payload_table,
+        )
+
+        x = np.arange(-50, 50, dtype=np.int16).tobytes()
+        t = make_payload_table(np.array([1, 2]), [x, b""], media_type="audio")
+        out = extract_audio_features(ray.data.from_arrow(t)).to_pandas()
+        out = out.sort_values("item_id").reset_index(drop=True)
+        assert out["n_samples"].tolist()[0] == 100
+        assert len(out["rms_windows"][0]) == 8
+        # one sign change in the ramp -> zcr = 1/99
+        assert out["zero_crossing_rate"][0] == pytest.approx(1 / 99)
