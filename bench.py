@@ -118,6 +118,59 @@ def run_bench() -> dict:
     assert _rankings_sha(res_warm.to_pandas()) == extras["rankings_sha"]
     sess.close()
 
+    # --- block-max pruning micro-bench ---------------------------------
+    # the headline fixture's tiny vocabulary (every term ultra-common)
+    # bails MaxScore to the dense path by design; this corpus has the
+    # realistic shape (2000-term Zipf vocabulary + per-file identifiers)
+    # where two-stage pruning pays. Queries mix selective medium-df terms
+    # with common ones. Corpus AND index are cached across runs (resume
+    # makes the rebuild a no-op); only query latency is measured.
+    prune_idx = os.path.join(BENCH_ROOT, "prune_corpus", "index")
+    prune_corpus = os.path.join(BENCH_ROOT, "prune_corpus", "docs.parquet")
+    if not os.path.exists(prune_corpus):
+        import pyarrow as pa
+
+        rng = np.random.default_rng(4242)
+        v_sz = 2000
+        vocab = np.array([f"w{i}" for i in range(v_sz)], dtype=object)
+        zipf_p = 1.0 / np.arange(1, v_sz + 1) ** 1.1
+        zipf_p /= zipf_p.sum()
+        draws = rng.choice(v_sz, size=(60_000, 60), p=zipf_p)
+        texts = [
+            " ".join(vocab[row]) + " "
+            + " ".join(f"id{i}x{j}" for j in range(4))
+            for i, row in enumerate(draws)
+        ]
+        os.makedirs(os.path.dirname(prune_corpus), exist_ok=True)
+        pq.write_table(pa.table({
+            "repo": pa.array(["r"] * len(texts)),
+            "path": pa.array([f"{i:06d}.py" for i in range(len(texts))]),
+            "commit": pa.array(["c"] * len(texts)),
+            "lang": pa.array(["py"] * len(texts)),
+            "content": pa.array(texts),
+        }), prune_corpus)
+    build_index(prune_corpus, prune_idx, cfg)   # resume: no-op when cached
+    rng = np.random.default_rng(99)
+    prune_queries = [
+        f"w{int(rng.integers(800, 2000))} w{int(rng.integers(800, 2000))}"
+        f" w{int(rng.integers(3, 40))} w{int(rng.integers(3, 40))}"
+        for _ in range(200)
+    ]
+    lat = {}
+    for mode in (True, False):
+        sc = BM25Scorer(prune_idx, k=K, with_sha=False, prune=mode)
+        for q in prune_queries[:20]:
+            sc.score_query(q)
+        t0 = time.time()
+        for q in prune_queries:
+            sc.score_query(q)
+        lat[mode] = (time.time() - t0) / len(prune_queries)
+        if mode:
+            extras["prune_blocks_skipped"] = sc.stats["blocks_skipped"]
+    extras["prune_query_mean_ms"] = round(lat[True] * 1000, 3)
+    extras["noprune_query_mean_ms"] = round(lat[False] * 1000, 3)
+    extras["prune_speedup"] = round(lat[False] / max(lat[True], 1e-9), 2)
+
     # --- single-query p95 latency (loaded scorer, sequential) ----------
     scorer = BM25Scorer(idx, k=K, with_sha=False)
     texts = queries_t.column("query").to_pylist()[:200]
