@@ -360,10 +360,12 @@ def _q_media_features(sf_dir: str) -> pd.DataFrame:
     from colbert_ray.extras.multimodal import extract_media_features, make_payload_table
 
     t = pq.read_table(_doc_path(sf_dir, "documents"), columns=["doc_id", "text"])
-    ids = t.column("doc_id").to_numpy(zero_copy_only=False)[:256]
-    blobs = [s.encode() for s in t.column("text").to_pylist()[:256]]
+    order = np.argsort(t.column("doc_id").to_numpy(zero_copy_only=False))[:256]
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)[order]
+    blobs = [t.column("text")[int(i)].as_py().encode() for i in order]
     payloads = ray.data.from_arrow(make_payload_table(ids, blobs))
     df = extract_media_features(payloads).to_pandas()
+    df["pixel_mean"] = df["pixel_mean"].round(6)
     return (
         df[["item_id", "n_bytes", "pixel_mean", "decoded"]]
         .sort_values("item_id").reset_index(drop=True)
@@ -789,6 +791,21 @@ ORDER BY id_a, id_b
         "fingerprints": _fingerprint_sql(),
         "simhash64": _simhash_sql(),
         "lang_id_pred": _lang_id_sql(),
+        # the decode stub tiles payload bytes into the 8x8x3 pixel grid, so
+        # pixel_mean is the mean of the first 192 cyclically-tiled bytes
+        "media_features": """
+WITH d AS (SELECT doc_id AS item_id, text FROM documents ORDER BY doc_id LIMIT 256),
+px AS (
+  SELECT item_id,
+         len(text)::BIGINT AS n_bytes,
+         CASE WHEN len(text) = 0 THEN 0.0
+              ELSE (SELECT avg(ascii(substr(d.text, ((i - 1) % len(d.text))::INT + 1, 1)))
+                    FROM (SELECT unnest(generate_series(1, 192)) AS i))
+         END AS pm
+  FROM d)
+SELECT item_id, n_bytes, round(pm, 6) AS pixel_mean, TRUE AS decoded
+FROM px ORDER BY item_id
+""",
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

@@ -47,8 +47,9 @@ def make_payload_table(ids: np.ndarray, blobs: list[bytes],
 
 
 class FakeImageDecoder:
-    """STUB decode kernel. Deterministic: 'decodes' a payload to a tiny
-    pseudo-pixel array seeded by the payload's blake2b digest.
+    """STUB decode kernel. Deterministic and purely arithmetic: 'decodes' a
+    payload to an 8x8x3 pixel array by tiling the raw payload bytes — so
+    derived statistics (pixel mean) are SQL-expressible and oracle-checked.
 
     Real implementation would do ``PIL.Image.open(io.BytesIO(payload))``;
     raise NotImplementedError for media types a deployment doesn't support.
@@ -62,11 +63,10 @@ class FakeImageDecoder:
                 f"decode for media_type={media_type!r} requires codec libs "
                 "not present in this environment"
             )
-        seed = int.from_bytes(
-            hashlib.blake2b(payload, digest_size=8).digest(), "little"
-        )
-        rng = np.random.default_rng(seed)
-        return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+        b = np.frombuffer(payload, dtype=np.uint8)
+        if len(b) == 0:
+            return np.zeros((8, 8, 3), dtype=np.uint8)
+        return np.resize(b, 8 * 8 * 3).reshape(8, 8, 3)   # cyclic tiling
 
 
 class MediaFeatureExtractor:
