@@ -36,8 +36,13 @@ def tokenize_column(col: pa.ChunkedArray | pa.Array, cfg: EngineConfig) -> pa.Li
     s = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     s = pc.cast(s, pa.string())
     if cfg.split_camel_case:
-        s = pc.replace_substring_regex(s, pattern=_CAMEL_1, replacement=r"\1 \2")
-        s = pc.replace_substring_regex(s, pattern=_CAMEL_2, replacement=r"\1 \2")
+        # both camel patterns require an ASCII [A-Z]: one cheap match scan
+        # skips BOTH replace passes (each allocates a full copy of the
+        # strings) on all-lowercase batches — a no-op-identical fast path
+        has_upper = pc.any(pc.match_substring_regex(s, "[A-Z]")).as_py()
+        if has_upper:
+            s = pc.replace_substring_regex(s, pattern=_CAMEL_1, replacement=r"\1 \2")
+            s = pc.replace_substring_regex(s, pattern=_CAMEL_2, replacement=r"\1 \2")
     if cfg.lowercase:
         s = pc.utf8_lower(s)
         toks = pc.split_pattern_regex(s, pattern=_SPLIT_LOWER)
