@@ -39,7 +39,14 @@ class EngineConfig:
     max_token_len: int = 64
 
     # --- index layout (MUST NOT depend on parallelism) ---
-    num_term_partitions: int = 32        # hash partitions of term_id space (A2 analog)
+    num_term_partitions: int = 32        # MINIMUM hash partitions of term_id space
+    #: A2 partition heuristic (collection_indexer.py:106 analog): the
+    #: effective partition count grows with the corpus —
+    #: P_eff = max(num_term_partitions, ceil(total_tokens / postings_per_partition))
+    #: — so encode parallelism and per-partition size stay bounded at any
+    #: scale while remaining a pure function of the DATA (never of the
+    #: cluster size; deterministic resume across parallelism levels).
+    postings_per_partition: int = 30_000_000
     salt_max_run: int = 100_000          # postings per salted sub-run of a head term
     posting_block_size: int = 128        # docids per block-max block (K4 analog)
 
@@ -79,28 +86,44 @@ class EngineConfig:
     #: the semantic hash so resume NEVER accepts an old-layout index
     LAYOUT_VERSION = 2
 
-    def semantic_hash(self) -> str:
-        """Hash of the knobs that affect index CONTENT (not physical knobs).
+    #: fields the tokenize/docids/stats/dictionary phases depend on — the
+    #: partitioning knobs are deliberately EXCLUDED so changing them (or
+    #: the data-driven effective partition count) never invalidates the
+    #: expensive tokenize artifact
+    _PRETOKENIZE_FIELDS = (
+        "split_camel_case", "lowercase", "min_token_len", "max_token_len",
+        # the byte tokenizer has a documented divergence from the regex
+        # path on two non-ASCII codepoints (U+0130/U+212A), so switching
+        # impls must NOT silently resume a cached tokenize
+        "tokenizer_impl",
+    )
+    _SEMANTIC_FIELDS = _PRETOKENIZE_FIELDS + (
+        "k1", "b", "num_term_partitions", "postings_per_partition",
+        "salt_max_run", "posting_block_size",
+    )
 
-        Used in manifests: a resume is only valid if the semantic hash
-        matches (collection_indexer.py:87-95 analog).
-        """
-        semantic = {
-            k: v
-            for k, v in self.to_dict().items()
-            if k in (
-                "k1", "b", "split_camel_case", "lowercase", "min_token_len",
-                "max_token_len", "num_term_partitions", "salt_max_run",
-                "posting_block_size",
-                # the byte tokenizer has a documented divergence from the
-                # regex path on two non-ASCII codepoints (U+0130/U+212A), so
-                # switching impls must NOT silently resume a cached tokenize
-                "tokenizer_impl",
-            )
-        }
+    def _hash_fields(self, fields) -> str:
+        semantic = {k: v for k, v in self.to_dict().items() if k in fields}
         semantic["__layout__"] = self.LAYOUT_VERSION
         blob = json.dumps(semantic, sort_keys=True).encode()
         return hashlib.sha256(blob).hexdigest()[:16]
+
+    def semantic_hash(self) -> str:
+        """Hash of the knobs that affect index CONTENT/layout (not physical
+        knobs). Used in manifests: a resume is only valid if the semantic
+        hash matches (collection_indexer.py:87-95 analog)."""
+        return self._hash_fields(self._SEMANTIC_FIELDS)
+
+    def semantic_hash_pretokenize(self) -> str:
+        """Hash for the phases UPSTREAM of partitioning (tokenize → docids
+        → stats → dictionary): their outputs depend only on the tokenizer
+        knobs, so partition-count changes resume from the cached tokenize."""
+        return self._hash_fields(self._PRETOKENIZE_FIELDS)
+
+    def effective_partitions(self, total_tokens: int) -> int:
+        """A2 heuristic: data-proportional partition count (see field doc)."""
+        return max(self.num_term_partitions,
+                   -(-int(total_tokens) // self.postings_per_partition))
 
 
 DEFAULT_CONFIG = EngineConfig()

@@ -195,17 +195,23 @@ def build_index(
     os.makedirs(index_dir, exist_ok=True)
     files = _expand(corpus_path)
     inputs_hash = corpus_fingerprint(files)
-    sem = cfg.semantic_hash()
-    report: dict = {"phases": {}, "inputs_hash": inputs_hash, "semantic_hash": sem}
+    # two-level manifest keying: phases upstream of partitioning (A-D) key
+    # on the tokenizer-only hash, so the data-driven effective partition
+    # count (A2 heuristic, set after stats) never invalidates the cached
+    # tokenize; partition-dependent phases key on the full semantic hash
+    # computed AFTER the effective partition count is known.
+    sem_pre = cfg.semantic_hash_pretokenize()
+    report: dict = {"phases": {}, "inputs_hash": inputs_hash}
 
     manifests.atomic_write_json(
         os.path.join(index_dir, "plan.json"),
         {"config": cfg.to_dict(), "inputs": files, "inputs_hash": inputs_hash,
-         "semantic_hash": sem, "key_cols": list(key_cols), "docid_col": docid_col},
+         "semantic_hash_pretokenize": sem_pre, "key_cols": list(key_cols),
+         "docid_col": docid_col},
     )
 
-    def _phase(name):
-        return not manifests.phase_complete(index_dir, name, sem, inputs_hash)
+    def _phase(name, h):
+        return not manifests.phase_complete(index_dir, name, h, inputs_hash)
 
     read_cols = [content_col, *key_cols, *meta_cols]
     if docid_col:
@@ -218,7 +224,7 @@ def build_index(
     # in-stream instead of rewriting the corpus (a second full-copy write
     # would double the I/O of a 100TB build).
     tok_dir = os.path.join(index_dir, TOKENIZED)
-    if _phase("tokenize"):
+    if _phase("tokenize", sem_pre):
         t0 = time.time()
         ds = ray.data.read_parquet(files, columns=read_cols)
         renames = {}
@@ -237,7 +243,7 @@ def build_index(
         os.makedirs(tok_dir, exist_ok=True)
         ds.write_parquet(tok_dir, mode="overwrite")
         manifests.mark_phase_complete(
-            index_dir, "tokenize", sem, inputs_hash, wall_sec=time.time() - t0,
+            index_dir, "tokenize", sem_pre, inputs_hash, wall_sec=time.time() - t0,
             ray_stats=ds.stats()[:4000],
         )
         report["phases"]["tokenize"] = time.time() - t0
@@ -246,7 +252,7 @@ def build_index(
     map_dir = os.path.join(index_dir, DOCID_MAP)
     meta_dir = os.path.join(index_dir, DOCMETA)
     light_cols = [c for c in (*key_cols, *meta_cols) if c != docid_col]
-    if _phase("docids"):
+    if _phase("docids", sem_pre):
         t0 = time.time()
         if not docid_col:
             # docid = rank of key_cols under a global sort, computed on the
@@ -263,13 +269,13 @@ def build_index(
         lite = _attach_docid(lite, map_dir, key_cols, cfg, docid_col)
         lite.write_parquet(meta_dir, mode="overwrite")
         manifests.mark_phase_complete(
-            index_dir, "docids", sem, inputs_hash, wall_sec=time.time() - t0
+            index_dir, "docids", sem_pre, inputs_hash, wall_sec=time.time() - t0
         )
         report["phases"]["docids"] = time.time() - t0
 
     # ---- C: corpus stats ---------------------------------------------
     stats_path = os.path.join(index_dir, "stats.json")
-    if _phase("stats"):
+    if _phase("stats", sem_pre):
         t0 = time.time()
         dls = ray.data.read_parquet(tok_dir, columns=["doclen"])
         agg = dls.aggregate(Sum("doclen", alias_name="total_tokens"),
@@ -283,15 +289,25 @@ def build_index(
         }
         manifests.atomic_write_json(stats_path, stats)
         manifests.mark_phase_complete(
-            index_dir, "stats", sem, inputs_hash, wall_sec=time.time() - t0, **stats
+            index_dir, "stats", sem_pre, inputs_hash, wall_sec=time.time() - t0, **stats
         )
         report["phases"]["stats"] = time.time() - t0
     with open(stats_path) as f:
         stats = json.load(f)
+    # A2 heuristic: effective partition count from the measured corpus size
+    # (pure function of the data — identical at any parallelism level)
+    import dataclasses as _dc
+
+    p_eff = cfg.effective_partitions(stats["total_tokens"])
+    if p_eff != cfg.num_term_partitions:
+        cfg = _dc.replace(cfg, num_term_partitions=p_eff)
+    sem = cfg.semantic_hash()
+    report["semantic_hash"] = sem
+    report["num_term_partitions"] = p_eff
 
     # ---- D: dictionary (df/cf + dense sorted term_id) ----------------
     dict_dir = os.path.join(index_dir, DICTIONARY)
-    if _phase("dictionary"):
+    if _phase("dictionary", sem_pre):
         t0 = time.time()
         tok = ray.data.read_parquet(tok_dir, columns=["terms", "tfs"])
 
@@ -332,7 +348,7 @@ def build_index(
             with_ids = sorted_rank_dataset(terms, ["term"], "term_id")
             with_ids.write_parquet(dict_dir, mode="overwrite")
         manifests.mark_phase_complete(
-            index_dir, "dictionary", sem, inputs_hash, wall_sec=time.time() - t0
+            index_dir, "dictionary", sem_pre, inputs_hash, wall_sec=time.time() - t0
         )
         report["phases"]["dictionary"] = time.time() - t0
 
@@ -341,6 +357,29 @@ def build_index(
     # ---- E: posting segments (THE shuffle) ---------------------------
     seg_dir = os.path.join(index_dir, SEGMENTS)
     os.makedirs(seg_dir, exist_ok=True)
+    if _phase("segments", sem):
+        # drop STALE segment artifacts from a prior configuration (e.g. a
+        # different effective partition count — readers glob part_*.parquet,
+        # so a leftover file from a larger P would DUPLICATE postings):
+        # manifests not matching the current (semantic, inputs) hash are
+        # deleted with their data files; orphan part files likewise.
+        valid_files: set[str] = set()
+        for mf in glob.glob(os.path.join(seg_dir, "_manifest_part_*.json")):
+            try:
+                with open(mf) as f:
+                    m = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                m = {}
+            if (m.get("semantic_hash") == sem
+                    and m.get("inputs_hash") == inputs_hash):
+                valid_files.update(
+                    e.get("name", "") for e in
+                    (m.get("files") or [{"name": m.get("file", "")}]))
+            else:
+                os.remove(mf)
+        for f in glob.glob(os.path.join(seg_dir, "part_*.parquet")):
+            if os.path.basename(f) not in valid_files:
+                os.remove(f)
     done_parts = {
         p for p in range(cfg.num_term_partitions)
         if manifests.segment_complete(seg_dir, p, sem, inputs_hash)
@@ -352,7 +391,7 @@ def build_index(
     # regardless of size), each E2 task is individually resumable, and the
     # spill IS the map-output checkpoint.
     spill_dir = os.path.join(index_dir, "spill")
-    if _phase("segments"):
+    if _phase("segments", sem):
         t0 = time.time()
         todo = sorted(set(range(cfg.num_term_partitions)) - done_parts)
         if todo and not manifests.phase_complete(index_dir, "spill", sem, inputs_hash):
@@ -421,7 +460,7 @@ def build_index(
         report["phases"]["segments"] = time.time() - t0
 
     # ---- F: finalize --------------------------------------------------
-    if _phase("finalize"):
+    if _phase("finalize", sem):
         t0 = time.time()
         dict_md = [pq.read_metadata(f) for f in dict_files]
         n_terms = sum(m.num_rows for m in dict_md)
@@ -453,7 +492,7 @@ def build_index(
     # ---- G: serve artifact (mmap flat arrays; one task per segment) ---
     from colbert_ray.state.serve import serve_valid, write_serve_artifact
 
-    if _phase("serve") or not serve_valid(index_dir):
+    if _phase("serve", sem) or not serve_valid(index_dir):
         t0 = time.time()
         write_serve_artifact(index_dir)
         manifests.mark_phase_complete(

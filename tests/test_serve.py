@@ -292,3 +292,33 @@ def test_search_session_matches_batch_search(built):
     pd.testing.assert_frame_equal(
         got1[want.columns].reset_index(drop=True), want)
     pd.testing.assert_frame_equal(got2, got1)
+
+
+def test_auto_partition_heuristic(built, tmp_path_factory):
+    """A2 heuristic: the effective partition count grows with corpus size
+    (pure function of total_tokens), the segment layout follows it, and
+    results are identical to a fixed-partition build. Changing the
+    partitioning knobs must NOT invalidate the cached tokenize phase."""
+    corpus_dir, queries_path, index_dir = built
+    root = str(tmp_path_factory.mktemp("autop"))
+    idx2 = os.path.join(root, "index")
+    cfg2 = EngineConfig(salt_max_run=30, num_term_partitions=8,
+                        postings_per_partition=2_000)
+    build_index(corpus_dir, idx2, cfg2)
+    meta = json.load(open(os.path.join(idx2, "metadata.json")))
+    total = meta["total_tokens"]
+    p_eff = max(8, -(-total // 2_000))
+    assert p_eff > 8
+    assert meta["num_term_partitions"] == p_eff
+    queries = pq.read_table(queries_path).slice(0, 10)
+    a = search_table(queries, index_dir, k=10).to_pandas()
+    b = search_table(queries, idx2, k=10).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    # partition-knob change resumes from the cached tokenize
+    cfg3 = EngineConfig(salt_max_run=30, num_term_partitions=8,
+                        postings_per_partition=4_000)
+    report = build_index(corpus_dir, idx2, cfg3)
+    assert "tokenize" not in report["phases"]
+    assert "segments" in report["phases"]
+    c = search_table(queries, idx2, k=10).to_pandas()
+    pd.testing.assert_frame_equal(a, c)
