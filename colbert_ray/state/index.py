@@ -89,16 +89,17 @@ class BM25Scorer:
             return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64),
                     np.empty(0, dtype=np.int32))
 
-        # --- exact term-level MaxScore (K4 analog, lossless) -------------
+        # --- exact block-max MaxScore (K4 analog, lossless) --------------
         # candidates come only from "essential" lists (descending upper
         # bound idf*max_tfsat) until the remaining lists' UB sum is provably
         # below the current k-th best exact score; non-essential (head)
         # lists are then PROBED per candidate (binary search into their
-        # sorted postings) instead of scanned. Bails out to the dense
-        # scatter path when the candidate set grows too large to win.
-        if (self.prune and len(tids) > 1 and docid_filter is None
-                and not len(idx.tombstones)):
-            res = self._maxscore_query(tids, k)
+        # sorted postings) instead of scanned. Tombstoned / filtered-out
+        # docids are excluded at candidate generation (they must never
+        # rank, so dropping them is exact). Bails out to the dense scatter
+        # path when the candidate set grows too large to win.
+        if self.prune and len(tids) > 1:
+            res = self._maxscore_query(tids, k, docid_filter=docid_filter)
             if res is not None:
                 return res
 
@@ -145,7 +146,8 @@ class BM25Scorer:
             scores[pos_c[hit]] += idx.idf_by_term_id[tid] * ts[hit]
         return topk_with_ties(scores, cand, k)
 
-    def _maxscore_query(self, tids: np.ndarray, k: int):
+    def _maxscore_query(self, tids: np.ndarray, k: int,
+                        docid_filter: np.ndarray | None = None):
         """Exact block-max MaxScore (K4 two-stage analog,
         ``index_storage.py:111-194`` / ``filter_pids.cpp:27-170``).
 
@@ -210,6 +212,13 @@ class BM25Scorer:
                 d_new = d_all[cand[pc] != d_all]
             else:
                 d_new = np.asarray(d_all)
+            # excluded docs never rank -> dropping them at candidate
+            # generation is exact (they can't contribute to θ either,
+            # which only makes θ smaller = pruning more conservative)
+            if len(idx.tombstones) and len(d_new):
+                d_new = d_new[~np.isin(d_new, idx.tombstones)]
+            if docid_filter is not None and len(d_new):
+                d_new = d_new[np.isin(d_new, docid_filter)]
             if len(cand) + len(d_new) > cand_cap:
                 self.stats["maxscore_bailouts"] += 1
                 return None                      # dense scatter is cheaper

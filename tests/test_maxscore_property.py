@@ -129,3 +129,34 @@ def test_restrict_equals_filtered_full(seed):
     order_s = np.argsort(d_s)
     np.testing.assert_array_equal(d_f[mask][order_f], d_s[order_s])
     np.testing.assert_array_equal(s_f[mask][order_f], s_s[order_s])
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_pruned_equals_brute_with_tombstones_and_filters(seed):
+    """Pruning stays exact when tombstones or docid filters exclude docs
+    (exclusion happens at candidate generation)."""
+    rng = np.random.default_rng(5000 + seed)
+    n_docs = int(rng.integers(60, 300))
+    idx = synth_index(rng, n_docs=n_docs, n_terms=int(rng.integers(6, 30)))
+    k = int(rng.integers(1, 10))
+    mode = seed % 3
+    tomb = np.sort(rng.choice(n_docs, size=n_docs // 5, replace=False)
+                   ).astype(np.int64) if mode in (0, 2) else None
+    filt = np.sort(rng.choice(n_docs, size=max(1, n_docs // 3), replace=False)
+                   ).astype(np.int64) if mode in (1, 2) else None
+    if tomb is not None:
+        idx.tombstones = tomb
+    pruned = make_scorer(idx, k, prune=True)
+    brute = make_scorer(idx, k, prune=False)
+    for _ in range(5):
+        nq = int(rng.integers(2, min(5, len(idx.dict_terms)) + 1))
+        q = " ".join(rng.choice(idx.dict_terms, size=nq, replace=False))
+        d_p, s_p, r_p = pruned.score_query(q, docid_filter=filt)
+        d_b, s_b, r_b = brute.score_query(q, docid_filter=filt)
+        np.testing.assert_array_equal(d_p, d_b)
+        np.testing.assert_array_equal(s_p, s_b)
+        np.testing.assert_array_equal(r_p, r_b)
+        if tomb is not None and len(d_p):
+            assert not np.isin(d_p, tomb).any()
+        if filt is not None and len(d_p):
+            assert np.isin(d_p, filt).all()
