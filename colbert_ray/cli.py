@@ -49,6 +49,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--out", default=None, help="output parquet dir (default: stdout TSV)")
     s.add_argument("--shards", type=int, default=1)
+    s.add_argument("--job-shards", type=int, default=0,
+                   help="resumable qid-sharded output: out/shard=i/ + manifests")
 
     e = sub.add_parser("eval", help="MRR/recall/success of a ranking vs qrels")
     e.add_argument("--ranking", required=True)
@@ -97,7 +99,13 @@ def main(argv: list[str] | None = None) -> int:
         from colbert_ray.sources.writers import write_ranking_parquet
 
         queries = read_queries(args.queries)
-        if args.out:
+        if args.out and args.job_shards:
+            from colbert_ray.pipelines.search import search_job
+
+            rep = search_job(queries, args.index, args.out, k=args.k,
+                             n_shards=args.job_shards)
+            print(json.dumps(rep))
+        elif args.out:
             ds = (search_sharded(queries, args.index, k=args.k, n_shards=args.shards)
                   if args.shards > 1 else search(queries, args.index, k=args.k))
             write_ranking_parquet(ds, args.out, k=args.k, index=args.index)

@@ -11,6 +11,8 @@ a ``map_batches`` actor pool; each actor holds the loaded index
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import ray.data
 
@@ -125,6 +127,98 @@ def search_table(
         t, sort_keys=[("qid", "ascending"), ("rank", "ascending")]
     )
     return t.take(order)
+
+
+def search_job(
+    queries: "ray.data.Dataset | pa.Table",
+    index_dir: str,
+    out_dir: str,
+    k: int = 10,
+    n_shards: int = 8,
+    *,
+    n_actors: int = 4,
+    with_sha: bool = True,
+) -> dict:
+    """Resumable batch-search job: qid-range-sharded partitioned output.
+
+    The ranking is written as ``out_dir/shard=<i>/ranking.parquet`` — one
+    qid range per shard, each with a manifest keyed on (that shard's query
+    rows, the index identity, k) — so an interrupted or failed job skips
+    finished shards on rerun (the brief's resumable-output contract; the
+    search-side analog of the build's per-partition segment manifests).
+    One persistent SearchSession serves all shards (actor spawn + index
+    open paid once). Returns {"shards": n, "skipped": [...], "ran": [...]}.
+    """
+    import hashlib
+    import json
+
+    import pyarrow.parquet as _pq
+
+    from colbert_ray.stages.manifests import atomic_write_json
+
+    if not isinstance(queries, pa.Table):
+        queries_tbl = pa.Table.from_pandas(queries.to_pandas(),
+                                           preserve_index=False)
+    else:
+        queries_tbl = queries
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(queries_tbl, sort_keys=[("qid", "ascending")])
+    queries_tbl = queries_tbl.take(order)
+    rows = queries_tbl.num_rows
+    n_shards = max(1, min(n_shards, rows or 1))
+    step = -(-rows // n_shards)
+
+    with open(os.path.join(index_dir, "metadata.json")) as f:
+        meta = json.load(f)
+    index_key = f'{meta.get("semantic_hash")}:{meta.get("inputs_hash")}'
+
+    def shard_key(tbl: pa.Table) -> str:
+        blob = (index_key + f":k={k}:" + ";".join(
+            f"{q}\x00{t}" for q, t in zip(tbl.column("qid").to_pylist(),
+                                          tbl.column("query").to_pylist())))
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+    ran, skipped = [], []
+    sess = None
+    try:
+        for i in range(n_shards):
+            shard_tbl = queries_tbl.slice(i * step, step)
+            if shard_tbl.num_rows == 0:
+                continue
+            sdir = os.path.join(out_dir, f"shard={i}")
+            mpath = os.path.join(sdir, "manifest.json")
+            key = shard_key(shard_tbl)
+            if os.path.exists(mpath):
+                try:
+                    with open(mpath) as f:
+                        m = json.load(f)
+                    fpath = os.path.join(sdir, m.get("file", ""))
+                    if (m.get("key") == key and os.path.exists(fpath)
+                            and os.path.getsize(fpath) == m.get("bytes", -1)):
+                        skipped.append(i)
+                        continue
+                except (OSError, ValueError):
+                    pass
+            if sess is None:
+                sess = SearchSession(index_dir, k=k, n_actors=n_actors,
+                                     with_sha=with_sha)
+            result = sess.search_table(shard_tbl)
+            os.makedirs(sdir, exist_ok=True)
+            fpath = os.path.join(sdir, "ranking.parquet")
+            _pq.write_table(result, fpath + ".tmp")
+            os.replace(fpath + ".tmp", fpath)
+            atomic_write_json(mpath, {
+                "key": key, "file": "ranking.parquet",
+                "bytes": os.path.getsize(fpath),
+                "n_queries": shard_tbl.num_rows, "n_rows": result.num_rows,
+            })
+            ran.append(i)
+    finally:
+        if sess is not None:
+            sess.close()
+    return {"shards": n_shards, "ran": ran, "skipped": skipped,
+            "out_dir": out_dir}
 
 
 class SearchSession:

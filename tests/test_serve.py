@@ -322,3 +322,34 @@ def test_auto_partition_heuristic(built, tmp_path_factory):
     assert "segments" in report["phases"]
     c = search_table(queries, idx2, k=10).to_pandas()
     pd.testing.assert_frame_equal(a, c)
+
+
+def test_search_job_resumable_sharded_output(built, tmp_path_factory):
+    """Resumable batch search: qid-sharded partitioned parquet output with
+    per-shard manifests; a rerun skips finished shards and a damaged shard
+    is the only one recomputed; concatenated output equals direct search."""
+    from colbert_ray.pipelines.search import search_job
+
+    _, queries_path, index_dir = built
+    queries = pq.read_table(queries_path)
+    out = str(tmp_path_factory.mktemp("job"))
+    rep1 = search_job(queries, index_dir, out, k=10, n_shards=4,
+                      n_actors=2, with_sha=False)
+    assert sorted(rep1["ran"]) == [0, 1, 2, 3] and not rep1["skipped"]
+    rep2 = search_job(queries, index_dir, out, k=10, n_shards=4,
+                      n_actors=2, with_sha=False)
+    assert sorted(rep2["skipped"]) == [0, 1, 2, 3] and not rep2["ran"]
+    # damage one shard -> only it reruns
+    import shutil as _sh
+    _sh.rmtree(os.path.join(out, "shard=2"))
+    rep3 = search_job(queries, index_dir, out, k=10, n_shards=4,
+                      n_actors=2, with_sha=False)
+    assert rep3["ran"] == [2] and sorted(rep3["skipped"]) == [0, 1, 3]
+    got = (
+        pd.concat([pq.read_table(os.path.join(out, f"shard={i}",
+                                              "ranking.parquet")).to_pandas()
+                   for i in range(4)])
+        .sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    want = search_table(queries, index_dir, k=10, with_sha=False).to_pandas()
+    pd.testing.assert_frame_equal(got, want)
