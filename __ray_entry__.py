@@ -256,6 +256,15 @@ def _q_events_hourly(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def _q_events_sliding_3h(sf_dir: str) -> pd.DataFrame:
+    ds = x_rel.events_sliding_window(
+        _read(sf_dir, "events", ["user_id", "ts", "value"]), hours=3)
+    df = ds.to_pandas().sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    df["sum_value_3h"] = df["sum_value_3h"].round(4)
+    df["n_events_3h"] = df["n_events_3h"].astype(np.int64)
+    return df
+
+
 def _q_retrieval_metrics(sf_dir: str) -> pd.DataFrame:
     """MRR@10 / Recall@10 / Success@{1,5} of the BM25 ranking against
     rule-derived qrels (a doc is relevant to a query iff it contains ALL the
@@ -458,6 +467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retrieval_metrics": _q_retrieval_metrics,
         "pricing_summary": _q_pricing_summary,
         "events_hourly": _q_events_hourly,
+        "events_sliding_3h": _q_events_sliding_3h,
         "simhash64": _q_simhash,
         "fingerprints": _q_fingerprints,
         "lang_id_pred": _q_lang_id,
@@ -823,6 +833,24 @@ SELECT user_id,
        count(*) AS n_events,
        round(sum(value), 4) AS sum_value
 FROM events
+GROUP BY user_id, window_start
+ORDER BY user_id, window_start
+""",
+        "events_sliding_3h": """
+WITH hourly AS (
+  SELECT user_id,
+         (epoch_us(ts) // 3600000000) * 3600000000 AS h,
+         count(*) AS c, sum(value) AS s
+  FROM events GROUP BY user_id, h
+),
+expanded AS (
+  SELECT user_id, h + k.k * 3600000000 AS window_start, c, s
+  FROM hourly, (SELECT unnest([0, 1, 2]) AS k) k
+)
+SELECT user_id, window_start,
+       sum(c)::BIGINT AS n_events_3h,
+       round(sum(s), 4) AS sum_value_3h
+FROM expanded
 GROUP BY user_id, window_start
 ORDER BY user_id, window_start
 """,

@@ -58,3 +58,52 @@ def events_hourly_window(events: "ray.data.Dataset") -> "ray.data.Dataset":
         .groupby(["user_id", "window_start"])
         .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
     )
+
+
+def events_sliding_window(events: "ray.data.Dataset",
+                          hours: int = 3) -> "ray.data.Dataset":
+    """SLIDING event-time window (hour-aligned, ``hours`` wide) per user via
+    two-level aggregation: tumbling hourly PARTIALS first (tiny), then each
+    partial is expanded into the ``hours`` windows it contributes to and
+    re-aggregated — the scalable sliding-window shape (the shuffle moves
+    per-hour partials, never raw events). A window_start w aggregates
+    events with hour(e) in [w - (hours-1), w]."""
+    HOUR = 3_600_000_000
+
+    def window_key(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = (ts // HOUR) * HOUR
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "h": pa.array(hour),
+            "value": batch.column("value"),
+        })
+
+    hourly = (
+        events.select_columns(["user_id", "ts", "value"])
+        .map_batches(window_key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "h"])
+        .aggregate(Count(alias_name="c"), Sum("value", alias_name="s"))
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        h = batch.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        s = batch.column("s").to_numpy(zero_copy_only=False)
+        ks = np.arange(hours, dtype=np.int64) * HOUR
+        return pa.table({
+            "user_id": pa.array(np.repeat(uid, hours)),
+            "window_start": pa.array(
+                np.repeat(h, hours) + np.tile(ks, n)),
+            "c": pa.array(np.repeat(c, hours)),
+            "s": pa.array(np.repeat(s, hours)),
+        })
+
+    return (
+        hourly.map_batches(expand, batch_format="pyarrow")
+        .groupby(["user_id", "window_start"])
+        .aggregate(Sum("c", alias_name="n_events_3h"),
+                   Sum("s", alias_name="sum_value_3h"))
+    )

@@ -282,3 +282,37 @@ class TestMultimodalVideoAudio:
         assert len(out["rms_windows"][0]) == 8
         # one sign change in the ramp -> zcr = 1/99
         assert out["zero_crossing_rate"][0] == pytest.approx(1 / 99)
+
+
+class TestSlidingWindow:
+    def test_sliding_equals_naive(self):
+        """Two-level partial-aggregate sliding window == naive per-window
+        recount over raw events."""
+        from colbert_ray.extras.relational import events_sliding_window
+
+        HOUR = 3_600_000_000
+        rng = np.random.default_rng(5)
+        n = 400
+        ts = (rng.integers(0, 10, size=n) * HOUR
+              + rng.integers(0, HOUR, size=n)).astype("datetime64[us]")
+        t = pa.table({
+            "user_id": pa.array(rng.integers(0, 5, size=n), type=pa.int64()),
+            "ts": pa.array(ts),
+            "value": pa.array(rng.random(n)),
+        })
+        out = (events_sliding_window(ray.data.from_arrow(t), hours=3)
+               .to_pandas().sort_values(["user_id", "window_start"])
+               .reset_index(drop=True))
+        df = t.to_pandas()
+        df["h"] = (df["ts"].astype("int64") // HOUR) * HOUR
+        naive = {}
+        for (u, h), g in df.groupby(["user_id", "h"]):
+            for k in range(3):
+                key = (u, h + k * HOUR)
+                c, s = naive.get(key, (0, 0.0))
+                naive[key] = (c + len(g), s + g["value"].sum())
+        assert len(out) == len(naive)
+        for _, r in out.iterrows():
+            c, s = naive[(r["user_id"], r["window_start"])]
+            assert r["n_events_3h"] == c
+            assert abs(r["sum_value_3h"] - s) < 1e-9
