@@ -391,8 +391,9 @@ def _q_video_frame_sample(sf_dir: str) -> pd.DataFrame:
     from colbert_ray.extras.multimodal import make_payload_table, sample_video_frames
 
     t = pq.read_table(_doc_path(sf_dir, "documents"), columns=["doc_id", "text"])
-    ids = t.column("doc_id").to_numpy(zero_copy_only=False)[:128]
-    blobs = [s.encode() for s in t.column("text").to_pylist()[:128]]
+    order = np.argsort(t.column("doc_id").to_numpy(zero_copy_only=False))[:128]
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)[order]
+    blobs = [t.column("text")[int(i)].as_py().encode() for i in order]
     payloads = ray.data.from_arrow(
         make_payload_table(ids, blobs, media_type="video"))
     df = sample_video_frames(payloads, stride=4, max_frames=4).to_pandas()
@@ -815,6 +816,28 @@ px AS (
   FROM d)
 SELECT item_id, n_bytes, round(pm, 6) AS pixel_mean, TRUE AS decoded
 FROM px ORDER BY item_id
+""",
+        # video stub: frame i = 192 payload bytes read cyclically from
+        # offset i*37; n_frames = 4 + len % 28; picks = range(0, nf, 4)[:4]
+        "video_frame_sample": """
+WITH d AS (SELECT doc_id AS item_id, text FROM documents ORDER BY doc_id LIMIT 128),
+f AS (SELECT item_id, text, len(text) AS n, 4 + len(text) % 28 AS nf FROM d),
+frames AS (
+  SELECT item_id, text, n, (k.k * 4)::INT AS frame_idx
+  FROM f, LATERAL (
+    SELECT unnest(generate_series(0, least(3, (nf - 1) // 4))) AS k) k
+),
+m AS (
+  SELECT item_id, frame_idx,
+         CASE WHEN n = 0 THEN 0.0
+              ELSE (SELECT avg(ascii(substr(frames.text,
+                        ((frames.frame_idx * 37 + j) % frames.n)::INT + 1, 1)))
+                    FROM (SELECT unnest(generate_series(0, 191)) AS j))
+         END AS fm
+  FROM frames
+)
+SELECT item_id, frame_idx, round(fm, 6) AS frame_mean
+FROM m ORDER BY item_id, frame_idx
 """,
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,

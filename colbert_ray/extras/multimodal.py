@@ -13,7 +13,6 @@ the libs installed; the schema and actor signature stay identical.
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -129,18 +128,22 @@ def extract_media_features(
 
 
 class FakeVideoDecoder:
-    """STUB video decode: a payload 'decodes' to n_frames 8x8x3 frames
-    seeded by (payload digest, frame index). Real impl: ffmpeg/pyav."""
+    """STUB video decode, purely arithmetic (SQL-oracle-checkable like the
+    image stub): frame i of a payload is the 8x8x3 grid of payload bytes
+    read cyclically from offset i*37. Real impl: ffmpeg/pyav seek+decode."""
+
+    FRAME_STEP = 37      # byte offset per frame index (coprime-ish stride)
 
     def n_frames(self, payload: bytes) -> int:
         return 4 + len(payload) % 28          # 4..31 fake frames
 
     def decode_frame(self, payload: bytes, i: int) -> np.ndarray:
-        seed = int.from_bytes(
-            hashlib.blake2b(payload + i.to_bytes(4, "little"),
-                            digest_size=8).digest(), "little")
-        rng = np.random.default_rng(seed)
-        return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+        b = np.frombuffer(payload, dtype=np.uint8)
+        if len(b) == 0:
+            return np.zeros((8, 8, 3), dtype=np.uint8)
+        start = (i * self.FRAME_STEP) % len(b)
+        idx = (start + np.arange(8 * 8 * 3)) % len(b)
+        return b[idx].reshape(8, 8, 3)
 
 
 class FrameSampler:
