@@ -353,3 +353,24 @@ def test_search_job_resumable_sharded_output(built, tmp_path_factory):
     )
     want = search_table(queries, index_dir, k=10, with_sha=False).to_pandas()
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_coalesce_chunked_index(built, tmp_path_factory):
+    """Coalescing an index whose partitions were written as chunk files
+    must preserve every query result (chunked runs merge like salted runs)."""
+    from colbert_ray.stages.compact import coalesce_segments
+
+    corpus_dir, queries_path, _ = built
+    root = str(tmp_path_factory.mktemp("coal_chunk"))
+    idx = os.path.join(root, "index")
+    build_index(corpus_dir, idx, EngineConfig(
+        salt_max_run=30, num_term_partitions=8, max_encode_postings=100))
+    assert glob.glob(os.path.join(idx, "segments", "part_*.c*.parquet"))
+    queries = pq.read_table(queries_path).slice(0, 10)
+    before = search_table(queries, idx, k=10).to_pandas()
+    coalesce_segments(idx, merge_salts=True)
+    files = [f for f in os.listdir(os.path.join(idx, "segments"))
+             if f.endswith(".parquet")]
+    assert files == ["part_00000.parquet"]
+    after = search_table(queries, idx, k=10).to_pandas()
+    pd.testing.assert_frame_equal(before, after)
