@@ -35,13 +35,22 @@ def _char_ngrams(texts: list[str], n: int = _NGRAM) -> list[set]:
 def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
                 id_col: str = "doc_id") -> "ray.data.Dataset":
     """One representative row per distinct content: (doc_id=min id in group,
-    dup_count). The engine-level analog of D2 exact dedup."""
+    dup_count). The engine-level analog of D2 exact dedup.
+
+    The shuffle carries TWO int64 halves of the sha256 digest instead of
+    the 64-char hex string (4x fewer key bytes through the exchange;
+    128-bit collision space, so grouping equals grouping by content)."""
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        h = [hashlib.sha256(t.encode()).hexdigest()
-             for t in batch.column(text_col).to_pylist()]
+        texts = batch.column(text_col).to_pylist()
+        hi = np.empty(len(texts), dtype=np.int64)
+        lo = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            d = hashlib.sha256(t.encode()).digest()
+            hi[i] = int.from_bytes(d[:8], "little", signed=True)
+            lo[i] = int.from_bytes(d[8:16], "little", signed=True)
         return pa.table({id_col: batch.column(id_col),
-                         "content_hash": pa.array(h, type=pa.string())})
+                         "h_hi": pa.array(hi), "h_lo": pa.array(lo)})
 
     def first_by_id(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -50,7 +59,7 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
 
     return (
         ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("content_hash")
+        .groupby(["h_hi", "h_lo"])
         .map_groups(first_by_id, batch_format="pandas")
     )
 
