@@ -11,6 +11,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -180,6 +182,124 @@ def ivf_knn(
         .groupby("qid")
         .map_groups(merge_topk, batch_format="pandas")
     )
+
+
+def build_ann_index(
+    ds: "ray.data.Dataset",
+    out_dir: str,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_size: int = 16384,
+    seed: int = 123,
+) -> dict:
+    """Persist an IVF index: trained centroids + vectors written as parquet
+    HIVE-PARTITIONED BY BUCKET, so a probe reads only its nprobe/n_centroids
+    share of the data from storage (parquet partition pruning — the ANN
+    analog of the BM25 build/serve split; at scale, re-assigning the corpus
+    per query batch is the anti-pattern this replaces)."""
+    import json
+
+    import pyarrow.parquet as pq_
+
+    centroids = train_kmeans_centroids(ds, n_centroids, vec_col=vec_col,
+                                       train_size=train_size, seed=seed)
+    cref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _normalize(_stack(batch, vec_col))
+        bucket = np.argmax(m @ c.T, axis=1).astype(np.int32)
+        # "bucket" becomes the hive partition (stripped from file rows);
+        # "bucket_id" stays in the rows so leaf-directory reads keep it
+        return pa.table({
+            id_col: batch.column(id_col),
+            vec_col: batch.column(vec_col),
+            "bucket": pa.array(bucket),
+            "bucket_id": pa.array(bucket.astype(np.int64)),
+        })
+
+    os.makedirs(out_dir, exist_ok=True)
+    (ds.select_columns([id_col, vec_col])
+       .map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+       .write_parquet(os.path.join(out_dir, "buckets"),
+                      partition_cols=["bucket"], mode="overwrite"))
+    np.save(os.path.join(out_dir, "centroids.npy"), centroids)
+    manifest = {"n_centroids": int(len(centroids)),
+                "dim": int(centroids.shape[1]),
+                "vec_col": vec_col, "id_col": id_col, "seed": seed}
+    with open(os.path.join(out_dir, "ann_manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def ann_search(
+    index_dir: str,
+    query_vecs: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 4,
+) -> "ray.data.Dataset":
+    """Top-k over a persisted IVF index: only the union of every query's
+    ``nprobe`` closest buckets is READ (hive partition filter — the other
+    buckets never leave storage); scoring is the same broadcast-queries /
+    per-batch-partial-top-k / tiny-merge shape as ``knn_cosine``."""
+    import json
+
+    with open(os.path.join(index_dir, "ann_manifest.json")) as f:
+        man = json.load(f)
+    id_col, vec_col = man["id_col"], man["vec_col"]
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    qm = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    probe = np.argsort(-(qm @ centroids.T), axis=1)[:, :nprobe]
+    needed = sorted({int(b) for row in probe for b in row})
+    ref = ray.put((qm, qids, probe))
+
+    # path-level partition pruning: only the probed buckets' files are
+    # ever opened (absent buckets simply have no directory)
+    import glob as _glob
+
+    paths = [f for b in needed
+             for f in sorted(_glob.glob(os.path.join(
+                 index_dir, "buckets", f"bucket={b}", "*.parquet")))]
+    ds = ray.data.read_parquet(paths)
+
+    def score(batch: pa.Table) -> pa.Table:
+        q, qi, prb = ray.get(ref)
+        m = _normalize(_stack(batch, vec_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = batch.column("bucket_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        out_q, out_id, out_s = [], [], []
+        for r in range(q.shape[0]):
+            sel = np.isin(bucket, prb[r]) & (ids != qi[r])
+            if not sel.any():
+                continue
+            sims = q[r] @ m[sel].T
+            sids = ids[sel]
+            kk = min(k, len(sims))
+            top = (np.argpartition(-sims, kk - 1)[:kk]
+                   if len(sims) > kk else np.arange(len(sims)))
+            top = top[np.lexsort((sids[top], -sims[top]))]
+            out_q.append(np.full(len(top), qi[r], dtype=np.int64))
+            out_id.append(sids[top])
+            out_s.append(sims[top])
+        if not out_q:
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        return pa.table({"qid": pa.array(np.concatenate(out_q)),
+                         id_col: pa.array(np.concatenate(out_id)),
+                         "cosine": pa.array(np.concatenate(out_s))})
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g[["qid", id_col, "rank", "cosine"]]
+
+    return (ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+              .groupby("qid").map_groups(merge_topk, batch_format="pandas"))
 
 
 def embedding_dup_pairs(

@@ -316,3 +316,32 @@ class TestSlidingWindow:
             c, s = naive[(r["user_id"], r["window_start"])]
             assert r["n_events_3h"] == c
             assert abs(r["sum_value_3h"] - s) < 1e-9
+
+
+class TestPersistedAnnIndex:
+    def test_build_then_search_matches_ivf(self, tmp_path):
+        """Persisted IVF index: bucket-partitioned parquet + saved
+        centroids; ann_search reads only the probed buckets and returns the
+        same ranking as the in-memory ivf_knn with identical centroids."""
+        import os
+
+        sf = "/root/testdata/sf0.001/embeddings.parquet"
+        if not os.path.exists(sf):
+            pytest.skip("testdata not present")
+        ds = ray.data.read_parquet(sf, columns=["vec_id", "embedding"])
+        out = str(tmp_path / "ann")
+        man = x_sim.build_ann_index(ds, out, n_centroids=8)
+        assert man["n_centroids"] == 8
+        assert os.path.exists(os.path.join(out, "centroids.npy"))
+        buckets = os.listdir(os.path.join(out, "buckets"))
+        assert sum(1 for b in buckets if b.startswith("bucket=")) > 1
+
+        t = ds.limit(4).to_pandas()
+        q = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+        qids = t["vec_id"].to_numpy()
+        got = (x_sim.ann_search(out, q, qids, k=5, nprobe=3)
+               .to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True))
+        centroids = np.load(os.path.join(out, "centroids.npy"))
+        want = (x_sim.ivf_knn(ds, q, qids, k=5, nprobe=3, centroids=centroids)
+                .to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want)
