@@ -176,6 +176,16 @@ def _q_quality_scores(sf_dir: str) -> pd.DataFrame:
     return df[["doc_id", "n_tokens", "n_chars", "stopword_ratio", "mean_token_len"]]
 
 
+def _q_clean_corpus_stats(sf_dir: str) -> pd.DataFrame:
+    ds = x_text.clean_corpus_stats(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        min_tokens=10, max_stopword_ratio=0.5)
+    df = ds.to_pandas()
+    df["avg_tokens"] = df["avg_tokens"].round(6)
+    df["total_tokens"] = df["total_tokens"].astype(np.int64)
+    return df[["n_docs", "total_tokens", "avg_tokens"]]
+
+
 def _q_lang_doc_counts(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Count, Mean
 
@@ -460,6 +470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df_top100": _q_term_df_top100,
         "token_counts": _q_token_counts,
         "exact_dedup": _q_exact_dedup,
+        "clean_corpus_stats": _q_clean_corpus_stats,
         "quality_scores": _q_quality_scores,
         "lang_doc_counts": _q_lang_doc_counts,
         "jaccard_dup_pairs": _q_jaccard_dup_pairs,
@@ -766,6 +777,27 @@ ORDER BY doc_id
         "exact_dedup": """
 SELECT min(doc_id) AS doc_id, count(*) AS dup_count
 FROM documents GROUP BY text ORDER BY doc_id
+""",
+        "clean_corpus_stats": f"""
+WITH scored AS (
+  SELECT doc_id, text,
+         len(toks) AS n_tokens,
+         len(list_filter(toks, t -> list_contains({stop}, t)))::DOUBLE
+           / greatest(1, len(toks)) AS stop_ratio
+  FROM (SELECT doc_id, text, {toks} AS toks FROM documents)
+),
+kept AS (
+  SELECT doc_id, text, n_tokens FROM scored
+  WHERE n_tokens >= 10 AND stop_ratio < 0.5
+),
+dedup AS (
+  SELECT min(doc_id) AS doc_id, any_value(n_tokens) AS n_tokens
+  FROM kept GROUP BY text
+)
+SELECT count(*) AS n_docs,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       round(avg(n_tokens), 6) AS avg_tokens
+FROM dedup
 """,
         "quality_scores": f"""
 SELECT doc_id,

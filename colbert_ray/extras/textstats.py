@@ -201,5 +201,77 @@ def fingerprints(ds: "ray.data.Dataset", text_col: str = "text",
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def clean_corpus_stats(
+    ds: "ray.data.Dataset",
+    min_tokens: int = 10,
+    max_stopword_ratio: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Composite TRAINING-DATA CLEANING pipeline in one stream:
+    quality-filter (token count + stopword ratio) → exact dedup (keep the
+    min-id representative of each distinct text) → corpus aggregate
+    (survivors, distinct texts, total/avg tokens). The pre-training
+    pipeline shape: every stage is the same map_batches/groupby machinery
+    the standalone operators use, fused so filtered-out rows never reach
+    the dedup shuffle."""
+    import hashlib
+
+    from ray.data.aggregate import Count, Mean, Sum
+
+    cfg = _cfg()
+    stop = np.array(STOPWORDS, dtype=object)
+
+    def score_filter_hash(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch.column(text_col), cfg)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        lens = pc.utf8_length(toks.flatten()).to_numpy(zero_copy_only=False)
+        keep_tok = (lens >= cfg.min_token_len) & (lens <= cfg.max_token_len)
+        parents, flat = parents[keep_tok], flat[keep_tok]
+        n = batch.num_rows
+        n_tokens = np.bincount(parents, minlength=n).astype(np.int64)
+        n_stop = np.bincount(parents[np.isin(flat, stop)],
+                             minlength=n).astype(np.int64)
+        denom = np.maximum(1, n_tokens).astype(np.float64)
+        keep_doc = ((n_tokens >= min_tokens)
+                    & (n_stop / denom < max_stopword_ratio))
+        idx = np.flatnonzero(keep_doc)
+        texts = batch.column(text_col).to_pylist()
+        hi = np.empty(len(idx), dtype=np.int64)
+        lo = np.empty(len(idx), dtype=np.int64)
+        for j, i in enumerate(idx):
+            d = hashlib.sha256(texts[int(i)].encode()).digest()
+            hi[j] = int.from_bytes(d[:8], "little", signed=True)
+            lo[j] = int.from_bytes(d[8:16], "little", signed=True)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)[idx]
+        return pa.table({
+            id_col: pa.array(ids.astype(np.int64)),
+            "n_tokens": pa.array(n_tokens[idx]),
+            "h_hi": pa.array(hi), "h_lo": pa.array(lo),
+        })
+
+    import pandas as pd
+
+    def first_by_id(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.loc[g[id_col].idxmin()]
+        return pd.DataFrame({id_col: [int(r[id_col])],
+                             "n_tokens": [int(r["n_tokens"])]})
+
+    deduped = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(score_filter_hash, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby(["h_hi", "h_lo"])
+        .map_groups(first_by_id, batch_format="pandas")
+    )
+    agg = deduped.aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_tokens", alias_name="total_tokens"),
+        Mean("n_tokens", alias_name="avg_tokens"),
+    )
+    return ray.data.from_items([agg])
+
+
 def sql_stopword_list() -> str:
     return "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"

@@ -345,3 +345,24 @@ class TestPersistedAnnIndex:
         want = (x_sim.ivf_knn(ds, q, qids, k=5, nprobe=3, centroids=centroids)
                 .to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want)
+
+
+class TestCleanCorpusPipeline:
+    def test_filter_dedup_aggregate(self):
+        from colbert_ray.extras.textstats import clean_corpus_stats
+
+        texts = [
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa",  # 10 toks
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa",  # dup
+            "the the the the the and and and and and of of",  # stopword-heavy
+            "short doc",                                       # too short
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi",  # 12
+        ]
+        t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                      "text": pa.array(texts)})
+        out = clean_corpus_stats(ray.data.from_arrow(t), min_tokens=10,
+                                 max_stopword_ratio=0.5).to_pandas()
+        # survivors: one copy of doc0/1 (10 toks) + doc4 (12 toks)
+        assert out["n_docs"][0] == 2
+        assert out["total_tokens"][0] == 22
+        assert out["avg_tokens"][0] == pytest.approx(11.0)
