@@ -141,6 +141,64 @@ def _q_bm25_top10_sharded(sf_dir: str) -> pd.DataFrame:
     return out[["qid", "docid", "rank", "score"]].rename(columns={"score": "score_r"})
 
 
+PASSAGE_MAX_WORDS = 30
+PASSAGE_OVERLAP = 5
+PASSAGE_PID_BASE = 1_000_000
+
+
+def _q_passage_bm25_top5(sf_dir: str) -> pd.DataFrame:
+    """Composite long-document retrieval pipeline (the reference's
+    docs2passages → index → search → doc-level max-passage workflow, M12 +
+    build + K1/K7 in one stream): documents are split into overlapping
+    word windows, a passage-level index is built, passages are retrieved,
+    and documents are ranked by their best passage."""
+    import pyarrow as pa
+    import ray.data
+
+    from colbert_ray.pipelines.build import build_index
+    from colbert_ray.pipelines.search import search_table
+    from colbert_ray.stages.passages import split_documents
+
+    root = os.path.join("/tmp/colbert_ray_driver",
+                        "psg_" + hashlib.sha256(
+                            os.path.abspath(sf_dir).encode()).hexdigest()[:12])
+    corpus_dir = os.path.join(root, "passages")
+    idx = os.path.join(root, "index")
+    if not os.path.exists(os.path.join(corpus_dir, "_done")):
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        passages = split_documents(docs, max_words=PASSAGE_MAX_WORDS,
+                                   overlap=PASSAGE_OVERLAP,
+                                   text_col="text", id_col="doc_id")
+
+        def add_pid(batch: pa.Table) -> pa.Table:
+            pid = (batch.column("doc_id").to_numpy(zero_copy_only=False)
+                   * PASSAGE_PID_BASE
+                   + batch.column("passage_idx").to_numpy(zero_copy_only=False))
+            return batch.append_column("pid", pa.array(pid.astype(np.int64)))
+
+        os.makedirs(corpus_dir, exist_ok=True)
+        passages.map_batches(add_pid, batch_format="pyarrow").write_parquet(
+            corpus_dir, mode="overwrite")
+        with open(os.path.join(corpus_dir, "_done"), "w") as f:
+            f.write("ok")
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(corpus_dir, "*.parquet")))
+    build_index(files, idx, CFG, content_col="text", key_cols=(),
+                meta_cols=("doc_id", "passage_idx"), docid_col="pid")
+    qt = pa.table(
+        {"qid": pa.array([q for q, _ in QUERY_SET], type=pa.int64()),
+         "query": pa.array([t for _, t in QUERY_SET], type=pa.string())})
+    res = search_table(qt, idx, k=100, with_sha=False).to_pandas()
+    res["parent"] = res["docid"] // PASSAGE_PID_BASE
+    # doc score = best passage score (max-passage, K7 merge semantics)
+    doc = (res.groupby(["qid", "parent"], as_index=False)["score"].max()
+           .rename(columns={"parent": "docid"}))
+    out = _rerank_rounded(doc, "score", "docid", 5)
+    return out[["qid", "docid", "rank", "score"]].rename(
+        columns={"score": "score_r"})
+
+
 def _q_corpus_stats(sf_dir: str) -> pd.DataFrame:
     ds = x_text.corpus_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
     df = ds.to_pandas()
@@ -466,6 +524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_top10": _q_bm25_top10,
         "bm25_top10_sharded": _q_bm25_top10_sharded,
+        "passage_bm25_top5": _q_passage_bm25_top5,
         "corpus_stats": _q_corpus_stats,
         "term_df_top100": _q_term_df_top100,
         "token_counts": _q_token_counts,
@@ -664,6 +723,73 @@ FROM per_q
 """
 
 
+def _passage_bm25_sql() -> str:
+    """SQL twin of the passage pipeline: identical word-window split
+    (incl. the wrap-around final window), passage-level BM25 with passage
+    corpus statistics, then doc = max over its passages."""
+    from colbert_ray.functions.tokenizer import sql_tokenize_expr
+
+    values = ",\n      ".join(
+        f"({qid}, '{term}')"
+        for qid, text in QUERY_SET
+        for term in tokenize_query(text, CFG)[0]
+    )
+    k1, b = CFG.k1, CFG.b
+    maxw, stride = PASSAGE_MAX_WORDS, PASSAGE_MAX_WORDS - PASSAGE_OVERLAP
+    ptoks = sql_tokenize_expr("ptext", CFG)
+    return f"""
+WITH wordsrc AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS ws
+  FROM documents
+),
+base AS (SELECT doc_id, ws, len(ws) AS n FROM wordsrc),
+single AS (
+  SELECT doc_id, 0 AS k, ws AS pw FROM base WHERE n <= {maxw}
+),
+multi AS (
+  SELECT doc_id, kk.k AS k,
+         CASE WHEN kk.k < ((n - {maxw}) // {stride}) + 1
+              THEN ws[kk.k * {stride} + 1 : kk.k * {stride} + {maxw}]
+              ELSE ws[n - {maxw} + 1 : n] END AS pw
+  FROM base, LATERAL (
+    SELECT unnest(generate_series(0, ((n - {maxw}) // {stride}) + 1)) AS k) kk
+  WHERE n > {maxw}
+),
+passages AS (
+  SELECT doc_id * {PASSAGE_PID_BASE} + k AS pid,
+         array_to_string(pw, ' ') AS ptext
+  FROM (SELECT * FROM single UNION ALL SELECT * FROM multi)
+),
+pdocs AS (SELECT pid, {ptoks} AS toks FROM passages),
+stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM pdocs),
+tok AS (SELECT pid, len(toks) AS dl, unnest(toks) AS term FROM pdocs),
+tf AS (SELECT pid, term, any_value(dl) AS dl, count(*) AS tf
+       FROM tok GROUP BY pid, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(qid, term) AS (VALUES {values}),
+scores AS (
+  SELECT q.qid, tf.pid,
+         sum( ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * tf.tf * ({k1} + 1.0)
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.dl / s.avgdl)) ) AS score
+  FROM q JOIN df ON df.term = q.term JOIN tf ON tf.term = q.term
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.pid
+),
+docsc AS (
+  SELECT qid, pid // {PASSAGE_PID_BASE} AS docid, max(score) AS score
+  FROM scores GROUP BY qid, docid
+)
+SELECT qid::BIGINT AS qid, docid,
+       row_number() OVER (PARTITION BY qid ORDER BY round(score, 6) DESC, docid) AS rank,
+       round(score, 6) AS score_r
+FROM docsc
+QUALIFY rank <= 5
+ORDER BY qid, rank
+"""
+
+
 def _fingerprint_sql() -> str:
     """Same polynomial-FNV rolling hash as extras/textstats.fingerprints,
     in pure HUGEINT-mod-2^64 arithmetic (hash equality is exact)."""
@@ -752,6 +878,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_top10": _bm25_sql(),
         "bm25_top10_sharded": _bm25_sql(),   # sharding must not change results
+        "passage_bm25_top5": _passage_bm25_sql(),
         "corpus_stats": f"""
 SELECT count(*) AS n_docs,
        sum(len(toks))::BIGINT AS total_tokens,
