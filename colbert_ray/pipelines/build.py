@@ -18,6 +18,7 @@ Phases (each writes an artifact + manifest under ``index_dir``):
   E segments    explode -> TermIdMapper actor pool -> groupby(part)
                 -> encode + atomic write -> segments/  (A5/A6 + S10 analog)
   F finalize    verify all segments, metadata.json     (finalize analog)
+  G serve       pre-decoded mmap serve artifact        (coalesce/mmap analog)
 """
 
 from __future__ import annotations
