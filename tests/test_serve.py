@@ -374,3 +374,42 @@ def test_coalesce_chunked_index(built, tmp_path_factory):
     assert files == ["part_00000.parquet"]
     after = search_table(queries, idx, k=10).to_pandas()
     pd.testing.assert_frame_equal(before, after)
+
+
+def test_http_sharded_topology_merges_exactly(built):
+    """The documented multi-node serving topology: one HTTP server per
+    docid shard (docid_range), client-side merge by (-score, docid) —
+    must equal the unsharded scorer exactly."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from colbert_ray.server import make_server
+    from colbert_ray.state.index import BM25Scorer
+
+    _, queries_path, index_dir = built
+    full = BM25Scorer(index_dir, k=5, with_sha=False)
+    n = len(full.idx.doclens)
+    servers = []
+    try:
+        for rng_ in ((0, n // 2), (n // 2, 2 ** 62)):
+            h = make_server(index_dir, port=0, k=5, with_sha=False,
+                            docid_range=rng_)
+            threading.Thread(target=h.serve_forever, daemon=True).start()
+            servers.append(h)
+        for query in pq.read_table(queries_path).column("query").to_pylist()[:5]:
+            rows = []
+            for h in servers:
+                port = h.server_address[1]
+                url = (f"http://127.0.0.1:{port}/api/search?"
+                       f"query={urllib.request.quote(query)}&k=5")
+                with urllib.request.urlopen(url, timeout=30) as r:
+                    rows += _json.loads(r.read())["topk"]
+            rows.sort(key=lambda r: (-r["score"], r["docid"]))
+            got = [(r["docid"], r["score"]) for r in rows[:5]]
+            d, s, _ = full.score_query(query)
+            want = [(int(a), float(b)) for a, b in zip(d, s)]
+            assert got == want
+    finally:
+        for h in servers:
+            h.shutdown()
