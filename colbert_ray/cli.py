@@ -20,14 +20,20 @@ import json
 import sys
 
 
-def _ensure_ray():
+def _ensure_ray() -> bool:
+    """Init Ray if nobody has; returns True iff WE started the session (the
+    CLI only shuts down a session it owns — calling main() from a process
+    that already holds a Ray session must not tear it down)."""
     import ray
 
+    started = False
     if not ray.is_initialized():
         ray.init(include_dashboard=False, logging_level="ERROR")
+        started = True
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    return started
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -73,7 +79,7 @@ def main(argv: list[str] | None = None) -> int:
         argv2 = ["--index", args.index, "--port", str(args.port),
                  "--k", str(args.k)] + (["--no-sha"] if args.no_sha else [])
         return serve_main(argv2)
-    _ensure_ray()
+    started_ray = _ensure_ray()
 
     from colbert_ray.config import EngineConfig
 
@@ -125,9 +131,10 @@ def main(argv: list[str] | None = None) -> int:
 
         dest = coalesce_segments(args.index)
         print(json.dumps({"coalesced": dest}))
-    import ray
+    if started_ray:
+        import ray
 
-    ray.shutdown()
+        ray.shutdown()
     return 0
 
 

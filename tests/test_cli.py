@@ -1,0 +1,68 @@
+"""End-to-end tests of the CLI (the `ray job submit` driver surface):
+build -> search (stdout TSV) -> resumable job-sharded output -> eval."""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from colbert_ray.cli import main
+from colbert_ray.config import EngineConfig
+from colbert_ray.fixtures import ensure_fixture
+
+
+@pytest.fixture(scope="module")
+def fix(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cli_fix"))
+    corpus_dir, queries_path = ensure_fixture(root, 200, 10)
+    return root, corpus_dir, queries_path
+
+
+def test_cli_build_search_eval_roundtrip(fix, capsys):
+    root, corpus_dir, queries_path = fix
+    idx = os.path.join(root, "index")
+    cfg = json.dumps({"salt_max_run": 30, "num_term_partitions": 8})
+    assert main(["build", "--corpus", corpus_dir, "--index", idx,
+                 "--config", cfg]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["metadata"]["n_docs"] == 200
+
+    # rebuild = resume: no phases run
+    assert main(["build", "--corpus", corpus_dir, "--index", idx,
+                 "--config", cfg]) == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["phases"] == {}
+
+    # stdout TSV search
+    assert main(["search", "--index", idx, "--queries", queries_path,
+                 "--k", "3"]) == 0
+    lines = [ln for ln in capsys.readouterr().out.strip().splitlines()
+             if ln and "\t" in ln]
+    assert lines and all(len(ln.split("\t")) == 4 for ln in lines)
+
+    # resumable job-sharded parquet output
+    out = os.path.join(root, "jobout")
+    assert main(["search", "--index", idx, "--queries", queries_path,
+                 "--k", "5", "--out", out, "--job-shards", "2"]) == 0
+    rep3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sorted(rep3["ran"]) == [0, 1]
+    t = pq.read_table(os.path.join(out, "shard=0", "ranking.parquet"))
+    assert t.num_rows > 0
+
+    # eval against a tiny qrels file (first ranked doc of first query)
+    qid, docid = lines[0].split("\t")[:2]
+    qrels = os.path.join(root, "qrels.tsv")
+    with open(qrels, "w") as f:
+        f.write(f"{qid}\t0\t{docid}\t1\n")
+    ranking_tsv = os.path.join(root, "ranking.tsv")
+    with open(ranking_tsv, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    assert main(["eval", "--ranking", ranking_tsv, "--qrels", qrels]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])[0]
+    assert m["mrr@10"] == 1.0
+
+    # the CLI must NOT have shut down the session-scoped Ray
+    import ray
+
+    assert ray.is_initialized()
