@@ -422,11 +422,17 @@ def _q_lang_id(sf_dir: str) -> pd.DataFrame:
 
 
 def _q_ivf_knn_top5(sf_dir: str) -> pd.DataFrame:
+    """IVF ANN top-5 with FIXED deterministic centroids (`_ivf_centroids`,
+    shared with the SQL oracle, which inlines the same values as literals).
+    Oversample k=10 raw, then re-rank on the rounded cosine (float policy)."""
     vecs, ids = _knn_queries(sf_dir)
-    ds = x_sim.ivf_knn(_read(sf_dir, "embeddings"), vecs, ids, k=5)
+    cents = _ivf_centroids(sf_dir)
+    ds = x_sim.ivf_knn(_read(sf_dir, "embeddings"), vecs, ids, k=10,
+                       centroids=cents)
     df = ds.to_pandas()
-    df["cosine"] = df["cosine"].round(6)
-    return df.sort_values(["qid", "rank"]).reset_index(drop=True)
+    out = _rerank_rounded(df, "cosine", "vec_id", 5)
+    return out[["qid", "vec_id", "rank", "cosine"]].rename(
+        columns={"cosine": "cosine_r"})
 
 
 def _q_media_features(sf_dir: str) -> pd.DataFrame:
@@ -542,11 +548,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash64": _q_simhash,
         "fingerprints": _q_fingerprints,
         "lang_id_pred": _q_lang_id,
-        # rows-only (approximate / stateful / non-SQL-expressible); each is
-        # gated in pytest instead: minhash vs exact jaccard (subset+recall),
-        # ivf recall vs exact knn, code rankings vs the in-process oracle
+        # minhash/ivf gained exact SQL oracles in round 3 (modular-arithmetic
+        # minhash twin; fixed-centroid IVF twin); both ALSO keep their pytest
+        # recall gates vs the exact baselines
         "minhash_dup_pairs": _q_minhash_dup_pairs,
         "ivf_knn_top5": _q_ivf_knn_top5,
+        # rows-only (stateful / non-SQL-expressible); gated by the in-process
+        # oracle self-check inside the query and the media pytest suite
         "media_features": _q_media_features,
         "video_frame_sample": _q_video_frame_sample,
         "code_corpus_rankings": _q_code_corpus_rankings,
@@ -643,6 +651,193 @@ sims AS (
   SELECT q.qid, e.vec_id,
          list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cosine
   FROM q JOIN embeddings e ON e.vec_id <> q.qid
+)
+SELECT qid, vec_id,
+       row_number() OVER (PARTITION BY qid ORDER BY round(cosine, 6) DESC, vec_id) AS rank,
+       round(cosine, 6) AS cosine_r
+FROM sims
+QUALIFY rank <= 5
+ORDER BY qid, rank
+"""
+
+
+def _minhash_sql() -> str:
+    """Exact DuckDB twin of ``minhash_lsh_pairs`` (threshold 0.8): the whole
+    path is modular arithmetic — 24-bit byte-trigram codes, 64 universal-hash
+    permutations ``(a*code+b) mod 2^64``, per-band multiply-mix + splitmix64
+    finalizer, same-bucket candidates prefiltered on the estimated jaccard
+    (matching-minhash fraction), then verified by true trigram jaccard.
+    The permutation/mixer constants are inlined from the SAME
+    ``minhash_params()`` the engine uses. ASCII-guarded like the other
+    byte-hash oracles (engine hashes UTF-8 bytes; SQL sees codepoints)."""
+    from colbert_ray.extras.dedup import minhash_params
+
+    a, b, mixer = minhash_params()
+    perm_rows = ",\n    ".join(
+        f"({i}, {int(a[i])}::HUGEINT, {int(b[i])}::HUGEINT)"
+        for i in range(len(a)))
+    mixer_rows = ",\n    ".join(
+        f"({bd}, {r}, {int(mixer[bd, r])}::HUGEINT)"
+        for bd in range(mixer.shape[0]) for r in range(mixer.shape[1]))
+    M64 = "18446744073709551616::HUGEINT"          # 2^64
+    M63 = "9223372036854775808::HUGEINT"           # 2^63
+    SPLITMIX = "13787848793156543929::HUGEINT"     # 0xBF58476D1CE4E5B9
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN length(text) <> octet_length(encode(text))
+              THEN error('non-ascii input to minhash oracle')
+              ELSE text END AS text
+  FROM documents
+),
+tri AS (
+  SELECT DISTINCT doc_id,
+         (ascii(substr(text, j, 1)) * 65536
+          + ascii(substr(text, j + 1, 1)) * 256
+          + ascii(substr(text, j + 2, 1)))::HUGEINT AS code
+  FROM d, LATERAL (SELECT unnest(generate_series(1, len(text) - 2)) AS j) js
+),
+perm(i, pa, pb) AS (VALUES
+    {perm_rows}
+),
+mh AS (
+  SELECT tri.doc_id, perm.i,
+         min((perm.pa * tri.code + perm.pb) % {M64}) AS v
+  FROM tri CROSS JOIN perm
+  GROUP BY tri.doc_id, perm.i
+),
+mixer(band, r, m) AS (VALUES
+    {mixer_rows}
+),
+bsum AS (
+  SELECT mh.doc_id, x.band,
+         (sum((mh.v * x.m) % {M64}) % {M64}) AS s
+  FROM mh JOIN mixer x ON mh.i = x.band * 8 + x.r
+  GROUP BY mh.doc_id, x.band
+),
+bands AS (
+  -- (u * SPLITMIX) mod 2^64 via 32-bit split: u*c = (u>>32)*c*2^32 + (u&m32)*c,
+  -- each partial < 2^96 so the INT128 multiply cannot overflow
+  SELECT doc_id, band,
+         (xor(w::UBIGINT, w::UBIGINT >> 27)::HUGEINT % {M63})::BIGINT
+           AS band_hash
+  FROM (
+    SELECT doc_id, band,
+           (((u % 4294967296::HUGEINT) * {SPLITMIX}
+             + (((u // 4294967296::HUGEINT) * {SPLITMIX})
+                % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+            % {M64}) AS w
+    FROM (
+      SELECT doc_id, band,
+             xor(s::UBIGINT, s::UBIGINT >> 30)::HUGEINT AS u
+      FROM bsum))
+),
+bp AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT bp.id_a, bp.id_b,
+         count(*) FILTER (WHERE ma.v = mb.v) AS n_match
+  FROM bp JOIN mh ma ON ma.doc_id = bp.id_a
+          JOIN mh mb ON mb.doc_id = bp.id_b AND mb.i = ma.i
+  GROUP BY bp.id_a, bp.id_b
+),
+cand AS (
+  SELECT id_a, id_b FROM est
+  WHERE n_match / 64.0 >= (0.8::DOUBLE - 0.15::DOUBLE)
+),
+tcnt AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c JOIN tri ta ON ta.doc_id = c.id_a
+              JOIN tri tb ON tb.doc_id = c.id_b AND tb.code = ta.code
+  GROUP BY c.id_a, c.id_b
+),
+ver AS (
+  SELECT i.id_a, i.id_b,
+         i.n_common::DOUBLE / (ca.n + cb.n - i.n_common)::DOUBLE AS jaccard
+  FROM inter i JOIN tcnt ca ON ca.doc_id = i.id_a
+               JOIN tcnt cb ON cb.doc_id = i.id_b
+)
+SELECT id_a, id_b, jaccard FROM ver
+WHERE jaccard >= 0.8::DOUBLE
+ORDER BY id_a, id_b
+"""
+
+
+# the driver's side-by-side comparison runs at sf0.01 (brief protocol); the
+# IVF oracle inlines centroids computed from that table by the SAME seeded
+# numpy k-means the query side uses
+ORACLE_SF_DIR = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _ivf_centroids(sf_dir: str) -> np.ndarray:
+    """Deterministic IVF centroids for the driver query/oracle pair: the
+    pure-numpy ``kmeans_core`` over the embeddings table read in file order
+    (no Ray dependency, so query side and SQL-constant side are identical
+    by construction)."""
+    import pyarrow.parquet as pq
+
+    from colbert_ray.extras.simsearch import _normalize, kmeans_core
+
+    t = pq.read_table(_doc_path(sf_dir, "embeddings"), columns=["embedding"])
+    arr = t.column("embedding").combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    offs = arr.offsets.to_numpy(zero_copy_only=False)
+    dim = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+    m = _normalize(flat.reshape(-1, dim)[:16384])
+    return kmeans_core(m, n_centroids=16, n_iter=10, seed=123)
+
+
+def _ivf_sql() -> str:
+    """DuckDB twin of ``ivf_knn`` (nprobe=4, k=5) given FIXED centroids
+    (inlined as literals from ``_ivf_centroids`` — 17-significant-digit
+    decimals round-trip float64 exactly). Assignment and probe selection
+    rank the 6-decimal-ROUNDED cosine with centroid-id tie-break — the same
+    float policy the engine applies in ``_assign_buckets``/``_probe_buckets``
+    — so bucket decisions cannot flip on summation-order ulps."""
+    cents = _ivf_centroids(ORACLE_SF_DIR)
+    cent_rows = ",\n    ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            ci, ", ".join(f"{v:.17g}" for v in cents[ci]))
+        for ci in range(len(cents)))
+    qids = ", ".join(str(i) for i in KNN_QUERY_IDS)
+    return f"""
+WITH cents(cid, cv) AS (VALUES
+    {cent_rows}
+),
+q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN ({qids})
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ad AS (
+  SELECT e.vec_id, c.cid,
+         round(list_cosine_similarity(e.v, c.cv), 6) AS d
+  FROM e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cid AS bucket FROM ad
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) = 1
+),
+qd AS (
+  SELECT q.qid, c.cid,
+         round(list_cosine_similarity(q.qv, c.cv), 6) AS d
+  FROM q CROSS JOIN cents c
+),
+probe AS (
+  SELECT qid, cid FROM qd
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY d DESC, cid) <= 4
+),
+sims AS (
+  SELECT q.qid, e.vec_id,
+         list_cosine_similarity(q.qv, e.v) AS cosine
+  FROM q JOIN probe p ON p.qid = q.qid
+         JOIN assign a ON a.bucket = p.cid
+         JOIN e ON e.vec_id = a.vec_id AND e.vec_id <> q.qid
 )
 SELECT qid, vec_id,
        row_number() OVER (PARTITION BY qid ORDER BY round(cosine, 6) DESC, vec_id) AS rank,
@@ -958,13 +1153,19 @@ WHERE cosine_r >= {EMB_DUP_THRESHOLD}
 ORDER BY id_a, id_b
 """,
         "retrieval_metrics": _metrics_sql(),
+        "minhash_dup_pairs": _minhash_sql(),
+        "ivf_knn_top5": _ivf_sql(),
         "fingerprints": _fingerprint_sql(),
         "simhash64": _simhash_sql(),
         "lang_id_pred": _lang_id_sql(),
         # the decode stub tiles payload bytes into the 8x8x3 pixel grid, so
         # pixel_mean is the mean of the first 192 cyclically-tiled bytes
         "media_features": """
-WITH d AS (SELECT doc_id AS item_id, text FROM documents ORDER BY doc_id LIMIT 256),
+WITH d AS (SELECT doc_id AS item_id,
+                  CASE WHEN length(text) <> octet_length(encode(text))
+                       THEN error('non-ascii input to media_features oracle')
+                       ELSE text END AS text
+           FROM documents ORDER BY doc_id LIMIT 256),
 px AS (
   SELECT item_id,
          len(text)::BIGINT AS n_bytes,
@@ -979,7 +1180,11 @@ FROM px ORDER BY item_id
         # video stub: frame i = 192 payload bytes read cyclically from
         # offset i*37; n_frames = 4 + len % 28; picks = range(0, nf, 4)[:4]
         "video_frame_sample": """
-WITH d AS (SELECT doc_id AS item_id, text FROM documents ORDER BY doc_id LIMIT 128),
+WITH d AS (SELECT doc_id AS item_id,
+                  CASE WHEN length(text) <> octet_length(encode(text))
+                       THEN error('non-ascii input to video oracle')
+                       ELSE text END AS text
+           FROM documents ORDER BY doc_id LIMIT 128),
 f AS (SELECT item_id, text, len(text) AS n, 4 + len(text) % 28 AS nf FROM d),
 frames AS (
   SELECT item_id, text, n, (k.k * 4)::INT AS frame_idx

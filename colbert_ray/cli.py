@@ -104,6 +104,9 @@ def main(argv: list[str] | None = None) -> int:
         from colbert_ray.sources.readers import read_queries
         from colbert_ray.sources.writers import write_ranking_parquet
 
+        if args.job_shards and not args.out:
+            p.error("--job-shards requires --out (sharded resumable output "
+                    "is written as parquet under --out)")
         queries = read_queries(args.queries)
         if args.out and args.job_shards:
             from colbert_ray.pipelines.search import search_job

@@ -143,12 +143,25 @@ def _trigram_codes(texts: list[str], n: int = _NGRAM) -> list[np.ndarray]:
     return out
 
 
-def _minhash_matrix(code_sets: list[np.ndarray], k: int = _MINHASH_K) -> np.ndarray:
-    """k minhashes per doc via k universal-hash permutations of the integer
-    shingle codes (seeded, deterministic, vectorized)."""
+def minhash_params(k: int = _MINHASH_K):
+    """The deterministic MinHash/LSH constants, exposed so the SQL oracle
+    can inline the SAME permutation and band-mixer values the engine uses:
+    (a, b) uint64 arrays of length k for the universal-hash permutations
+    ``(a*code + b) mod 2^64``, and the (bands, rows) uint64 band mixer."""
     rng = np.random.default_rng(12345)
     a = rng.integers(1, (1 << 61) - 1, size=k, dtype=np.uint64) | np.uint64(1)
     b = rng.integers(0, (1 << 61) - 1, size=k, dtype=np.uint64)
+    rng2 = np.random.default_rng(777)
+    mixer = rng2.integers(1, (1 << 63) - 1,
+                          size=(_LSH_BANDS, _LSH_ROWS),
+                          dtype=np.uint64) | np.uint64(1)
+    return a, b, mixer
+
+
+def _minhash_matrix(code_sets: list[np.ndarray], k: int = _MINHASH_K) -> np.ndarray:
+    """k minhashes per doc via k universal-hash permutations of the integer
+    shingle codes (seeded, deterministic, vectorized)."""
+    a, b, _ = minhash_params(k)
     out = np.full((len(code_sets), k), np.iinfo(np.uint64).max, dtype=np.uint64)
     for i, hs in enumerate(code_sets):
         if len(hs) == 0:
@@ -201,10 +214,7 @@ def minhash_lsh_pairs(
         # finalizer — fully vectorized, deterministic across processes (no
         # per-row hashlib loop; a rare collision only creates a candidate
         # pair, which exact verification then rejects)
-        rng = np.random.default_rng(777)
-        mixer = rng.integers(1, (1 << 63) - 1,
-                             size=(_LSH_BANDS, _LSH_ROWS),
-                             dtype=np.uint64) | np.uint64(1)
+        _, _, mixer = minhash_params()
         bh = (mh.reshape(n, _LSH_BANDS, _LSH_ROWS) * mixer[None]).sum(axis=2)
         bh ^= bh >> np.uint64(30)
         bh *= np.uint64(0xBF58476D1CE4E5B9)

@@ -91,6 +91,24 @@ def knn_cosine(
     )
 
 
+def kmeans_core(m: np.ndarray, n_centroids: int = 16, n_iter: int = 10,
+                seed: int = 123) -> np.ndarray:
+    """Pure-numpy seeded spherical k-means over an ALREADY-normalized float64
+    matrix — shared by the Ray training path and the SQL-oracle centroid
+    computation so both sides get bit-identical centroids."""
+    rng = np.random.default_rng(seed)
+    c = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(m @ c.T, axis=1)
+        sums = np.zeros_like(c)
+        np.add.at(sums, assign, m)
+        counts = np.bincount(assign, minlength=len(c)).astype(np.float64)
+        nonempty = counts > 0
+        c = np.where(nonempty[:, None], sums, c)
+        c = _normalize(c)
+    return c
+
+
 def train_kmeans_centroids(
     ds: "ray.data.Dataset",
     n_centroids: int = 16,
@@ -106,17 +124,22 @@ def train_kmeans_centroids(
     empty clusters keep their previous centroid."""
     sample = ds.select_columns([vec_col]).limit(train_size).to_pandas()
     m = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
-    rng = np.random.default_rng(seed)
-    c = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
-    for _ in range(n_iter):
-        assign = np.argmax(m @ c.T, axis=1)
-        sums = np.zeros_like(c)
-        np.add.at(sums, assign, m)
-        counts = np.bincount(assign, minlength=len(c)).astype(np.float64)
-        nonempty = counts > 0
-        c = np.where(nonempty[:, None], sums, c)
-        c = _normalize(c)
-    return c
+    return kmeans_core(m, n_centroids, n_iter=n_iter, seed=seed)
+
+
+def _assign_buckets(m_norm: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Nearest-centroid assignment on the ROUNDED cosine (float policy:
+    6-decimal rounding before the argmax, ties to the lowest centroid id) so
+    numpy and the DuckDB oracle make identical bucket decisions."""
+    return np.argmax(np.round(m_norm @ centroids.T, 6), axis=1)
+
+
+def _probe_buckets(qm: np.ndarray, centroids: np.ndarray,
+                   nprobe: int) -> np.ndarray:
+    """Top-``nprobe`` buckets per query on the ROUNDED cosine (stable sort:
+    ties to the lowest centroid id) — same float policy as assignment."""
+    d = np.round(qm @ centroids.T, 6)
+    return np.argsort(-d, axis=1, kind="stable")[:, :nprobe]
 
 
 def ivf_knn(
@@ -141,14 +164,14 @@ def ivf_knn(
     if centroids is None:
         centroids = train_kmeans_centroids(ds, n_centroids, vec_col=vec_col)
     centroids = np.asarray(centroids, dtype=np.float64)
-    probe = np.argsort(-(qm @ centroids.T), axis=1)[:, :nprobe]   # (nq, nprobe)
+    probe = _probe_buckets(qm, centroids, nprobe)          # (nq, nprobe)
     ref = ray.put((qm, qids, centroids, probe))
 
     def bucket_score(batch: pa.Table) -> pa.Table:
         q, qi, cents, prb = ray.get(ref)
         m = _normalize(_stack(batch, vec_col))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        assign = np.argmax(m @ cents.T, axis=1)            # coarse bucket
+        assign = _assign_buckets(m, cents)                 # coarse bucket
         out_q, out_id, out_s = [], [], []
         for r in range(q.shape[0]):
             sel = np.isin(assign, prb[r]) & (ids != qi[r])
@@ -209,7 +232,7 @@ def build_ann_index(
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(cref)
         m = _normalize(_stack(batch, vec_col))
-        bucket = np.argmax(m @ c.T, axis=1).astype(np.int32)
+        bucket = _assign_buckets(m, c).astype(np.int32)
         # "bucket" becomes the hive partition (stripped from file rows);
         # "bucket_id" stays in the rows so leaf-directory reads keep it
         return pa.table({
@@ -252,7 +275,7 @@ def ann_search(
     centroids = np.load(os.path.join(index_dir, "centroids.npy"))
     qm = _normalize(np.asarray(query_vecs, dtype=np.float64))
     qids = np.asarray(query_ids, dtype=np.int64)
-    probe = np.argsort(-(qm @ centroids.T), axis=1)[:, :nprobe]
+    probe = _probe_buckets(qm, centroids, nprobe)
     needed = sorted({int(b) for row in probe for b in row})
     ref = ray.put((qm, qids, probe))
 

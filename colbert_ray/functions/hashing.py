@@ -45,9 +45,18 @@ def fnv1a64_strings(arr) -> np.ndarray:
         return np.empty(0, dtype=np.uint64)
     de = arr.dictionary_encode()
     d = de.dictionary
+    # Arrow promotes >2GiB columns to large_string (int64 offsets); reading
+    # the offset buffer with the wrong dtype silently corrupts every hash.
+    if pa.types.is_large_string(d.type) or pa.types.is_large_binary(d.type):
+        off_dtype = np.int64
+    elif pa.types.is_string(d.type) or pa.types.is_binary(d.type):
+        off_dtype = np.int32
+    else:  # string_view etc. — no contiguous offset buffer; go via cast
+        d = d.cast(pa.large_string())
+        off_dtype = np.int64
     bufs = d.buffers()
     off0 = d.offset
-    offsets = np.frombuffer(bufs[1], dtype=np.int32)[off0: off0 + len(d) + 1]
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[off0: off0 + len(d) + 1]
     offsets = offsets.astype(np.int64)
     data = (np.frombuffer(bufs[2], dtype=np.uint8)
             if bufs[2] is not None else np.empty(0, dtype=np.uint8))
@@ -59,11 +68,23 @@ def fnv1a64_strings(arr) -> np.ndarray:
 def sql_fnv1a64_expr(term_expr: str) -> str:
     """DuckDB expression computing the same FNV-1a 64-bit hash of an ASCII
     string expression (HUGEINT arithmetic mod 2^64; xor touches only the low
-    byte, so it is lifted to BIGINT)."""
+    byte, so it is lifted to BIGINT).
+
+    The engine hashes UTF-8 *bytes* while this twin hashes *codepoints*, so
+    it is only correct for ASCII — the expression therefore errors loudly
+    (DuckDB ``error()``) on any non-ASCII input instead of silently
+    diverging from the engine's hash.
+    """
+    guarded = (
+        f"(case when length({term_expr}) <> "
+        f"octet_length(encode({term_expr})) "
+        f"then error('non-ascii input to fnv1a64 SQL oracle') "
+        f"else {term_expr} end)"
+    )
     return (
         f"list_reduce(list_prepend({int(FNV_OFFSET)}::HUGEINT, "
-        f"list_transform(generate_series(1, length({term_expr})), "
-        f"j -> ord(substr({term_expr}, j, 1))::HUGEINT)), "
+        f"list_transform(generate_series(1, length({guarded})), "
+        f"j -> ord(substr({guarded}, j, 1))::HUGEINT)), "
         f"(a, x) -> (((a - a % 256 + "
         f"xor((a % 256)::BIGINT, x::BIGINT)::HUGEINT) * "
         f"{int(FNV_PRIME)}::HUGEINT) % {U64_MOD}::HUGEINT))"

@@ -174,7 +174,9 @@ def search_job(
     index_key = f'{meta.get("semantic_hash")}:{meta.get("inputs_hash")}'
 
     def shard_key(tbl: pa.Table) -> str:
-        blob = (index_key + f":k={k}:" + ";".join(
+        # with_sha changes the output schema — a rerun with a different
+        # value must not skip shards written under the other shape.
+        blob = (index_key + f":k={k}:sha={int(with_sha)}:" + ";".join(
             f"{q}\x00{t}" for q, t in zip(tbl.column("qid").to_pylist(),
                                           tbl.column("query").to_pylist())))
         return hashlib.sha256(blob.encode()).hexdigest()[:16]
