@@ -31,6 +31,7 @@ import time
 
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 import ray
 import ray.data
@@ -47,6 +48,23 @@ DOCID_MAP = "docid_map"
 DOCMETA = "docmeta"
 DICTIONARY = "dictionary"
 SEGMENTS = "segments"
+
+# below this row count the docid phase runs fully on the driver (one pyarrow
+# read + sort + direct writes); above it, the distributed sort-rank path.
+# Same threshold rationale as sorted_rank_dataset's driver fast path.
+DOCID_DRIVER_THRESHOLD = 2_000_000
+
+
+def _write_single_parquet_dir(t: pa.Table, out_dir: str, stem: str) -> None:
+    """Overwrite ``out_dir`` with one parquet file holding ``t`` (atomic:
+    tmp + rename; stale *.parquet removed) — the driver-side equivalent of
+    ``write_parquet(..., mode="overwrite")`` without a Ray execution."""
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, f"{stem}.parquet.tmp")
+    pq.write_table(t, tmp)
+    for f in glob.glob(os.path.join(out_dir, "*.parquet")):
+        os.remove(f)
+    os.replace(tmp, os.path.join(out_dir, f"{stem}.parquet"))
 
 
 def _attach_docid(
@@ -255,20 +273,50 @@ def build_index(
     light_cols = [c for c in (*key_cols, *meta_cols) if c != docid_col]
     if _phase("docids", sem_pre):
         t0 = time.time()
-        if not docid_col:
-            # docid = rank of key_cols under a global sort, computed on the
-            # KEYS-ONLY projection (never moves the heavy term lists)
-            keys = ray.data.read_parquet(tok_dir, columns=list(key_cols))
-            sorted_rank_dataset(keys, list(key_cols), "docid").write_parquet(
-                map_dir, mode="overwrite"
+        lite_cols = list(dict.fromkeys(
+            [*key_cols, *light_cols, "content_sha256", "doclen"]
+            + (["docid"] if docid_col else [])))
+        tok_files = sorted(glob.glob(os.path.join(tok_dir, "*.parquet")))
+        n_rows = sum(pq.read_metadata(f).num_rows for f in tok_files)
+        if n_rows <= DOCID_DRIVER_THRESHOLD:
+            # fused driver fast path: the light columns fit the driver, so
+            # docid assignment is ONE pyarrow read + ONE sort + two direct
+            # parquet writes — no Ray Data executions at all. This removes
+            # the phase's ~4-5 s of fixed pipeline/coordination cost (it was
+            # the worst non-scaling phase in the round-2 profile). Rank
+            # semantics are IDENTICAL to the distributed path: pyarrow
+            # sort_indices gives the same UTF-8-byte order as Ray's sample
+            # sort, and docid = rank under that sort.
+            t = pads.dataset(tok_files).to_table(columns=lite_cols)
+            if not docid_col:
+                import numpy as _np
+
+                order = pc.sort_indices(
+                    t, sort_keys=[(k, "ascending") for k in key_cols])
+                t = t.take(order)
+                t = t.append_column("docid", pa.array(
+                    _np.arange(t.num_rows, dtype=_np.int64), type=pa.int64()))
+                _write_single_parquet_dir(
+                    t.select([*key_cols, "docid"]), map_dir, "docid_map_0")
+            meta_keep = list(dict.fromkeys(
+                [*light_cols, "content_sha256", "doclen", "docid"]))
+            _write_single_parquet_dir(t.select(meta_keep), meta_dir, "docmeta_0")
+        else:
+            # distributed path (corpora beyond driver scale)
+            if not docid_col:
+                # docid = rank of key_cols under a global sort, computed on
+                # the KEYS-ONLY projection (never moves the heavy term lists)
+                keys = ray.data.read_parquet(tok_dir, columns=list(key_cols))
+                sorted_rank_dataset(keys, list(key_cols), "docid").write_parquet(
+                    map_dir, mode="overwrite"
+                )
+            lite = ray.data.read_parquet(
+                tok_dir,
+                columns=light_cols + ["content_sha256", "doclen"]
+                + (["docid"] if docid_col else []),
             )
-        lite = ray.data.read_parquet(
-            tok_dir,
-            columns=light_cols + ["content_sha256", "doclen"]
-            + (["docid"] if docid_col else []),
-        )
-        lite = _attach_docid(lite, map_dir, key_cols, cfg, docid_col)
-        lite.write_parquet(meta_dir, mode="overwrite")
+            lite = _attach_docid(lite, map_dir, key_cols, cfg, docid_col)
+            lite.write_parquet(meta_dir, mode="overwrite")
         manifests.mark_phase_complete(
             index_dir, "docids", sem_pre, inputs_hash, wall_sec=time.time() - t0
         )
@@ -466,12 +514,16 @@ def build_index(
         dict_md = [pq.read_metadata(f) for f in dict_files]
         n_terms = sum(m.num_rows for m in dict_md)
         seg_files = sorted(glob.glob(os.path.join(seg_dir, "part_*.parquet")))
-        n_postings = 0
-        n_runs = 0
-        for f in seg_files:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _count_runs(f):
             t = pq.read_table(f, columns=["n"])
-            n_runs += t.num_rows
-            n_postings += int(pc.sum(t.column("n")).as_py() or 0)
+            return t.num_rows, int(pc.sum(t.column("n")).as_py() or 0)
+
+        with ThreadPoolExecutor(max_workers=min(16, max(1, len(seg_files)))) as ex:
+            counts_rf = list(ex.map(_count_runs, seg_files))
+        n_runs = sum(r for r, _ in counts_rf)
+        n_postings = sum(p for _, p in counts_rf)
         meta = {
             "n_docs": stats["n_docs"],
             "avgdl": stats["avgdl"],

@@ -44,7 +44,8 @@ def make_server(index_dir: str, port: int = 8893, k: int = 10,
         for d, s, r in zip(docids.tolist(), scores.tolist(), ranks.tolist()):
             row = {"docid": d, "rank": r, "score": s}
             if with_sha and scorer.idx.sha256 is not None:
-                row["content_sha256"] = scorer.idx.sha256[d]
+                row["content_sha256"] = scorer.idx.sha256[
+                    d - scorer.idx.docid_base]
             rows.append(row)
         return rows
 

@@ -39,6 +39,35 @@ _PROC_CACHE: dict = {}
 _PROC_CACHE_MAX = 4
 
 
+def _gather_binary(arr, order: np.ndarray) -> np.ndarray:
+    """Concatenate the elements of an Arrow binary array in ``order`` as ONE
+    contiguous uint8 numpy array — sliced straight from the Arrow value
+    buffer (offsets + one vectorized gather), never through per-element
+    Python bytes objects."""
+    if arr.null_count:
+        raise ValueError("binary column with nulls in posting segment")
+    import pyarrow as pa
+
+    if pa.types.is_large_binary(arr.type) or pa.types.is_large_string(arr.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[
+        arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None else np.empty(0, dtype=np.uint8))
+    starts = offs[:-1][order]
+    lens = (offs[1:] - offs[:-1])[order]
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint8)
+    out_starts = np.zeros(len(order), dtype=np.int64)
+    np.cumsum(lens[:-1], out=out_starts[1:])
+    intra = np.arange(total, dtype=np.int64) - np.repeat(out_starts, lens)
+    return data[np.repeat(starts, lens) + intra]
+
+
 def bulk_decode_runs(seg):
     """Decode ALL posting runs of one segment table in one vectorized pass.
 
@@ -46,7 +75,8 @@ def bulk_decode_runs(seg):
     (term_id, salt) and postings concatenated in that order (salts are
     docid-range partitions, so docid order within a term is preserved);
     ``order`` is the permutation from the table's row order to the sorted
-    run order. Load cost is O(total postings), no Python loop over runs.
+    run order. Load cost is O(total postings), no Python loop over runs —
+    the varint streams are concatenated at the Arrow BUFFER level.
     """
     tid = seg.column("term_id").to_numpy(zero_copy_only=False).astype(np.int64)
     salt = seg.column("salt").to_numpy(zero_copy_only=False)
@@ -56,8 +86,8 @@ def bulk_decode_runs(seg):
     db = seg.column("docids_bin").combine_chunks()
     tb = seg.column("tfs_bin").combine_chunks()
     total = int(nper.sum())
-    dbuf = b"".join(db[int(i)].as_py() for i in order)
-    tbuf = b"".join(tb[int(i)].as_py() for i in order)
+    dbuf = _gather_binary(db, order)
+    tbuf = _gather_binary(tb, order)
     gaps = varint_decode(dbuf, total).astype(np.int64)
     g_cum = np.cumsum(gaps)
     run_start = np.concatenate([[0], np.cumsum(nper)[:-1]])
@@ -65,6 +95,28 @@ def bulk_decode_runs(seg):
     docids = g_cum - np.repeat(base, nper)
     tfs = varint_decode(tbuf, total).astype(np.int32)
     return tid, salt, nper, docids, tfs, order
+
+
+def _segmented_searchsorted(d, starts: np.ndarray, ends: np.ndarray,
+                            v: int) -> np.ndarray:
+    """Left insertion point of scalar ``v`` in EVERY sorted segment
+    ``d[starts[i]:ends[i]]`` at once — one bisection loop over all segments
+    simultaneously (~log2(max segment length) vectorized gathers instead of
+    a Python loop over segments). ``d`` may be a memmap; only the probed
+    elements are touched."""
+    lo_b = np.asarray(starts, dtype=np.int64).copy()
+    hi_b = np.asarray(ends, dtype=np.int64).copy()
+    while True:
+        active = np.flatnonzero(lo_b < hi_b)
+        if len(active) == 0:
+            return lo_b
+        mid = (lo_b[active] + hi_b[active]) >> 1
+        go_right = np.asarray(d[mid]) < v
+        la, ha = lo_b[active], hi_b[active]
+        la[go_right] = mid[go_right] + 1
+        ha[~go_right] = mid[~go_right]
+        lo_b[active] = la
+        hi_b[active] = ha
 
 
 def _segment_max(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
@@ -104,6 +156,17 @@ class DecodedIndex:
     block_offsets: np.ndarray = None      # int64[n_terms + 1]
     block_last_docid: np.ndarray = None   # int64[n_blocks]
     block_max_tfsat: np.ndarray = None    # float64[n_blocks]
+    # docid-range shard origin: doclens/sha256 cover [docid_base, docid_limit)
+    docid_base: int = 0
+
+    @property
+    def docid_limit(self) -> int:
+        """One past the last docid this (possibly sharded) index covers."""
+        return self.docid_base + len(self.doclens)
+
+    def sha_for(self, docids: np.ndarray) -> np.ndarray:
+        """content sha256 per ABSOLUTE docid (shard-offset aware)."""
+        return self.sha256[np.asarray(docids, dtype=np.int64) - self.docid_base]
 
     @classmethod
     def load(cls, index_dir: str,
@@ -145,18 +208,6 @@ class DecodedIndex:
 
         arrays = serve_mod.open_arrays(index_dir)
 
-        sha256 = None
-        if load_sha:
-            docs = pads.dataset(os.path.join(index_dir, "docmeta")).to_table(
-                columns=["docid", "content_sha256"]
-            )
-            docids = docs.column("docid").to_numpy(zero_copy_only=False)
-            max_docid = int(docids.max()) if len(docids) else -1
-            sha256 = np.empty(max_docid + 1, dtype=object)
-            sha256[docids] = np.asarray(
-                docs.column("content_sha256").to_numpy(zero_copy_only=False)
-            )
-
         if arrays is not None:
             # ---- mmap fast path: no decode, no full-array read ---------
             self = cls(
@@ -168,7 +219,7 @@ class DecodedIndex:
                 posting_tfs=arrays["posting_tfs"],
                 posting_tfsat=arrays["posting_tfsat"],
                 max_tfsat_by_term=np.asarray(arrays["max_tfsat"]),
-                doclens=arrays["doclens"], sha256=sha256,
+                doclens=arrays["doclens"], sha256=None,
                 tombstones=np.empty(0, dtype=np.int64),
                 block_offsets=np.asarray(arrays["block_offsets"]),
                 block_last_docid=arrays["block_last_docid"],
@@ -177,6 +228,8 @@ class DecodedIndex:
             self._fold_in_deltas(index_dir)
             if docid_range is not None:
                 self._restrict_to_docid_range(*docid_range)
+            if load_sha:
+                self._load_sha(index_dir)
             return self
 
         # ---- segment-decode path (no serve artifact, or stale) --------
@@ -224,14 +277,42 @@ class DecodedIndex:
             posting_offsets=posting_offsets, posting_docids=posting_docids,
             posting_tfs=posting_tfs, posting_tfsat=posting_tfsat,
             max_tfsat_by_term=max_tfsat,
-            doclens=doclens, sha256=sha256,
+            doclens=doclens, sha256=None,
             tombstones=np.empty(0, dtype=np.int64),
         )
         self._build_block_arrays()
         self._fold_in_deltas(index_dir)
         if docid_range is not None:
             self._restrict_to_docid_range(*docid_range)
+        if load_sha:
+            self._load_sha(index_dir)
         return self
+
+    def _load_sha(self, index_dir: str) -> None:
+        """Load content sha256 for THIS shard's docid range only: a
+        predicate-pushed docmeta read (parquet row groups outside
+        [docid_base, docid_limit) never leave storage — docmeta is written
+        docid-sorted, so the row-group stats prune), plus an overlay of any
+        delta docs in range. A 1/N shard therefore holds ~1/N of the sha
+        strings, not a whole-corpus object array."""
+        base, limit = self.docid_base, self.docid_limit
+        dset = pads.dataset(os.path.join(index_dir, "docmeta"))
+        filt = None
+        if getattr(self, "_restricted", False):
+            filt = (pads.field("docid") >= base) & (pads.field("docid") < limit)
+        docs = dset.to_table(columns=["docid", "content_sha256"], filter=filt)
+        sha = np.empty(limit - base, dtype=object)
+        ids = docs.column("docid").to_numpy(zero_copy_only=False)
+        sha[ids - base] = np.asarray(
+            docs.column("content_sha256").to_numpy(zero_copy_only=False))
+        dm_all = getattr(self, "_delta_docmeta", None)
+        if dm_all is not None and dm_all.num_rows:
+            d_ids = dm_all.column("docid").to_numpy(zero_copy_only=False)
+            d_sha = np.asarray(
+                dm_all.column("content_sha256").to_numpy(zero_copy_only=False))
+            in_range = (d_ids >= base) & (d_ids < limit)
+            sha[d_ids[in_range] - base] = d_sha[in_range]
+        self.sha256 = sha
 
     @classmethod
     def load_cached(cls, index_dir: str,
@@ -281,20 +362,20 @@ class DecodedIndex:
         Statistics (n_docs, avgdl, idf) stay GLOBAL by design.
 
         Shard-pruned read: per-term docids are sorted, so the shard's slice
-        of each list is found by TWO binary searches — on the mmap fast path
-        this touches only O(log) pages per list and then copies exactly the
-        shard's ~1/N of the postings into compact RAM arrays (the whole
-        index is never materialized on any node)."""
+        of each list is found by TWO binary searches per term, run as ONE
+        vectorized bisection over ALL terms simultaneously (~log2(max df)
+        numpy gathers — no Python loop over terms, so a 10M-term vocabulary
+        restricts in milliseconds of numpy, and on the mmap fast path only
+        O(log) pages per list are touched). Exactly the shard's ~1/N of the
+        postings is then copied into compact RAM arrays, and the per-doc
+        arrays (doclens, tombstones) are sliced to the shard's range —
+        per-shard resident memory is ~1/N of ALL index arrays; the whole
+        index is never materialized on any node."""
         offs = self.posting_offsets
-        n_terms = len(offs) - 1
         d = self.posting_docids
-        lo_pos = np.empty(n_terms, dtype=np.int64)
-        hi_pos = np.empty(n_terms, dtype=np.int64)
-        for t in range(n_terms):
-            s, e = int(offs[t]), int(offs[t + 1])
-            seg = d[s:e]
-            lo_pos[t] = s + np.searchsorted(seg, lo, side="left")
-            hi_pos[t] = s + np.searchsorted(seg, hi, side="left")
+        lo_pos = _segmented_searchsorted(d, offs[:-1], offs[1:], int(lo))
+        hi_pos = _segmented_searchsorted(d, offs[:-1], offs[1:], int(hi))
+        n_terms = len(offs) - 1
         counts = hi_pos - lo_pos
         new_offsets = np.zeros(n_terms + 1, dtype=np.int64)
         np.cumsum(counts, out=new_offsets[1:])
@@ -307,6 +388,18 @@ class DecodedIndex:
         self.posting_offsets = new_offsets
         self.max_tfsat_by_term = _segment_max(
             self.posting_tfsat, self.posting_offsets)
+        # shard the per-doc arrays: the shard holds [base, limit) only
+        size = len(self.doclens)
+        base = max(0, min(int(lo), size))
+        limit = max(base, min(int(hi), size))
+        self.doclens = self.doclens[base:limit]     # mmap slice stays lazy
+        if self.sha256 is not None:
+            # copy so the out-of-range string objects are actually freed
+            self.sha256 = self.sha256[base:limit].copy()
+        self.docid_base = base
+        self._restricted = True
+        self.tombstones = self.tombstones[
+            (self.tombstones >= base) & (self.tombstones < limit)]
         self._build_block_arrays()
 
     def _fold_in_deltas(self, index_dir: str) -> None:
@@ -354,12 +447,9 @@ class DecodedIndex:
         doclens[: len(self.doclens)] = self.doclens
         doclens[new_ids] = dm_all.column("doclen").to_numpy(zero_copy_only=False)
         self.doclens = doclens
-        if self.sha256 is not None:
-            sha = np.empty(new_max + 1, dtype=object)
-            sha[: len(self.sha256)] = self.sha256
-            sha[new_ids] = np.asarray(
-                dm_all.column("content_sha256").to_numpy(zero_copy_only=False))
-            self.sha256 = sha
+        # sha is loaded AFTER fold/restrict (range-filtered); stash the delta
+        # doc metadata so _load_sha can overlay the added docs' hashes
+        self._delta_docmeta = dm_all
 
         # resolve delta terms -> global term ids (append brand-new terms)
         uniq_new = np.sort(np.array(sorted(set(dterm.tolist())), dtype=object))

@@ -104,21 +104,24 @@ class BM25Scorer:
                 return res
 
         if self._dense:
+            # accumulator is SHARD-sized (docid_base offset): a 1/N docid
+            # shard allocates 1/N of the dense array, not the global space
+            base = idx.docid_base
             scores_dense = np.zeros(len(idx.doclens), dtype=np.float64)
             # ascending term_id => fixed per-doc summation order
             for tid in tids:
                 d, ts = idx.postings_slice(int(tid))
-                scores_dense[d] += idx.idf_by_term_id[tid] * ts
+                scores_dense[d - base] += idx.idf_by_term_id[tid] * ts
             if len(idx.tombstones):
-                scores_dense[idx.tombstones] = 0.0   # removed docs never rank
-            cand = np.flatnonzero(scores_dense)
+                scores_dense[idx.tombstones - base] = 0.0  # removed never rank
+            cand = np.flatnonzero(scores_dense) + base
             if docid_filter is not None:
                 cand = cand[np.isin(cand, docid_filter)]
             if len(cand) == 0:
                 return (np.empty(0, dtype=np.int64),
                         np.empty(0, dtype=np.float64),
                         np.empty(0, dtype=np.int32))
-            return topk_with_ties(scores_dense[cand], cand, k)
+            return topk_with_ties(scores_dense[cand - base], cand, k)
 
         # ---- sparse path: candidate union + searchsorted accumulate ----
         posts = [idx.postings_slice(int(t)) for t in tids]
@@ -280,7 +283,7 @@ class BM25Scorer:
         }
         if self.with_sha:
             sha = (
-                self.reader.sha256[docid_a]
+                self.reader.sha_for(docid_a)
                 if len(docid_a)
                 else np.empty(0, dtype=object)
             )

@@ -132,8 +132,10 @@ def _write_one_segment(seg_path: str, run_dest: np.ndarray, layout,
     out_docids[dest] = docids
     out_tfs[dest] = tfs
     out_tfsat[dest] = tfsat
-    for a in (out_docids, out_tfs, out_tfsat):
-        a.flush()
+    # NO per-task flush: all writers share the node's page cache, so pass 2
+    # reads the data without an msync; each task msync-ing the WHOLE mapping
+    # (numpy flush has no byte-range form) made pass 1 ~2x slower than
+    # serial. The driver issues ONE flush per array before the manifest.
     return int(len(docids))
 
 
@@ -174,8 +176,7 @@ def _write_term_range(t0: int, t1: int, layout, index_dir: str) -> int:
         b0 = int(block_offsets[t0])
         out_blast[b0:b0 + total_blocks] = np.asarray(docids)[bend]
         out_bmax[b0:b0 + total_blocks] = np.maximum.reduceat(tfsat_ram, bstart)
-    for a in (out_max, out_blast, out_bmax):
-        a.flush()
+    # no per-task flush (see _write_one_segment) — driver flushes once
     return total_blocks
 
 
@@ -210,9 +211,19 @@ def write_serve_artifact(index_dir: str, parallel: bool = True) -> dict:
     # docid order within a term. Ties (same (tid, salt) mini-runs from
     # different map tasks) cannot happen here: E2 merged mini-runs.
     files = _segment_files(index_dir)
+    # the run-metadata columns are read with a thread pool (parquet decode
+    # releases the GIL): the serial per-file driver loop was a fixed cost
+    # that grew with partition count and showed up as the serve phase's
+    # non-scaling floor in the round-2 profile
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _read_meta(f):
+        return pq.read_table(f, columns=["term_id", "salt", "n"])
+
+    with ThreadPoolExecutor(max_workers=min(16, max(1, len(files)))) as ex:
+        metas_t = list(ex.map(_read_meta, files))
     tids, salts, ns, file_of, rows_per_file = [], [], [], [], []
-    for fi, f in enumerate(files):
-        t = pq.read_table(f, columns=["term_id", "salt", "n"])
+    for fi, t in enumerate(metas_t):
         tids.append(t.column("term_id").to_numpy(zero_copy_only=False).astype(np.int64))
         salts.append(t.column("salt").to_numpy(zero_copy_only=False).astype(np.int64))
         ns.append(t.column("n").to_numpy(zero_copy_only=False).astype(np.int64))
@@ -290,6 +301,14 @@ def write_serve_artifact(index_dir: str, parallel: bool = True) -> dict:
                              for a, b_ in ranges)
     assert written == total, (written, total)
     assert blocks_written == n_blocks, (blocks_written, n_blocks)
+
+    # durability barrier: ONE msync per array (the page cache already holds
+    # every task's writes; flushing here instead of per-task removed the
+    # 32x whole-file msync storm) — only then is the manifest made valid
+    for name in ("posting_docids", "posting_tfs", "posting_tfsat",
+                 "max_tfsat", "block_last_docid", "block_max_tfsat"):
+        np.lib.format.open_memmap(
+            os.path.join(sdir, ARRAY_FILES[name]), mode="r+").flush()
 
     manifest = {"token": segments_token(index_dir), "n_postings": total,
                 "n_terms": n_terms, "n_blocks": n_blocks,

@@ -113,6 +113,67 @@ def test_shard_restriction_reads_about_one_nth(built):
     assert seen == total   # shards partition the postings exactly
 
 
+def test_shard_doc_arrays_are_one_nth(built):
+    """A 1/N docid shard's per-doc arrays (doclens, sha256) must cover only
+    its own range — resident doc metadata ~1/N of the corpus, not a
+    whole-corpus array per shard actor (VERDICT r2 #4)."""
+    _, _, index_dir = built
+    full = DecodedIndex.load(index_dir, load_sha=True)
+    n = len(full.doclens)
+    lo, hi = n // 4, n // 2
+    shard = DecodedIndex.load(index_dir, docid_range=(lo, hi), load_sha=True)
+    assert shard.docid_base == lo
+    assert len(shard.doclens) == hi - lo
+    assert len(shard.sha256) == hi - lo
+    # absolute-docid accessor agrees with the full index
+    probe = np.arange(lo, hi, dtype=np.int64)
+    np.testing.assert_array_equal(shard.sha_for(probe), full.sha_for(probe))
+    np.testing.assert_array_equal(np.asarray(shard.doclens),
+                                  np.asarray(full.doclens[lo:hi]))
+
+
+def test_segmented_searchsorted_matches_numpy():
+    """The vectorized all-terms bisection must equal per-segment
+    np.searchsorted for random segment layouts and probe values."""
+    from colbert_ray.state.decoded import _segmented_searchsorted
+
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        n_seg = int(rng.integers(1, 50))
+        lens = rng.integers(0, 40, size=n_seg)
+        offs = np.zeros(n_seg + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        d = np.concatenate(
+            [np.sort(rng.integers(0, 1000, size=int(c))) for c in lens]
+            or [np.empty(0, dtype=np.int64)]).astype(np.int64)
+        v = int(rng.integers(-5, 1005))
+        got = _segmented_searchsorted(d, offs[:-1], offs[1:], v)
+        want = np.array([offs[t] + np.searchsorted(d[offs[t]:offs[t + 1]], v)
+                         for t in range(n_seg)], dtype=np.int64)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_gather_binary_matches_python_join():
+    """Buffer-level binary concatenation must equal the per-element
+    bytes join it replaced, for plain and offset-sliced arrays."""
+    import pyarrow as pa
+
+    from colbert_ray.state.decoded import _gather_binary
+
+    rng = np.random.default_rng(11)
+    vals = [rng.bytes(int(rng.integers(0, 30))) for _ in range(200)]
+    arr = pa.array(vals, type=pa.binary())
+    for a in (arr, arr.slice(37, 120)):
+        order = rng.permutation(len(a))
+        got = _gather_binary(a, order).tobytes()
+        want = b"".join(a[int(i)].as_py() for i in order)
+        assert got == want
+    la = pa.array(vals, type=pa.large_binary())
+    order = rng.permutation(len(la))
+    assert _gather_binary(la, order).tobytes() == \
+        b"".join(la[int(i)].as_py() for i in order)
+
+
 def test_sharded_search_bit_identical(built):
     _, queries_path, index_dir = built
     queries = pq.read_table(queries_path).slice(0, 8)
