@@ -43,17 +43,56 @@ def _rankings_sha(df) -> str:
     return hashlib.sha256(blob).hexdigest()[:16]
 
 
+_QUIET_LOG_YAML = os.path.join(BENCH_ROOT, "ray_data_logging.yaml")
+
+
+def _quiet_logging_env() -> dict:
+    """runtime_env that silences Ray Data's benign INFO chatter and two
+    benign WARNINGs in WORKER processes too ("Failed to hash the schemas" —
+    schema metadata contains a dict, which only disables an internal dedup
+    cache; "produced a RefBundle with a different schema" — aggregate stages
+    legitimately change the schema mid-stream). Neither affects results;
+    silenced so the bench tail is clean (VERDICT r2 #8)."""
+    os.makedirs(BENCH_ROOT, exist_ok=True)
+    with open(_QUIET_LOG_YAML, "w") as f:
+        f.write(
+            "version: 1\n"
+            "disable_existing_loggers: false\n"
+            "loggers:\n"
+            "  ray.data:\n"
+            "    level: ERROR\n"
+        )
+    os.environ["RAY_DATA_LOGGING_CONFIG"] = _QUIET_LOG_YAML
+    return {"env_vars": {"RAY_DATA_LOGGING_CONFIG": _QUIET_LOG_YAML}}
+
+
+def _quiet_ray_data() -> None:
+    """Driver-side half of the silencing (see _quiet_logging_env)."""
+    import logging
+
+    from ray.data._internal.logging import configure_logging
+
+    configure_logging()
+    for name in ("ray.data",
+                 "ray.data._internal.execution.streaming_executor",
+                 "ray.data._internal.execution.streaming_executor_state",
+                 "ray.data._internal.arrow_ops.transform_pyarrow",
+                 "ray.data._internal.logging"):
+        logging.getLogger(name).setLevel(logging.ERROR)
+
+
 def run_bench() -> dict:
     import numpy as np
     import pyarrow.parquet as pq
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             logging_level="ERROR")
+             logging_level="ERROR", runtime_env=_quiet_logging_env())
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    _quiet_ray_data()
 
     from colbert_ray.config import EngineConfig
     from colbert_ray.extras import dedup as x_dedup

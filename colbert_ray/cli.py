@@ -66,7 +66,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--index", required=True)
 
     v = sub.add_parser("serve", help="HTTP search endpoint (see colbert_ray.server)")
-    v.add_argument("--index", required=True)
+    v.add_argument("--index", default=None)
+    v.add_argument("--fanout", default=None,
+                   help="comma-separated shard base URLs (front end mode)")
+    v.add_argument("--docid-range", default=None, help="lo:hi docid shard")
     v.add_argument("--port", type=int, default=8893)
     v.add_argument("--k", type=int, default=10)
     v.add_argument("--no-sha", action="store_true")
@@ -76,8 +79,15 @@ def main(argv: list[str] | None = None) -> int:
         # serving needs no Ray session: the scorer mmap-opens the artifact
         from colbert_ray.server import main as serve_main
 
-        argv2 = ["--index", args.index, "--port", str(args.port),
-                 "--k", str(args.k)] + (["--no-sha"] if args.no_sha else [])
+        argv2 = ["--port", str(args.port), "--k", str(args.k)]
+        if args.fanout:
+            argv2 += ["--fanout", args.fanout]
+        if args.index:
+            argv2 += ["--index", args.index]
+        if args.docid_range:
+            argv2 += ["--docid-range", args.docid_range]
+        if args.no_sha:
+            argv2 += ["--no-sha"]
         return serve_main(argv2)
     started_ray = _ensure_ray()
 

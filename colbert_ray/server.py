@@ -12,10 +12,16 @@ not in the container):
 The scorer holds the mmap-opened serve artifact (DecodedIndex fast path),
 so startup is milliseconds and concurrent handler threads share one
 page-cache copy. On a serving cluster, run one server per docid shard
-(``docid_range``) behind any HTTP fan-out and merge by (-score, docid) —
-the same topology ``search_sharded`` implements in-engine.
+(``--docid-range lo:hi``) plus ONE fan-out front end (``--fanout
+url1,url2,...``) exposing the same API: it queries every shard
+concurrently and merges by (-score, docid) — per-shard scores use global
+statistics, so the merged ranking is bit-identical to the unsharded
+scorer (the ``search_sharded`` topology over HTTP).
 
-Usage: ``python -m colbert_ray.server --index DIR [--port 8893] [--k 10]``.
+Usage:
+    python -m colbert_ray.server --index DIR [--port 8893] [--k 10]
+    python -m colbert_ray.server --index DIR --docid-range 0:500000 ...
+    python -m colbert_ray.server --fanout http://h1:8893,http://h2:8893
 """
 
 from __future__ import annotations
@@ -89,16 +95,112 @@ def make_server(index_dir: str, port: int = 8893, k: int = 10,
     return httpd
 
 
+def make_fanout(shard_urls: list[str], port: int = 8893, k: int = 10,
+                cache_size: int = 1_000_000,
+                timeout_s: float = 30.0) -> ThreadingHTTPServer:
+    """Multi-shard HTTP front end: the same ``/api/search`` surface, backed
+    by N shard servers (one per docid range, each started with
+    ``make_server(..., docid_range=...)``). Each request fans out to every
+    shard CONCURRENTLY, merges by (-score, docid) and cuts to k — per-shard
+    scores use GLOBAL statistics, so the merged ranking is bit-identical to
+    the unsharded scorer (the ``search_sharded`` topology over HTTP).
+
+    ``shard_urls``: base URLs like ``http://host:port`` (no trailing path).
+    """
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=max(2, len(shard_urls)))
+
+    def _ask(base: str, query: str, kk: int) -> list[dict]:
+        url = (f"{base}/api/search?"
+               f"query={urllib.parse.quote(query)}&k={kk}")
+        with urllib.request.urlopen(url, timeout=timeout_s) as r:
+            return json.loads(r.read())["topk"]
+
+    @functools.lru_cache(maxsize=cache_size)
+    def cached_search(query: str, kk: int):
+        # global top-k is a subset of the union of per-shard top-k, so each
+        # shard is asked for kk and the merge re-ranks exactly
+        parts = list(pool.map(lambda b: _ask(b, query, kk), shard_urls))
+        rows = [row for p in parts for row in p]
+        rows.sort(key=lambda r: (-r["score"], r["docid"]))
+        rows = rows[:kk]
+        for i, r in enumerate(rows):
+            r["rank"] = i + 1
+        return rows
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _reply(self, code: int, obj: dict) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):   # noqa: N802
+            parsed = urllib.parse.urlparse(self.path)
+            if parsed.path != "/api/search":
+                self._reply(404, {"error": "unknown path; use /api/search"})
+                return
+            params = urllib.parse.parse_qs(parsed.query)
+            query = (params.get("query") or [""])[0]
+            try:
+                kk = int((params.get("k") or [str(k)])[0])
+            except ValueError:
+                self._reply(400, {"error": "k must be an integer"})
+                return
+            if not query:
+                self._reply(400, {"error": "missing query parameter"})
+                return
+            t0 = time.time()
+            try:
+                rows = cached_search(query, kk)
+            except Exception as e:   # a shard down => 502, not a hang
+                self._reply(502, {"error": f"shard fan-out failed: {e}"})
+                return
+            self._reply(200, {
+                "query": query, "k": kk, "n_shards": len(shard_urls),
+                "latency_ms": round((time.time() - t0) * 1000, 3),
+                "topk": rows,
+            })
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    httpd.cached_search = cached_search
+    return httpd
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--index", required=True)
+    ap.add_argument("--index", help="index dir (single-shard server)")
+    ap.add_argument("--fanout", help="comma-separated shard base URLs "
+                    "(multi-shard front end, e.g. "
+                    "http://h1:8893,http://h2:8893)")
     ap.add_argument("--port", type=int, default=8893)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--no-sha", action="store_true")
+    ap.add_argument("--docid-range", default=None,
+                    help="lo:hi — serve only this docid shard")
     args = ap.parse_args(argv)
-    httpd = make_server(args.index, args.port, args.k,
-                        with_sha=not args.no_sha)
-    print(json.dumps({"serving": args.index, "port": args.port}))
+    if bool(args.index) == bool(args.fanout):
+        ap.error("exactly one of --index or --fanout is required")
+    if args.fanout:
+        urls = [u.strip().rstrip("/") for u in args.fanout.split(",") if u.strip()]
+        httpd = make_fanout(urls, args.port, args.k)
+        print(json.dumps({"fanout": urls, "port": args.port}))
+    else:
+        rng = None
+        if args.docid_range:
+            lo, hi = args.docid_range.split(":")
+            rng = (int(lo), int(hi))
+        httpd = make_server(args.index, args.port, args.k,
+                            with_sha=not args.no_sha, docid_range=rng)
+        print(json.dumps({"serving": args.index, "port": args.port,
+                          "docid_range": list(rng) if rng else None}))
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

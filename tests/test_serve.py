@@ -437,6 +437,66 @@ def test_coalesce_chunked_index(built, tmp_path_factory):
     pd.testing.assert_frame_equal(before, after)
 
 
+def test_http_fanout_frontend_merges_exactly(built):
+    """The fan-out front end (one /api/search URL over N shard servers)
+    must return the unsharded scorer's ranking bit-identically, assign
+    ranks 1..k, cache repeats, and 502 when a shard is down."""
+    import json as _json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from colbert_ray.server import make_fanout, make_server
+    from colbert_ray.state.index import BM25Scorer
+
+    _, queries_path, index_dir = built
+    full = BM25Scorer(index_dir, k=5, with_sha=False)
+    n = len(full.idx.doclens)
+    servers, frontend = [], None
+    try:
+        urls = []
+        for rng_ in ((0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, 2 ** 62)):
+            h = make_server(index_dir, port=0, k=5, with_sha=False,
+                            docid_range=rng_)
+            threading.Thread(target=h.serve_forever, daemon=True).start()
+            servers.append(h)
+            urls.append(f"http://127.0.0.1:{h.server_address[1]}")
+        frontend = make_fanout(urls, port=0, k=5)
+        threading.Thread(target=frontend.serve_forever, daemon=True).start()
+        fport = frontend.server_address[1]
+        for query in pq.read_table(queries_path).column("query").to_pylist()[:5]:
+            url = (f"http://127.0.0.1:{fport}/api/search?"
+                   f"query={urllib.request.quote(query)}&k=5")
+            with urllib.request.urlopen(url, timeout=30) as r:
+                body = _json.loads(r.read())
+            assert body["n_shards"] == 3
+            got = [(r_["docid"], r_["score"]) for r_ in body["topk"]]
+            assert [r_["rank"] for r_ in body["topk"]] == \
+                list(range(1, len(got) + 1))
+            d, s, _ = full.score_query(query)
+            want = [(int(a), float(b)) for a, b in zip(d, s)]
+            assert got == want[:5]
+        # repeat hits the front-end cache
+        with urllib.request.urlopen(url, timeout=30) as r:
+            _json.loads(r.read())
+        assert frontend.cached_search.cache_info().hits >= 1
+        # kill one shard -> fresh (uncached) query returns 502, not a hang
+        servers[0].shutdown()
+        servers[0].server_close()
+        bad = (f"http://127.0.0.1:{fport}/api/search?"
+               f"query=definitely+novel+query+zz&k=5")
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            raise AssertionError("expected HTTP 502")
+        except urllib.error.HTTPError as e:
+            assert e.code == 502
+    finally:
+        for h in servers[1:]:
+            h.shutdown()
+        if frontend is not None:
+            frontend.shutdown()
+
+
 def test_http_sharded_topology_merges_exactly(built):
     """The documented multi-node serving topology: one HTTP server per
     docid shard (docid_range), client-side merge by (-score, docid) —
