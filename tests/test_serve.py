@@ -414,6 +414,15 @@ def test_search_job_resumable_sharded_output(built, tmp_path_factory):
     )
     want = search_table(queries, index_dir, k=10, with_sha=False).to_pandas()
     pd.testing.assert_frame_equal(got, want)
+    # with_sha changes the OUTPUT SHAPE: a rerun with a different value must
+    # recompute every shard (not skip under the old manifests) and the new
+    # output must carry the sha column everywhere
+    rep4 = search_job(queries, index_dir, out, k=10, n_shards=4,
+                      n_actors=2, with_sha=True)
+    assert sorted(rep4["ran"]) == [0, 1, 2, 3] and not rep4["skipped"]
+    for i in range(4):
+        t = pq.read_table(os.path.join(out, f"shard={i}", "ranking.parquet"))
+        assert "content_sha256" in t.schema.names
 
 
 def test_coalesce_chunked_index(built, tmp_path_factory):
