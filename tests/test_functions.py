@@ -89,6 +89,77 @@ class TestByteTokenizerEquivalence:
         assert dr[2].to_pylist() == db[2].to_pylist()
 
 
+class TestLutSplitEquivalence:
+    """The ASCII LUT+whitespace-split fast path must be BYTE-IDENTICAL to
+    the RE2 lower+class-split it replaces — including edge/run empty
+    tokens — and non-ASCII batches must fall back to RE2."""
+
+    def _regex_reference(self, docs, cfg):
+        import pyarrow.compute as pc
+
+        from colbert_ray.functions import tokenizer as tk
+        s = pa.array(docs, type=pa.string())
+        if s.null_count:
+            s = pc.fill_null(s, "")
+        if cfg.split_camel_case:
+            s = pc.replace_substring_regex(s, pattern=tk._CAMEL_1, replacement=r"\1 \2")
+            s = pc.replace_substring_regex(s, pattern=tk._CAMEL_2, replacement=r"\1 \2")
+        if cfg.lowercase:
+            return pc.split_pattern_regex(pc.utf8_lower(s), pattern=tk._SPLIT_LOWER)
+        return pc.split_pattern_regex(s, pattern=tk._SPLIT)
+
+    @given(st.lists(st.text(
+        alphabet=st.characters(min_codepoint=1, max_codepoint=127),
+        max_size=60), max_size=20),
+        st.booleans(), st.booleans())
+    @settings(max_examples=120, deadline=None)
+    def test_ascii_differential(self, docs, lowercase, camel):
+        import dataclasses
+        cfg = dataclasses.replace(CFG, lowercase=lowercase, split_camel_case=camel)
+        got = tokenize_column(pa.array(docs, type=pa.string()), cfg)
+        want = self._regex_reference(docs, cfg)
+        assert got.to_pylist() == want.to_pylist()
+
+    @given(st.lists(st.text(
+        alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FF,
+                               exclude_characters="İK"),
+        max_size=60), max_size=20))
+    @settings(max_examples=60, deadline=None)
+    def test_mixed_unicode_differential(self, docs):
+        # non-ASCII batches take the RE2 fallback; output must still match
+        got = tokenize_column(pa.array(docs, type=pa.string()), CFG)
+        want = self._regex_reference(docs, CFG)
+        assert got.to_pylist() == want.to_pylist()
+
+    def test_golden_edges(self):
+        docs = ["", " ", ";;a;;b;;", "fooBar", "HTTPServer2x",
+                "a\tb\nc", "_x_", "9X", "  ", "\x00ab\x7f"]
+        got = tokenize_column(pa.array(docs), CFG)
+        want = self._regex_reference(docs, CFG)
+        assert got.to_pylist() == want.to_pylist()
+
+
+class TestAggregateTfBincount:
+    """bincount and np.unique key-counting branches must agree exactly."""
+
+    @given(st.lists(st.lists(st.sampled_from(
+        ["a", "b", "cc", "dd", "e1", "ff2"]), max_size=30), max_size=12))
+    @settings(max_examples=60, deadline=None)
+    def test_branches_agree(self, docs):
+        from colbert_ray.functions import tokenizer as tk
+        texts = pa.array([" ".join(d) for d in docs], type=pa.string())
+        dl1, t1, f1 = doc_term_frequencies(texts, CFG)   # bincount branch
+        saved = tk._BINCOUNT_MAX_SLOTS
+        try:
+            tk._BINCOUNT_MAX_SLOTS = 0                   # force np.unique
+            dl2, t2, f2 = doc_term_frequencies(texts, CFG)
+        finally:
+            tk._BINCOUNT_MAX_SLOTS = saved
+        assert dl1.tolist() == dl2.tolist()
+        assert t1.to_pylist() == t2.to_pylist()
+        assert f1.to_pylist() == f2.to_pylist()
+
+
 class TestCodec:
     @given(st.lists(st.integers(min_value=0, max_value=2**62), max_size=300))
     @settings(max_examples=50, deadline=None)
