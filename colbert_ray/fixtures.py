@@ -61,10 +61,13 @@ def _vocab(rng: np.random.Generator) -> list[str]:
     return vocab
 
 
-def generate_corpus(n_files: int, seed: int = 42, token_scale: int = 1) -> pa.Table:
+def generate_corpus(n_files: int, seed: int = 42, token_scale: int = 1,
+                    index_offset: int = 0) -> pa.Table:
     """Vectorized deterministic corpus generator. ``token_scale`` multiplies
     per-document length (used by the benchmark to make builds compute-bound
-    without changing the corpus's statistical shape)."""
+    without changing the corpus's statistical shape). ``index_offset`` shifts
+    the global file index used in repo/path names (chunked generation at
+    scale); 0 reproduces the historical content byte-for-byte."""
     rng = np.random.default_rng(seed)
     vocab = np.array(_vocab(rng), dtype=object)
     v = len(vocab)
@@ -74,13 +77,14 @@ def generate_corpus(n_files: int, seed: int = 42, token_scale: int = 1) -> pa.Ta
     weights /= weights.sum()
 
     n_repos = max(1, int(np.sqrt(n_files)))
-    idx = np.arange(n_files)
+    idx = np.arange(index_offset, index_offset + n_files)
     lang_pick = rng.integers(0, len(LANGS), size=n_files)
     lang_pick[: min(n_files, len(LANGS))] = np.arange(min(n_files, len(LANGS)))
     langs = np.array(LANGS, dtype=object)[lang_pick]
     repos = np.array([f"org{i % 7}/repo{i % n_repos}" for i in idx], dtype=object)
     paths = np.array(
-        [f"src/module_{i % 13}/file_{i // n_repos}_{i}.{_EXT[langs[i]]}" for i in idx],
+        [f"src/module_{i % 13}/file_{i // n_repos}_{i}.{_EXT[langs[j]]}"
+         for j, i in enumerate(idx)],
         dtype=object,
     )
     commits = [hashlib.sha1(f"{r}/{p}".encode()).hexdigest()
@@ -93,7 +97,7 @@ def generate_corpus(n_files: int, seed: int = 42, token_scale: int = 1) -> pa.Ta
     # sprinkle language keywords + natural-language words deterministically
     kw_slots = np.flatnonzero(rng.random(total) < 0.12)
     nl_slots = np.flatnonzero(rng.random(total) < 0.10)
-    doc_of = np.repeat(idx, n_tokens)
+    doc_of = np.repeat(np.arange(n_files), n_tokens)  # chunk-local positions
     kw_tables = {lang: np.array(ws, dtype=object) for lang, ws in _KEYWORDS.items()}
     for lang in LANGS:
         sel = kw_slots[np.asarray(langs[doc_of[kw_slots]] == lang)]
@@ -145,16 +149,59 @@ def generate_queries(n_queries: int, seed: int = 777) -> pa.Table:
     return pa.table({"qid": pa.array(qids, type=pa.int64()), "query": pa.array(texts, type=pa.string())})
 
 
-def write_corpus(out_dir: str, n_files: int, seed: int = 42,
-                 files_per_part: int = 2000, token_scale: int = 1) -> str:
-    """Write the corpus as MULTIPLE parquet files (scale-shaped input layout)."""
-    os.makedirs(out_dir, exist_ok=True)
-    t = generate_corpus(n_files, seed, token_scale=token_scale)
-    for p, lo in enumerate(range(0, t.num_rows, files_per_part)):
+# above this size, generate in independent seeded chunks so driver memory
+# stays bounded (~4 GB per chunk instead of ~40 GB for a one-shot 2M-file
+# table). Strictly larger than every test/bench fixture, so all existing
+# corpora (and the bench rankings sha) are byte-identical to before.
+_GEN_CHUNK_FILES = 250_000
+
+
+def _write_chunk(out_dir: str, k: int, lo: int, n: int, seed: int,
+                 files_per_part: int, token_scale: int, part_base: int) -> None:
+    """Generate one independent chunk and write its part files. Chunk seeds
+    are derived deterministically; ``index_offset`` keeps (repo, path)
+    globally unique across chunks."""
+    t = generate_corpus(n, seed if k == 0 else seed + 7919 * k,
+                        token_scale=token_scale, index_offset=lo)
+    for j, lo2 in enumerate(range(0, t.num_rows, files_per_part)):
         pq.write_table(
-            t.slice(lo, files_per_part), os.path.join(out_dir, f"part-{p:05d}.parquet"),
+            t.slice(lo2, files_per_part),
+            os.path.join(out_dir, f"part-{part_base + j:05d}.parquet"),
             compression="zstd",
         )
+
+
+def write_corpus(out_dir: str, n_files: int, seed: int = 42,
+                 files_per_part: int = 2000, token_scale: int = 1) -> str:
+    """Write the corpus as MULTIPLE parquet files (scale-shaped input layout).
+
+    Chunks are independent, so above the threshold they generate in parallel
+    worker processes — possible only when chunk part counts align with the
+    global ``part-NNNNN`` numbering (docid assignment follows sorted file
+    order, so numbering must stay contiguous)."""
+    os.makedirs(out_dir, exist_ok=True)
+    chunks = [(k, lo, min(_GEN_CHUNK_FILES, n_files - lo))
+              for k, lo in enumerate(range(0, n_files, _GEN_CHUNK_FILES))]
+    aligned = _GEN_CHUNK_FILES % files_per_part == 0
+    parts_per_chunk = _GEN_CHUNK_FILES // files_per_part if aligned else 0
+    if len(chunks) > 1 and aligned:
+        import concurrent.futures as cf
+        # each worker peaks ~8-10 GB for a full token_scale=4 chunk: cap
+        # workers so aggregate stays well inside the 125 GB box
+        with cf.ProcessPoolExecutor(max_workers=min(6, len(chunks))) as ex:
+            futs = [
+                ex.submit(_write_chunk, out_dir, k, lo, n, seed,
+                          files_per_part, token_scale, k * parts_per_chunk)
+                for k, lo, n in chunks
+            ]
+            for f in futs:
+                f.result()
+    else:
+        p = 0
+        for k, lo, n in chunks:
+            _write_chunk(out_dir, k, lo, n, seed, files_per_part,
+                         token_scale, p)
+            p += -(-n // files_per_part)
     return out_dir
 
 
