@@ -207,19 +207,25 @@ def run_bench() -> dict:
         for _ in range(200)
     ]
     lat = {}
-    for mode in (True, False):
-        sc = BM25Scorer(prune_idx, k=K, with_sha=False, prune=mode)
+    for mode in ("maxscore", "bmw", "off"):
+        sc = BM25Scorer(prune_idx, k=K, with_sha=False,
+                        prune=(mode != "off"),
+                        prune_strategy=mode if mode != "off" else None)
         for q in prune_queries[:20]:
             sc.score_query(q)
         t0 = time.time()
         for q in prune_queries:
             sc.score_query(q)
         lat[mode] = (time.time() - t0) / len(prune_queries)
-        if mode:
+        if mode == "maxscore":
             extras["prune_blocks_skipped"] = sc.stats["blocks_skipped"]
-    extras["prune_query_mean_ms"] = round(lat[True] * 1000, 3)
-    extras["noprune_query_mean_ms"] = round(lat[False] * 1000, 3)
-    extras["prune_speedup"] = round(lat[False] / max(lat[True], 1e-9), 2)
+        elif mode == "bmw":
+            extras["bmw_regions_skipped"] = sc.stats["bmw_regions_skipped"]
+    extras["prune_query_mean_ms"] = round(lat["maxscore"] * 1000, 3)
+    extras["bmw_query_mean_ms"] = round(lat["bmw"] * 1000, 3)
+    extras["noprune_query_mean_ms"] = round(lat["off"] * 1000, 3)
+    extras["prune_speedup"] = round(lat["off"] / max(lat["maxscore"], 1e-9), 2)
+    extras["bmw_speedup"] = round(lat["off"] / max(lat["bmw"], 1e-9), 2)
 
     # --- single-query p95 latency (loaded scorer, sequential) ----------
     scorer = BM25Scorer(idx, k=K, with_sha=False)

@@ -67,7 +67,14 @@ class EngineConfig:
 
     # --- query defaults by k (searcher.py:127-148 analog) ---
     default_k: int = 10
-    prune: bool = True                   # exact MaxScore pruning; False = brute force
+    prune: bool = True                   # exact pruning on; False = brute force
+    #: pruning algorithm — "maxscore" (block-max MaxScore: lists merged in
+    #: descending-UB order, per-list block skips vs global tail sums) or
+    #: "bmw" (block-max WAND: all terms' block boundaries swept into
+    #: disjoint docid REGIONS, each region's UB = sum of covering block
+    #: maxima — the WAND pivot test at region granularity). Physical knob:
+    #: both are provably lossless, results are bit-identical.
+    prune_strategy: str = "maxscore"
 
     def merged(self, **overrides) -> "EngineConfig":
         """Layered merge: assigned (non-None) overrides win (base_config.py:19-33)."""

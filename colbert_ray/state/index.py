@@ -43,7 +43,8 @@ class BM25Scorer:
     def __init__(self, index_dir: str | None = None, k: int = 10,
                  prune: bool | None = None, with_sha: bool = True,
                  index_ref=None, docid_filter=None,
-                 docid_range: tuple[int, int] | None = None):
+                 docid_range: tuple[int, int] | None = None,
+                 prune_strategy: str | None = None):
         from colbert_ray.state.decoded import DecodedIndex
 
         if index_ref is not None:
@@ -58,6 +59,8 @@ class BM25Scorer:
                 index_dir, docid_range=docid_range, load_sha=with_sha)
         self.k = k
         self.prune = self.idx.cfg.prune if prune is None else prune
+        self.prune_strategy = (self.idx.cfg.prune_strategy
+                               if prune_strategy is None else prune_strategy)
         # k-dependent execution defaults (K5, searcher.py:127-148 analog):
         # oversample scales the MaxScore candidate budget; prefer_dense picks
         # the fallback accumulator. Both affect SPEED only — every path is
@@ -71,7 +74,8 @@ class BM25Scorer:
         self._dense = (self.defaults["prefer_dense"]
                        and len(self.idx.doclens) <= self.DENSE_MAX_DOCIDS)
         # introspection counters (tests/bench assert pruning actually fires)
-        self.stats = {"blocks_skipped": 0, "maxscore_bailouts": 0}
+        self.stats = {"blocks_skipped": 0, "maxscore_bailouts": 0,
+                      "bmw_regions_skipped": 0}
 
     @property
     def reader(self):   # transitional alias used by callers wanting metadata
@@ -99,7 +103,10 @@ class BM25Scorer:
         # rank, so dropping them is exact). Bails out to the dense scatter
         # path when the candidate set grows too large to win.
         if self.prune and len(tids) > 1:
-            res = self._maxscore_query(tids, k, docid_filter=docid_filter)
+            if self.prune_strategy == "bmw":
+                res = self._bmw_query(tids, k, docid_filter=docid_filter)
+            else:
+                res = self._maxscore_query(tids, k, docid_filter=docid_filter)
             if res is not None:
                 return res
 
@@ -218,6 +225,135 @@ class BM25Scorer:
             # excluded docs never rank -> dropping them at candidate
             # generation is exact (they can't contribute to θ either,
             # which only makes θ smaller = pruning more conservative)
+            if len(idx.tombstones) and len(d_new):
+                d_new = d_new[~np.isin(d_new, idx.tombstones)]
+            if docid_filter is not None and len(d_new):
+                d_new = d_new[np.isin(d_new, docid_filter)]
+            if len(cand) + len(d_new) > cand_cap:
+                self.stats["maxscore_bailouts"] += 1
+                return None                      # dense scatter is cheaper
+            if len(d_new):
+                s_new = self._score_cand(tids, d_new)
+                cand = np.concatenate([cand, d_new])
+                scores = np.concatenate([scores, s_new])
+                o2 = np.argsort(cand, kind="stable")
+                cand, scores = cand[o2], scores[o2]
+            if len(cand) >= k:
+                theta = float(
+                    np.partition(scores, len(scores) - k)[len(scores) - k])
+        if len(cand) == 0:
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64),
+                    np.empty(0, dtype=np.int32))
+        return topk_with_ties(scores, cand, k)
+
+    @staticmethod
+    def _gather_ranges(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+        """Flat positions covered by [starts[i], ends[i]) ranges, vectorized."""
+        counts = ends - starts
+        total = int(counts.sum())
+        if total == 0:
+            return np.empty(0, dtype=np.int64)
+        base = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=base[1:])
+        return (np.repeat(starts, counts)
+                + np.arange(total, dtype=np.int64) - np.repeat(base, counts))
+
+    def _bmw_query(self, tids: np.ndarray, k: int,
+                   docid_filter: np.ndarray | None = None):
+        """Exact block-max WAND (the north-star's named algorithm; Ding &
+        Suel 2011, vectorized region-at-a-time instead of cursor-at-a-time).
+
+        All query terms' block boundaries are merged into DISJOINT docid
+        REGIONS; because every term's block boundaries are region boundaries,
+        a region lies inside exactly ONE block per term, so the per-term
+        block-max contribution is a constant over each region — WAND's
+        pivot test (sum of the aligned block maxima at the candidate docid
+        vs θ) becomes a per-region precomputed table instead of a cursor
+        merge. Lists are then consumed in descending global-UB order; a doc
+        FIRST appearing in list i and region r is bounded by the region-tail
+        ``suffix[i][r] = Σ_{j≥i} idf_j · block_max_j(r)`` (it misses lists
+        0..i-1 by definition), so when that tail can't reach θ the whole
+        (list, region) pair is skipped without touching its postings. This
+        is strictly tighter than the MaxScore path's global-tail bound
+        (``idf_i·bmax_i(block) + Σ_j>i global_UB_j``): WAND aligns ALL
+        tails to the candidate's region. Each candidate is exact-scored
+        ONCE over all terms (ascending term_id — the oracle's summation
+        order); eps absorbs float summation-order ulps → provably lossless.
+        Tombstoned / filtered docids are dropped at candidate generation
+        (they may only LOWER θ = more conservative pruning). Returns None
+        to bail to the dense/sparse fallback when the candidate set would
+        exceed the cap or block metadata is absent.
+        """
+        idx = self.idx
+        if idx.block_offsets is None:
+            return None
+        cand_cap = max(self.defaults["oversample"] * 4 * k,
+                       len(idx.doclens) // 8)
+        dfs = idx.posting_offsets[tids + 1] - idx.posting_offsets[tids]
+        if int(dfs.min()) > cand_cap:
+            self.stats["maxscore_bailouts"] += 1
+            return None
+        idfs = idx.idf_by_term_id[tids]
+        lasts_t, bmaxs_t = [], []
+        for t in tids:
+            bo, bh = int(idx.block_offsets[t]), int(idx.block_offsets[t + 1])
+            lasts_t.append(np.asarray(idx.block_last_docid[bo:bh]))
+            bmaxs_t.append(np.asarray(idx.block_max_tfsat[bo:bh]))
+        nonempty = [l for l in lasts_t if len(l)]
+        if not nonempty:
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64),
+                    np.empty(0, dtype=np.int32))
+        # region r covers docids in [region_lo[r], region_hi[r])
+        bounds = np.unique(np.concatenate(nonempty))
+        n_reg = len(bounds)
+        region_lo = np.empty(n_reg, dtype=np.int64)
+        region_lo[0] = 0
+        region_lo[1:] = bounds[:-1] + 1
+        region_hi = bounds + 1
+        # per-(term, region): block-max contribution + posting-position range
+        contrib = np.zeros((len(tids), n_reg), dtype=np.float64)
+        lo_pos = np.empty((len(tids), n_reg), dtype=np.int64)
+        hi_pos = np.empty((len(tids), n_reg), dtype=np.int64)
+        for i, (idf_t, last_t, bmax_t) in enumerate(
+                zip(idfs, lasts_t, bmaxs_t)):
+            s, e = int(idx.posting_offsets[tids[i]]), \
+                int(idx.posting_offsets[tids[i] + 1])
+            d_t = idx.posting_docids[s:e]
+            lo_pos[i] = s + np.searchsorted(d_t, region_lo)
+            hi_pos[i] = s + np.searchsorted(d_t, region_hi)
+            if len(last_t):
+                j = np.searchsorted(last_t, bounds, side="left")
+                valid = j < len(last_t)
+                contrib[i, valid] = idf_t * bmax_t[j[valid]]
+
+        # consume lists in descending global-UB order; suffix[i][r] is the
+        # WAND pivot bound for docs first appearing in list i, region r
+        ubs = idfs * idx.max_tfsat_by_term[tids]
+        order = np.argsort(-ubs, kind="stable")
+        suffix = contrib[order][::-1].cumsum(axis=0)[::-1]
+        cand = np.empty(0, dtype=np.int64)      # sorted by docid
+        scores = np.empty(0, dtype=np.float64)  # exact, aligned with cand
+        theta = -np.inf
+        for i in range(len(order)):
+            m = int(order[i])
+            eps = 1e-12 * max(1.0, abs(theta)) if np.isfinite(theta) else 0.0
+            if np.isfinite(theta):
+                good = np.flatnonzero(suffix[i] >= theta - eps)
+                self.stats["bmw_regions_skipped"] += int(n_reg - len(good))
+                if len(good) == 0:
+                    continue
+            else:
+                good = np.arange(n_reg)
+            pos = self._gather_ranges(lo_pos[m][good], hi_pos[m][good])
+            d_all = idx.posting_docids[pos] if len(pos) else \
+                np.empty(0, dtype=np.int64)
+            # keep only unseen docids (candidates are scored exactly once)
+            if len(cand) and len(d_all):
+                p = np.searchsorted(cand, d_all)
+                pc = np.minimum(p, len(cand) - 1)
+                d_new = d_all[cand[pc] != d_all]
+            else:
+                d_new = d_all
             if len(idx.tombstones) and len(d_new):
                 d_new = d_new[~np.isin(d_new, idx.tombstones)]
             if docid_filter is not None and len(d_new):

@@ -59,18 +59,21 @@ def synth_index(rng: np.random.Generator, n_docs: int, n_terms: int,
     return idx
 
 
-def make_scorer(idx: DecodedIndex, k: int, prune: bool) -> BM25Scorer:
+def make_scorer(idx: DecodedIndex, k: int, prune: bool,
+                strategy: str = "maxscore") -> BM25Scorer:
     sc = BM25Scorer.__new__(BM25Scorer)
     sc.idx = idx
     sc.k = k
     sc.prune = prune
+    sc.prune_strategy = strategy
     from colbert_ray.functions.util import search_defaults_for_k
 
     sc.defaults = search_defaults_for_k(k)
     sc.with_sha = False
     sc.docid_filter = None
     sc._dense = len(idx.doclens) <= BM25Scorer.DENSE_MAX_DOCIDS
-    sc.stats = {"blocks_skipped": 0, "maxscore_bailouts": 0}
+    sc.stats = {"blocks_skipped": 0, "maxscore_bailouts": 0,
+                "bmw_regions_skipped": 0}
     return sc
 
 
@@ -92,6 +95,76 @@ def test_pruned_equals_brute_force_random(seed):
         np.testing.assert_array_equal(d_p, d_b)
         np.testing.assert_array_equal(s_p, s_b)   # exact float64
         np.testing.assert_array_equal(r_p, r_b)
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_bmw_equals_brute_force_random(seed):
+    """The block-max WAND strategy is lossless too — bit-identical
+    (docids, float64 scores, ranks) to brute force on random corpora."""
+    rng = np.random.default_rng(20000 + seed)
+    idx = synth_index(rng, n_docs=int(rng.integers(40, 400)),
+                      n_terms=int(rng.integers(5, 40)),
+                      block_size=int(rng.choice([4, 8, 16])))
+    k = int(rng.integers(1, 12))
+    bmw = make_scorer(idx, k, prune=True, strategy="bmw")
+    brute = make_scorer(idx, k, prune=False)
+    n_terms = len(idx.dict_terms)
+    for _ in range(6):
+        nq = int(rng.integers(1, min(6, n_terms) + 1))
+        q = " ".join(rng.choice(idx.dict_terms, size=nq, replace=False))
+        d_p, s_p, r_p = bmw.score_query(q)
+        d_b, s_b, r_b = brute.score_query(q)
+        np.testing.assert_array_equal(d_p, d_b)
+        np.testing.assert_array_equal(s_p, s_b)   # exact float64
+        np.testing.assert_array_equal(r_p, r_b)
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_bmw_equals_brute_with_tombstones_and_filters(seed):
+    rng = np.random.default_rng(30000 + seed)
+    n_docs = int(rng.integers(60, 300))
+    idx = synth_index(rng, n_docs=n_docs, n_terms=int(rng.integers(6, 30)))
+    k = int(rng.integers(1, 10))
+    mode = seed % 3
+    tomb = np.sort(rng.choice(n_docs, size=n_docs // 5, replace=False)
+                   ).astype(np.int64) if mode in (0, 2) else None
+    filt = np.sort(rng.choice(n_docs, size=max(1, n_docs // 3), replace=False)
+                   ).astype(np.int64) if mode in (1, 2) else None
+    if tomb is not None:
+        idx.tombstones = tomb
+    bmw = make_scorer(idx, k, prune=True, strategy="bmw")
+    brute = make_scorer(idx, k, prune=False)
+    for _ in range(5):
+        nq = int(rng.integers(2, min(5, len(idx.dict_terms)) + 1))
+        q = " ".join(rng.choice(idx.dict_terms, size=nq, replace=False))
+        d_p, s_p, r_p = bmw.score_query(q, docid_filter=filt)
+        d_b, s_b, r_b = brute.score_query(q, docid_filter=filt)
+        np.testing.assert_array_equal(d_p, d_b)
+        np.testing.assert_array_equal(s_p, s_b)
+        np.testing.assert_array_equal(r_p, r_b)
+
+
+def test_bmw_regions_actually_skipped():
+    """Engineered corpus where one doc dominates: BMW must skip regions
+    (pruning fires) while staying exact — the analog of
+    test_serve.py's block-skip assertion for MaxScore."""
+    rng = np.random.default_rng(7)
+    idx = synth_index(rng, n_docs=600, n_terms=12, block_size=4)
+    # inflate one doc's tf contribution on every term so θ rises fast
+    bmw = make_scorer(idx, 3, prune=True, strategy="bmw")
+    brute = make_scorer(idx, 3, prune=False)
+    skipped = 0
+    for _ in range(20):
+        nq = int(rng.integers(3, 7))
+        q = " ".join(rng.choice(idx.dict_terms,
+                                size=min(nq, len(idx.dict_terms)),
+                                replace=False))
+        d_p, s_p, _ = bmw.score_query(q)
+        d_b, s_b, _ = brute.score_query(q)
+        np.testing.assert_array_equal(d_p, d_b)
+        np.testing.assert_array_equal(s_p, s_b)
+    skipped = bmw.stats["bmw_regions_skipped"]
+    assert skipped > 0, "BMW never skipped a region on a Zipf corpus"
 
 
 @pytest.mark.parametrize("seed", range(10))
