@@ -49,6 +49,13 @@ class EngineConfig:
     postings_per_partition: int = 30_000_000
     salt_max_run: int = 100_000          # postings per salted sub-run of a head term
     posting_block_size: int = 128        # docids per block-max block (K4 analog)
+    #: segment posting-payload codec: "varint" (LEB128 delta-gaps; default)
+    #: or "pfor" (PForDelta: 128-value bit-plane blocks + patched
+    #: exceptions — smaller on disk for dense lists). Affects segment FILE
+    #: BYTES only, never decoded content; part of the semantic hash so a
+    #: resume never mixes codecs within one index. Update deltas use the
+    #: index's codec; mini-runs (the shuffle wire format) stay varint.
+    segment_codec: str = "varint"
 
     # --- physical execution (free to vary; never affects results) ---
     tokenizer_impl: str = "regex"           # "regex" (RE2 kernels, default) |
@@ -106,7 +113,7 @@ class EngineConfig:
     )
     _SEMANTIC_FIELDS = _PRETOKENIZE_FIELDS + (
         "k1", "b", "num_term_partitions", "postings_per_partition",
-        "salt_max_run", "posting_block_size",
+        "salt_max_run", "posting_block_size", "segment_codec",
     )
 
     def _hash_fields(self, fields) -> str:

@@ -148,3 +148,271 @@ def encode_tfs(tfs: np.ndarray) -> bytes:
 
 def decode_tfs(buf: bytes, count: int) -> np.ndarray:
     return varint_decode(buf, count).astype(np.int64)
+
+
+# --------------------------------------------------------------------------
+# PForDelta block codec (the north-star's second named compression scheme).
+#
+# Values are split into blocks of PFOR_BLOCK; each block stores the low
+# ``w`` bits of every value as ``w`` 128-bit bit-planes (w = bit width of
+# the block's ~90th-percentile value, so ≤ ~10% of values overflow) and the
+# overflowing values as patched exceptions (position byte + u64 overflow
+# ``v >> w``). Run layout is COLUMNAR so both encode and decode are
+# numpy-vectorized over all blocks of all runs at once (no per-block
+# Python loop):
+#
+#   widths[n_blocks]·u8 | n_exc[n_blocks]·u8 | planes (16·w bytes/block)
+#   | exception positions·u8 | exception overflows·u64le
+#
+# n_blocks is implied by the caller-provided value count. The last block
+# of a run is zero-padded to PFOR_BLOCK inside the planes (decode slices
+# the pad away), which keeps every plane exactly 16 bytes.
+# --------------------------------------------------------------------------
+
+PFOR_BLOCK = 128
+_PFOR_EXC_COST = 4        # ~bytes per exception (1 pos + ~3 varint overflow)
+
+
+def _pfor_nblocks(counts: np.ndarray) -> np.ndarray:
+    return -(-counts // PFOR_BLOCK)
+
+
+def _pfor_widths(V: np.ndarray) -> np.ndarray:
+    """Per-block bit width minimizing plane bytes + estimated exception
+    bytes. Uses float frexp for bit lengths — rounding can only OVERestimate
+    a width (value still fits), never underestimate, so decode stays exact."""
+    total_blocks = len(V)
+    bl = np.frexp(V.astype(np.float64))[1]            # bit length per value
+    key = (np.repeat(np.arange(total_blocks, dtype=np.int64), PFOR_BLOCK) * 66
+           + bl.ravel())
+    hist = np.bincount(key, minlength=total_blocks * 66).reshape(
+        total_blocks, 66)
+    # n_over[b, w] = #values with bit length > w  (w = 0..64)
+    n_over = hist[:, ::-1].cumsum(axis=1)[:, ::-1][:, 1:]
+    cost = ((PFOR_BLOCK // 8) * np.arange(65, dtype=np.int64)[None, :]
+            + _PFOR_EXC_COST * n_over)
+    return cost.argmin(axis=1).astype(np.uint8)
+
+
+def pfor_encode_segmented(values: np.ndarray,
+                          run_starts: np.ndarray) -> list[bytes]:
+    """Encode MANY runs (concatenated ``values``, runs beginning at
+    ``run_starts``) in one vectorized pass -> one ``bytes`` per run."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    run_starts = np.asarray(run_starts, dtype=np.int64)
+    n_runs = len(run_starts)
+    if n_runs == 0:
+        return []
+    counts = np.diff(np.append(run_starts, len(v)))
+    nb = _pfor_nblocks(counts)
+    total_blocks = int(nb.sum())
+    if total_blocks == 0:
+        return [b""] * n_runs
+    block_base = np.zeros(n_runs, dtype=np.int64)
+    np.cumsum(nb[:-1], out=block_base[1:])
+    # scatter values into the zero-padded (total_blocks, PFOR_BLOCK) matrix
+    V = np.zeros((total_blocks, PFOR_BLOCK), dtype=np.uint64)
+    local = np.arange(len(v), dtype=np.int64) - np.repeat(run_starts, counts)
+    blk = np.repeat(block_base, counts) + local // PFOR_BLOCK
+    V[blk, local % PFOR_BLOCK] = v
+
+    widths = _pfor_widths(V)
+    plane_bytes = widths.astype(np.int64) * (PFOR_BLOCK // 8)
+    # per-width-group plane packing + exception extraction
+    planes_parts: list[tuple[int, np.ndarray]] = []   # (width, packed rows)
+    exc_mask = np.zeros((total_blocks, PFOR_BLOCK), dtype=bool)
+    overflow = np.zeros((total_blocks, PFOR_BLOCK), dtype=np.uint64)
+    group_rows: dict[int, np.ndarray] = {}
+    for w in np.unique(widths):
+        w = int(w)
+        rows = np.flatnonzero(widths == w)
+        group_rows[w] = rows
+        Vw = V[rows]
+        if w == 0:
+            exc_mask[rows] = Vw != 0
+            overflow[rows] = Vw
+            continue
+        if w >= 64:
+            low = Vw
+        else:
+            mask = np.uint64((1 << w) - 1)
+            low = Vw & mask
+            over = Vw >> np.uint64(w)
+            exc_mask[rows] = over != 0
+            overflow[rows] = over
+        bits = ((low[:, None, :] >> np.arange(w, dtype=np.uint64)[None, :, None])
+                & np.uint64(1)).astype(np.uint8)
+        packed = np.packbits(bits, axis=2, bitorder="little")  # (nbw, w, 16)
+        planes_parts.append((w, packed.reshape(len(rows), -1)))
+    n_exc = exc_mask.sum(axis=1).astype(np.int64)
+
+    # ---- assemble the five sections into one output byte array ----------
+    run_plane_bytes = np.zeros(n_runs, dtype=np.int64)
+    np.add.at(run_plane_bytes, np.repeat(np.arange(n_runs), nb), plane_bytes)
+    run_exc = np.zeros(n_runs, dtype=np.int64)
+    np.add.at(run_exc, np.repeat(np.arange(n_runs), nb), n_exc)
+    ex_cum = np.zeros(total_blocks + 1, dtype=np.int64)
+    np.cumsum(n_exc, out=ex_cum[1:])
+    run_ex_base = ex_cum[block_base]
+    eb, ep = np.nonzero(exc_mask)               # block idx, in-block position
+    # exception overflows as ONE varint stream per run (v >> w is small)
+    exc_vb = varint_encode_segmented(overflow[eb, ep], run_ex_base)
+    exc_vb_len = np.array([len(b) for b in exc_vb], dtype=np.int64)
+
+    run_len = 2 * nb + run_plane_bytes + run_exc + exc_vb_len
+    run_off = np.zeros(n_runs + 1, dtype=np.int64)
+    np.cumsum(run_len, out=run_off[1:])
+    out = np.zeros(int(run_off[-1]), dtype=np.uint8)
+
+    blk_run = np.repeat(np.arange(n_runs), nb)
+    blk_local = np.arange(total_blocks) - np.repeat(block_base, nb)
+    # widths + n_exc headers
+    out[run_off[blk_run] + blk_local] = widths
+    out[run_off[blk_run] + nb[blk_run] + blk_local] = n_exc.astype(np.uint8)
+    # planes: global start of each block's planes
+    pb_cum = np.zeros(total_blocks + 1, dtype=np.int64)
+    np.cumsum(plane_bytes, out=pb_cum[1:])
+    run_pb_base = pb_cum[block_base]
+    blk_plane_start = (run_off[blk_run] + 2 * nb[blk_run]
+                       + pb_cum[:-1] - run_pb_base[blk_run])
+    for w, packed in planes_parts:
+        rows = group_rows[w]
+        pos = (blk_plane_start[rows][:, None]
+               + np.arange(w * (PFOR_BLOCK // 8))[None, :])
+        out[pos.ravel()] = packed.ravel()
+    # exception positions, then the per-run varint overflow stream
+    if len(eb):
+        blk_pos_start = (run_off[blk_run] + 2 * nb[blk_run]
+                         + run_plane_bytes[blk_run]
+                         + ex_cum[:-1] - run_ex_base[blk_run])
+        within = np.arange(len(eb)) - ex_cum[eb]   # exception rank in block
+        out[blk_pos_start[eb] + within] = ep.astype(np.uint8)
+        vb_cat = np.frombuffer(b"".join(exc_vb), dtype=np.uint8)
+        run_val_start = run_off[:-1] + 2 * nb + run_plane_bytes + run_exc
+        vb_base = np.zeros(n_runs, dtype=np.int64)
+        np.cumsum(exc_vb_len[:-1], out=vb_base[1:])
+        tgt = (np.repeat(run_val_start, exc_vb_len)
+               + np.arange(len(vb_cat)) - np.repeat(vb_base, exc_vb_len))
+        out[tgt] = vb_cat
+
+    buf = out.tobytes()
+    return [buf[int(run_off[r]):int(run_off[r + 1])] for r in range(n_runs)]
+
+
+def pfor_encode(values: np.ndarray) -> bytes:
+    """Single-run PForDelta encode (see pfor_encode_segmented)."""
+    return pfor_encode_segmented(
+        np.ascontiguousarray(values, dtype=np.uint64),
+        np.zeros(1, dtype=np.int64))[0]
+
+
+def pfor_decode_concat(buf: np.ndarray, cell_starts: np.ndarray,
+                       counts: np.ndarray,
+                       cell_ends: np.ndarray | None = None) -> np.ndarray:
+    """Decode MANY PFor runs stored back-to-back in ``buf`` (uint8 array;
+    run r spans ``[cell_starts[r], cell_ends[r])`` — defaults to contiguous
+    cells — and holds ``counts[r]`` values) in one vectorized pass ->
+    concatenated uint64 values."""
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    cell_starts = np.asarray(cell_starts, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    if cell_ends is None:
+        cell_ends = np.append(cell_starts[1:], len(buf))
+    cell_ends = np.asarray(cell_ends, dtype=np.int64)
+    n_runs = len(cell_starts)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint64)
+    nb = _pfor_nblocks(counts)
+    total_blocks = int(nb.sum())
+    block_base = np.zeros(n_runs, dtype=np.int64)
+    np.cumsum(nb[:-1], out=block_base[1:])
+    blk_run = np.repeat(np.arange(n_runs), nb)
+    blk_local = np.arange(total_blocks) - np.repeat(block_base, nb)
+
+    widths = buf[cell_starts[blk_run] + blk_local].astype(np.int64)
+    n_exc = buf[cell_starts[blk_run] + nb[blk_run] + blk_local].astype(np.int64)
+    plane_bytes = widths * (PFOR_BLOCK // 8)
+    pb_cum = np.zeros(total_blocks + 1, dtype=np.int64)
+    np.cumsum(plane_bytes, out=pb_cum[1:])
+    run_pb_base = pb_cum[block_base]
+    run_plane_bytes = np.append(pb_cum[block_base[1:]], pb_cum[-1]) - run_pb_base
+    blk_plane_start = (cell_starts[blk_run] + 2 * nb[blk_run]
+                       + pb_cum[:-1] - run_pb_base[blk_run])
+
+    V = np.zeros((total_blocks, PFOR_BLOCK), dtype=np.uint64)
+    for w in np.unique(widths):
+        w = int(w)
+        if w == 0:
+            continue
+        rows = np.flatnonzero(widths == w)
+        pos = (blk_plane_start[rows][:, None]
+               + np.arange(w * (PFOR_BLOCK // 8))[None, :])
+        packed = buf[pos.ravel()].reshape(len(rows), w, PFOR_BLOCK // 8)
+        bits = np.unpackbits(packed, axis=2, bitorder="little")
+        V[rows] = (bits.astype(np.uint64)
+                   << (np.arange(w, dtype=np.uint64)[None, :, None])).sum(axis=1)
+
+    ex_cum = np.zeros(total_blocks + 1, dtype=np.int64)
+    np.cumsum(n_exc, out=ex_cum[1:])
+    run_ex_base = ex_cum[block_base]
+    if int(ex_cum[-1]):
+        blk_pos_start = (cell_starts[blk_run] + 2 * nb[blk_run]
+                         + run_plane_bytes[blk_run]
+                         + ex_cum[:-1] - run_ex_base[blk_run])
+        run_exc = np.append(ex_cum[block_base[1:]], ex_cum[-1]) - run_ex_base
+        eb = np.repeat(np.arange(total_blocks), n_exc)
+        within = np.arange(int(ex_cum[-1])) - ex_cum[eb]
+        ep = buf[blk_pos_start[eb] + within].astype(np.int64)
+        # the varint overflow stream is each run's FINAL section
+        run_val_start = cell_starts + 2 * nb + run_plane_bytes + run_exc
+        vlens = cell_ends - run_val_start
+        vb_base = np.zeros(len(vlens), dtype=np.int64)
+        np.cumsum(vlens[:-1], out=vb_base[1:])
+        src = (np.repeat(run_val_start, vlens)
+               + np.arange(int(vlens.sum())) - np.repeat(vb_base, vlens))
+        vals = varint_decode(buf[src].tobytes(), int(ex_cum[-1]))
+        V[eb, ep] |= vals << widths[eb].astype(np.uint64)
+
+    # slice away the per-run zero pad (only the last block of a run is short)
+    flat = V.reshape(-1)
+    out_pos = (np.repeat(block_base * PFOR_BLOCK, counts)
+               + np.arange(total) - np.repeat(
+                   np.concatenate([[0], np.cumsum(counts)[:-1]]), counts))
+    return flat[out_pos]
+
+
+def pfor_decode(buf: bytes, count: int) -> np.ndarray:
+    """Single-run PForDelta decode (see pfor_decode_concat)."""
+    return pfor_decode_concat(np.frombuffer(buf, dtype=np.uint8),
+                              np.zeros(1, dtype=np.int64),
+                              np.asarray([count], dtype=np.int64))
+
+
+# ---- per-run codec dispatch (compaction / delta folding paths) -----------
+
+def encode_docids_run(docids: np.ndarray, codec: str = "varint") -> bytes:
+    """Strictly-increasing docids -> (first, gaps) in the given codec."""
+    if codec == "pfor":
+        d = np.ascontiguousarray(docids, dtype=np.int64)
+        return pfor_encode(delta_gaps_segmented(d, np.zeros(1, dtype=np.int64))
+                           if d.size else np.empty(0, dtype=np.uint64))
+    return delta_encode_docids(docids)
+
+
+def decode_docids_run(buf: bytes, count: int, codec: str = "varint") -> np.ndarray:
+    if codec == "pfor":
+        return np.cumsum(pfor_decode(buf, count).astype(np.int64))
+    return delta_decode_docids(buf, count)
+
+
+def encode_tfs_run(tfs: np.ndarray, codec: str = "varint") -> bytes:
+    if codec == "pfor":
+        return pfor_encode(np.ascontiguousarray(tfs, dtype=np.uint64))
+    return encode_tfs(tfs)
+
+
+def decode_tfs_run(buf: bytes, count: int, codec: str = "varint") -> np.ndarray:
+    if codec == "pfor":
+        return pfor_decode(buf, count).astype(np.int64)
+    return decode_tfs(buf, count)

@@ -20,10 +20,10 @@ import pyarrow.parquet as pq
 from colbert_ray.config import EngineConfig
 from colbert_ray.functions.bm25 import tf_saturation
 from colbert_ray.functions.codec import (
-    decode_tfs,
-    delta_decode_docids,
-    delta_encode_docids,
-    encode_tfs,
+    decode_docids_run,
+    decode_tfs_run,
+    encode_docids_run,
+    encode_tfs_run,
 )
 from colbert_ray.stages.manifests import atomic_write_json
 from colbert_ray.stages.postings import SEGMENT_SCHEMA
@@ -59,18 +59,19 @@ def coalesce_segments(index_dir: str, merge_salts: bool = True) -> str:
                     rows[k].append(r[k] if k != "salt" else 0)
                 continue
             d = np.concatenate([
-                delta_decode_docids(b, int(n))
+                decode_docids_run(b, int(n), cfg.segment_codec)
                 for b, n in zip(g["docids_bin"], g["n"])
             ])
             tf = np.concatenate([
-                decode_tfs(b, int(n)) for b, n in zip(g["tfs_bin"], g["n"])
+                decode_tfs_run(b, int(n), cfg.segment_codec)
+                for b, n in zip(g["tfs_bin"], g["n"])
             ])
             # block-max metadata rebuilt over the merged run
             rows["term_id"].append(int(term_id))
             rows["salt"].append(0)
             rows["n"].append(int(len(d)))
-            rows["docids_bin"].append(delta_encode_docids(d))
-            rows["tfs_bin"].append(encode_tfs(tf))
+            rows["docids_bin"].append(encode_docids_run(d, cfg.segment_codec))
+            rows["tfs_bin"].append(encode_tfs_run(tf, cfg.segment_codec))
             n_blocks = -(-len(d) // bs)
             blk_last = d[np.minimum(np.arange(1, n_blocks + 1) * bs - 1, len(d) - 1)]
             # recompute tfsat for block maxes from doclens

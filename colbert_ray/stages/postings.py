@@ -26,9 +26,8 @@ import pyarrow.parquet as pq
 from colbert_ray.config import EngineConfig
 from colbert_ray.functions.bm25 import tf_saturation
 from colbert_ray.functions.codec import (
-    delta_encode_docids,
     delta_gaps_segmented,
-    encode_tfs,
+    pfor_encode_segmented,
     varint_encode_segmented,
 )
 from colbert_ray.stages import manifests
@@ -205,14 +204,23 @@ def encode_runs(
     ends = np.append(starts[1:], len(term_id))
 
     bs = cfg.posting_block_size
+    # one vectorized encode pass over ALL runs (codec per cfg.segment_codec);
+    # for varint this is byte-identical to per-run delta_encode_docids
+    gaps = delta_gaps_segmented(docid, starts)
+    if cfg.segment_codec == "pfor":
+        docids_bins = pfor_encode_segmented(gaps, starts)
+        tfs_bins = pfor_encode_segmented(tf.astype(np.uint64), starts)
+    else:
+        docids_bins = varint_encode_segmented(gaps, starts)
+        tfs_bins = varint_encode_segmented(tf.astype(np.uint64), starts)
     rows = {k: [] for k in SEGMENT_SCHEMA.names}
-    for s, e in zip(starts, ends):
+    for i, (s, e) in enumerate(zip(starts, ends)):
         d = docid[s:e]
         rows["term_id"].append(int(term_id[s]))
         rows["salt"].append(int(salt[s]))
         rows["n"].append(int(e - s))
-        rows["docids_bin"].append(delta_encode_docids(d))
-        rows["tfs_bin"].append(encode_tfs(tf[s:e]))
+        rows["docids_bin"].append(docids_bins[i])
+        rows["tfs_bin"].append(tfs_bins[i])
         ts = tfsat[s:e]
         n_blocks = -(-(e - s) // bs)
         pad = n_blocks * bs - (e - s)

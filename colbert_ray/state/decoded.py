@@ -39,11 +39,14 @@ _PROC_CACHE: dict = {}
 _PROC_CACHE_MAX = 4
 
 
-def _gather_binary(arr, order: np.ndarray) -> np.ndarray:
+def _gather_binary(arr, order: np.ndarray,
+                   return_offsets: bool = False):
     """Concatenate the elements of an Arrow binary array in ``order`` as ONE
     contiguous uint8 numpy array — sliced straight from the Arrow value
     buffer (offsets + one vectorized gather), never through per-element
-    Python bytes objects."""
+    Python bytes objects. With ``return_offsets`` also returns the
+    per-element start offsets into the concatenated array (length
+    ``len(order) + 1``)."""
     if arr.null_count:
         raise ValueError("binary column with nulls in posting segment")
     import pyarrow as pa
@@ -60,15 +63,17 @@ def _gather_binary(arr, order: np.ndarray) -> np.ndarray:
     starts = offs[:-1][order]
     lens = (offs[1:] - offs[:-1])[order]
     total = int(lens.sum())
+    out_offs = np.zeros(len(order) + 1, dtype=np.int64)
+    np.cumsum(lens, out=out_offs[1:])
     if total == 0:
-        return np.empty(0, dtype=np.uint8)
-    out_starts = np.zeros(len(order), dtype=np.int64)
-    np.cumsum(lens[:-1], out=out_starts[1:])
-    intra = np.arange(total, dtype=np.int64) - np.repeat(out_starts, lens)
-    return data[np.repeat(starts, lens) + intra]
+        out = np.empty(0, dtype=np.uint8)
+        return (out, out_offs) if return_offsets else out
+    intra = np.arange(total, dtype=np.int64) - np.repeat(out_offs[:-1], lens)
+    out = data[np.repeat(starts, lens) + intra]
+    return (out, out_offs) if return_offsets else out
 
 
-def bulk_decode_runs(seg):
+def bulk_decode_runs(seg, codec: str = "varint"):
     """Decode ALL posting runs of one segment table in one vectorized pass.
 
     Returns ``(tid, salt, nper, docids, tfs, order)`` with runs sorted by
@@ -76,8 +81,11 @@ def bulk_decode_runs(seg):
     docid-range partitions, so docid order within a term is preserved);
     ``order`` is the permutation from the table's row order to the sorted
     run order. Load cost is O(total postings), no Python loop over runs —
-    the varint streams are concatenated at the Arrow BUFFER level.
+    the compressed streams are concatenated at the Arrow BUFFER level and
+    decoded with the segment codec (varint LEB128 or PForDelta).
     """
+    from colbert_ray.functions.codec import pfor_decode_concat
+
     tid = seg.column("term_id").to_numpy(zero_copy_only=False).astype(np.int64)
     salt = seg.column("salt").to_numpy(zero_copy_only=False)
     nper = seg.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -86,14 +94,22 @@ def bulk_decode_runs(seg):
     db = seg.column("docids_bin").combine_chunks()
     tb = seg.column("tfs_bin").combine_chunks()
     total = int(nper.sum())
-    dbuf = _gather_binary(db, order)
-    tbuf = _gather_binary(tb, order)
-    gaps = varint_decode(dbuf, total).astype(np.int64)
+    if codec == "pfor":
+        dbuf, doffs = _gather_binary(db, order, return_offsets=True)
+        tbuf, toffs = _gather_binary(tb, order, return_offsets=True)
+        gaps = pfor_decode_concat(
+            dbuf, doffs[:-1], nper, doffs[1:]).astype(np.int64)
+        tfs = pfor_decode_concat(
+            tbuf, toffs[:-1], nper, toffs[1:]).astype(np.int32)
+    else:
+        dbuf = _gather_binary(db, order)
+        tbuf = _gather_binary(tb, order)
+        gaps = varint_decode(dbuf, total).astype(np.int64)
+        tfs = varint_decode(tbuf, total).astype(np.int32)
     g_cum = np.cumsum(gaps)
     run_start = np.concatenate([[0], np.cumsum(nper)[:-1]])
     base = np.where(run_start > 0, g_cum[run_start - 1], 0)
     docids = g_cum - np.repeat(base, nper)
-    tfs = varint_decode(tbuf, total).astype(np.int32)
     return tid, salt, nper, docids, tfs, order
 
 
@@ -252,7 +268,8 @@ class DecodedIndex:
         ]
         seg = pa.concat_tables(tables) if tables else None
         if seg is not None and seg.num_rows:
-            tid, _salt, nper, posting_docids, posting_tfs, _ = bulk_decode_runs(seg)
+            tid, _salt, nper, posting_docids, posting_tfs, _ = \
+                bulk_decode_runs(seg, codec=cfg.segment_codec)
             posting_offsets = np.zeros(n_terms + 1, dtype=np.int64)
             np.add.at(posting_offsets, tid + 1, nper)
             np.cumsum(posting_offsets, out=posting_offsets)
@@ -408,9 +425,13 @@ class DecodedIndex:
         idf of PRE-EXISTING terms stay those of the last full build; terms
         first seen in a delta get idf from their delta df (the analog of the
         reference reusing its trained codec for added passages)."""
-        from colbert_ray.functions.codec import decode_tfs as _dtf
-        from colbert_ray.functions.codec import delta_decode_docids as _ddd
+        from functools import partial
+
+        from colbert_ray.functions.codec import decode_docids_run, decode_tfs_run
         from colbert_ray.state.updates import load_deltas
+
+        _ddd = partial(decode_docids_run, codec=self.cfg.segment_codec)
+        _dtf = partial(decode_tfs_run, codec=self.cfg.segment_codec)
 
         segs, terms_tbls, metas, tomb = load_deltas(index_dir)
         self.tombstones = tomb

@@ -104,13 +104,13 @@ def _write_one_segment(seg_path: str, run_dest: np.ndarray, layout,
     from colbert_ray.functions.bm25 import tf_saturation
     from colbert_ray.state.decoded import bulk_decode_runs
 
-    (avgdl, k1, b) = layout
+    (avgdl, k1, b, codec) = layout
     sdir = os.path.join(index_dir, SERVE_DIR)
     seg = pq.read_table(seg_path,
                         columns=["term_id", "salt", "n", "docids_bin", "tfs_bin"])
     if seg.num_rows == 0:
         return 0
-    _tid, _salt, nper, docids, tfs, order = bulk_decode_runs(seg)
+    _tid, _salt, nper, docids, tfs, order = bulk_decode_runs(seg, codec=codec)
     doclens = np.load(os.path.join(sdir, ARRAY_FILES["doclens"]), mmap_mode="r")
     tfsat = tf_saturation(tfs.astype(np.float64),
                           np.asarray(doclens[docids], dtype=np.float64),
@@ -273,7 +273,7 @@ def write_serve_artifact(index_dir: str, parallel: bool = True) -> dict:
     _alloc("block_max_tfsat", (n_blocks,), np.float64)
 
     # ---- pass 1: postings (one task per segment file) ------------------
-    layout1 = (float(meta["avgdl"]), cfg.k1, cfg.b)
+    layout1 = (float(meta["avgdl"]), cfg.k1, cfg.b, cfg.segment_codec)
     # ---- pass 2: per-term max + blocks (tasks over ~equal-posting term
     # ranges, reading back the written arrays) ---------------------------
     n_ranges = max(1, min(len(files) or 1, 32))

@@ -211,6 +211,42 @@ def test_docid_join_strategy_equivalent(small_fixture, tmp_path_factory):
     pd.testing.assert_frame_equal(meta(db), meta(dj))
 
 
+def test_pfor_codec_build_search_identical(built, small_fixture,
+                                           tmp_path_factory):
+    """segment_codec='pfor' (PForDelta bit-plane blocks) changes segment
+    FILE bytes only: a pfor build must return frame-equal rankings to the
+    varint build on every query, through both the serve-artifact mmap path
+    and the segment-decode fallback, and must survive coalescing."""
+    corpus_dir, queries_path, varint_idx, _ = built
+    cfg = EngineConfig(salt_max_run=20, num_term_partitions=8,
+                       segment_codec="pfor")
+    pfor_idx = str(tmp_path_factory.mktemp("idx_pfor"))
+    build_index(corpus_dir, pfor_idx, cfg)
+    queries = pq.read_table(queries_path)
+    cols = ["qid", "docid", "rank", "score"]
+
+    def ranked(d):
+        return (search_table(queries, d, k=10, with_sha=False).to_pandas()
+                [cols].sort_values(["qid", "rank"]).reset_index(drop=True))
+
+    base = ranked(varint_idx)
+    pd.testing.assert_frame_equal(ranked(pfor_idx), base)
+
+    # segment-decode fallback (serve artifact removed) decodes pfor too
+    import shutil
+
+    shutil.rmtree(os.path.join(pfor_idx, "serve"))
+    os.utime(os.path.join(pfor_idx, "metadata.json"))
+    pd.testing.assert_frame_equal(ranked(pfor_idx), base)
+
+    # coalesce re-encodes runs with the index codec; results unchanged
+    from colbert_ray.stages.compact import coalesce_segments
+
+    coalesce_segments(pfor_idx)
+    os.utime(os.path.join(pfor_idx, "metadata.json"))
+    pd.testing.assert_frame_equal(ranked(pfor_idx), base)
+
+
 def test_sharded_search_bit_identical(built):
     """Docid-range sharded serving (multi-node topology) must reproduce the
     unsharded ranking exactly — per-shard scores use GLOBAL statistics and

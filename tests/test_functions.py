@@ -186,6 +186,79 @@ class TestCodec:
             varint_decode(b"\x80", 1)   # dangling continuation
 
 
+class TestPforCodec:
+    """PForDelta bit-plane block codec (segment_codec='pfor')."""
+
+    @given(st.lists(st.integers(min_value=0, max_value=2**62), max_size=400))
+    @settings(max_examples=50, deadline=None)
+    def test_roundtrip(self, vals):
+        from colbert_ray.functions.codec import pfor_decode, pfor_encode
+
+        v = np.array(vals, dtype=np.uint64)
+        assert (pfor_decode(pfor_encode(v), len(v)) == v).all()
+
+    def test_engineered_distributions(self):
+        from colbert_ray.functions.codec import pfor_decode, pfor_encode
+
+        rng = np.random.default_rng(3)
+        for v in (
+            np.empty(0, dtype=np.uint64),
+            np.zeros(129, dtype=np.uint64),
+            np.ones(1000, dtype=np.uint64),
+            np.full(128, 2**62, dtype=np.uint64),
+            np.concatenate([np.zeros(120, np.uint64),
+                            np.full(8, 2**50, np.uint64)]),
+            np.maximum(1, rng.poisson(7, 100_000)).astype(np.uint64),
+            rng.zipf(1.5, 50_000).astype(np.uint64) % (2**62),
+        ):
+            assert (pfor_decode(pfor_encode(v), len(v)) == v).all()
+
+    def test_segmented_matches_scalar_and_concat_decode(self):
+        from colbert_ray.functions.codec import (
+            pfor_decode_concat,
+            pfor_encode,
+            pfor_encode_segmented,
+        )
+
+        rng = np.random.default_rng(11)
+        vals = rng.zipf(1.4, 30_000).astype(np.uint64) % (2**62)
+        starts = np.sort(rng.choice(len(vals), 200, replace=False))
+        starts[0] = 0
+        counts = np.diff(np.append(starts, len(vals)))
+        bufs = pfor_encode_segmented(vals, starts)
+        for r in rng.integers(0, 200, 30):
+            s, c = starts[r], counts[r]
+            assert bufs[r] == pfor_encode(vals[s:s + c])
+        cat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+        cell_starts = np.zeros(200, np.int64)
+        np.cumsum([len(b) for b in bufs[:-1]], out=cell_starts[1:])
+        out = pfor_decode_concat(cat, cell_starts, counts)
+        assert (out == vals).all()
+
+    def test_run_dispatch_helpers(self):
+        from colbert_ray.functions.codec import (
+            decode_docids_run,
+            decode_tfs_run,
+            encode_docids_run,
+            encode_tfs_run,
+        )
+
+        d = np.array([3, 9, 10, 5000, 70000], dtype=np.int64)
+        t = np.array([1, 1, 60, 2, 7], dtype=np.int64)
+        for codec in ("varint", "pfor"):
+            assert (decode_docids_run(
+                encode_docids_run(d, codec), len(d), codec) == d).all()
+            assert (decode_tfs_run(
+                encode_tfs_run(t, codec), len(t), codec) == t).all()
+
+    def test_compresses_dense_gaps_vs_varint(self):
+        from colbert_ray.functions.codec import pfor_encode, varint_encode
+
+        rng = np.random.default_rng(5)
+        gaps = np.maximum(1, rng.poisson(7, 200_000)).astype(np.uint64)
+        assert len(pfor_encode(gaps)) < 0.7 * len(varint_encode(gaps))
+
+
 class TestBM25Math:
     def test_idf_hand_computed(self):
         # N=100, df=10 -> ln((100-10+.5)/(10+.5)+1) = ln(9.61904761...)

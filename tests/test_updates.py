@@ -57,6 +57,22 @@ def test_add_then_search_finds_new_docs(built_index):
     assert int(new_ids[0]) in d2.tolist()
 
 
+def test_add_then_search_pfor_codec(small_fixture, tmp_path_factory):
+    """Delta write + fold must round-trip through the index's segment codec
+    (deltas are encoded by encode_runs with cfg.segment_codec)."""
+    corpus_dir, _ = small_fixture
+    d = str(tmp_path_factory.mktemp("idx_upd_pfor"))
+    cfg = EngineConfig(salt_max_run=20, num_term_partitions=8,
+                       segment_codec="pfor")
+    build_index(corpus_dir, d, cfg)
+    up = IndexUpdater(d)
+    new_ids = up.add_documents(_added_docs())
+    scorer = BM25Scorer(d, k=5)
+    docs, scores, _ = scorer.score_query(MAGIC)
+    assert set(docs.tolist()) == set(new_ids.tolist())
+    assert scores[0] > scores[1]
+
+
 def test_remove_tombstones_docs(built_index):
     up = IndexUpdater(built_index)
     new_ids = up.add_documents(_added_docs())
