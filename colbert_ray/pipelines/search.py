@@ -50,6 +50,7 @@ def search(
     batch_size: int | None = None,
     with_sha: bool = True,
     prune: bool | None = None,
+    prune_strategy: str | None = None,
     docid_filter=None,
     docid_range: tuple[int, int] | None = None,
 ) -> "ray.data.Dataset":
@@ -59,6 +60,8 @@ def search(
     docids, applied to every query — the engine-level form of the
     reference's per-search ``filter_fn`` pid hook (``searcher.py:76-99``,
     ``index_storage.py:95-101``; SURVEY §2.10). Broadcast once.
+    ``prune_strategy``: "maxscore" | "bmw" (both exact; defaults to the
+    index config's choice).
     """
     cfg = EngineConfig()
     from colbert_ray.state.serve import serve_valid
@@ -100,6 +103,7 @@ def search(
             "k": k,
             "with_sha": with_sha,
             "prune": prune,
+            "prune_strategy": prune_strategy,
             "docid_filter": docid_filter,
         },
         batch_format="pyarrow",
@@ -235,6 +239,7 @@ class SearchSession:
 
     def __init__(self, index_dir: str, k: int = 10, n_actors: int = 4,
                  with_sha: bool = True, prune: bool | None = None,
+                 prune_strategy: str | None = None,
                  docid_range: tuple[int, int] | None = None):
         import ray as _ray
 
@@ -242,6 +247,7 @@ class SearchSession:
 
         self.k = k
         kwargs = {"k": k, "with_sha": with_sha, "prune": prune,
+                  "prune_strategy": prune_strategy,
                   "docid_range": docid_range}
         if serve_valid(index_dir):
             kwargs["index_dir"] = index_dir

@@ -270,6 +270,20 @@ def test_sharded_search_bit_identical(built):
     )
 
 
+def test_bmw_strategy_identical_through_pipeline(built):
+    """prune_strategy='bmw' must be frame-equal to the default MaxScore
+    path through the public search pipeline (both are exact)."""
+    _, queries_path, index_dir, _ = built
+    queries = pq.read_table(queries_path)
+    cols = ["qid", "docid", "rank", "score"]
+    base = (search_table(queries, index_dir, k=10, with_sha=False)
+            .to_pandas()[cols].reset_index(drop=True))
+    bmw = (search_table(queries, index_dir, k=10, with_sha=False,
+                        prune_strategy="bmw")
+           .to_pandas()[cols].reset_index(drop=True))
+    pd.testing.assert_frame_equal(bmw, base)
+
+
 def test_oov_and_empty_queries(built):
     _, _, index_dir, _ = built
     queries = pa.table({"qid": pa.array([0, 1], type=pa.int64()),
