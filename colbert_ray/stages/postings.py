@@ -204,6 +204,8 @@ def encode_runs(
     ends = np.append(starts[1:], len(term_id))
 
     bs = cfg.posting_block_size
+    if len(starts) == 0:
+        return SEGMENT_SCHEMA.empty_table()
     # one vectorized encode pass over ALL runs (codec per cfg.segment_codec);
     # for varint this is byte-identical to per-run delta_encode_docids
     gaps = delta_gaps_segmented(docid, starts)
@@ -213,25 +215,36 @@ def encode_runs(
     else:
         docids_bins = varint_encode_segmented(gaps, starts)
         tfs_bins = varint_encode_segmented(tf.astype(np.uint64), starts)
-    rows = {k: [] for k in SEGMENT_SCHEMA.names}
-    for i, (s, e) in enumerate(zip(starts, ends)):
-        d = docid[s:e]
-        rows["term_id"].append(int(term_id[s]))
-        rows["salt"].append(int(salt[s]))
-        rows["n"].append(int(e - s))
-        rows["docids_bin"].append(docids_bins[i])
-        rows["tfs_bin"].append(tfs_bins[i])
-        ts = tfsat[s:e]
-        n_blocks = -(-(e - s) // bs)
-        pad = n_blocks * bs - (e - s)
-        blk_last = d[np.minimum(np.arange(1, n_blocks + 1) * bs - 1, e - s - 1)]
-        ts_pad = np.pad(ts, (0, pad), constant_values=0.0).reshape(n_blocks, bs)
-        rows["block_last_docid"].append(blk_last.tolist())
-        rows["block_max_tfsat"].append(ts_pad.max(axis=1).tolist())
-        rows["max_tfsat"].append(float(ts.max()))
+
+    # block-max metadata for ALL runs' blocks in one pass (same layout math
+    # as DecodedIndex._build_block_arrays): runs are contiguous in the
+    # posting arrays, so consecutive block starts bound each block exactly
+    from colbert_ray.state.serve import block_layout
+
+    counts = ends - starts
+    nb, block_offsets = block_layout(counts, bs)
+    total_blocks = int(block_offsets[-1])
+    intra = np.arange(total_blocks) - np.repeat(block_offsets[:-1], nb)
+    bstart = np.repeat(starts, nb) + intra * bs
+    bend = np.minimum(bstart + bs, np.repeat(ends, nb)) - 1
+    block_last = docid[bend]
+    block_max = np.maximum.reduceat(tfsat, bstart) if total_blocks else \
+        np.empty(0, dtype=np.float64)
+    max_tfsat = np.maximum.reduceat(tfsat, starts)
+    list_offs = pa.array(block_offsets, type=pa.int32())
     return pa.table(
-        {name: pa.array(rows[name], type=SEGMENT_SCHEMA.field(name).type)
-         for name in SEGMENT_SCHEMA.names}
+        {
+            "term_id": pa.array(term_id[starts], type=pa.int64()),
+            "salt": pa.array(salt[starts], type=pa.int32()),
+            "n": pa.array(counts, type=pa.int64()),
+            "docids_bin": pa.array(docids_bins, type=pa.binary()),
+            "tfs_bin": pa.array(tfs_bins, type=pa.binary()),
+            "block_last_docid": pa.ListArray.from_arrays(
+                list_offs, pa.array(block_last, type=pa.int64())),
+            "block_max_tfsat": pa.ListArray.from_arrays(
+                list_offs, pa.array(block_max, type=pa.float64())),
+            "max_tfsat": pa.array(max_tfsat, type=pa.float64()),
+        }
     )
 
 
