@@ -57,6 +57,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--shards", type=int, default=1)
     s.add_argument("--job-shards", type=int, default=0,
                    help="resumable qid-sharded output: out/shard=i/ + manifests")
+    s.add_argument("--strategy", choices=("maxscore", "bmw"), default=None,
+                   help="exact pruning algorithm (default: index config)")
 
     e = sub.add_parser("eval", help="MRR/recall/success of a ranking vs qrels")
     e.add_argument("--ranking", required=True)
@@ -125,12 +127,17 @@ def main(argv: list[str] | None = None) -> int:
                              n_shards=args.job_shards)
             print(json.dumps(rep))
         elif args.out:
-            ds = (search_sharded(queries, args.index, k=args.k, n_shards=args.shards)
-                  if args.shards > 1 else search(queries, args.index, k=args.k))
+            ds = (search_sharded(queries, args.index, k=args.k,
+                                 n_shards=args.shards,
+                                 prune_strategy=args.strategy)
+                  if args.shards > 1
+                  else search(queries, args.index, k=args.k,
+                              prune_strategy=args.strategy))
             write_ranking_parquet(ds, args.out, k=args.k, index=args.index)
             print(json.dumps({"out": args.out}))
         else:
-            t = search_table(queries, args.index, k=args.k, with_sha=False)
+            t = search_table(queries, args.index, k=args.k, with_sha=False,
+                             prune_strategy=args.strategy)
             for row in t.to_pylist():
                 print(f"{row['qid']}\t{row['docid']}\t{row['rank']}\t{row['score']}")
     elif args.cmd == "eval":

@@ -41,6 +41,13 @@ def test_cli_build_search_eval_roundtrip(fix, capsys):
              if ln and "\t" in ln]
     assert lines and all(len(ln.split("\t")) == 4 for ln in lines)
 
+    # --strategy bmw is exact: identical TSV to the default strategy
+    assert main(["search", "--index", idx, "--queries", queries_path,
+                 "--k", "3", "--strategy", "bmw"]) == 0
+    lines_bmw = [ln for ln in capsys.readouterr().out.strip().splitlines()
+                 if ln and "\t" in ln]
+    assert lines_bmw == lines
+
     # resumable job-sharded parquet output
     out = os.path.join(root, "jobout")
     assert main(["search", "--index", idx, "--queries", queries_path,
