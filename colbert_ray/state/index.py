@@ -306,6 +306,14 @@ class BM25Scorer:
         # region r covers docids in [region_lo[r], region_hi[r])
         bounds = np.unique(np.concatenate(nonempty))
         n_reg = len(bounds)
+        # the pivot table is T x n_reg float64s; on a shard whose head
+        # terms span millions of blocks that working set can't win over a
+        # dense scatter pass — bail before allocating it (per-shard block
+        # counts on a docid-sharded deployment keep n_reg small; this
+        # guard is for unsharded giants)
+        if n_reg * len(tids) > 8_000_000:
+            self.stats["maxscore_bailouts"] += 1
+            return None
         region_lo = np.empty(n_reg, dtype=np.int64)
         region_lo[0] = 0
         region_lo[1:] = bounds[:-1] + 1
