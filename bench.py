@@ -81,6 +81,21 @@ def _quiet_ray_data() -> None:
         logging.getLogger(name).setLevel(logging.ERROR)
 
 
+def _host_probe() -> dict:
+    """One-shot host-contention probe recorded in the bench output: this
+    shared VM has documented external-throttling windows (BASELINE.md) where
+    a pure 64MB memcpy drops from ~16 GB/s to <1 GB/s — the probe lets a
+    reader judge whether a bench number came from a quiet or throttled
+    window without re-running anything."""
+    import numpy as np
+
+    buf = np.empty(64 * 1024 * 1024, dtype=np.uint8)
+    t0 = time.time()
+    buf.copy()
+    dt = max(time.time() - t0, 1e-9)
+    return {"host_memcpy_gbps": round(64 / 1024 / dt, 2)}
+
+
 def run_bench() -> dict:
     import numpy as np
     import pyarrow.parquet as pq
@@ -298,6 +313,7 @@ def run_bench() -> dict:
         "sf": sf,
         "num_cpus": NUM_CPUS,
         "n_code_files": n_files,
+        **_host_probe(),
         **extras,
     }
 
@@ -357,6 +373,7 @@ def run_scaling():
         "rankings_sha_lo": r_lo["rankings_sha"],
         "rankings_sha_hi": r_hi["rankings_sha"],
         "query_p95_ms_hi": r_hi["query_p95_ms"],
+        **_host_probe(),
     }))
 
 
