@@ -166,7 +166,9 @@ def decode_tfs(buf: bytes, count: int) -> np.ndarray:
 #
 # n_blocks is implied by the caller-provided value count. The last block
 # of a run is zero-padded to PFOR_BLOCK inside the planes (decode slices
-# the pad away), which keeps every plane exactly 16 bytes.
+# the pad away), which keeps every plane exactly 16 bytes. Values must be
+# < 2^63 (the varint exception stream enforces it) — the same contract as
+# the varint codec; all engine payloads are int64-derived.
 # --------------------------------------------------------------------------
 
 PFOR_BLOCK = 128
