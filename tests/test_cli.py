@@ -73,3 +73,48 @@ def test_cli_build_search_eval_roundtrip(fix, capsys):
     import ray
 
     assert ray.is_initialized()
+
+
+def test_cli_subprocess_job_driver(fix):
+    """The literal ``ray job submit`` form: ``python -m colbert_ray.cli``
+    in a FRESH process (own Ray session from the environment), with config
+    overrides for the round-3 knobs (pfor codec + bmw strategy). The
+    subprocess's ranking must byte-match an in-process default-config
+    search (both knobs are exact / bytes-only)."""
+    import subprocess
+    import sys
+
+    root, corpus_dir, queries_path = fix
+    idx = os.path.join(root, "index_sub")
+    env = dict(os.environ, RAY_ADDRESS="local")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-m", "colbert_ray.cli", "build",
+         "--corpus", corpus_dir, "--index", idx,
+         "--config", json.dumps({"salt_max_run": 30, "num_term_partitions": 8,
+                                 "segment_codec": "pfor"})],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["metadata"]["n_docs"] == 200
+
+    r2 = subprocess.run(
+        [sys.executable, "-m", "colbert_ray.cli", "search",
+         "--index", idx, "--queries", queries_path, "--k", "3",
+         "--strategy", "bmw"],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=420)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    sub_lines = [ln for ln in r2.stdout.strip().splitlines() if "\t" in ln]
+
+    # in-process reference: default codec + default strategy, same corpus
+    from colbert_ray.pipelines.search import search_table
+    from colbert_ray.pipelines.build import build_index
+    from colbert_ray.sources.readers import read_queries
+
+    ref_idx = os.path.join(root, "index_ref")
+    build_index(corpus_dir, ref_idx,
+                EngineConfig(salt_max_run=30, num_term_partitions=8))
+    t = search_table(read_queries(queries_path), ref_idx, k=3, with_sha=False)
+    ref_lines = [f"{r['qid']}\t{r['docid']}\t{r['rank']}\t{r['score']}"
+                 for r in t.to_pylist()]
+    assert sub_lines == ref_lines
