@@ -242,9 +242,12 @@ def pfor_encode_segmented(values: np.ndarray,
             over = Vw >> np.uint64(w)
             exc_mask[rows] = over != 0
             overflow[rows] = over
-        bits = ((low[:, None, :] >> np.arange(w, dtype=np.uint64)[None, :, None])
-                & np.uint64(1)).astype(np.uint8)
-        packed = np.packbits(bits, axis=2, bitorder="little")  # (nbw, w, 16)
+        # pack plane-by-plane: w passes over a (n, PFOR_BLOCK) bit matrix
+        # instead of one (n, w, PFOR_BLOCK) uint64 temporary
+        packed = np.empty((len(rows), w, PFOR_BLOCK // 8), dtype=np.uint8)
+        for i in range(w):
+            bitplane = ((low >> np.uint64(i)) & np.uint64(1)).astype(np.uint8)
+            packed[:, i, :] = np.packbits(bitplane, axis=1, bitorder="little")
         planes_parts.append((w, packed.reshape(len(rows), -1)))
     n_exc = exc_mask.sum(axis=1).astype(np.int64)
 
@@ -351,9 +354,11 @@ def pfor_decode_concat(buf: np.ndarray, cell_starts: np.ndarray,
         pos = (blk_plane_start[rows][:, None]
                + np.arange(w * (PFOR_BLOCK // 8))[None, :])
         packed = buf[pos.ravel()].reshape(len(rows), w, PFOR_BLOCK // 8)
-        bits = np.unpackbits(packed, axis=2, bitorder="little")
-        V[rows] = (bits.astype(np.uint64)
-                   << (np.arange(w, dtype=np.uint64)[None, :, None])).sum(axis=1)
+        vals = np.zeros((len(rows), PFOR_BLOCK), dtype=np.uint64)
+        for i in range(w):
+            bits = np.unpackbits(packed[:, i, :], axis=1, bitorder="little")
+            vals |= bits.astype(np.uint64) << np.uint64(i)
+        V[rows] = vals
 
     ex_cum = np.zeros(total_blocks + 1, dtype=np.int64)
     np.cumsum(n_exc, out=ex_cum[1:])
