@@ -36,6 +36,48 @@ def _ensure_ray() -> bool:
     return started
 
 
+def _index_stats(index_dir: str) -> dict:
+    """Filesystem-only index summary: metadata, per-phase lineage, segment
+    layout, serve-artifact state, pending deltas/tombstones."""
+    import glob
+    import os
+
+    with open(os.path.join(index_dir, "metadata.json")) as f:
+        meta = json.load(f)
+    seg_files = sorted(
+        glob.glob(os.path.join(index_dir, "segments", "part_*.parquet")))
+    phases = {}
+    for mf in sorted(glob.glob(os.path.join(index_dir, "_manifest_*.json"))):
+        with open(mf) as f:
+            m = json.load(f)
+        phases[m.get("phase", os.path.basename(mf))] = round(
+            m.get("wall_sec", 0.0), 3)
+    deltas = sorted(glob.glob(os.path.join(index_dir, "deltas", "delta_*")))
+    tomb_path = os.path.join(index_dir, "tombstones.json")
+    n_tomb = 0
+    if os.path.exists(tomb_path):
+        with open(tomb_path) as f:
+            n_tomb = len(json.load(f))
+    from colbert_ray.state.serve import serve_valid
+
+    return {
+        "n_docs": meta["n_docs"],
+        "n_terms": meta["n_terms"],
+        "n_postings": meta["n_postings"],
+        "total_tokens": meta["total_tokens"],
+        "avgdl": meta["avgdl"],
+        "segment_codec": meta["config"].get("segment_codec", "varint"),
+        "semantic_hash": meta["semantic_hash"],
+        "inputs_hash": meta["inputs_hash"],
+        "n_segment_files": len(seg_files),
+        "segment_bytes": sum(os.path.getsize(f) for f in seg_files),
+        "serve_artifact_valid": serve_valid(index_dir),
+        "n_pending_deltas": len(deltas),
+        "n_tombstones": n_tomb,
+        "build_phase_walls_sec": phases,
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="colbert_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -67,6 +109,9 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact", help="coalesce segments into one file")
     c.add_argument("--index", required=True)
 
+    st = sub.add_parser("stats", help="index introspection (no Ray session)")
+    st.add_argument("--index", required=True)
+
     v = sub.add_parser("serve", help="HTTP search endpoint (see colbert_ray.server)")
     v.add_argument("--index", default=None)
     v.add_argument("--fanout", default=None,
@@ -91,6 +136,10 @@ def main(argv: list[str] | None = None) -> int:
         if args.no_sha:
             argv2 += ["--no-sha"]
         return serve_main(argv2)
+    if args.cmd == "stats":
+        # pure filesystem introspection — no Ray session
+        print(json.dumps(_index_stats(args.index), indent=1, sort_keys=True))
+        return 0
     started_ray = _ensure_ray()
 
     from colbert_ray.config import EngineConfig

@@ -75,6 +75,22 @@ def test_cli_build_search_eval_roundtrip(fix, capsys):
     assert ray.is_initialized()
 
 
+def test_cli_stats(fix, capsys):
+    root, corpus_dir, _ = fix
+    idx = os.path.join(root, "index")
+    if not os.path.exists(os.path.join(idx, "metadata.json")):
+        cfg = json.dumps({"salt_max_run": 30, "num_term_partitions": 8})
+        main(["build", "--corpus", corpus_dir, "--index", idx,
+              "--config", cfg])
+        capsys.readouterr()
+    assert main(["stats", "--index", idx]) == 0
+    st = json.loads(capsys.readouterr().out)
+    assert st["n_docs"] == 200
+    assert st["serve_artifact_valid"] is True
+    assert st["n_segment_files"] > 0
+    assert st["build_phase_walls_sec"]["segments"] >= 0
+
+
 def test_cli_subprocess_job_driver(fix):
     """The literal ``ray job submit`` form: ``python -m colbert_ray.cli``
     in a FRESH process (own Ray session from the environment), with config
