@@ -37,6 +37,14 @@ class EngineConfig:
     lowercase: bool = True
     min_token_len: int = 1
     max_token_len: int = 64
+    #: per-language tokenizer plugin table (SURVEY §7.1 M9): maps a ``lang``
+    #: column value to overrides of the four tokenizer knobs above, applied
+    #: to CORPUS rows of that language (e.g. ``{"go": {"split_camel_case":
+    #: False}}``). Queries carry no lang and always use the base knobs, so
+    #: overrides trade cross-lang term matching for per-lang fidelity —
+    #: a corpus-side normalization choice, off by default. Part of the
+    #: pre-tokenize semantic hash: changing the table re-tokenizes.
+    lang_overrides: dict = field(default_factory=dict)
 
     # --- index layout (MUST NOT depend on parallelism) ---
     num_term_partitions: int = 32        # MINIMUM hash partitions of term_id space
@@ -106,6 +114,7 @@ class EngineConfig:
     #: expensive tokenize artifact
     _PRETOKENIZE_FIELDS = (
         "split_camel_case", "lowercase", "min_token_len", "max_token_len",
+        "lang_overrides",
         # the byte tokenizer has a documented divergence from the regex
         # path on two non-ASCII codepoints (U+0130/U+212A), so switching
         # impls must NOT silently resume a cached tokenize

@@ -235,6 +235,10 @@ def build_index(
     read_cols = [content_col, *key_cols, *meta_cols]
     if docid_col:
         read_cols.append(docid_col)
+    if cfg.lang_overrides:
+        # per-lang tokenizer plugins dispatch on the lang column — make sure
+        # the pruned read keeps it even when it isn't a key/meta column
+        read_cols.append("lang")
     read_cols = list(dict.fromkeys(read_cols))
 
     # ---- A: tokenize --------------------------------------------------

@@ -270,6 +270,47 @@ def test_sharded_search_bit_identical(built):
     )
 
 
+def test_lang_overrides_end_to_end(small_fixture, tmp_path_factory):
+    """Per-language tokenizer plugins (SURVEY §7.1 M9) through the full
+    build: docs of the overridden lang index unsplit camelCase terms, other
+    langs are unchanged, and changing the plugin table re-tokenizes (the
+    pre-tokenize hash covers it)."""
+    corpus_dir, _ = small_fixture
+    import pyarrow.dataset as pads
+
+    langs = pads.dataset(corpus_dir).to_table(columns=["lang"])
+    some_lang = langs.column("lang").to_pylist()[0]
+    cfg = EngineConfig(
+        salt_max_run=20, num_term_partitions=8,
+        lang_overrides={some_lang: {"split_camel_case": False}})
+    d = str(tmp_path_factory.mktemp("idx_lang"))
+    report = build_index(corpus_dir, d, cfg)
+    assert report["phases"]           # fresh build ran
+
+    from colbert_ray.state.decoded import DecodedIndex
+
+    idx = DecodedIndex.load(d)
+    terms = set(idx.dict_terms.tolist())
+    # fixture corpora contain camelCase identifiers in every lang; with the
+    # override, unsplit lowercase forms must exist in the dictionary
+    unsplit = [t for t in terms if len(t) > 10 and t.isalpha()]
+    assert unsplit, "override produced no unsplit long identifiers"
+
+    # same corpus WITHOUT overrides: a different pre-tokenize artifact
+    # (resume must not reuse the overridden tokenize)
+    d2 = str(tmp_path_factory.mktemp("idx_nolang"))
+    build_index(corpus_dir, d2,
+                EngineConfig(salt_max_run=20, num_term_partitions=8))
+    idx2 = DecodedIndex.load(d2)
+    assert set(idx2.dict_terms.tolist()) != terms
+
+    # the overridden index still answers queries
+    res = search_table(
+        pa.table({"qid": pa.array([0], type=pa.int64()),
+                  "query": pa.array(["buffer data"])}), d, k=5)
+    assert res.num_rows > 0
+
+
 def test_bmw_strategy_identical_through_pipeline(built):
     """prune_strategy='bmw' must be frame-equal to the default MaxScore
     path through the public search pipeline (both are exact)."""

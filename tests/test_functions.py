@@ -259,6 +259,67 @@ class TestPforCodec:
         assert len(pfor_encode(gaps)) < 0.7 * len(varint_encode(gaps))
 
 
+class TestLangOverrides:
+    """Per-language tokenizer plugins (SURVEY §7.1 M9)."""
+
+    def _batch(self):
+        import pyarrow as pa
+
+        return pa.table({
+            "repo": pa.array(["r"] * 4),
+            "path": pa.array([f"{i}.x" for i in range(4)]),
+            "commit": pa.array(["c"] * 4),
+            "lang": pa.array(["go", "python", "go", "java"]),
+            "content": pa.array(["parseURL fooBar", "parseURL fooBar",
+                                 "parseURL bazQux", "parseURL fooBar"]),
+        })
+
+    def test_override_applies_only_to_its_lang(self):
+        from colbert_ray.config import EngineConfig
+        from colbert_ray.stages.tokenize import make_tokenize_fn
+
+        cfg = EngineConfig(
+            lang_overrides={"go": {"split_camel_case": False}})
+        out = make_tokenize_fn(cfg)(self._batch())
+        terms = out.column("terms").to_pylist()
+        # go rows keep camelCase intact (lowercased only)
+        assert "parseurl" in terms[0] and "foobar" in terms[0]
+        assert "parse" not in terms[0]
+        # python/java rows split as usual
+        assert "parse" in terms[1] and "url" in terms[1]
+        assert "parse" in terms[3]
+        # row order preserved
+        assert "bazqux" in terms[2]
+
+    def test_empty_overrides_identical_to_base(self):
+        from colbert_ray.config import EngineConfig
+        from colbert_ray.stages.tokenize import make_tokenize_fn
+
+        base = make_tokenize_fn(EngineConfig())(self._batch())
+        noop = make_tokenize_fn(EngineConfig(lang_overrides={}))(self._batch())
+        assert base.column("terms").to_pylist() == noop.column("terms").to_pylist()
+        assert base.column("tfs").to_pylist() == noop.column("tfs").to_pylist()
+        assert base.column("doclen").to_pylist() == noop.column("doclen").to_pylist()
+
+    def test_unknown_knob_rejected(self):
+        import pytest as _pytest
+
+        from colbert_ray.config import EngineConfig
+        from colbert_ray.stages.tokenize import make_tokenize_fn
+
+        cfg = EngineConfig(lang_overrides={"go": {"k1": 2.0}})
+        with _pytest.raises(ValueError, match="lang_overrides"):
+            make_tokenize_fn(cfg)(self._batch())
+
+    def test_overrides_change_pretokenize_hash(self):
+        from colbert_ray.config import EngineConfig
+
+        a = EngineConfig()
+        b = EngineConfig(lang_overrides={"go": {"split_camel_case": False}})
+        assert a.semantic_hash_pretokenize() != b.semantic_hash_pretokenize()
+        assert a.semantic_hash() != b.semantic_hash()
+
+
 class TestBM25Math:
     def test_idf_hand_computed(self):
         # N=100, df=10 -> ln((100-10+.5)/(10+.5)+1) = ln(9.61904761...)
