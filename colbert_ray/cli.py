@@ -173,7 +173,8 @@ def main(argv: list[str] | None = None) -> int:
             from colbert_ray.pipelines.search import search_job
 
             rep = search_job(queries, args.index, args.out, k=args.k,
-                             n_shards=args.job_shards)
+                             n_shards=args.job_shards,
+                             prune_strategy=args.strategy)
             print(json.dumps(rep))
         elif args.out:
             ds = (search_sharded(queries, args.index, k=args.k,

@@ -142,6 +142,7 @@ def search_job(
     *,
     n_actors: int = 4,
     with_sha: bool = True,
+    prune_strategy: str | None = None,
 ) -> dict:
     """Resumable batch-search job: qid-range-sharded partitioned output.
 
@@ -207,8 +208,11 @@ def search_job(
                 except (OSError, ValueError):
                     pass
             if sess is None:
+                # prune_strategy is NOT part of shard_key: both strategies
+                # are exact, so outputs are interchangeable across reruns
                 sess = SearchSession(index_dir, k=k, n_actors=n_actors,
-                                     with_sha=with_sha)
+                                     with_sha=with_sha,
+                                     prune_strategy=prune_strategy)
             result = sess.search_table(shard_tbl)
             os.makedirs(sdir, exist_ok=True)
             fpath = os.path.join(sdir, "ranking.parquet")
