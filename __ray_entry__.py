@@ -316,6 +316,54 @@ def _q_jaccard_dup_pairs(sf_dir: str) -> pd.DataFrame:
     return ds.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+CONTAM_MOD = 29        # doc_id % CONTAM_MOD == 0 -> "benchmark" split
+CONTAM_NGRAM = 4       # word n-gram size
+
+
+def _q_contaminated_docs(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination: docs sharing a word 5-gram with the
+    deterministic doc_id%97==0 'benchmark' split (extras/dedup.py:
+    benchmark_contamination — broadcast semi-join, no shuffle)."""
+    import pyarrow as pa
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _mod_filter(keep_zero: bool):
+        def f(b: "pa.Table") -> "pa.Table":
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % CONTAM_MOD == 0) if keep_zero else \
+                (ids % CONTAM_MOD != 0)
+            return b.filter(pa.array(m))
+        return f
+
+    bench = docs.map_batches(_mod_filter(True), batch_format="pyarrow")
+    scan = docs.map_batches(_mod_filter(False), batch_format="pyarrow")
+    out = x_dedup.benchmark_contamination(
+        scan, bench, n=CONTAM_NGRAM).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _contam_sql() -> str:
+    from colbert_ray.functions.tokenizer import sql_tokenize_expr
+
+    tok = sql_tokenize_expr("text")
+    n = CONTAM_NGRAM
+    return f"""
+        WITH tok AS (SELECT doc_id, {tok} AS toks FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 array_to_string(list_slice(toks, p, p + {n - 1}), ' ') AS g
+          FROM tok, unnest(generate_series(1, len(toks) - {n - 1})) AS t(p)
+          WHERE len(toks) >= {n}
+        )
+        SELECT s.doc_id AS doc_id, count(DISTINCT s.g) AS n_matched
+        FROM (SELECT * FROM grams WHERE doc_id % {CONTAM_MOD} <> 0) s
+        JOIN (SELECT DISTINCT g FROM grams
+              WHERE doc_id % {CONTAM_MOD} = 0) b USING (g)
+        GROUP BY s.doc_id ORDER BY s.doc_id
+    """
+
+
 def _knn_queries(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -590,6 +638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality_scores,
         "lang_doc_counts": _q_lang_doc_counts,
         "jaccard_dup_pairs": _q_jaccard_dup_pairs,
+        "contaminated_docs": _q_contaminated_docs,
         "knn_cosine_top5": _q_knn_cosine_top5,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "retrieval_metrics": _q_retrieval_metrics,
@@ -1190,6 +1239,7 @@ SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
 FROM documents GROUP BY lang ORDER BY lang
 """,
         "jaccard_dup_pairs": _jaccard_sql(),
+        "contaminated_docs": _contam_sql(),
         "knn_cosine_top5": _knn_sql(),
         "embedding_dup_pairs": f"""
 WITH t AS (

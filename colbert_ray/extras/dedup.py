@@ -363,3 +363,62 @@ def simhash(ds: "ray.data.Dataset", text_col: str = "text",
         return pa.table({id_col: batch.column(id_col), "simhash": pa.array(sig)})
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def benchmark_contamination(
+    ds: "ray.data.Dataset",
+    benchmark_ds: "ray.data.Dataset",
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Benchmark decontamination (the standard LLM-training-data hygiene
+    pass): flag every document sharing at least one word n-gram with a
+    benchmark/eval set. Returns ``(doc_id, n_matched)`` for contaminated
+    docs only — ``n_matched`` = DISTINCT benchmark n-grams found in the doc.
+
+    Scale shape: the benchmark side is SMALL by construction (eval sets are
+    thousands of rows, not terabytes) — its n-gram set is built once and
+    broadcast via ``ray.put``; the corpus side STREAMS through one
+    ``map_batches`` membership test. No shuffle at any size; corpus docs
+    never leave their batch. Tokenization matches the engine tokenizer
+    (functions/tokenizer.py) so the SQL oracle mirrors it exactly.
+    """
+    import ray as _ray
+
+    from colbert_ray.config import EngineConfig
+    from colbert_ray.functions.tokenizer import tokenize_column
+
+    cfg = EngineConfig()
+
+    def _grams(texts_tokens: list[list[str]]) -> list[set]:
+        return [
+            {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+            if len(toks) >= n else set()
+            for toks in texts_tokens
+        ]
+
+    bench = benchmark_ds.select_columns([text_col]).to_pandas()
+    bench_tokens = tokenize_column(
+        pa.chunked_array([pa.array(bench[text_col].tolist(),
+                                   type=pa.string())]), cfg).to_pylist()
+    bench_grams: set = set()
+    for g in _grams(bench_tokens):
+        bench_grams |= g
+    bench_ref = _ray.put(bench_grams)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bg = _ray.get(bench_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        toks = tokenize_column(batch.column(text_col), cfg).to_pylist()
+        out_id, out_n = [], []
+        for did, g in zip(ids, _grams(toks)):
+            hits = len(g & bg)
+            if hits:
+                out_id.append(int(did))
+                out_n.append(hits)
+        return pa.table({id_col: pa.array(out_id, type=pa.int64()),
+                         "n_matched": pa.array(out_n, type=pa.int64())})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        flag, batch_format="pyarrow")

@@ -42,6 +42,29 @@ class TestDedup:
         assert 1 not in reps
         assert reps[3] == 1
 
+    def test_benchmark_contamination_planted(self):
+        import pyarrow as pa
+
+        phrase = "alpha bravo charlie delta echo"
+        bench = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([100], type=pa.int64()),
+            "text": pa.array([f"benchmark question: {phrase} ?"]),
+        }))
+        scan = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array([
+                f"training doc quoting {phrase} verbatim twice {phrase}",
+                "totally unrelated words nothing shared here at all",
+                "alpha bravo only a short fragment",   # < n-gram, no hit
+            ]),
+        }))
+        out = (x_dedup.benchmark_contamination(scan, bench, n=5)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert out["doc_id"].tolist() == [1]
+        # the phrase window is the ONLY 5-gram doc 1 shares with the bench
+        # doc, and it appears twice in doc 1 — distinct count stays 1
+        assert int(out["n_matched"].iloc[0]) == 1
+
     def test_jaccard_pairs_integer_exact(self):
         ds = ray.data.from_arrow(_docs_table())
         out = x_dedup.jaccard_pairs(ds, threshold_num=6, threshold_den=10).to_pandas()
