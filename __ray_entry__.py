@@ -413,6 +413,20 @@ def _q_pricing_summary(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def _q_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3 analog (extras/relational.py:top_revenue_orders): broadcast
+    customer filter + map-side combined lineitem + hash-partitioned
+    Dataset.join + grouped revenue top-10."""
+    t = x_rel.top_revenue_orders(
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]),
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"]),
+    )
+    return t.to_pandas().reset_index(drop=True)
+
+
 def _q_events_hourly(sf_dir: str) -> pd.DataFrame:
     ds = x_rel.events_hourly_window(_read(sf_dir, "events", ["user_id", "ts", "value"]))
     df = ds.to_pandas().sort_values(["user_id", "window_start"]).reset_index(drop=True)
@@ -643,6 +657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "retrieval_metrics": _q_retrieval_metrics,
         "pricing_summary": _q_pricing_summary,
+        "top_revenue_orders": _q_top_revenue_orders,
         "events_hourly": _q_events_hourly,
         "events_sliding_3h": _q_events_sliding_3h,
         "simhash64": _q_simhash,
@@ -1316,6 +1331,18 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
+""",
+        "top_revenue_orders": """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-06-15'
+  AND l_shipdate > TIMESTAMP '1998-06-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
 """,
         "events_hourly": """
 SELECT user_id,

@@ -34,6 +34,85 @@ def pricing_summary(lineitem: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
+def top_revenue_orders(
+    customer: "ray.data.Dataset",
+    orders: "ray.data.Dataset",
+    lineitem: "ray.data.Dataset",
+    *,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-15",
+    k: int = 10,
+) -> "pa.Table":
+    """TPC-H Q3 analog: the engine's three join shapes in one pipeline.
+
+    - customer (tiny after the segment filter) -> its custkey set is
+      BROADCAST once via ``ray.put`` and probed inside ``map_batches``
+      (never shuffled);
+    - lineitem (the big table) pre-aggregates revenue per orderkey INSIDE
+      each batch (map-side combine) before anything wide happens;
+    - lineitem ⋈ orders is a hash-partitioned ``Dataset.join`` — the
+      large-large exchange — followed by a small grouped sum and a
+      driver-side top-k of the tiny grouped result.
+    """
+    import ray as _ray
+
+    cutoff_ts = np.datetime64(cutoff)
+
+    def cust_filter(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.equal(b.column("c_mktsegment"), segment))
+
+    ckeys = np.sort(np.concatenate([
+        b.column("c_custkey").to_numpy(zero_copy_only=False)
+        for b in customer.select_columns(["c_custkey", "c_mktsegment"])
+        .map_batches(cust_filter, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ] or [np.empty(0, dtype=np.int64)]))
+    ckeys_ref = _ray.put(ckeys)
+
+    def orders_filter(b: pa.Table) -> pa.Table:
+        keys = _ray.get(ckeys_ref)
+        od = b.column("o_orderdate").to_numpy(zero_copy_only=False)
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        m = (od < cutoff_ts) & np.isin(ck, keys)
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey").filter(pa.array(m)),
+            "o_orderdate": b.column("o_orderdate").filter(pa.array(m)),
+            "o_orderpriority": b.column("o_orderpriority").filter(pa.array(m)),
+        })
+
+    def lineitem_partial(b: pa.Table) -> pa.Table:
+        sd = b.column("l_shipdate").to_numpy(zero_copy_only=False)
+        m = sd > cutoff_ts
+        okey = b.column("l_orderkey").to_numpy(zero_copy_only=False)[m]
+        rev = (b.column("l_extendedprice").to_numpy(zero_copy_only=False)[m]
+               * (1.0 - b.column("l_discount").to_numpy(zero_copy_only=False)[m]))
+        # map-side combine: one partial row per orderkey per batch
+        uk, inv = np.unique(okey, return_inverse=True)
+        psum = np.zeros(len(uk), dtype=np.float64)
+        np.add.at(psum, inv, rev)
+        return pa.table({"l_orderkey": pa.array(uk, type=pa.int64()),
+                         "rev_partial": pa.array(psum)})
+
+    ords = orders.select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(orders_filter, batch_format="pyarrow")
+    li = lineitem.select_columns(
+        ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    ).map_batches(lineitem_partial, batch_format="pyarrow")
+    joined = li.join(ords, join_type="inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    grouped = joined.groupby(
+        ["l_orderkey", "o_orderdate", "o_orderpriority"]
+    ).aggregate(Sum("rev_partial", alias_name="revenue")).to_pandas()
+    grouped["revenue"] = grouped["revenue"].round(4)
+    grouped = grouped.sort_values(
+        ["revenue", "l_orderkey"], ascending=[False, True]).head(k)
+    return pa.Table.from_pandas(grouped.reset_index(drop=True),
+                                preserve_index=False)
+
+
 def events_hourly_window(events: "ray.data.Dataset") -> "ray.data.Dataset":
     """Tumbling 1-hour event-time window per user: count + value sum.
 
