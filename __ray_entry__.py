@@ -427,6 +427,14 @@ def _q_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
     return t.to_pandas().reset_index(drop=True)
 
 
+def _q_event_sessions(sf_dir: str) -> pd.DataFrame:
+    """Per-user 30-min-gap sessionization (extras/relational.sessionize —
+    groupby(user) + vectorized per-group sort/diff/cumsum)."""
+    ds = x_rel.sessionize(_read(sf_dir, "events", ["user_id", "ts"]))
+    return (ds.to_pandas()
+            .sort_values(["user_id", "session_id"]).reset_index(drop=True))
+
+
 def _q_events_hourly(sf_dir: str) -> pd.DataFrame:
     ds = x_rel.events_hourly_window(_read(sf_dir, "events", ["user_id", "ts", "value"]))
     df = ds.to_pandas().sort_values(["user_id", "window_start"]).reset_index(drop=True)
@@ -659,6 +667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "top_revenue_orders": _q_top_revenue_orders,
         "events_hourly": _q_events_hourly,
+        "event_sessions": _q_event_sessions,
         "events_sliding_3h": _q_events_sliding_3h,
         "simhash64": _q_simhash,
         "fingerprints": _q_fingerprints,
@@ -1343,6 +1352,27 @@ WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
+""",
+        "event_sessions": """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM d
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, session_id
+ORDER BY user_id, session_id
 """,
         "events_hourly": """
 SELECT user_id,

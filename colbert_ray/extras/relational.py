@@ -139,6 +139,43 @@ def events_hourly_window(events: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
+def sessionize(events: "ray.data.Dataset",
+               gap_minutes: int = 30) -> "ray.data.Dataset":
+    """Event sessionization: per-user sessions split where the gap between
+    consecutive events exceeds ``gap_minutes``. Emits one row per session
+    ``(user_id, session_id, session_start, session_end, n_events)`` with
+    1-based session ids in time order.
+
+    Scale shape: the ONLY wide step is ``groupby(user_id)`` — each group is
+    one user's events (bounded; heavy users are still single-node-sized),
+    processed with a vectorized sort + diff + cumsum inside ``map_groups``.
+    Deterministic under ts ties: equal timestamps can never exceed the gap,
+    so they always land in the same session regardless of sort order."""
+    gap_us = gap_minutes * 60_000_000
+
+    def sessions(g) -> "pa.Table":
+        import pandas as pd
+
+        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+        new_s = np.empty(len(ts), dtype=np.int64)
+        new_s[0] = 1
+        new_s[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+        sid = np.cumsum(new_s)
+        starts = np.flatnonzero(new_s)
+        ends = np.append(starts[1:], len(ts)) - 1
+        return pd.DataFrame({
+            "user_id": np.repeat(g["user_id"].iloc[0], len(starts)),
+            "session_id": np.arange(1, len(starts) + 1, dtype=np.int64),
+            "session_start": ts[starts].astype("datetime64[us]"),
+            "session_end": ts[ends].astype("datetime64[us]"),
+            "n_events": (ends - starts + 1).astype(np.int64),
+        })
+
+    return (events.select_columns(["user_id", "ts"])
+            .groupby("user_id")
+            .map_groups(sessions, batch_format="pandas"))
+
+
 def events_sliding_window(events: "ray.data.Dataset",
                           hours: int = 3) -> "ray.data.Dataset":
     """SLIDING event-time window (hour-aligned, ``hours`` wide) per user via
