@@ -308,6 +308,29 @@ class TestMultimodalVideoAudio:
 
 
 class TestSlidingWindow:
+    def test_sessionize_gap_split_and_tie_stability(self):
+        import pyarrow as pa
+
+        from colbert_ray.extras import relational as x_rel
+
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        m = np.timedelta64(60_000_000, "us")      # 1 minute
+        # user 1: two sessions (40-min gap); duplicate ts inside session 1
+        ts = [base, base + 5 * m, base + 5 * m, base + 45 * m,
+              base + 46 * m]
+        ev = ray.data.from_arrow(pa.table({
+            "user_id": pa.array([1] * 5 + [2], type=pa.int64()),
+            "ts": pa.array(list(ts) + [base], type=pa.timestamp("us")),
+        }))
+        out = (x_rel.sessionize(ev, gap_minutes=30).to_pandas()
+               .sort_values(["user_id", "session_id"]).reset_index(drop=True))
+        u1 = out[out.user_id == 1]
+        assert u1["session_id"].tolist() == [1, 2]
+        assert u1["n_events"].tolist() == [3, 2]
+        assert u1["session_start"].iloc[1] == pd.Timestamp("2024-01-01 00:45:00")
+        u2 = out[out.user_id == 2]
+        assert u2["n_events"].tolist() == [1]
+
     def test_sliding_equals_naive(self):
         """Two-level partial-aggregate sliding window == naive per-window
         recount over raw events."""
