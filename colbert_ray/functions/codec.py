@@ -220,10 +220,13 @@ def pfor_encode_segmented(values: np.ndarray,
 
     widths = _pfor_widths(V)
     plane_bytes = widths.astype(np.int64) * (PFOR_BLOCK // 8)
-    # per-width-group plane packing + exception extraction
+    # per-width-group plane packing + SPARSE exception collection (dense
+    # (blocks, 128) exception matrices would add ~290MB per 32M-value
+    # encode chunk; exceptions are <=~10% of values by construction)
     planes_parts: list[tuple[int, np.ndarray]] = []   # (width, packed rows)
-    exc_mask = np.zeros((total_blocks, PFOR_BLOCK), dtype=bool)
-    overflow = np.zeros((total_blocks, PFOR_BLOCK), dtype=np.uint64)
+    exc_blocks: list[np.ndarray] = []
+    exc_pos: list[np.ndarray] = []
+    exc_vals: list[np.ndarray] = []
     group_rows: dict[int, np.ndarray] = {}
     for w in np.unique(widths):
         w = int(w)
@@ -231,8 +234,10 @@ def pfor_encode_segmented(values: np.ndarray,
         group_rows[w] = rows
         Vw = V[rows]
         if w == 0:
-            exc_mask[rows] = Vw != 0
-            overflow[rows] = Vw
+            gi, gp = np.nonzero(Vw)
+            exc_blocks.append(rows[gi])
+            exc_pos.append(gp)
+            exc_vals.append(Vw[gi, gp])
             continue
         if w >= 64:
             low = Vw
@@ -240,8 +245,10 @@ def pfor_encode_segmented(values: np.ndarray,
             mask = np.uint64((1 << w) - 1)
             low = Vw & mask
             over = Vw >> np.uint64(w)
-            exc_mask[rows] = over != 0
-            overflow[rows] = over
+            gi, gp = np.nonzero(over)
+            exc_blocks.append(rows[gi])
+            exc_pos.append(gp)
+            exc_vals.append(over[gi, gp])
         # pack plane-by-plane: w passes over a (n, PFOR_BLOCK) bit matrix
         # instead of one (n, w, PFOR_BLOCK) uint64 temporary
         packed = np.empty((len(rows), w, PFOR_BLOCK // 8), dtype=np.uint8)
@@ -249,7 +256,18 @@ def pfor_encode_segmented(values: np.ndarray,
             bitplane = ((low >> np.uint64(i)) & np.uint64(1)).astype(np.uint8)
             packed[:, i, :] = np.packbits(bitplane, axis=1, bitorder="little")
         planes_parts.append((w, packed.reshape(len(rows), -1)))
-    n_exc = exc_mask.sum(axis=1).astype(np.int64)
+    if exc_blocks:
+        eb = np.concatenate(exc_blocks)
+        ep = np.concatenate(exc_pos).astype(np.int64)
+        ev = np.concatenate(exc_vals)
+        # canonical order: by (block, in-block position)
+        o = np.lexsort((ep, eb))
+        eb, ep, ev = eb[o], ep[o], ev[o]
+    else:
+        eb = np.empty(0, dtype=np.int64)
+        ep = np.empty(0, dtype=np.int64)
+        ev = np.empty(0, dtype=np.uint64)
+    n_exc = np.bincount(eb, minlength=total_blocks).astype(np.int64)
 
     # ---- assemble the five sections into one output byte array ----------
     run_plane_bytes = np.zeros(n_runs, dtype=np.int64)
@@ -259,9 +277,8 @@ def pfor_encode_segmented(values: np.ndarray,
     ex_cum = np.zeros(total_blocks + 1, dtype=np.int64)
     np.cumsum(n_exc, out=ex_cum[1:])
     run_ex_base = ex_cum[block_base]
-    eb, ep = np.nonzero(exc_mask)               # block idx, in-block position
     # exception overflows as ONE varint stream per run (v >> w is small)
-    exc_vb = varint_encode_segmented(overflow[eb, ep], run_ex_base)
+    exc_vb = varint_encode_segmented(ev, run_ex_base)
     exc_vb_len = np.array([len(b) for b in exc_vb], dtype=np.int64)
 
     run_len = 2 * nb + run_plane_bytes + run_exc + exc_vb_len
