@@ -435,6 +435,18 @@ def _q_event_sessions(sf_dir: str) -> pd.DataFrame:
             .sort_values(["user_id", "session_id"]).reset_index(drop=True))
 
 
+def _q_user_value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-user discrete quantiles (extras/relational.py:
+    user_value_quantiles — percentile_disc selection, element-exact)."""
+    ds = x_rel.user_value_quantiles(
+        _read(sf_dir, "events", ["user_id", "value"]))
+    df = ds.to_pandas().sort_values("user_id").reset_index(drop=True)
+    for c in ("p50", "p90"):
+        df[c] = df[c].round(6)
+    df["n_events"] = df["n_events"].astype(np.int64)
+    return df
+
+
 def _q_events_hourly(sf_dir: str) -> pd.DataFrame:
     ds = x_rel.events_hourly_window(_read(sf_dir, "events", ["user_id", "ts", "value"]))
     df = ds.to_pandas().sort_values(["user_id", "window_start"]).reset_index(drop=True)
@@ -668,6 +680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_revenue_orders": _q_top_revenue_orders,
         "events_hourly": _q_events_hourly,
         "event_sessions": _q_event_sessions,
+        "user_value_quantiles": _q_user_value_quantiles,
         "events_sliding_3h": _q_events_sliding_3h,
         "simhash64": _q_simhash,
         "fingerprints": _q_fingerprints,
@@ -1352,6 +1365,13 @@ WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
+""",
+        "user_value_quantiles": """
+SELECT user_id,
+       round(quantile_disc(value, 0.5), 6) AS p50,
+       round(quantile_disc(value, 0.9), 6) AS p90,
+       count(*) AS n_events
+FROM events GROUP BY user_id ORDER BY user_id
 """,
         "event_sessions": """
 WITH d AS (

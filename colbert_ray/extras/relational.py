@@ -139,6 +139,37 @@ def events_hourly_window(events: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
+def user_value_quantiles(
+    events: "ray.data.Dataset",
+    qs: tuple = (0.5, 0.9),
+) -> "ray.data.Dataset":
+    """Exact per-user discrete quantiles of ``value`` (A4/A7-adjacent
+    statistical aggregate). Uses the SQL-standard ``percentile_disc``
+    selection rule — sorted[max(0, ceil(q*n) - 1)] — so results are
+    ELEMENT-exact (an actual observed value, no float interpolation) and
+    hash-comparable to DuckDB's ``quantile_disc``.
+
+    Scale shape: one ``groupby(user_id)`` shuffle; each group is one user's
+    values, reduced with a single vectorized sort. For heavy-hitter keys at
+    extreme scale the same rule composes over pre-sorted partials (merge +
+    select), but per-user event counts are bounded in practice."""
+    import math
+
+    def quants(g) -> "pd.Series":
+        import pandas as pd
+
+        v = np.sort(g["value"].to_numpy(dtype=np.float64))
+        row = {"user_id": g["user_id"].iloc[0], "n_events": len(v)}
+        for q in qs:
+            idx = max(0, math.ceil(q * len(v)) - 1)
+            row[f"p{int(q * 100)}"] = v[idx]
+        return pd.DataFrame([row])
+
+    return (events.select_columns(["user_id", "value"])
+            .groupby("user_id")
+            .map_groups(quants, batch_format="pandas"))
+
+
 def sessionize(events: "ray.data.Dataset",
                gap_minutes: int = 30) -> "ray.data.Dataset":
     """Event sessionization: per-user sessions split where the gap between
