@@ -433,9 +433,13 @@ def build_index(
         for f in glob.glob(os.path.join(seg_dir, "part_*.parquet")):
             if os.path.basename(f) not in valid_files:
                 os.remove(f)
+    # resolved ONCE in the driver: Ray worker tasks don't see env changes
+    # made after ray.init, so the flag is passed explicitly below
+    verify_content = os.environ.get("COLBERT_RAY_VERIFY_CONTENT") == "1"
     done_parts = {
         p for p in range(cfg.num_term_partitions)
-        if manifests.segment_complete(seg_dir, p, sem, inputs_hash)
+        if manifests.segment_complete(seg_dir, p, sem, inputs_hash,
+                                      verify_content=verify_content)
     }
     # The shuffle is EXPLICIT and disk-based (classical SPIMI external
     # shuffle): E1 spills combiner mini-runs hive-partitioned by term
@@ -486,7 +490,9 @@ def build_index(
                                           wall_sec=time.time() - t0,
                                           ray_stats=mapped.stats()[:4000])
         if todo:
-            writer = make_segment_writer(seg_dir, cfg, stats["avgdl"], inputs_hash)
+            writer = make_segment_writer(seg_dir, cfg, stats["avgdl"],
+                                         inputs_hash,
+                                         verify_content=verify_content)
 
             def encode_part(row: dict) -> dict:
                 part = int(row["part"])

@@ -13,6 +13,7 @@ its data.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -67,7 +68,26 @@ def segment_manifest_path(seg_dir: str, part: int) -> str:
     return os.path.join(seg_dir, f"_manifest_part_{part:05d}.json")
 
 
-def segment_complete(seg_dir: str, part: int, semantic_hash: str, inputs_hash: str) -> bool:
+def _file_sha256(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def segment_complete(seg_dir: str, part: int, semantic_hash: str,
+                     inputs_hash: str,
+                     verify_content: bool | None = None) -> bool:
+    """True iff the partition's manifest matches the wanted hashes and every
+    recorded file exists with the recorded size. With
+    ``verify_content`` (or ``COLBERT_RAY_VERIFY_CONTENT=1`` where unset;
+    note Ray WORKER tasks don't inherit driver env changes made after
+    ray.init — build_index resolves the env once and passes the flag
+    explicitly) each file's sha256 is ALSO re-hashed against the manifest
+    (one full read per segment — the post-incident deep-verify resume
+    mode; size checks stay the cheap default because a deep verify of a
+    100TB index is a full index scan)."""
     p = segment_manifest_path(seg_dir, part)
     if not os.path.exists(p):
         return False
@@ -78,11 +98,15 @@ def segment_complete(seg_dir: str, part: int, semantic_hash: str, inputs_hash: s
         return False
     if m.get("semantic_hash") != semantic_hash or m.get("inputs_hash") != inputs_hash:
         return False
+    deep = (verify_content if verify_content is not None
+            else os.environ.get("COLBERT_RAY_VERIFY_CONTENT") == "1")
     # chunked parts record a file list; single-file parts record "file"
     entries = m.get("files") or [{"name": m.get("file", ""), "bytes": m.get("bytes", -1)}]
     for ent in entries:
         data = os.path.join(seg_dir, ent.get("name", ""))
         if not (os.path.exists(data) and os.path.getsize(data) == ent.get("bytes", -1)):
+            return False
+        if deep and ent.get("sha256") and _file_sha256(data) != ent["sha256"]:
             return False
     return True
 
@@ -92,7 +116,10 @@ def mark_segment_complete(
     file: str | list[str], **metrics
 ) -> None:
     names = [file] if isinstance(file, str) else list(file)
-    entries = [{"name": n, "bytes": os.path.getsize(os.path.join(seg_dir, n))}
+    # content sha recorded at write time (the bytes are still in page
+    # cache); verified on resume only in deep-verify mode
+    entries = [{"name": n, "bytes": os.path.getsize(os.path.join(seg_dir, n)),
+                "sha256": _file_sha256(os.path.join(seg_dir, n))}
                for n in names]
     atomic_write_json(
         segment_manifest_path(seg_dir, part),

@@ -249,7 +249,8 @@ def encode_runs(
 
 
 def make_segment_writer(
-    seg_dir: str, cfg: EngineConfig, avgdl: float, inputs_hash: str
+    seg_dir: str, cfg: EngineConfig, avgdl: float, inputs_hash: str,
+    verify_content: bool = False,
 ):
     """Encoder for one term partition: decode the spilled mini-runs, encode
     delta+varint posting runs, atomically write segment parquet(s), record
@@ -292,7 +293,8 @@ def make_segment_writer(
 
     def write_part(part: int, runs: pa.Table) -> dict:
         n_postings = int(pc.sum(runs.column("n")).as_py() or 0)
-        if manifests.segment_complete(seg_dir, part, sem_hash, inputs_hash):
+        if manifests.segment_complete(seg_dir, part, sem_hash, inputs_hash,
+                                      verify_content=verify_content):
             n_runs = sum(
                 pq.read_metadata(os.path.join(seg_dir, f)).num_rows
                 for f in sorted(os.listdir(seg_dir))

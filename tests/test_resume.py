@@ -79,6 +79,49 @@ def test_interrupted_segments_phase_resumes_partition_level(
     pd.testing.assert_frame_equal(_segments(clean), _segments(crash))
 
 
+def test_deep_verify_detects_same_size_corruption(
+    small_fixture, tmp_path_factory, monkeypatch
+):
+    """Manifests record per-file sha256. A same-size bit-flip passes the
+    cheap default resume check (documented), but
+    COLBERT_RAY_VERIFY_CONTENT=1 re-hashes each file and rebuilds the
+    corrupted partition."""
+    corpus_dir, _ = small_fixture
+    d = str(tmp_path_factory.mktemp("idx_flip"))
+    build_index(corpus_dir, d, CFG)
+    seg_dir = os.path.join(d, "segments")
+    victim = sorted(glob.glob(os.path.join(seg_dir, "part_*.parquet")))[0]
+    part = int(os.path.basename(victim)[5:10])
+    with open(victim, "r+b") as f:
+        f.seek(100)
+        b = f.read(1)
+        f.seek(100)
+        f.write(bytes([b[0] ^ 0xFF]))
+
+    sem = CFG.semantic_hash()
+    with open(os.path.join(d, "plan.json")) as f:
+        import json
+
+        inputs_hash = json.load(f)["inputs_hash"]
+    # cheap default check: size unchanged -> still "complete"
+    assert manifests.segment_complete(seg_dir, part, sem, inputs_hash)
+    # deep-verify mode detects the flip
+    monkeypatch.setenv("COLBERT_RAY_VERIFY_CONTENT", "1")
+    assert not manifests.segment_complete(seg_dir, part, sem, inputs_hash)
+    # a resume under deep-verify rebuilds the flipped partition and the
+    # index again equals a clean build
+    os.remove(manifests.phase_manifest_path(d, "segments"))
+    os.remove(manifests.phase_manifest_path(d, "finalize"))
+    r = build_index(corpus_dir, d, CFG)
+    detail = r["phases"].get("segments_detail", [])
+    rebuilt = {row["part"] for row in detail if not row.get("skipped")}
+    assert part in rebuilt
+    clean = str(tmp_path_factory.mktemp("idx_clean2"))
+    monkeypatch.delenv("COLBERT_RAY_VERIFY_CONTENT")
+    build_index(corpus_dir, clean, CFG)
+    pd.testing.assert_frame_equal(_segments(clean), _segments(d))
+
+
 def test_config_change_invalidates_resume(small_fixture, tmp_path_factory):
     corpus_dir, _ = small_fixture
     d = str(tmp_path_factory.mktemp("idx_cfg"))
