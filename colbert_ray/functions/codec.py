@@ -106,6 +106,8 @@ def varint_decode(buf: bytes, count: int) -> np.ndarray:
     if count == 0:
         return np.empty(0, dtype=np.uint64)
     raw = np.frombuffer(buf, dtype=np.uint8)
+    if len(raw) == 0:
+        raise ValueError("corrupt varint stream")   # count > 0, no bytes
     is_last = (raw & _CONT) == 0
     starts_new = np.empty(len(raw), dtype=bool)
     starts_new[0] = True
@@ -162,13 +164,16 @@ def decode_tfs(buf: bytes, count: int) -> np.ndarray:
 # Python loop):
 #
 #   widths[n_blocks]·u8 | n_exc[n_blocks]·u8 | planes (16·w bytes/block)
-#   | exception positions·u8 | exception overflows·u64le
+#   | exception positions·u8 | exception overflows (per-run LEB128
+#   varint stream, each value = v >> w of its block)
 #
 # n_blocks is implied by the caller-provided value count. The last block
 # of a run is zero-padded to PFOR_BLOCK inside the planes (decode slices
-# the pad away), which keeps every plane exactly 16 bytes. Values must be
-# < 2^63 (the varint exception stream enforces it) — the same contract as
-# the varint codec; all engine payloads are int64-derived.
+# the pad away), which keeps every plane exactly 16 bytes. Contract:
+# values must be < 2^63 (same as the varint codec; all engine payloads
+# are int64-derived). The guard is the varint encoder's own range check
+# on the overflow stream, so it only fires for values that actually
+# become exceptions — callers must not feed >= 2^63 values.
 # --------------------------------------------------------------------------
 
 PFOR_BLOCK = 128
@@ -352,6 +357,9 @@ def pfor_decode_concat(buf: np.ndarray, cell_starts: np.ndarray,
     blk_run = np.repeat(np.arange(n_runs), nb)
     blk_local = np.arange(total_blocks) - np.repeat(block_base, nb)
 
+    # truncation guard: the two header sections must fit inside each cell
+    if total_blocks and int((cell_starts + 2 * nb).max()) > len(buf):
+        raise ValueError("corrupt pfor stream (truncated headers)")
     widths = buf[cell_starts[blk_run] + blk_local].astype(np.int64)
     n_exc = buf[cell_starts[blk_run] + nb[blk_run] + blk_local].astype(np.int64)
     plane_bytes = widths * (PFOR_BLOCK // 8)

@@ -75,7 +75,7 @@ class BM25Scorer:
                        and len(self.idx.doclens) <= self.DENSE_MAX_DOCIDS)
         # introspection counters (tests/bench assert pruning actually fires)
         self.stats = {"blocks_skipped": 0, "maxscore_bailouts": 0,
-                      "bmw_regions_skipped": 0}
+                      "bmw_regions_skipped": 0, "bmw_bailouts": 0}
 
     @property
     def reader(self):   # transitional alias used by callers wanting metadata
@@ -84,7 +84,10 @@ class BM25Scorer:
     def score_query(self, text: str, k: int | None = None,
                     docid_filter: np.ndarray | None = None):
         """-> (docids, scores, ranks) for one query. Exact top-k."""
-        k = k or self.k
+        k = self.k if k is None else int(k)
+        if k <= 0:      # k=0 is a valid request for zero rows; negative too
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64),
+                    np.empty(0, dtype=np.int32))
         if docid_filter is None:
             docid_filter = self.docid_filter
         idx = self.idx
@@ -120,7 +123,12 @@ class BM25Scorer:
                 d, ts = idx.postings_slice(int(tid))
                 scores_dense[d - base] += idx.idf_by_term_id[tid] * ts
             if len(idx.tombstones):
-                scores_dense[idx.tombstones - base] = 0.0  # removed never rank
+                # range-guard: IndexUpdater accepts arbitrary ids; a stale
+                # out-of-range tombstone must not crash (or, negative, wrap
+                # around and zero a DIFFERENT doc's score)
+                t = idx.tombstones
+                t = t[(t >= base) & (t < base + len(scores_dense))]
+                scores_dense[t - base] = 0.0       # removed never rank
             cand = np.flatnonzero(scores_dense) + base
             if docid_filter is not None:
                 cand = cand[np.isin(cand, docid_filter)]
@@ -133,10 +141,8 @@ class BM25Scorer:
         # ---- sparse path: candidate union + searchsorted accumulate ----
         posts = [idx.postings_slice(int(t)) for t in tids]
         if docid_filter is not None:
-            posts = [
-                (d[np.isin(d, docid_filter)], ts[np.isin(d, docid_filter)])
-                for d, ts in posts
-            ]
+            masks = [np.isin(d, docid_filter) for d, _ in posts]
+            posts = [(d[m], ts[m]) for (d, ts), m in zip(posts, masks)]
         nonempty = [d for d, _ in posts if len(d)]
         if not nonempty:
             return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64),
@@ -209,11 +215,7 @@ class BM25Scorer:
                         continue
                     starts = s + good * bs
                     ends = np.minimum(starts + bs, e)
-                    counts = ends - starts
-                    base = np.zeros(len(counts), dtype=np.int64)
-                    np.cumsum(counts[:-1], out=base[1:])
-                    pos = (np.repeat(starts, counts)
-                           + np.arange(int(counts.sum())) - np.repeat(base, counts))
+                    pos = self._gather_ranges(starts, ends)
                     d_all = idx.posting_docids[pos]
             # keep only unseen docids (candidates are scored exactly once)
             if len(cand):
@@ -291,7 +293,7 @@ class BM25Scorer:
                        len(idx.doclens) // 8)
         dfs = idx.posting_offsets[tids + 1] - idx.posting_offsets[tids]
         if int(dfs.min()) > cand_cap:
-            self.stats["maxscore_bailouts"] += 1
+            self.stats["bmw_bailouts"] += 1
             return None
         idfs = idx.idf_by_term_id[tids]
         lasts_t, bmaxs_t = [], []
@@ -312,7 +314,7 @@ class BM25Scorer:
         # counts on a docid-sharded deployment keep n_reg small; this
         # guard is for unsharded giants)
         if n_reg * len(tids) > 8_000_000:
-            self.stats["maxscore_bailouts"] += 1
+            self.stats["bmw_bailouts"] += 1
             return None
         region_lo = np.empty(n_reg, dtype=np.int64)
         region_lo[0] = 0
@@ -367,7 +369,7 @@ class BM25Scorer:
             if docid_filter is not None and len(d_new):
                 d_new = d_new[np.isin(d_new, docid_filter)]
             if len(cand) + len(d_new) > cand_cap:
-                self.stats["maxscore_bailouts"] += 1
+                self.stats["bmw_bailouts"] += 1
                 return None                      # dense scatter is cheaper
             if len(d_new):
                 s_new = self._score_cand(tids, d_new)

@@ -185,6 +185,17 @@ class TestCodec:
         with pytest.raises(ValueError):
             varint_decode(b"\x80", 1)   # dangling continuation
 
+    def test_empty_buffer_with_count_rejected(self):
+        with pytest.raises(ValueError, match="corrupt varint"):
+            varint_decode(b"", 3)
+
+    def test_truncated_pfor_rejected(self):
+        from colbert_ray.functions.codec import pfor_decode, pfor_encode
+
+        buf = pfor_encode(np.arange(300, dtype=np.uint64))
+        with pytest.raises(ValueError, match="pfor"):
+            pfor_decode(buf[:2], 300)
+
 
 class TestPforCodec:
     """PForDelta bit-plane block codec (segment_codec='pfor')."""

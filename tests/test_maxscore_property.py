@@ -73,7 +73,7 @@ def make_scorer(idx: DecodedIndex, k: int, prune: bool,
     sc.docid_filter = None
     sc._dense = len(idx.doclens) <= BM25Scorer.DENSE_MAX_DOCIDS
     sc.stats = {"blocks_skipped": 0, "maxscore_bailouts": 0,
-                "bmw_regions_skipped": 0}
+                "bmw_regions_skipped": 0, "bmw_bailouts": 0}
     return sc
 
 
@@ -95,6 +95,31 @@ def test_pruned_equals_brute_force_random(seed):
         np.testing.assert_array_equal(d_p, d_b)
         np.testing.assert_array_equal(s_p, s_b)   # exact float64
         np.testing.assert_array_equal(r_p, r_b)
+
+
+def test_k_zero_and_negative_return_empty():
+    rng = np.random.default_rng(77)
+    idx = synth_index(rng, n_docs=100, n_terms=10)
+    sc = make_scorer(idx, 10, prune=True)
+    q = " ".join(idx.dict_terms[:3])
+    for bad_k in (0, -3):
+        d, s, r = sc.score_query(q, k=bad_k)
+        assert len(d) == len(s) == len(r) == 0
+
+
+def test_out_of_range_tombstone_does_not_crash_dense_path():
+    """IndexUpdater accepts arbitrary ids; a stale out-of-range (or
+    negative) tombstone must neither crash the dense path nor zero a
+    DIFFERENT doc via wrap-around."""
+    rng = np.random.default_rng(78)
+    idx = synth_index(rng, n_docs=100, n_terms=10)
+    base = make_scorer(idx, 5, prune=False)
+    q = " ".join(idx.dict_terms[:4])
+    d0, s0, _ = base.score_query(q)
+    idx.tombstones = np.array([150, -7], dtype=np.int64)  # both out of range
+    d1, s1, _ = base.score_query(q)
+    np.testing.assert_array_equal(d0, d1)
+    np.testing.assert_array_equal(s0, s1)
 
 
 @pytest.mark.parametrize("seed", range(30))
