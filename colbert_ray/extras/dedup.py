@@ -128,10 +128,12 @@ _LSH_BANDS = 8
 _LSH_ROWS = _MINHASH_K // _LSH_BANDS
 
 
-def _trigram_codes(texts: list[str], n: int = _NGRAM) -> list[np.ndarray]:
-    """Distinct byte-trigram codes per text — fully vectorized (each trigram
-    packed into a 24-bit int; no per-shingle hashing). Equivalent to char
-    trigrams for ASCII text."""
+def _trigram_codes(texts: list[str]) -> list[np.ndarray]:
+    """Distinct byte-TRIGRAM codes per text — fully vectorized (each trigram
+    packed into a 24-bit int; no per-shingle hashing; the shingle size is
+    fixed at 3 by the packing arithmetic). Equivalent to char trigrams for
+    ASCII text."""
+    n = 3
     out = []
     for t in texts:
         b = np.frombuffer(t.encode(), dtype=np.uint8).astype(np.uint64)
@@ -158,10 +160,16 @@ def minhash_params(k: int = _MINHASH_K):
     return a, b, mixer
 
 
+#: constants are seeded-fixed by design — computed once per process, not
+#: per batch (two RNG constructions + three array draws per map_batches
+#: call was pure hot-path waste)
+_MINHASH_CONSTS = minhash_params()
+
+
 def _minhash_matrix(code_sets: list[np.ndarray], k: int = _MINHASH_K) -> np.ndarray:
     """k minhashes per doc via k universal-hash permutations of the integer
     shingle codes (seeded, deterministic, vectorized)."""
-    a, b, _ = minhash_params(k)
+    a, b, _ = _MINHASH_CONSTS if k == _MINHASH_K else minhash_params(k)
     out = np.full((len(code_sets), k), np.iinfo(np.uint64).max, dtype=np.uint64)
     for i, hs in enumerate(code_sets):
         if len(hs) == 0:
@@ -214,7 +222,7 @@ def minhash_lsh_pairs(
         # finalizer — fully vectorized, deterministic across processes (no
         # per-row hashlib loop; a rare collision only creates a candidate
         # pair, which exact verification then rejects)
-        _, _, mixer = minhash_params()
+        _, _, mixer = _MINHASH_CONSTS
         bh = (mh.reshape(n, _LSH_BANDS, _LSH_ROWS) * mixer[None]).sum(axis=2)
         bh ^= bh >> np.uint64(30)
         bh *= np.uint64(0xBF58476D1CE4E5B9)
@@ -392,11 +400,17 @@ def benchmark_contamination(
     cfg = EngineConfig()
 
     def _grams(texts_tokens: list[list[str]]) -> list[set]:
-        return [
-            {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
-            if len(toks) >= n else set()
-            for toks in texts_tokens
-        ]
+        # apply the engine tokenizer's length contract (raw tokenize_column
+        # keeps empty edge tokens that doc_term_frequencies — and the SQL
+        # oracle's list_filter — drop)
+        out = []
+        for toks in texts_tokens:
+            toks = [t for t in toks
+                    if cfg.min_token_len <= len(t) <= cfg.max_token_len]
+            out.append(
+                {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+                if len(toks) >= n else set())
+        return out
 
     bench = benchmark_ds.select_columns([text_col]).to_pandas()
     bench_tokens = tokenize_column(

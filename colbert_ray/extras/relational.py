@@ -121,7 +121,10 @@ def events_hourly_window(events: "ray.data.Dataset") -> "ray.data.Dataset":
     grouped aggregate — the documented batch-window mapping."""
 
     def window_key(batch: pa.Table) -> pa.Table:
-        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # normalize to microseconds first: cast(int64) alone would yield the
+        # column's NATIVE unit (ns-unit input -> 3.6-second "hours")
+        ts = (batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
         hour = (ts // 3_600_000_000) * 3_600_000_000
         return pa.table(
             {
@@ -161,8 +164,11 @@ def user_value_quantiles(
         v = np.sort(g["value"].to_numpy(dtype=np.float64))
         row = {"user_id": g["user_id"].iloc[0], "n_events": len(v)}
         for q in qs:
-            idx = max(0, math.ceil(q * len(v)) - 1)
-            row[f"p{int(q * 100)}"] = v[idx]
+            # epsilon guards the binary-float overshoot: q*n that is
+            # mathematically integral may land epsilon above it (0.07*100
+            # = 7.000000000000001), which would ceil one element too far
+            idx = max(0, math.ceil(q * len(v) - 1e-9) - 1)
+            row[f"p{round(q * 100)}"] = v[idx]
         return pd.DataFrame([row])
 
     return (events.select_columns(["user_id", "value"])
@@ -218,7 +224,10 @@ def events_sliding_window(events: "ray.data.Dataset",
     HOUR = 3_600_000_000
 
     def window_key(batch: pa.Table) -> pa.Table:
-        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # normalize to microseconds first: cast(int64) alone would yield the
+        # column's NATIVE unit (ns-unit input -> 3.6-second "hours")
+        ts = (batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
         hour = (ts // HOUR) * HOUR
         return pa.table({
             "user_id": batch.column("user_id"),

@@ -32,12 +32,6 @@ def _tokenize_with_lang_overrides(batch: pa.Table, cfg: EngineConfig):
 
     lang = batch.column("lang").to_numpy(zero_copy_only=False)
     content = batch.column("content")
-    for l, o in cfg.lang_overrides.items():
-        bad = set(o) - set(_TOKENIZER_KNOBS)
-        if bad:
-            raise ValueError(
-                f"lang_overrides[{l!r}] may only set {_TOKENIZER_KNOBS}, "
-                f"got {sorted(bad)}")
     overridden = {l: o for l, o in cfg.lang_overrides.items() if o}
     groups: list[tuple[np.ndarray, EngineConfig]] = []
     rest = np.full(len(lang), True)
@@ -70,16 +64,32 @@ def _tokenize_with_lang_overrides(batch: pa.Table, cfg: EngineConfig):
 
 def make_tokenize_fn(cfg: EngineConfig):
     """Returns a batch fn for ``ds.map_batches(fn, batch_format='pyarrow')``."""
+    # validate plugin knobs ONCE at plan time — a bad config must fail
+    # before any Ray task launches, not deep inside a worker
+    for l, o in cfg.lang_overrides.items():
+        bad = set(o) - set(_TOKENIZER_KNOBS)
+        if bad:
+            raise ValueError(
+                f"lang_overrides[{l!r}] may only set {_TOKENIZER_KNOBS}, "
+                f"got {sorted(bad)}")
 
     def tokenize_batch(batch: pa.Table) -> pa.Table:
         content = batch.column("content")
-        if cfg.lang_overrides and "lang" in batch.column_names:
+        if cfg.lang_overrides and "lang" not in batch.column_names:
+            # silently tokenizing with base knobs would stamp the index's
+            # semantic hash as if the plugins applied — fail loudly
+            raise ValueError(
+                "lang_overrides is set but the corpus batch has no 'lang' "
+                f"column (columns: {batch.column_names})")
+        if cfg.lang_overrides and batch.num_rows > 0:
             doclens, terms, tfs = _tokenize_with_lang_overrides(batch, cfg)
         else:
             doclens, terms, tfs = doc_term_frequencies(content, cfg)
         # sha256 has no vectorized Arrow kernel; hashlib over the buffer per
-        # row is C-speed and the only per-row op in this stage.
-        shas = [hashlib.sha256(s.encode()).hexdigest() for s in content.to_pylist()]
+        # row is C-speed and the only per-row op in this stage. Null content
+        # hashes as "" — consistent with the tokenizer's fill_null.
+        shas = [hashlib.sha256((s or "").encode()).hexdigest()
+                for s in content.to_pylist()]
         cols = {
             name: batch.column(name)
             for name in batch.column_names
