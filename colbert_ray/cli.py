@@ -42,10 +42,11 @@ def _index_stats(index_dir: str) -> dict:
     import glob
     import os
 
+    from colbert_ray.state.serve import _segment_files
+
     with open(os.path.join(index_dir, "metadata.json")) as f:
         meta = json.load(f)
-    seg_files = sorted(
-        glob.glob(os.path.join(index_dir, "segments", "part_*.parquet")))
+    seg_files = _segment_files(index_dir)
     phases = {}
     for mf in sorted(glob.glob(os.path.join(index_dir, "_manifest_*.json"))):
         with open(mf) as f:

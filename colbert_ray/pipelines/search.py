@@ -20,25 +20,44 @@ from colbert_ray.config import EngineConfig
 from colbert_ray.state.index import BM25Scorer
 
 # one decoded index per (index_dir, metadata mtime) per driver process —
-# decoded ONCE, then shared zero-copy with all scorer actors via ray.put
+# decoded ONCE, then shared zero-copy with all scorer actors via ray.put.
+# Keyed ALSO on the Ray job id: an ObjectRef does not survive
+# ray.shutdown()/ray.init(), so a cache hit across sessions would hand the
+# actors a dangling ref. Bounded like decoded.py's _PROC_CACHE.
 _INDEX_CACHE: dict = {}
+_INDEX_CACHE_MAX = 4
 
 
-def _shared_index_ref(index_dir: str, docid_range=None):
+def _shared_index_ref(index_dir: str, docid_range=None, load_sha=True):
     import os
 
     import ray as _ray
 
     from colbert_ray.state.decoded import DecodedIndex
 
+    try:
+        job = _ray.get_runtime_context().get_job_id()
+    except Exception:
+        job = None
     key = (os.path.abspath(index_dir),
            os.path.getmtime(os.path.join(index_dir, "metadata.json")),
-           tuple(docid_range) if docid_range else None)
+           tuple(docid_range) if docid_range else None, bool(load_sha), job)
     ref = _INDEX_CACHE.get(key)
     if ref is None:
-        ref = _ray.put(DecodedIndex.load(index_dir, docid_range=docid_range))
+        ref = _ray.put(DecodedIndex.load(index_dir, docid_range=docid_range,
+                                         load_sha=load_sha))
+        while len(_INDEX_CACHE) >= _INDEX_CACHE_MAX:
+            _INDEX_CACHE.pop(next(iter(_INDEX_CACHE)))
         _INDEX_CACHE[key] = ref
     return ref
+
+
+def _ranking_schema(with_sha: bool) -> pa.Schema:
+    """The scorer's output schema — single source for empty-result tables."""
+    return pa.schema(
+        [("qid", pa.int64()), ("docid", pa.int64()),
+         ("rank", pa.int32()), ("score", pa.float64())]
+        + ([("content_sha256", pa.string())] if with_sha else []))
 
 
 def search(
@@ -73,7 +92,8 @@ def search(
     if serve_valid(index_dir):
         index_kwargs = {"index_dir": index_dir, "docid_range": docid_range}
     else:
-        index_kwargs = {"index_ref": _shared_index_ref(index_dir, docid_range)}
+        index_kwargs = {"index_ref": _shared_index_ref(
+            index_dir, docid_range, load_sha=with_sha)}
     n_actors = concurrency if isinstance(concurrency, int) else concurrency[-1]
     # leave >=1 CPU for non-actor tasks: an actor pool that reserves every
     # CPU starves upstream AllToAll/read tasks and deadlocks the executor
@@ -84,7 +104,9 @@ def search(
         n_actors = max(1, min(n_actors, avail - 1))
     except Exception:
         pass
-    concurrency = n_actors if isinstance(concurrency, int) else (concurrency[0], n_actors)
+    # the clamp must also cap the tuple's MIN — (min > max) is invalid
+    concurrency = n_actors if isinstance(concurrency, int) else \
+        (min(concurrency[0], n_actors), n_actors)
     n_blocks = max(1, n_actors * 2)
     if isinstance(queries, pa.Table):
         # split driver-side (no repartition task needed) so every actor
@@ -119,12 +141,7 @@ def search_table(
     ds = search(queries, index_dir, k, **kw)
     t = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
     if "qid" not in t.column_names:  # no query produced any hit
-        schema = pa.schema(
-            [("qid", pa.int64()), ("docid", pa.int64()),
-             ("rank", pa.int32()), ("score", pa.float64())]
-            + ([("content_sha256", pa.string())] if kw.get("with_sha", True) else [])
-        )
-        return schema.empty_table()
+        return _ranking_schema(kw.get("with_sha", True)).empty_table()
     import pyarrow.compute as pc
 
     order = pc.sort_indices(
@@ -181,10 +198,26 @@ def search_job(
     def shard_key(tbl: pa.Table) -> str:
         # with_sha changes the output schema — a rerun with a different
         # value must not skip shards written under the other shape.
-        blob = (index_key + f":k={k}:sha={int(with_sha)}:" + ";".join(
+        # \x01 separates pairs (';' can occur inside query text, which
+        # would let distinct query sets collide to one key).
+        blob = (index_key + f":k={k}:sha={int(with_sha)}:" + "\x01".join(
             f"{q}\x00{t}" for q, t in zip(tbl.column("qid").to_pylist(),
                                           tbl.column("query").to_pylist())))
         return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+    # a previous run with MORE shards (or other queries) may have left
+    # stale shard=i directories beyond this plan — a consumer reading
+    # out_dir/shard=*/ranking.parquet would mix old rows into the result
+    import glob
+    import re
+    import shutil as _shutil
+
+    stale = []
+    for d in glob.glob(os.path.join(out_dir, "shard=*")):
+        m = re.fullmatch(r"shard=(\d+)", os.path.basename(d))
+        if m and int(m.group(1)) >= n_shards:
+            _shutil.rmtree(d, ignore_errors=True)
+            stale.append(int(m.group(1)))
 
     ran, skipped = [], []
     sess = None
@@ -228,6 +261,7 @@ def search_job(
         if sess is not None:
             sess.close()
     return {"shards": n_shards, "ran": ran, "skipped": skipped,
+            "stale_removed": stale,
             "out_dir": out_dir}
 
 
@@ -250,14 +284,24 @@ class SearchSession:
         from colbert_ray.state.serve import serve_valid
 
         self.k = k
+        self.with_sha = with_sha
         kwargs = {"k": k, "with_sha": with_sha, "prune": prune,
                   "prune_strategy": prune_strategy,
                   "docid_range": docid_range}
         if serve_valid(index_dir):
             kwargs["index_dir"] = index_dir
         else:
-            kwargs["index_ref"] = _shared_index_ref(index_dir, docid_range)
+            kwargs["index_ref"] = _shared_index_ref(
+                index_dir, docid_range, load_sha=with_sha)
             kwargs["index_dir"] = None
+        # clamp like search(): n_actors num_cpus=1 actors beyond the CPU
+        # count would pend forever and search_table would round-robin
+        # futures onto never-created actors (deadlock on small hosts)
+        try:
+            avail = int(_ray.cluster_resources().get("CPU", n_actors + 1))
+            n_actors = max(1, min(n_actors, avail - 1))
+        except Exception:
+            pass
 
         @_ray.remote(num_cpus=1)
         class _ScorerActor:
@@ -285,9 +329,7 @@ class SearchSession:
         ]
         parts = [t for t in _ray.get(futs) if t.num_rows]
         if not parts:
-            return pa.schema(
-                [("qid", pa.int64()), ("docid", pa.int64()),
-                 ("rank", pa.int32()), ("score", pa.float64())]).empty_table()
+            return _ranking_schema(self.with_sha).empty_table()
         t = pa.concat_tables(parts, promote_options="default")
         order = pc.sort_indices(
             t, sort_keys=[("qid", "ascending"), ("rank", "ascending")])

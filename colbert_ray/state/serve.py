@@ -132,10 +132,18 @@ def _write_one_segment(seg_path: str, run_dest: np.ndarray, layout,
     out_docids[dest] = docids
     out_tfs[dest] = tfs
     out_tfsat[dest] = tfsat
-    # NO per-task flush: all writers share the node's page cache, so pass 2
-    # reads the data without an msync; each task msync-ing the WHOLE mapping
-    # (numpy flush has no byte-range form) made pass 1 ~2x slower than
-    # serial. The driver issues ONE flush per array before the manifest.
+    # NO per-task flush by default: all writers share the node's page
+    # cache, so pass 2 reads the data without an msync; each task msync-ing
+    # the WHOLE mapping (numpy flush has no byte-range form) made pass 1
+    # ~2x slower than serial. The driver issues ONE flush per array before
+    # the manifest. This assumes pass-1 and pass-2 tasks run on ONE node
+    # (the local-artifact deployment); when building the artifact on a
+    # SHARED filesystem across nodes, set COLBERT_RAY_SERVE_FLUSH=1 so
+    # every writer msyncs before any cross-node reader runs.
+    if os.environ.get("COLBERT_RAY_SERVE_FLUSH") == "1":
+        out_docids.flush()
+        out_tfs.flush()
+        out_tfsat.flush()
     return int(len(docids))
 
 

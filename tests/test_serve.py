@@ -423,6 +423,21 @@ def test_search_job_resumable_sharded_output(built, tmp_path_factory):
     for i in range(4):
         t = pq.read_table(os.path.join(out, f"shard={i}", "ranking.parquet"))
         assert "content_sha256" in t.schema.names
+    # shrinking n_shards must REMOVE the now-stale extra shard dirs — a
+    # consumer globbing out/shard=*/ must never mix old rows in
+    rep5 = search_job(queries, index_dir, out, k=10, n_shards=2,
+                      n_actors=2, with_sha=True)
+    assert sorted(rep5["stale_removed"]) == [2, 3]
+    assert not os.path.exists(os.path.join(out, "shard=2"))
+    got2 = (
+        pd.concat([pq.read_table(os.path.join(out, f"shard={i}",
+                                              "ranking.parquet")).to_pandas()
+                   for i in range(2)])
+        .sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    want2 = (search_table(queries, index_dir, k=10, with_sha=True)
+             .to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got2, want2)
 
 
 def test_coalesce_chunked_index(built, tmp_path_factory):
