@@ -208,9 +208,15 @@ def _q_passage_bm25_top5(sf_dir: str) -> pd.DataFrame:
     from colbert_ray.pipelines.search import search_table
     from colbert_ray.stages.passages import split_documents
 
+    # cache key covers the SOURCE table's identity (path + mtime + size),
+    # not just the path — regenerating documents.parquet in place must
+    # invalidate the cached passage split
+    src = _doc_path(sf_dir, "documents")
+    st = os.stat(src)
     root = os.path.join("/tmp/colbert_ray_driver",
                         "psg_" + hashlib.sha256(
-                            os.path.abspath(sf_dir).encode()).hexdigest()[:12])
+                            f"{os.path.abspath(src)}:{st.st_mtime_ns}:"
+                            f"{st.st_size}".encode()).hexdigest()[:12])
     corpus_dir = os.path.join(root, "passages")
     idx = os.path.join(root, "index")
     if not os.path.exists(os.path.join(corpus_dir, "_done")):
@@ -238,7 +244,10 @@ def _q_passage_bm25_top5(sf_dir: str) -> pd.DataFrame:
     qt = pa.table(
         {"qid": pa.array([q for q, _ in QUERY_SET], type=pa.int64()),
          "query": pa.array([t for _, t in QUERY_SET], type=pa.string())})
-    res = search_table(qt, idx, k=100, with_sha=False).to_pandas()
+    # k must cover EVERY matching passage: the SQL oracle maxes over all
+    # passages, and a top-100 cut could crowd a top-5 doc's best passage
+    # out of the candidate set when a few long docs dominate
+    res = search_table(qt, idx, k=1_000_000, with_sha=False).to_pandas()
     res["parent"] = res["docid"] // PASSAGE_PID_BASE
     # doc score = best passage score (max-passage, K7 merge semantics)
     doc = (res.groupby(["qid", "parent"], as_index=False)["score"].max()
@@ -321,9 +330,10 @@ CONTAM_NGRAM = 4       # word n-gram size
 
 
 def _q_contaminated_docs(sf_dir: str) -> pd.DataFrame:
-    """Benchmark decontamination: docs sharing a word 5-gram with the
-    deterministic doc_id%97==0 'benchmark' split (extras/dedup.py:
-    benchmark_contamination — broadcast semi-join, no shuffle)."""
+    """Benchmark decontamination: docs sharing a word CONTAM_NGRAM-gram
+    with the deterministic doc_id%CONTAM_MOD==0 'benchmark' split
+    (extras/dedup.py: benchmark_contamination — broadcast semi-join,
+    no shuffle)."""
     import pyarrow as pa
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -381,7 +391,10 @@ def _knn_queries(sf_dir: str):
 
 def _q_knn_cosine_top5(sf_dir: str) -> pd.DataFrame:
     vecs, ids = _knn_queries(sf_dir)
-    ds = x_sim.knn_cosine(_read(sf_dir, "embeddings"), vecs, ids, k=10)
+    # oversample raw top-50 before the rounded re-rank to 5: the embeddings
+    # table contains deliberate near-duplicates, and a rounded-tie member
+    # outside a narrow raw window could be in the SQL top-5 but not ours
+    ds = x_sim.knn_cosine(_read(sf_dir, "embeddings"), vecs, ids, k=50)
     df = ds.to_pandas()
     out = _rerank_rounded(df, "cosine", "vec_id", 5)
     return out[["qid", "vec_id", "rank", "cosine"]].rename(columns={"cosine": "cosine_r"})
@@ -481,7 +494,12 @@ def _q_retrieval_metrics(sf_dir: str) -> pd.DataFrame:
         {"qid": pa.array([q for q, _ in QUERY_SET], type=pa.int64()),
          "query": pa.array([t for _, t in QUERY_SET], type=pa.string())}
     )
-    ranking = search(qt, idx, k=10, with_sha=False)
+    # float policy: rank by ROUNDED score on both sides (oversample raw
+    # top-50, re-rank by (round(score,6) desc, docid), cut to 10) so
+    # numpy-vs-DuckDB summation-order ulps can't flip a rank-10 boundary
+    raw = search(qt, idx, k=50, with_sha=False).to_pandas()
+    rdf = _rerank_rounded(raw, "score", "docid", 10)
+    ranking = ray.data.from_pandas(rdf)
 
     # qrels by rule, computed distributed: per batch, per query, a vectorized
     # all-terms-present membership test over each doc's token set
@@ -555,7 +573,13 @@ def _q_lang_id(sf_dir: str) -> pd.DataFrame:
 def _q_ivf_knn_top5(sf_dir: str) -> pd.DataFrame:
     """IVF ANN top-5 with FIXED deterministic centroids (`_ivf_centroids`,
     shared with the SQL oracle, which inlines the same values as literals).
-    Oversample k=10 raw, then re-rank on the rounded cosine (float policy)."""
+    Oversample k=10 raw, then re-rank on the rounded cosine (float policy).
+
+    NOTE: the SQL twin's centroid literals are generated from
+    GRAFT_ORACLE_SF_DIR (default sf0.01 — the driver's comparison scale);
+    comparing query-vs-oracle at a DIFFERENT sf requires pointing that env
+    var at the same sf_dir, otherwise the two sides train on different
+    embeddings and legitimately diverge."""
     vecs, ids = _knn_queries(sf_dir)
     cents = _ivf_centroids(sf_dir)
     ds = x_sim.ivf_knn(_read(sf_dir, "embeddings"), vecs, ids, k=10,
@@ -616,8 +640,11 @@ def _q_code_corpus_rankings(sf_dir: str) -> pd.DataFrame:
     from colbert_ray.pipelines.build import build_index
     from colbert_ray.pipelines.search import search_table
 
-    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
-    n_files = max(200, int(float(sf) * 50_000)) if sf else 500
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        n_files = max(200, int(float(base.removeprefix("sf")) * 50_000))
+    except ValueError:          # non-"sf<number>" dir name -> default scale
+        n_files = 500
     root = os.path.join("/tmp/colbert_ray_driver", f"code_{n_files}")
     corpus_dir, queries_path = ensure_fixture(root, n_files, 100)
     idx = os.path.join(root, "index")
@@ -690,10 +717,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # recall gates vs the exact baselines
         "minhash_dup_pairs": _q_minhash_dup_pairs,
         "ivf_knn_top5": _q_ivf_knn_top5,
-        # rows-only (stateful / non-SQL-expressible); gated by the in-process
-        # oracle self-check inside the query and the media pytest suite
+        # media queries have full SQL oracles (arithmetic-deterministic
+        # stubs) plus the media pytest suite
         "media_features": _q_media_features,
         "video_frame_sample": _q_video_frame_sample,
+        # rows-only: gated by the in-process oracle self-check inside the
+        # query (1000 queries; ranking sha asserted) — no SQL twin
         "code_corpus_rankings": _q_code_corpus_rankings,
     }
 
@@ -1023,8 +1052,10 @@ scores AS (
   GROUP BY q.qid, tf.doc_id
 ),
 ranking AS (
+  -- float policy: rank by ROUNDED score (matches the engine's re-rank)
   SELECT qid, docid,
-         row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid) AS rank
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, docid) AS rank
   FROM scores QUALIFY rank <= 10
 ),
 hits AS (

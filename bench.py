@@ -89,11 +89,23 @@ def _host_probe() -> dict:
     window without re-running anything."""
     import numpy as np
 
-    buf = np.empty(64 * 1024 * 1024, dtype=np.uint8)
+    # TWO probes — the host's throttling windows limit page-fault/alloc
+    # rate and memory bandwidth INDEPENDENTLY (observed: warm copy at
+    # 13 GB/s while a fresh 64MB fault-in ran at 0.01 GB/s). Build walls
+    # track the ALLOC probe (builds fault in fresh arrays constantly);
+    # warm bandwidth bounds the compute kernels.
     t0 = time.time()
-    buf.copy()
+    fresh = np.empty(64 * 1024 * 1024, dtype=np.uint8)
+    fresh.copy()                             # first-touch fault-in
+    alloc_dt = max(time.time() - t0, 1e-9)
+    src = np.zeros(64 * 1024 * 1024, dtype=np.uint8)
+    dst = np.zeros(64 * 1024 * 1024, dtype=np.uint8)
+    np.copyto(dst, src)                      # warm-up pass
+    t0 = time.time()
+    np.copyto(dst, src)
     dt = max(time.time() - t0, 1e-9)
-    return {"host_memcpy_gbps": round(64 / 1024 / dt, 2)}
+    return {"host_memcpy_gbps": round(64 / 1024 / dt, 2),
+            "host_alloc_gbps": round(128 / 1024 / alloc_dt, 2)}
 
 
 def run_bench() -> dict:
@@ -284,9 +296,12 @@ def run_bench() -> dict:
         et = pq.read_table(emb_path, columns=["vec_id", "embedding"])
         qv = np.stack([np.asarray(v, dtype=np.float64)
                        for v in et.column("embedding").to_pylist()[:16]])
+        # use the rows' ACTUAL vec_ids so exclude_self excludes the right
+        # vectors even if the file isn't written in vec_id order
+        qids = et.column("vec_id").to_numpy(
+            zero_copy_only=False)[:16].astype(np.int64)
         t0 = time.time()
-        x_sim.knn_cosine(rd.read_parquet(emb_path), qv,
-                         np.arange(16, dtype=np.int64), k=10).to_pandas()
+        x_sim.knn_cosine(rd.read_parquet(emb_path), qv, qids, k=10).to_pandas()
         timings["knn_cosine"] = round(time.time() - t0, 3)
 
         t0 = time.time()
