@@ -1415,8 +1415,8 @@ WITH d AS (
 ),
 s AS (
   SELECT user_id, ts,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                          ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM d
 )
 SELECT user_id, session_id,

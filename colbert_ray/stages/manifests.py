@@ -106,8 +106,20 @@ def segment_complete(seg_dir: str, part: int, semantic_hash: str,
         data = os.path.join(seg_dir, ent.get("name", ""))
         if not (os.path.exists(data) and os.path.getsize(data) == ent.get("bytes", -1)):
             return False
-        if deep and ent.get("sha256") and _file_sha256(data) != ent["sha256"]:
-            return False
+        if deep:
+            # a manifest written before sha recording has no sha256 entry —
+            # deep mode must NOT silently downgrade to the size check: treat
+            # the partition as unverified (it is rebuilt, which re-records
+            # the sha) rather than pretend the content was verified
+            if not ent.get("sha256"):
+                import warnings
+
+                warnings.warn(
+                    f"deep-verify: partition {part} manifest predates sha256 "
+                    f"recording ({ent.get('name')}); treating as unverified")
+                return False
+            if _file_sha256(data) != ent["sha256"]:
+                return False
     return True
 
 

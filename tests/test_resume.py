@@ -162,3 +162,35 @@ def test_serve_phase_rebuilds_after_crash(small_fixture, tmp_path_factory):
     after = search_table(pq.read_table(queries_path).slice(0, 5), d, k=5).to_pandas()
     import pandas as pd
     pd.testing.assert_frame_equal(before, after)
+
+
+def test_deep_verify_rejects_pre_sha_manifest(
+    small_fixture, tmp_path_factory
+):
+    """A manifest written before sha256 recording must NOT pass deep-verify
+    on the size check alone (ADVICE r3): deep mode warns and treats the
+    partition as unverified, so it is rebuilt (and the sha re-recorded)
+    instead of the content guarantee silently degrading."""
+    import pytest
+
+    corpus_dir, _ = small_fixture
+    d = str(tmp_path_factory.mktemp("idx_presha"))
+    build_index(corpus_dir, d, CFG)
+    seg_dir = os.path.join(d, "segments")
+    victim = sorted(glob.glob(os.path.join(seg_dir, "part_*.parquet")))[0]
+    part = int(os.path.basename(victim)[5:10])
+    mpath = manifests.segment_manifest_path(seg_dir, part)
+    with open(mpath) as f:
+        m = json.load(f)
+    for ent in m.get("files", []):
+        ent.pop("sha256", None)
+    manifests.atomic_write_json(mpath, m)
+    sem = CFG.semantic_hash()
+    with open(os.path.join(d, "plan.json")) as f:
+        inputs_hash = json.load(f)["inputs_hash"]
+    # cheap default mode still accepts it (sizes match)
+    assert manifests.segment_complete(seg_dir, part, sem, inputs_hash)
+    # deep mode refuses to call it verified
+    with pytest.warns(UserWarning, match="predates sha256"):
+        assert not manifests.segment_complete(
+            seg_dir, part, sem, inputs_hash, verify_content=True)

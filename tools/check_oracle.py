@@ -27,14 +27,26 @@ def to_pandas(obj) -> pd.DataFrame:
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Normalize the way the driver's value-hash sees a frame: columns sorted
+    by name, integer widths collapsed to int64, float widths to float64,
+    objects stringified. Crucially an int-valued float64 column stays float64
+    — the driver's hash is dtype-sensitive across the int/float divide (the
+    round-3 event_sessions red row), so canon must NOT cross-cast."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
-        elif np.issubdtype(df[c].dtype, np.integer):
+        elif pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype(bool)
+        elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype(np.int64)
-        elif np.issubdtype(df[c].dtype, np.floating):
+        elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype(np.float64)
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            # the driver's hash is timestamp-UNIT-insensitive: engine
+            # datetime64[s] vs oracle datetime64[us] was hash-GREEN in
+            # CORRECTNESS_r03 (top_revenue_orders) — normalize, don't fail
+            df[c] = df[c].astype("datetime64[us]")
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
@@ -86,10 +98,17 @@ def main():
             continue
         ok_rows = len(got) == len(want)
         ok_schema = list(got.columns) == list(want.columns)
+        ok_dtypes = True
+        if ok_schema:
+            for c in got.columns:
+                if got[c].dtype != want[c].dtype:
+                    ok_dtypes = False
+                    print(f"[{name}] DTYPE-MISMATCH {c}: engine={got[c].dtype} "
+                          f"oracle={want[c].dtype}")
         ok_vals = False
-        if ok_rows and ok_schema:
+        if ok_rows and ok_schema and ok_dtypes:
             try:
-                pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                pd.testing.assert_frame_equal(got, want, check_dtype=True,
                                               check_exact=True)
                 ok_vals = True
             except AssertionError as e:
@@ -100,7 +119,7 @@ def main():
                 bad = neq.any(axis=1)
                 print(got[bad].head(3))
                 print(want[bad].head(3))
-        status = "OK" if (ok_rows and ok_schema and ok_vals) else "FAIL"
+        status = "OK" if (ok_rows and ok_schema and ok_dtypes and ok_vals) else "FAIL"
         if status == "FAIL":
             failures += 1
         print(f"[{name}] {status} rows={len(got)}/{len(want)} "
