@@ -108,6 +108,66 @@ def _host_probe() -> dict:
             "host_alloc_gbps": round(128 / 1024 / alloc_dt, 2)}
 
 
+# ---- quiet-window self-gating (VERDICT r3 #3) --------------------------
+# The host's external-throttling windows made BENCH numbers contradict the
+# probe-gated BASELINE protocol (r3: build 67s stamped alloc_gbps=0.07 vs
+# 14-18s quiet). The bench now gates itself: probe BEFORE each rep, wait
+# (bounded global budget) for a quiet window, prefer quiet reps for the
+# headline min, and mark the artifact throttled when no rep landed quiet.
+QUIET_GBPS = float(os.environ.get("GRAFT_QUIET_GBPS", "2"))   # BASELINE gate
+_QUIET_WAIT = float(os.environ.get("GRAFT_QUIET_WAIT_SEC", "20"))
+_QUIET_BUDGET = [float(os.environ.get("GRAFT_QUIET_BUDGET_SEC", "90"))]
+
+
+def _probe_is_quiet(p: dict) -> bool:
+    return (p["host_alloc_gbps"] > QUIET_GBPS
+            and p["host_memcpy_gbps"] > QUIET_GBPS)
+
+
+def _wait_for_quiet() -> tuple[dict, bool]:
+    """Probe; while throttled, sleep and re-probe until the shared global
+    wait budget runs out. Returns (last probe, landed-in-quiet-window?).
+    Windows last hours, so the budget is a bounded best-effort — a still-
+    throttled rep runs anyway and is marked."""
+    while True:
+        p = _host_probe()
+        if _probe_is_quiet(p):
+            return p, True
+        if _QUIET_BUDGET[0] <= 0:
+            return p, False
+        w = min(_QUIET_WAIT, _QUIET_BUDGET[0])
+        time.sleep(w)
+        _QUIET_BUDGET[0] -= w
+
+
+def _gated_reps(reps: int, fn) -> tuple[list, list, list]:
+    """Run ``fn`` ``reps`` times, each rep gated on a quiet-window probe;
+    if NO rep landed quiet, spend one bonus attempt. Returns
+    (walls, per-rep alloc gbps, per-rep quiet flags)."""
+    runs, probes, quiets = [], [], []
+    for _ in range(reps):
+        p, q = _wait_for_quiet()
+        t0 = time.time()
+        fn()
+        runs.append(round(time.time() - t0, 3))
+        probes.append(p["host_alloc_gbps"])
+        quiets.append(q)
+    if not any(quiets):
+        p, q = _wait_for_quiet()
+        if q:   # a window opened: one make-up rep
+            t0 = time.time()
+            fn()
+            runs.append(round(time.time() - t0, 3))
+            probes.append(p["host_alloc_gbps"])
+            quiets.append(q)
+    return runs, probes, quiets
+
+
+def _best(runs: list, quiets: list) -> float:
+    quiet_runs = [r for r, q in zip(runs, quiets) if q]
+    return min(quiet_runs) if quiet_runs else min(runs)
+
+
 def run_bench() -> dict:
     import numpy as np
     import pyarrow.parquet as pq
@@ -158,28 +218,33 @@ def run_bench() -> dict:
     # the standard noisy-host estimator (all runs reported in build_runs)
     reps = int(os.environ.get("GRAFT_BUILD_REPS", "2"))
     idx = os.path.join(BENCH_ROOT, f"index_cpus{NUM_CPUS}")
-    build_runs = []
-    for _ in range(reps):
+
+    def _one_build():
         shutil.rmtree(idx, ignore_errors=True)
-        t0 = time.time()
         build_index(corpus_dir, idx, cfg)
-        build_runs.append(round(time.time() - t0, 3))
-    timings["code_build"] = min(build_runs)
+
+    build_runs, build_probes, build_quiet = _gated_reps(reps, _one_build)
+    timings["code_build"] = _best(build_runs, build_quiet)
     extras["build_runs"] = build_runs
+    extras["build_rep_alloc_gbps"] = build_probes
+    extras["build_rep_quiet"] = build_quiet
+    extras["throttled"] = not any(build_quiet)
     extras["files_per_sec"] = round(n_files / timings["code_build"], 1)
 
     # --- headline: 1000-query batch search (best-of-N) ------------------
     # scoring is ~3ms/query: a modest pool finishes the work long before a
     # 30-actor pool finishes STARTING (actor init dominates at this scale)
-    search_runs = []
-    for _ in range(reps):
-        t0 = time.time()
-        res = search_table(queries_t, idx, k=K, with_sha=False,
-                           concurrency=max(2, min(12, NUM_CPUS - 2)))
-        search_runs.append(round(time.time() - t0, 3))
-    timings["code_search1000"] = min(search_runs)
+    last_res = {}
+
+    def _one_search():
+        last_res["res"] = search_table(
+            queries_t, idx, k=K, with_sha=False,
+            concurrency=max(2, min(12, NUM_CPUS - 2)))
+
+    search_runs, _sp, search_quiet = _gated_reps(reps, _one_search)
+    timings["code_search1000"] = _best(search_runs, search_quiet)
     extras["search_runs"] = search_runs
-    extras["rankings_sha"] = _rankings_sha(res.to_pandas())
+    extras["rankings_sha"] = _rankings_sha(last_res["res"].to_pandas())
 
     # persistent-session serving: spawn cost paid once (Searcher analog)
     from colbert_ray.pipelines.search import SearchSession
@@ -362,9 +427,12 @@ def run_scaling():
 
     def best(n_cpus, n_files=None):
         # best-of-N: this VM shows +-30% run-to-run noise (shared host);
-        # min wall per configuration is the standard noisy-host estimator
+        # min wall per configuration is the standard noisy-host estimator.
+        # Runs whose every rep hit a throttle window are excluded when any
+        # quiet run exists (each child is itself quiet-gated).
         runs = [_run_once(n_cpus, n_files) for _ in range(reps)]
-        return min(runs, key=lambda r: r["queries"]["code_build"])
+        pool = [r for r in runs if not r.get("throttled")] or runs
+        return min(pool, key=lambda r: r["queries"]["code_build"])
 
     r_lo = best(lo)
     r_hi = best(hi)
@@ -388,6 +456,7 @@ def run_scaling():
         "rankings_sha_lo": r_lo["rankings_sha"],
         "rankings_sha_hi": r_hi["rankings_sha"],
         "query_p95_ms_hi": r_hi["query_p95_ms"],
+        "throttled": any(r.get("throttled") for r in (r_lo, r_hi, small)),
         **_host_probe(),
     }))
 
