@@ -244,14 +244,17 @@ def _q_passage_bm25_top5(sf_dir: str) -> pd.DataFrame:
     qt = pa.table(
         {"qid": pa.array([q for q, _ in QUERY_SET], type=pa.int64()),
          "query": pa.array([t for _, t in QUERY_SET], type=pa.string())})
-    # k must cover EVERY matching passage: the SQL oracle maxes over all
-    # passages, and a top-100 cut could crowd a top-5 doc's best passage
-    # out of the candidate set when a few long docs dominate
-    res = search_table(qt, idx, k=1_000_000, with_sha=False).to_pandas()
-    res["parent"] = res["docid"] // PASSAGE_PID_BASE
-    # doc score = best passage score (max-passage, K7 merge semantics)
-    doc = (res.groupby(["qid", "parent"], as_index=False)["score"].max()
-           .rename(columns={"parent": "docid"}))
+    # max-passage INSIDE the scorer (parent_base): every matching passage
+    # is scored exactly, the per-parent max is reduced in the actor, and
+    # only the top-64 PARENTS per query leave it — bounded output at any
+    # corpus size (replaces the r3 k=10^6 full-match materialization).
+    # 64 >> 5 absorbs the driver's rounded re-rank at the k=5 boundary:
+    # a parent below unrounded rank 64 would need ranks 5..64 to round to
+    # ONE 6-dp value to matter, impossible with BM25's score spread here.
+    res = search_table(qt, idx, k=64, with_sha=False,
+                       parent_base=PASSAGE_PID_BASE).to_pandas()
+    # docid is already the parent; score = best passage score (M12 + K7)
+    doc = res[["qid", "docid", "score"]]
     out = _rerank_rounded(doc, "score", "docid", 5)
     return out[["qid", "docid", "rank", "score"]].rename(
         columns={"score": "score_r"})
@@ -282,6 +285,16 @@ def _q_exact_dedup(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def _q_repetition_stats(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition quality signals: per-doc duplicated-word and
+    duplicated-2-gram fractions (pre-training data cleaning filters)."""
+    ds = x_text.repetition_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
+    df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    df["dup_word_frac"] = df["dup_word_frac"].round(6)
+    df["dup_2gram_frac"] = df["dup_2gram_frac"].round(6)
+    return df[["doc_id", "n_tokens", "dup_word_frac", "dup_2gram_frac"]]
 
 
 def _q_quality_scores(sf_dir: str) -> pd.DataFrame:
@@ -712,6 +725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash64": _q_simhash,
         "fingerprints": _q_fingerprints,
         "lang_id_pred": _q_lang_id,
+        "repetition_stats": _q_repetition_stats,
         # minhash/ivf gained exact SQL oracles in round 3 (modular-arithmetic
         # minhash twin; fixed-centroid IVF twin); both ALSO keep their pytest
         # recall gates vs the exact baselines
@@ -1305,6 +1319,25 @@ ORDER BY doc_id
         "lang_doc_counts": """
 SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
 FROM documents GROUP BY lang ORDER BY lang
+""",
+        # bigram i (1-based) = toks[i] || ' ' || toks[i+1]; range(1, max(n,1))
+        # is empty for n_tokens <= 1, mirroring the engine's 0.0 default
+        "repetition_stats": f"""
+WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),
+b AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens,
+         list_transform(range(1, greatest(len(toks), 1)),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+  FROM d
+)
+SELECT doc_id, n_tokens,
+       round(CASE WHEN n_tokens = 0 THEN 0.0
+             ELSE 1.0 - len(list_distinct(toks))::DOUBLE / n_tokens END,
+             6) AS dup_word_frac,
+       round(CASE WHEN len(bigrams) = 0 THEN 0.0
+             ELSE 1.0 - len(list_distinct(bigrams))::DOUBLE / len(bigrams) END,
+             6) AS dup_2gram_frac
+FROM b ORDER BY doc_id
 """,
         "jaccard_dup_pairs": _jaccard_sql(),
         "contaminated_docs": _contam_sql(),

@@ -201,6 +201,66 @@ def fingerprints(ds: "ray.data.Dataset", text_col: str = "text",
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def repetition_stats(ds: "ray.data.Dataset", text_col: str = "text",
+                     id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Per-doc repetition quality signals (the Gopher-style duplicate-n-gram
+    filters used in pre-training data cleaning): fraction of duplicated
+    words and duplicated word-2-grams.
+
+        dup_word_frac  = 1 - distinct_words   / n_tokens     (0 when empty)
+        dup_2gram_frac = 1 - distinct_bigrams / n_bigrams    (0 when <2 toks)
+
+    Fully vectorized: one tokenize pass, per-doc distinct counts via one
+    lexsort + change-point bincount over the whole batch; bigrams are the
+    space-joined adjacent-token pairs (tokens never contain spaces, so the
+    join is collision-free and matches the SQL twin exactly)."""
+    cfg = _cfg()
+
+    def _distinct_per_doc(parents: np.ndarray, values: np.ndarray,
+                          n: int) -> np.ndarray:
+        """count of distinct ``values`` within each parent (object dtype ok)."""
+        if len(parents) == 0:
+            return np.zeros(n, dtype=np.int64)
+        order = np.lexsort((values, parents))
+        p_s, v_s = parents[order], values[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = (p_s[1:] != p_s[:-1]) | (v_s[1:] != v_s[:-1])
+        return np.bincount(p_s[new], minlength=n).astype(np.int64)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch.column(text_col), cfg)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat_a = toks.flatten()
+        lens = pc.utf8_length(flat_a).to_numpy(zero_copy_only=False)
+        keep = (lens >= cfg.min_token_len) & (lens <= cfg.max_token_len)
+        parents = parents[keep].astype(np.int64)
+        flat = flat_a.to_numpy(zero_copy_only=False)[keep]
+        n = batch.num_rows
+        n_tokens = np.bincount(parents, minlength=n).astype(np.int64)
+        d_words = _distinct_per_doc(parents, flat, n)
+        # adjacent-in-doc pairs: positions i, i+1 with the same parent
+        same = parents[:-1] == parents[1:] if len(parents) else \
+            np.empty(0, dtype=bool)
+        p2 = parents[:-1][same]
+        bigrams = flat[:-1][same] + " "
+        bigrams = bigrams + flat[1:][same]
+        n_bi = np.bincount(p2, minlength=n).astype(np.int64)
+        d_bi = _distinct_per_doc(p2, bigrams, n)
+        w_den = np.maximum(1, n_tokens).astype(np.float64)
+        b_den = np.maximum(1, n_bi).astype(np.float64)
+        dup_w = np.where(n_tokens > 0, 1.0 - d_words / w_den, 0.0)
+        dup_b = np.where(n_bi > 0, 1.0 - d_bi / b_den, 0.0)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_tokens": pa.array(n_tokens),
+            "dup_word_frac": pa.array(dup_w),
+            "dup_2gram_frac": pa.array(dup_b),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def clean_corpus_stats(
     ds: "ray.data.Dataset",
     min_tokens: int = 10,

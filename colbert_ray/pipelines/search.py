@@ -72,6 +72,7 @@ def search(
     prune_strategy: str | None = None,
     docid_filter=None,
     docid_range: tuple[int, int] | None = None,
+    parent_base: int | None = None,
 ) -> "ray.data.Dataset":
     """Top-k BM25 over the index for every query row (qid, query).
 
@@ -81,6 +82,10 @@ def search(
     ``index_storage.py:95-101``; SURVEY §2.10). Broadcast once.
     ``prune_strategy``: "maxscore" | "bmw" (both exact; defaults to the
     index config's choice).
+    ``parent_base``: max-passage mode (M12+K7) — rows become top-k PARENT
+    documents (docid // parent_base) ranked by their best passage's score;
+    the per-passage match set never leaves the scorer actors. Requires
+    ``with_sha=False``.
     """
     cfg = EngineConfig()
     from colbert_ray.state.serve import serve_valid
@@ -127,6 +132,7 @@ def search(
             "prune": prune,
             "prune_strategy": prune_strategy,
             "docid_filter": docid_filter,
+            "parent_base": parent_base,
         },
         batch_format="pyarrow",
         batch_size=batch_size or cfg.score_batch_size,
@@ -278,7 +284,8 @@ class SearchSession:
     def __init__(self, index_dir: str, k: int = 10, n_actors: int = 4,
                  with_sha: bool = True, prune: bool | None = None,
                  prune_strategy: str | None = None,
-                 docid_range: tuple[int, int] | None = None):
+                 docid_range: tuple[int, int] | None = None,
+                 parent_base: int | None = None):
         import ray as _ray
 
         from colbert_ray.state.serve import serve_valid
@@ -287,7 +294,7 @@ class SearchSession:
         self.with_sha = with_sha
         kwargs = {"k": k, "with_sha": with_sha, "prune": prune,
                   "prune_strategy": prune_strategy,
-                  "docid_range": docid_range}
+                  "docid_range": docid_range, "parent_base": parent_base}
         if serve_valid(index_dir):
             kwargs["index_dir"] = index_dir
         else:
@@ -390,11 +397,21 @@ def search_sharded(
     ds = parts[0]
     for p in parts[1:]:
         ds = ds.union(p)
+    parent_mode = kw.get("parent_base") is not None
 
     def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        if parent_mode:
+            # a parent's pids are contiguous, so a docid-range boundary can
+            # split one parent across (at most two) shards: max-merge its
+            # per-shard maxes before the top-k (exact: max of maxes)
+            qid = g["qid"].iloc[0]
+            g = g.groupby("docid", as_index=False)["score"].max()
+            g.insert(0, "qid", qid)
         g = g.sort_values(["score", "docid"], ascending=[False, True]).head(k)
         g = g.reset_index(drop=True)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        if parent_mode:
+            g = g[["qid", "docid", "rank", "score"]]
         return g
 
     return ds.groupby("qid").map_groups(merge_topk, batch_format="pandas")

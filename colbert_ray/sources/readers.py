@@ -41,8 +41,11 @@ def _cast(src, reader_tsv, schema_cols) -> "ray.data.Dataset":
 
 
 def read_queries(src) -> "ray.data.Dataset":
-    """-> Dataset (qid:int64, query:string); asserts qid uniqueness
-    (loaders.py:25 analog)."""
+    """-> Dataset (qid:int64, query:string[, answers]); asserts qid
+    uniqueness (loaders.py:25 analog). A ``.json``/``.jsonl`` path is the
+    reference's QA-queries format ``{qid, question, answers}``
+    (queries.py:54-67, S3): query text comes from ``question`` and the
+    ``answers`` list rides along for downstream EM evaluation (M15)."""
 
     def from_tsv(path: str) -> "ray.data.Dataset":
         ds = ray.data.read_csv(
@@ -54,7 +57,21 @@ def read_queries(src) -> "ray.data.Dataset":
         )
         return ds
 
-    ds = _cast(src, from_tsv, ["qid", "query"])
+    def from_jsonl(path: str) -> "ray.data.Dataset":
+        def fix(b: pa.Table) -> pa.Table:
+            cols = {"qid": pc.cast(b.column("qid"), pa.int64())}
+            src_col = "question" if "question" in b.schema.names else "query"
+            cols["query"] = pc.cast(b.column(src_col), pa.string())
+            if "answers" in b.schema.names:
+                cols["answers"] = b.column("answers")
+            return pa.table(cols)
+
+        return ray.data.read_json(path).map_batches(fix, batch_format="pyarrow")
+
+    if isinstance(src, str) and (src.endswith(".json") or src.endswith(".jsonl")):
+        ds = from_jsonl(src)
+    else:
+        ds = _cast(src, from_tsv, ["qid", "query"])
     n = ds.count()
     nu = ds.unique("qid")
     assert len(nu) == n, f"duplicate qids: {n - len(nu)}"

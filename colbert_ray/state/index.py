@@ -44,8 +44,14 @@ class BM25Scorer:
                  prune: bool | None = None, with_sha: bool = True,
                  index_ref=None, docid_filter=None,
                  docid_range: tuple[int, int] | None = None,
-                 prune_strategy: str | None = None):
+                 prune_strategy: str | None = None,
+                 parent_base: int | None = None):
         from colbert_ray.state.decoded import DecodedIndex
+
+        if parent_base is not None and with_sha:
+            raise ValueError(
+                "parent_base returns PARENT ids (docid // parent_base), "
+                "which have no content sha — pass with_sha=False")
 
         if index_ref is not None:
             import ray as _ray
@@ -71,6 +77,7 @@ class BM25Scorer:
             np.sort(np.asarray(docid_filter, dtype=np.int64))
             if docid_filter is not None else None
         )
+        self.parent_base = parent_base
         self._dense = (self.defaults["prefer_dense"]
                        and len(self.idx.doclens) <= self.DENSE_MAX_DOCIDS)
         # introspection counters (tests/bench assert pruning actually fires)
@@ -113,6 +120,17 @@ class BM25Scorer:
             if res is not None:
                 return res
 
+        cand, scores = self._all_match_scores(tids, docid_filter)
+        return topk_with_ties(scores, cand, k)
+
+    def _all_match_scores(self, tids: np.ndarray,
+                          docid_filter: np.ndarray | None):
+        """(candidate docids sorted ascending, exact float64 scores) over
+        ALL matching docids — the pre-top-k form shared by score_query's
+        dense/sparse fallback paths and the max-passage reduction. Same
+        summation order as before the refactor (ascending term_id), so
+        scores are bit-identical."""
+        idx = self.idx
         if self._dense:
             # accumulator is SHARD-sized (docid_base offset): a 1/N docid
             # shard allocates 1/N of the dense array, not the global space
@@ -132,11 +150,7 @@ class BM25Scorer:
             cand = np.flatnonzero(scores_dense) + base
             if docid_filter is not None:
                 cand = cand[np.isin(cand, docid_filter)]
-            if len(cand) == 0:
-                return (np.empty(0, dtype=np.int64),
-                        np.empty(0, dtype=np.float64),
-                        np.empty(0, dtype=np.int32))
-            return topk_with_ties(scores_dense[cand - base], cand, k)
+            return cand, scores_dense[cand - base]
 
         # ---- sparse path: candidate union + searchsorted accumulate ----
         posts = [idx.postings_slice(int(t)) for t in tids]
@@ -145,8 +159,7 @@ class BM25Scorer:
             posts = [(d[m], ts[m]) for (d, ts), m in zip(posts, masks)]
         nonempty = [d for d, _ in posts if len(d)]
         if not nonempty:
-            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64),
-                    np.empty(0, dtype=np.int32))
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
         cand = np.unique(np.concatenate(nonempty))
         if len(idx.tombstones):
             cand = cand[~np.isin(cand, idx.tombstones)]
@@ -160,7 +173,39 @@ class BM25Scorer:
             pos_c = np.minimum(pos, len(cand) - 1)
             hit = cand[pos_c] == d
             scores[pos_c[hit]] += idx.idf_by_term_id[tid] * ts[hit]
-        return topk_with_ties(scores, cand, k)
+        return cand, scores
+
+    def score_query_parent_max(self, text: str, k: int | None = None):
+        """Max-passage retrieval (M12 + the K7 max-passage merge,
+        ``utility/rankings/dev_subsample.py``-style doc ranking): score ALL
+        matching passages exactly, reduce max per PARENT document
+        (parent = docid // parent_base), return top-k parents by
+        (-max score, parent). The full passage match set never leaves the
+        actor — output is bounded by k, replacing the k=10^6 driver-side
+        materialization (VERDICT r3 watch item #5). On a docid-range shard
+        the reduction is per-shard; a cross-shard merge that maxes per
+        parent is exact because max(per-shard maxes) == global max (pids
+        of one parent are contiguous, so at most two shards split one
+        parent)."""
+        k = self.k if k is None else int(k)
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64),
+                 np.empty(0, dtype=np.int32))
+        if k <= 0:
+            return empty
+        idx = self.idx
+        tids = idx.lookup_terms(tokenize_query(text, idx.cfg)[0])
+        if len(tids) == 0:
+            return empty
+        cand, scores = self._all_match_scores(tids, self.docid_filter)
+        if len(cand) == 0:
+            return empty
+        # cand is sorted ascending and pid = parent * base + passage_idx,
+        # so parents are NONDECREASING: per-parent max is one reduceat
+        parents = cand // self.parent_base
+        starts = np.concatenate(
+            [[0], np.flatnonzero(np.diff(parents)) + 1])
+        pmax = np.maximum.reduceat(scores, starts)
+        return topk_with_ties(pmax, parents[starts], k)
 
     def _maxscore_query(self, tids: np.ndarray, k: int,
                         docid_filter: np.ndarray | None = None):
@@ -404,9 +449,11 @@ class BM25Scorer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = batch.column("qid").to_pylist()
         texts = batch.column("query").to_pylist()
+        score_fn = (self.score_query_parent_max if self.parent_base
+                    else self.score_query)
         out_qid, out_docid, out_rank, out_score = [], [], [], []
         for qid, text in zip(qids, texts):
-            d, s, rk = self.score_query(text)
+            d, s, rk = score_fn(text)
             out_qid.append(np.full(len(d), qid, dtype=np.int64))
             out_docid.append(d)
             out_score.append(s)

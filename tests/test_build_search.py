@@ -331,3 +331,65 @@ def test_oov_and_empty_queries(built):
                         "query": pa.array(["zzzznotaterm", "...!!!..."])})
     res = search_table(queries, index_dir, k=10)
     assert res.num_rows == 0
+
+
+def test_parent_max_matches_bruteforce(tmp_path_factory):
+    """Max-passage mode (parent_base): top-k PARENTS by best-passage score,
+    reduced inside the scorer, must equal the brute-force groupby-max over
+    an unbounded search; sharded parent search max-merges identically; and
+    parent_base + with_sha is rejected (parent ids have no sha)."""
+    from colbert_ray.pipelines.search import search_sharded
+    from colbert_ray.state.index import BM25Scorer
+
+    root = str(tmp_path_factory.mktemp("pmax"))
+    rng = np.random.default_rng(31)
+    BASE = 1000
+    rows = []
+    # 60 parents x 1-5 passages with overlapping vocab so maxima differ
+    vocab = [f"w{i}" for i in range(40)]
+    for parent in range(60):
+        for pi in range(int(rng.integers(1, 6))):
+            words = rng.choice(vocab, size=12)
+            rows.append((parent * BASE + pi, parent, pi, " ".join(words)))
+    t = pa.table({
+        "pid": pa.array([r[0] for r in rows], type=pa.int64()),
+        "doc_id": pa.array([r[1] for r in rows], type=pa.int64()),
+        "passage_idx": pa.array([r[2] for r in rows], type=pa.int64()),
+        "text": pa.array([r[3] for r in rows]),
+    })
+    src = os.path.join(root, "passages.parquet")
+    pq.write_table(t, src)
+    idx = os.path.join(root, "index")
+    build_index(src, idx, CFG, content_col="text", key_cols=(),
+                meta_cols=("doc_id", "passage_idx"), docid_col="pid")
+    qt = pa.table({
+        "qid": pa.array(list(range(8)), type=pa.int64()),
+        "query": pa.array([f"w{i} w{i+3} w{i+11}" for i in range(8)]),
+    })
+    # brute force: every matching passage, groupby parent max, top-5
+    full = search_table(qt, idx, k=10**6, with_sha=False).to_pandas()
+    full["parent"] = full["docid"] // BASE
+    want_rows = []
+    for qid, g in full.groupby("qid"):
+        m = g.groupby("parent", as_index=False)["score"].max()
+        m = m.sort_values(["score", "parent"],
+                          ascending=[False, True]).head(5)
+        for rk, (_, r) in enumerate(m.iterrows(), 1):
+            want_rows.append((qid, int(r["parent"]), rk, r["score"]))
+    want = pd.DataFrame(want_rows, columns=["qid", "docid", "rank", "score"])
+    got = (search_table(qt, idx, k=5, with_sha=False, parent_base=BASE)
+           .to_pandas())
+    got["rank"] = got["rank"].astype(np.int64)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want.astype({"rank": np.int64}).reset_index(drop=True))
+    # sharded parent-max merge equals unsharded (boundary-split parents)
+    sh = (search_sharded(qt, idx, k=5, n_shards=3, with_sha=False,
+                         parent_base=BASE)
+          .to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True))
+    sh["rank"] = sh["rank"].astype(np.int64)
+    pd.testing.assert_frame_equal(
+        sh[["qid", "docid", "rank", "score"]],
+        want.astype({"rank": np.int64}).reset_index(drop=True))
+    with pytest.raises(ValueError, match="parent_base"):
+        BM25Scorer(idx, k=5, with_sha=True, parent_base=BASE)

@@ -256,3 +256,68 @@ class TestSplitByQueryset:
         assert set(test["qid"]) == {1} and len(test) == 2
         only = ev.split_ranking_by_queryset(ranking, {"none": [42]})
         assert len(only["none"].to_pandas()) == 0
+
+
+class TestQueriesJsonl:
+    def test_queries_jsonl_question_answers(self, tmp_path):
+        """S3 first-class JSONL reader: the reference's QA-queries format
+        {qid, question, answers} (queries.py:54-67) maps question->query
+        and carries answers through for EM evaluation."""
+        import json as _json
+
+        p = str(tmp_path / "queries.jsonl")
+        rows = [
+            {"qid": 7, "question": "who wrote hamlet",
+             "answers": ["Shakespeare", "William Shakespeare"]},
+            {"qid": 9, "question": "capital of france", "answers": ["Paris"]},
+        ]
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        df = readers.read_queries(p).to_pandas().sort_values("qid")
+        assert df["qid"].tolist() == [7, 9]
+        assert df["qid"].dtype == "int64"
+        assert df["query"].tolist() == ["who wrote hamlet",
+                                        "capital of france"]
+        assert list(df["answers"].iloc[0]) == ["Shakespeare",
+                                               "William Shakespeare"]
+
+    def test_queries_jsonl_duplicate_qid_asserts(self, tmp_path):
+        import json as _json
+
+        p = str(tmp_path / "dup.jsonl")
+        with open(p, "w") as f:
+            for r in ({"qid": 1, "question": "a"}, {"qid": 1, "question": "b"}):
+                f.write(_json.dumps(r) + "\n")
+        with pytest.raises(AssertionError):
+            readers.read_queries(p)
+
+    def test_queries_jsonl_searchable(self, tmp_path):
+        """JSONL queries feed search_table unchanged (extra answers column
+        must not break the scorer input contract)."""
+        import json as _json
+
+        from colbert_ray.config import EngineConfig
+        from colbert_ray.fixtures import ensure_fixture
+        from colbert_ray.pipelines.build import build_index
+        from colbert_ray.pipelines.search import search_table
+
+        root = str(tmp_path)
+        corpus_dir, queries_path = ensure_fixture(root, 80, 4)
+        idx = os.path.join(root, "index")
+        build_index(corpus_dir, idx,
+                    EngineConfig(salt_max_run=30, num_term_partitions=4))
+        qt = pq.read_table(queries_path)
+        p = str(tmp_path / "q.jsonl")
+        with open(p, "w") as f:
+            for qid, q in zip(qt.column("qid").to_pylist(),
+                              qt.column("query").to_pylist()):
+                f.write(_json.dumps({"qid": qid, "question": q,
+                                     "answers": ["x"]}) + "\n")
+        want = search_table(qt, idx, k=5, with_sha=False).to_pandas()
+        got = search_table(
+            readers.read_queries(p).select_columns(["qid", "query"]),
+            idx, k=5, with_sha=False).to_pandas()
+        pd.testing.assert_frame_equal(
+            got.sort_values(["qid", "rank"]).reset_index(drop=True),
+            want.sort_values(["qid", "rank"]).reset_index(drop=True))

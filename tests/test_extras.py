@@ -412,3 +412,32 @@ class TestCleanCorpusPipeline:
         assert out["n_docs"][0] == 2
         assert out["total_tokens"][0] == 22
         assert out["avg_tokens"][0] == pytest.approx(11.0)
+
+
+class TestRepetitionStats:
+    def test_handcrafted_fractions(self):
+        """dup fractions against hand-computed values: 'x x x y' has 4
+        tokens / 2 distinct (dup_word 0.5) and bigrams [x x, x x, x y] ->
+        3 total / 2 distinct (dup_2gram 1/3); single-token and empty docs
+        report 0.0 for both."""
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": pa.array(["x x x y", "ab cd ab cd", "solo", ""]),
+        })
+        df = (x_text.repetition_stats(ray.data.from_arrow(t))
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert df["n_tokens"].tolist() == [4, 4, 1, 0]
+        np.testing.assert_allclose(
+            df["dup_word_frac"].to_numpy(), [0.5, 0.5, 0.0, 0.0])
+        # doc1 bigrams: [ab cd, cd ab, ab cd] -> 3 total, 2 distinct
+        np.testing.assert_allclose(
+            df["dup_2gram_frac"].to_numpy(), [1 / 3, 1 / 3, 0.0, 0.0])
+
+    def test_no_repetition_is_zero(self):
+        t = pa.table({
+            "doc_id": pa.array([0], type=pa.int64()),
+            "text": pa.array(["alpha beta gamma delta"]),
+        })
+        df = x_text.repetition_stats(ray.data.from_arrow(t)).to_pandas()
+        assert df["dup_word_frac"].iloc[0] == 0.0
+        assert df["dup_2gram_frac"].iloc[0] == 0.0
