@@ -160,7 +160,13 @@ def _write_chunk(out_dir: str, k: int, lo: int, n: int, seed: int,
                  files_per_part: int, token_scale: int, part_base: int) -> None:
     """Generate one independent chunk and write its part files. Chunk seeds
     are derived deterministically; ``index_offset`` keeps (repo, path)
-    globally unique across chunks."""
+    globally unique across chunks. Chunks are resumable: a completed chunk
+    leaves a ``_chunk_NNN.done`` marker and is skipped on rerun (generation
+    is deterministic, so a partial chunk is simply rewritten) — an
+    interrupted multi-hour sf1 generation keeps its finished chunks."""
+    marker = os.path.join(out_dir, f"_chunk_{k:03d}.done")
+    if os.path.exists(marker):
+        return
     t = generate_corpus(n, seed if k == 0 else seed + 7919 * k,
                         token_scale=token_scale, index_offset=lo)
     for j, lo2 in enumerate(range(0, t.num_rows, files_per_part)):
@@ -169,6 +175,8 @@ def _write_chunk(out_dir: str, k: int, lo: int, n: int, seed: int,
             os.path.join(out_dir, f"part-{part_base + j:05d}.parquet"),
             compression="zstd",
         )
+    with open(marker, "w") as f:
+        f.write("ok")
 
 
 def write_corpus(out_dir: str, n_files: int, seed: int = 42,
