@@ -246,12 +246,14 @@ def _q_passage_bm25_top5(sf_dir: str) -> pd.DataFrame:
          "query": pa.array([t for _, t in QUERY_SET], type=pa.string())})
     # max-passage INSIDE the scorer (parent_base): every matching passage
     # is scored exactly, the per-parent max is reduced in the actor, and
-    # only the top-64 PARENTS per query leave it — bounded output at any
-    # corpus size (replaces the r3 k=10^6 full-match materialization).
-    # 64 >> 5 absorbs the driver's rounded re-rank at the k=5 boundary:
-    # a parent below unrounded rank 64 would need ranks 5..64 to round to
-    # ONE 6-dp value to matter, impossible with BM25's score spread here.
-    res = search_table(qt, idx, k=64, with_sha=False,
+    # only the top-k PARENTS per query leave it — bounded output at any
+    # corpus size (replaces the r3 k=10^6 full-match materialization,
+    # which returned EVERY passage row). k=10_000 parents is a constant
+    # bound that (a) covers every parent at driver-gate scales (sf0.01 has
+    # 500 docs, sf0.1 has 5000), so the engine's unrounded cut can never
+    # drop a parent the oracle's 6-dp rounded re-rank would promote, and
+    # (b) stays a tiny fixed row count per query at 100-TB scale.
+    res = search_table(qt, idx, k=10_000, with_sha=False,
                        parent_base=PASSAGE_PID_BASE).to_pandas()
     # docid is already the parent; score = best passage score (M12 + K7)
     doc = res[["qid", "docid", "score"]]

@@ -229,13 +229,13 @@ def repetition_stats(ds: "ray.data.Dataset", text_col: str = "text",
         return np.bincount(p_s[new], minlength=n).astype(np.int64)
 
     def fn(batch: pa.Table) -> pa.Table:
+        from colbert_ray.functions.tokenizer import _flatten_tokens
+
         toks = tokenize_column(batch.column(text_col), cfg)
-        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        flat_a = toks.flatten()
-        lens = pc.utf8_length(flat_a).to_numpy(zero_copy_only=False)
-        keep = (lens >= cfg.min_token_len) & (lens <= cfg.max_token_len)
-        parents = parents[keep].astype(np.int64)
-        flat = flat_a.to_numpy(zero_copy_only=False)[keep]
+        # one shared filtered flatten (keeps this operator in lockstep with
+        # the index tokenization and its SQL twin)
+        parents, flat = _flatten_tokens(toks, cfg)
+        parents = parents.astype(np.int64)
         n = batch.num_rows
         n_tokens = np.bincount(parents, minlength=n).astype(np.int64)
         d_words = _distinct_per_doc(parents, flat, n)

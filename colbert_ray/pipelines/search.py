@@ -375,10 +375,32 @@ def search_sharded(
 
     with open(os.path.join(index_dir, "metadata.json")) as f:
         n_docs_total = int(json.load(f)["n_docs"])
-    # range by max docid incl. delta appends
-    from colbert_ray.state.decoded import DecodedIndex  # noqa: F401  (doc ref)
-
+    # shard bounds must span the DOCID SPACE, not the row count: an index
+    # built with an explicit docid_col (e.g. pid = parent*base + idx for
+    # passage corpora) is sparse, and n_docs-based bounds would route ~all
+    # postings to the +inf last shard. The serve artifact's doclens length
+    # is max_docid+1 (an O(header) mmap open); fall back to docmeta
+    # row-group stats, then to n_docs.
     hi = max(n_docs_total, 1)
+    from colbert_ray.state import serve as _serve
+
+    try:
+        if _serve.serve_valid(index_dir):
+            import numpy as _np
+
+            dl = _np.load(os.path.join(index_dir, _serve.SERVE_DIR,
+                                       _serve.ARRAY_FILES["doclens"]),
+                          mmap_mode="r")
+            hi = max(hi, int(dl.shape[0]))
+        else:
+            import glob as _glob
+
+            mf = sorted(_glob.glob(
+                os.path.join(index_dir, "docmeta", "*.parquet")))
+            if mf:
+                hi = max(hi, _serve._max_docid_from_stats(mf) + 1)
+    except OSError:
+        pass
     # equal-width ranges over the base corpus; the LAST shard's upper bound
     # is +inf so delta-appended docids (> n_docs) route there instead of
     # falling outside every shard

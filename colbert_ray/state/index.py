@@ -48,10 +48,13 @@ class BM25Scorer:
                  parent_base: int | None = None):
         from colbert_ray.state.decoded import DecodedIndex
 
-        if parent_base is not None and with_sha:
-            raise ValueError(
-                "parent_base returns PARENT ids (docid // parent_base), "
-                "which have no content sha — pass with_sha=False")
+        if parent_base is not None:
+            if with_sha:
+                raise ValueError(
+                    "parent_base returns PARENT ids (docid // parent_base), "
+                    "which have no content sha — pass with_sha=False")
+            if int(parent_base) < 1:
+                raise ValueError(f"parent_base must be >= 1, got {parent_base}")
 
         if index_ref is not None:
             import ray as _ray
@@ -449,8 +452,8 @@ class BM25Scorer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = batch.column("qid").to_pylist()
         texts = batch.column("query").to_pylist()
-        score_fn = (self.score_query_parent_max if self.parent_base
-                    else self.score_query)
+        score_fn = (self.score_query_parent_max
+                    if self.parent_base is not None else self.score_query)
         out_qid, out_docid, out_rank, out_score = [], [], [], []
         for qid, text in zip(qids, texts):
             d, s, rk = score_fn(text)
