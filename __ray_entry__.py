@@ -492,6 +492,26 @@ def _q_events_sliding_3h(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def _q_purchase_attribution(sf_dir: str) -> pd.DataFrame:
+    """Backward as-of join (extras/relational.asof_join): every purchase
+    attributed to the user's most recent strictly-prior click — single
+    co-group shuffle + per-key vectorized searchsorted."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    ds = x_rel.purchase_attribution(ev)
+    return (ds.to_pandas()
+            .sort_values(["user_id", "event_id"]).reset_index(drop=True))
+
+
+def _q_click_conversions(sf_dir: str) -> pd.DataFrame:
+    """Banded range join (extras/relational.range_join): all click→purchase
+    pairs of the same user within 24h, pair expansion fully vectorized."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    ds = x_rel.click_conversions(ev, window_hours=24)
+    return (ds.to_pandas()
+            .sort_values(["user_id", "click_event_id", "purchase_event_id"])
+            .reset_index(drop=True))
+
+
 def _q_retrieval_metrics(sf_dir: str) -> pd.DataFrame:
     """MRR@10 / Recall@10 / Success@{1,5} of the BM25 ranking against
     rule-derived qrels (a doc is relevant to a query iff it contains ALL the
@@ -724,6 +744,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_sessions": _q_event_sessions,
         "user_value_quantiles": _q_user_value_quantiles,
         "events_sliding_3h": _q_events_sliding_3h,
+        "purchase_attribution": _q_purchase_attribution,
+        "click_conversions": _q_click_conversions,
         "simhash64": _q_simhash,
         "fingerprints": _q_fingerprints,
         "lang_id_pred": _q_lang_id,
@@ -1459,6 +1481,25 @@ SELECT user_id, session_id,
        count(*) AS n_events
 FROM s GROUP BY user_id, session_id
 ORDER BY user_id, session_id
+""",
+        "purchase_attribution": """
+SELECT e.user_id, e.event_id, e.ts,
+       c.event_id AS click_event_id, c.ts AS click_ts,
+       (epoch_us(e.ts) - epoch_us(c.ts)) AS lag_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND e.ts > c.ts
+ORDER BY e.user_id, e.event_id
+""",
+        "click_conversions": """
+SELECT a.user_id, a.event_id AS click_event_id,
+       b.event_id AS purchase_event_id,
+       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 24 HOUR
+ORDER BY a.user_id, click_event_id, purchase_event_id
 """,
         "events_hourly": """
 SELECT user_id,

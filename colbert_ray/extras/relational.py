@@ -213,6 +213,235 @@ def sessionize(events: "ray.data.Dataset",
             .map_groups(sessions, batch_format="pandas"))
 
 
+def _tag_side(ds: "ray.data.Dataset", *, by: str, ts_col: str, side: int,
+              left_payload: dict, right_payload: dict,
+              row_filter=None) -> "ray.data.Dataset":
+    """Map one join side onto the harmonized co-group schema
+    ``(by, __ts_us, __side, *left_payload, *right_payload)`` — the other
+    side's payload columns are typed nulls, so the two sides union into one
+    Dataset and co-locate with a SINGLE groupby(by) shuffle. Column order is
+    canonical (left payload then right payload on BOTH sides) so the union
+    schemas are identical."""
+    own = left_payload if side == 0 else right_payload
+
+    def tag(b: pa.Table) -> pa.Table:
+        if row_filter is not None:
+            b = row_filter(b)
+        n = b.num_rows
+        cols = {by: b.column(by)}
+        cols["__ts_us"] = b.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+        cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
+        for name, (src, typ) in {**left_payload, **right_payload}.items():
+            cols[name] = (b.column(src).cast(typ) if name in own
+                          else pa.nulls(n, typ))
+        return pa.table(cols)
+
+    return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _cogroup_schema(g: pa.Table, by: str, left_payload: dict,
+                    right_payload: dict) -> pa.Schema:
+    fields = [g.schema.field(by)]
+    for name, (_s, typ) in {**left_payload, **right_payload}.items():
+        fields.append(pa.field(name, typ))
+    return pa.schema(fields)
+
+
+def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
+              by: str, left_on: str, right_on: str,
+              left_payload: dict, right_payload: dict,
+              strict: bool = True,
+              left_filter=None, right_filter=None) -> "ray.data.Dataset":
+    """Backward as-of join: each left row is matched to the single most
+    recent right row of the same ``by`` key with ``right_on < left_on``
+    (``<=`` when ``strict=False``); unmatched left rows are dropped (inner
+    semantics, DuckDB ``ASOF JOIN``-equivalent).
+
+    ``left_payload`` / ``right_payload`` map OUTPUT column name ->
+    ``(source column, pyarrow type)`` for what each side carries through.
+
+    Scale shape: Ray Data has no native as-of join, and expressing it as an
+    inequality ``Dataset.join`` + argmax would materialize every
+    (left, all-prior-right) pair. Instead both sides are tagged onto one
+    harmonized schema and co-grouped with a SINGLE ``groupby(by)`` shuffle;
+    inside each group one vectorized ``np.searchsorted`` resolves every left
+    row at once. Only (by, ts, payload) columns ride the exchange — never
+    full rows. Partitioning assumption: one key's rows fit in a worker
+    (same bound as sessionize/quantiles above).
+
+    Determinism: among right rows with EQUAL timestamps the one with the
+    greatest first-payload value wins (lexsort tie-break); the driver-gate
+    events table has no (user, ts) duplicates, so the oracle cannot diverge.
+    """
+    assert not set(left_payload) & set(right_payload), "payload names must be disjoint"
+    tagged = _tag_side(left, by=by, ts_col=left_on, side=0,
+                       left_payload=left_payload, right_payload=right_payload,
+                       row_filter=left_filter).union(
+        _tag_side(right, by=by, ts_col=right_on, side=1,
+                  left_payload=left_payload, right_payload=right_payload,
+                  row_filter=right_filter))
+
+    def per_key(g: pa.Table) -> pa.Table:
+        out_schema = _cogroup_schema(g, by, left_payload, right_payload)
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        lt = g.filter(pa.array(side == 0))
+        rt = g.filter(pa.array(side == 1))
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return out_schema.empty_table()
+        rts = rt.column("__ts_us").to_numpy(zero_copy_only=False)
+        tie = rt.column(next(iter(right_payload))).to_numpy(zero_copy_only=False)
+        try:
+            order = np.lexsort((tie, rts))
+        except TypeError:  # non-sortable payload dtype: ts-only (data has no ties)
+            order = np.argsort(rts, kind="stable")
+        rt = rt.take(pa.array(order))
+        rts = rts[order]
+        lts = lt.column("__ts_us").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(rts, lts, side="left" if strict else "right") - 1
+        hit = idx >= 0
+        lt = lt.filter(pa.array(hit))
+        picks = pa.array(idx[hit])
+        cols = {by: lt.column(by)}
+        for name in left_payload:
+            cols[name] = lt.column(name)
+        for name in right_payload:
+            cols[name] = rt.column(name).take(picks)
+        return pa.table(cols, schema=out_schema)
+
+    return tagged.groupby(by).map_groups(per_key, batch_format="pyarrow")
+
+
+def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
+               by: str, left_on: str, right_on: str,
+               left_payload: dict, right_payload: dict,
+               lower_us: int, upper_us: int,
+               strict_lower: bool = True, strict_upper: bool = False,
+               left_filter=None, right_filter=None) -> "ray.data.Dataset":
+    """Banded range (interval) join: all pairs of same-``by`` rows whose time
+    gap ``right_on - left_on`` lies in ``(lower_us, upper_us]`` (bound
+    strictness configurable). Payload dicts as in :func:`asof_join`.
+
+    Scale shape: same single-shuffle co-group as :func:`asof_join` — the
+    quadratic-blowup hazard of an inequality join is contained per key, and
+    within a group matching is two vectorized ``searchsorted`` calls per side
+    plus a repeat/arange pair expansion (no Python loop). Output size is the
+    true number of in-band pairs, never the per-key cross product."""
+    assert not set(left_payload) & set(right_payload), "payload names must be disjoint"
+    tagged = _tag_side(left, by=by, ts_col=left_on, side=0,
+                       left_payload=left_payload, right_payload=right_payload,
+                       row_filter=left_filter).union(
+        _tag_side(right, by=by, ts_col=right_on, side=1,
+                  left_payload=left_payload, right_payload=right_payload,
+                  row_filter=right_filter))
+
+    def per_key(g: pa.Table) -> pa.Table:
+        out_schema = _cogroup_schema(g, by, left_payload, right_payload)
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        lt = g.filter(pa.array(side == 0))
+        rt = g.filter(pa.array(side == 1))
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return out_schema.empty_table()
+        lts = lt.column("__ts_us").to_numpy(zero_copy_only=False)
+        lorder = np.argsort(lts, kind="stable")
+        lt = lt.take(pa.array(lorder))
+        lts = lts[lorder]
+        rts = rt.column("__ts_us").to_numpy(zero_copy_only=False)
+        # gap = r - l in (lower, upper]  <=>  l in [r-upper, r-lower)
+        lo = np.searchsorted(lts, rts - upper_us,
+                             side="right" if strict_upper else "left")
+        hi = np.searchsorted(lts, rts - lower_us,
+                             side="left" if strict_lower else "right")
+        counts = np.maximum(hi - lo, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return out_schema.empty_table()
+        r_idx = np.repeat(np.arange(len(rts)), counts)
+        offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        l_idx = (np.arange(total) - np.repeat(offsets, counts)
+                 + np.repeat(lo, counts))
+        lpick, rpick = pa.array(l_idx), pa.array(r_idx)
+        cols = {by: lt.column(by).take(lpick)}
+        for name in left_payload:
+            cols[name] = lt.column(name).take(lpick)
+        for name in right_payload:
+            cols[name] = rt.column(name).take(rpick)
+        return pa.table(cols, schema=out_schema)
+
+    return tagged.groupby(by).map_groups(per_key, batch_format="pyarrow")
+
+
+def purchase_attribution(events: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Attribute every purchase event to the user's most recent STRICTLY
+    prior click (backward as-of join, the named custom-operator example);
+    emits ``(user_id, event_id, ts, click_event_id, click_ts, lag_us)``."""
+    ts_us = pa.timestamp("us")
+
+    def typed(kind: str):
+        def f(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return b.filter(pc.equal(b.column("event_type"), kind))
+        return f
+
+    joined = asof_join(
+        events.select_columns(["event_id", "user_id", "ts", "event_type"]),
+        events.select_columns(["event_id", "user_id", "ts", "event_type"]),
+        by="user_id", left_on="ts", right_on="ts",
+        left_payload={"event_id": ("event_id", pa.int64()),
+                      "ts": ("ts", ts_us)},
+        right_payload={"click_event_id": ("event_id", pa.int64()),
+                       "click_ts": ("ts", ts_us)},
+        strict=True,
+        left_filter=typed("purchase"), right_filter=typed("click"))
+
+    def lag(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        d = pc.subtract(b.column("ts").cast(pa.int64()),
+                        b.column("click_ts").cast(pa.int64()))
+        return b.append_column("lag_us", d)
+
+    return joined.map_batches(lag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def click_conversions(events: "ray.data.Dataset",
+                      window_hours: int = 24) -> "ray.data.Dataset":
+    """Click→purchase conversion pairs within ``window_hours`` (banded range
+    join): every (click, later purchase) pair of the same user with
+    ``0 < purchase.ts - click.ts <= window``; emits
+    ``(user_id, click_event_id, purchase_event_id, gap_us)``."""
+    ts_us = pa.timestamp("us")
+
+    def typed(kind: str):
+        def f(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return b.filter(pc.equal(b.column("event_type"), kind))
+        return f
+
+    joined = range_join(
+        events.select_columns(["event_id", "user_id", "ts", "event_type"]),
+        events.select_columns(["event_id", "user_id", "ts", "event_type"]),
+        by="user_id", left_on="ts", right_on="ts",
+        left_payload={"click_event_id": ("event_id", pa.int64()),
+                      "click_ts": ("ts", ts_us)},
+        right_payload={"purchase_event_id": ("event_id", pa.int64()),
+                       "purchase_ts": ("ts", ts_us)},
+        lower_us=0, upper_us=window_hours * 3_600_000_000,
+        strict_lower=True, strict_upper=False,
+        left_filter=typed("click"), right_filter=typed("purchase"))
+
+    def gap(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        d = pc.subtract(b.column("purchase_ts").cast(pa.int64()),
+                        b.column("click_ts").cast(pa.int64()))
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "click_event_id": b.column("click_event_id"),
+            "purchase_event_id": b.column("purchase_event_id"),
+            "gap_us": d,
+        })
+
+    return joined.map_batches(gap, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def events_sliding_window(events: "ray.data.Dataset",
                           hours: int = 3) -> "ray.data.Dataset":
     """SLIDING event-time window (hour-aligned, ``hours`` wide) per user via

@@ -441,3 +441,119 @@ class TestRepetitionStats:
         df = x_text.repetition_stats(ray.data.from_arrow(t)).to_pandas()
         assert df["dup_word_frac"].iloc[0] == 0.0
         assert df["dup_2gram_frac"].iloc[0] == 0.0
+
+
+class TestTemporalJoins:
+    """asof_join / range_join (extras/relational.py): the single-shuffle
+    co-group shapes, checked against naive per-row python oracles."""
+
+    @staticmethod
+    def _events(rows):
+        # rows: (event_id, user_id, minutes_offset, event_type)
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        m = np.timedelta64(60_000_000, "us")
+        return ray.data.from_arrow(pa.table({
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "ts": pa.array([base + r[2] * m for r in rows],
+                           type=pa.timestamp("us")),
+            "event_type": pa.array([r[3] for r in rows]),
+        }))
+
+    def test_asof_strict_backward_and_key_isolation(self):
+        from colbert_ray.extras.relational import purchase_attribution
+
+        ev = self._events([
+            (1, 1, 0, "click"),
+            (2, 1, 10, "click"),
+            (3, 1, 10, "purchase"),   # strict: must pick click@0, not @10
+            (4, 1, 30, "purchase"),   # picks click@10
+            (5, 2, 5, "purchase"),    # user 2 has no click -> dropped
+            (6, 3, 0, "click"),       # user 3 has no purchase -> no row
+        ])
+        out = (purchase_attribution(ev).to_pandas()
+               .sort_values("event_id").reset_index(drop=True))
+        assert out["event_id"].tolist() == [3, 4]
+        assert out["click_event_id"].tolist() == [1, 2]
+        assert out["lag_us"].tolist() == [10 * 60_000_000, 20 * 60_000_000]
+
+    def test_asof_tie_break_is_greatest_payload(self):
+        from colbert_ray.extras.relational import asof_join
+
+        # two clicks at the SAME timestamp: the greater event_id must win,
+        # deterministically, regardless of block order
+        ev = self._events([
+            (7, 1, 5, "click"),
+            (2, 1, 5, "click"),
+            (9, 1, 20, "purchase"),
+        ])
+
+        def typed(kind):
+            def f(b):
+                import pyarrow.compute as pc
+                return b.filter(pc.equal(b.column("event_type"), kind))
+            return f
+
+        out = asof_join(
+            ev, ev, by="user_id", left_on="ts", right_on="ts",
+            left_payload={"event_id": ("event_id", pa.int64())},
+            right_payload={"click_event_id": ("event_id", pa.int64())},
+            strict=True, left_filter=typed("purchase"),
+            right_filter=typed("click")).to_pandas()
+        assert out["click_event_id"].tolist() == [7]
+
+    def test_asof_non_strict_matches_equal_ts(self):
+        from colbert_ray.extras.relational import asof_join
+
+        ev = self._events([(1, 1, 10, "click"), (2, 1, 10, "purchase")])
+
+        def typed(kind):
+            def f(b):
+                import pyarrow.compute as pc
+                return b.filter(pc.equal(b.column("event_type"), kind))
+            return f
+
+        kw = dict(by="user_id", left_on="ts", right_on="ts",
+                  left_payload={"event_id": ("event_id", pa.int64())},
+                  right_payload={"click_event_id": ("event_id", pa.int64())},
+                  left_filter=typed("purchase"), right_filter=typed("click"))
+        assert asof_join(ev, ev, strict=True, **kw).count() == 0
+        nonstrict = asof_join(ev, ev, strict=False, **kw).to_pandas()
+        assert nonstrict["click_event_id"].tolist() == [1]
+
+    def test_range_join_bounds(self):
+        from colbert_ray.extras.relational import click_conversions
+
+        ev = self._events([
+            (1, 1, 0, "click"),
+            (2, 1, 0, "purchase"),            # gap 0: excluded (strict lower)
+            (3, 1, 24 * 60, "purchase"),      # gap = window: included
+            (4, 1, 24 * 60 + 1, "purchase"),  # gap > window: excluded
+        ])
+        out = click_conversions(ev, window_hours=24).to_pandas()
+        assert out["purchase_event_id"].tolist() == [3]
+        assert out["gap_us"].tolist() == [24 * 3_600_000_000]
+
+    def test_range_join_equals_naive_random(self):
+        from colbert_ray.extras.relational import click_conversions
+
+        rng = np.random.default_rng(11)
+        n = 400
+        rows = [(i, int(rng.integers(0, 5)), int(rng.integers(0, 3000)),
+                 str(rng.choice(["click", "purchase", "view"])))
+                for i in range(n)]
+        out = (click_conversions(self._events(rows), window_hours=6)
+               .to_pandas())
+        got = set(zip(out["click_event_id"], out["purchase_event_id"]))
+        W = 6 * 60  # minutes
+        want = {(a[0], b[0]) for a in rows for b in rows
+                if a[1] == b[1] and a[3] == "click" and b[3] == "purchase"
+                and 0 < b[2] - a[2] <= W}
+        assert got == want
+        # gaps exact
+        gap = dict(zip(zip(out["click_event_id"], out["purchase_event_id"]),
+                       out["gap_us"]))
+        for a in rows:
+            for b in rows:
+                if (a[0], b[0]) in want:
+                    assert gap[(a[0], b[0])] == (b[2] - a[2]) * 60_000_000
