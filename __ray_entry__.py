@@ -512,6 +512,26 @@ def _q_click_conversions(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def _q_hll_user_count(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog distinct users per event_type (extras/sketches.py —
+    mergeable-sketch shape: per-batch register partials, tiny groupby(reg)
+    shuffle, exact-integer harmonic fold). Hash-exact SQL twin."""
+    from colbert_ray.extras import sketches as x_sk
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    t = x_sk.hll_distinct(ev, "user_id", "event_type")
+    return (t.to_pandas().sort_values("event_type").reset_index(drop=True))
+
+
+def _q_hll_event_count(sf_dir: str) -> pd.DataFrame:
+    """Ungrouped HLL distinct event_id count — exercises the harmonic-mean
+    branch of the estimator (cardinality >> 2.5m at sf>=0.01)."""
+    from colbert_ray.extras import sketches as x_sk
+
+    ev = _read(sf_dir, "events", ["event_id"])
+    return x_sk.hll_distinct(ev, "event_id").to_pandas()
+
+
 def _q_retrieval_metrics(sf_dir: str) -> pd.DataFrame:
     """MRR@10 / Recall@10 / Success@{1,5} of the BM25 ranking against
     rule-derived qrels (a doc is relevant to a query iff it contains ALL the
@@ -746,6 +766,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_3h": _q_events_sliding_3h,
         "purchase_attribution": _q_purchase_attribution,
         "click_conversions": _q_click_conversions,
+        "hll_user_count": _q_hll_user_count,
+        "hll_event_count": _q_hll_event_count,
         "simhash64": _q_simhash,
         "fingerprints": _q_fingerprints,
         "lang_id_pred": _q_lang_id,
@@ -771,6 +793,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def _toks_expr() -> str:
     return sql_tokenize_expr("text", CFG)
+
+
+def _hll_sql(table: str, group_col: str | None = None) -> str:
+    """Exact DuckDB twin of extras/sketches.hll_distinct (same FNV+fmix64
+    hash, integer register fold, exact-integer harmonic denominator)."""
+    from colbert_ray.extras.sketches import sql_hll_distinct_expr
+
+    return sql_hll_distinct_expr(table=table, key_expr="k",
+                                 group_col=group_col)
 
 
 def _bm25_sql() -> str:
@@ -1501,6 +1532,11 @@ FROM events a JOIN events b
  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 24 HOUR
 ORDER BY a.user_id, click_event_id, purchase_event_id
 """,
+        "hll_user_count": _hll_sql(
+            "(SELECT event_type, CAST(user_id AS VARCHAR) AS k FROM events)",
+            group_col="event_type"),
+        "hll_event_count": _hll_sql(
+            "(SELECT CAST(event_id AS VARCHAR) AS k FROM events)"),
         "events_hourly": """
 SELECT user_id,
        (epoch_us(ts) // 3600000000) * 3600000000 AS window_start,

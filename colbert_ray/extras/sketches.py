@@ -1,0 +1,189 @@
+"""Mergeable sketches for cluster-scale approximate analytics.
+
+HyperLogLog distinct counting (Flajolet/Fusy/Gandouet/Meunier 2007): the
+canonical "partial per block → tiny merge" shape. Each ``map_batches`` task
+reduces its batch to at most ``groups x m`` register rows (m = 2^p, 1024 by
+default), the ONLY shuffle moves those partials (never keys), and the final
+per-group estimate folds 1024 registers on the driver-side of a tiny grouped
+result. At 100 TB the exchange volume is O(n_groups x m x n_blocks) ints —
+independent of row count and key cardinality.
+
+Determinism: the key hash is the repo's vectorized FNV-1a
+(``functions/hashing.py`` — plain modular arithmetic, so DuckDB reproduces
+it exactly), register folding is integer max, and the estimator's harmonic
+denominator is accumulated in EXACT integer arithmetic (Σ 2^(RHO_MAX-m) as a
+python int) so the float division happens ONCE on both the engine and SQL
+sides — the estimate is hash-exact SQL-twinnable, not just "approximately
+equal". Reference capability analog: corpus/statistics aggregation
+(reference colbert/indexing/collection_indexer.py statistics pass); the
+sketch itself is public-literature HLL.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Max
+
+from colbert_ray.functions.hashing import fmix64, fnv1a64_strings
+
+DEFAULT_P = 10                      # 1024 registers, ~3.25% rel. std. error
+
+
+def _alpha(m: int) -> float:
+    if m >= 128:
+        return 0.7213 / (1 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+
+
+def hll_estimate(registers: np.ndarray, p: int = DEFAULT_P) -> float:
+    """Fold one group's register vector (int64[m], 0 = empty) into the HLL
+    cardinality estimate, with the standard small-range linear-counting
+    correction. The harmonic sum Σ 2^-M_j is computed as an exact integer
+    Σ 2^(w_bits - M_j) (python int — exceeds int64 by design), so the
+    division is a single deterministic float64 op."""
+    m = 1 << p
+    w_bits = 64 - p
+    assert len(registers) == m
+    # exact integer denominator, scaled by 2^w_bits
+    denom_scaled = sum(int(1) << (w_bits - int(r)) for r in registers)
+    est = _alpha(m) * m * m * float(2 ** w_bits) / float(denom_scaled)
+    v = int(np.count_nonzero(registers == 0))
+    if est <= 2.5 * m and v > 0:
+        est = m * math.log(m / v)
+    return est
+
+
+def hll_partials(ds: "ray.data.Dataset", key_col: str,
+                 group_col: str | None = None,
+                 p: int = DEFAULT_P) -> "ray.data.Dataset":
+    """Per-batch HLL register partials ``(group?, reg, rho)`` — at most
+    ``n_groups_in_batch x m`` rows per batch regardless of batch size."""
+    w_bits = 64 - p
+    w_mask = np.uint64((1 << w_bits) - 1)
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b.column(key_col)
+        if not (pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type)):
+            keys = keys.cast(pa.string())
+        # fmix64 after FNV: raw FNV bits are not uniform for short keys,
+        # and the register index is a BIT FIELD of the hash — it needs
+        # full avalanche (functions/hashing.py fmix64)
+        h = fmix64(fnv1a64_strings(keys))
+        reg = (h >> np.uint64(w_bits)).astype(np.int64)
+        w = h & w_mask
+        # rho = leading-zero count of the w_bits window + 1
+        #     = w_bits - bit_length(w) + 1;  bit_length via log2 is UNSAFE
+        # for w >= 2^53, so compute it by exponent extraction on uint64
+        bl = np.zeros(len(w), dtype=np.int64)
+        nz = w != 0
+        # float64 conversion is exact for the TOP bit position: compare
+        # against the power-of-two ladder instead of trusting log2 rounding
+        wv = w[nz]
+        bits = np.zeros(len(wv), dtype=np.int64)
+        for shift in (32, 16, 8, 4, 2, 1):
+            step = wv >= (np.uint64(1) << np.uint64(shift))
+            bits[step] += shift
+            wv = np.where(step, wv >> np.uint64(shift), wv)
+        bl[nz] = bits + 1
+        rho = (w_bits - bl + 1).astype(np.int64)
+        if group_col is None:
+            # dense per-batch combine: one register vector for the batch
+            regs = np.zeros(1 << p, dtype=np.int64)
+            np.maximum.at(regs, reg, rho)
+            used = np.flatnonzero(regs)
+            return pa.table({"reg": pa.array(used, type=pa.int64()),
+                             "rho": pa.array(regs[used], type=pa.int64())})
+        grp = b.column(group_col).to_numpy(zero_copy_only=False)
+        gu, gi = np.unique(grp, return_inverse=True)
+        regs = np.zeros((len(gu), 1 << p), dtype=np.int64)
+        np.maximum.at(regs, (gi, reg), rho)
+        gidx, ridx = np.nonzero(regs)
+        return pa.table({group_col: pa.array(gu[gidx]),
+                         "reg": pa.array(ridx.astype(np.int64)),
+                         "rho": pa.array(regs[gidx, ridx])})
+
+    return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hll_distinct(ds: "ray.data.Dataset", key_col: str,
+                 group_col: str | None = None,
+                 p: int = DEFAULT_P) -> "pa.Table":
+    """Approximate distinct ``key_col`` count (per ``group_col`` when given).
+
+    Returns a small Arrow table ``(group?, est_distinct, n_used_registers)``
+    — est_distinct rounded to 4 decimals (repo float policy)."""
+    parts = hll_partials(ds, key_col, group_col, p)
+    gcols = ([group_col] if group_col else []) + ["reg"]
+    folded = parts.groupby(gcols).aggregate(Max("rho", alias_name="rho"))
+
+    # the folded register table is <= n_groups x m rows — driver-small
+    t = folded.to_pandas()
+    m = 1 << p
+    out_g, out_e, out_u = [], [], []
+    for gval, sub in (t.groupby(group_col) if group_col
+                      else [(None, t)]):
+        regs = np.zeros(m, dtype=np.int64)
+        regs[sub["reg"].to_numpy()] = sub["rho"].to_numpy()
+        out_g.append(gval)
+        out_e.append(round(hll_estimate(regs, p), 4))
+        out_u.append(len(sub))
+    cols = {}
+    if group_col:
+        cols[group_col] = pa.array(out_g)
+    cols["est_distinct"] = pa.array(out_e, type=pa.float64())
+    cols["n_used_registers"] = pa.array(out_u, type=pa.int64())
+    return pa.table(cols)
+
+
+def sql_hll_distinct_expr(*, table: str, key_expr: str,
+                          group_col: str | None = None,
+                          p: int = DEFAULT_P) -> str:
+    """DuckDB twin of :func:`hll_distinct` — same FNV hash, same integer
+    register fold, same exact-integer harmonic denominator, same
+    linear-counting branch; estimate rounded to 4 decimals."""
+    from colbert_ray.functions.hashing import sql_fmix64_expr, sql_fnv1a64_expr
+
+    m = 1 << p
+    w_bits = 64 - p
+    alpha = _alpha(m)
+    fnv = sql_fnv1a64_expr(key_expr)
+    gsel = f"{group_col}, " if group_col else ""
+    gby = f"GROUP BY {group_col}" if group_col else ""
+    gord = f"ORDER BY {group_col}" if group_col else ""
+    # bit_length(w) in exact integer arithmetic: count powers of two <= w
+    return f"""
+WITH h0 AS (SELECT {gsel}{fnv} AS x FROM {table}),
+h AS (SELECT {gsel}{sql_fmix64_expr('x')} AS h FROM h0),
+r AS (SELECT {gsel}(h // {1 << w_bits}::HUGEINT)::BIGINT AS reg,
+             h % {1 << w_bits}::HUGEINT AS w
+      FROM h),
+pw(b) AS (SELECT unnest(generate_series(0, {w_bits - 1}))),
+rho AS (SELECT {gsel}reg,
+               -- rho = w_bits - bit_length(w) + 1; bit_length via the
+               -- power ladder (exact integers, no float log2)
+               max(CASE WHEN w = 0 THEN {w_bits + 1}
+                        ELSE {w_bits} + 1 - (SELECT count(*) FROM pw
+                                             WHERE (2::HUGEINT ** pw.b) <= r.w)::BIGINT
+                   END) AS rho
+        FROM r GROUP BY {gsel}reg),
+est AS (SELECT {gsel}
+               count(*) AS n_used,
+               -- ** yields DOUBLE; terms are 2^k, k <= {w_bits} (exact in
+               -- float64) — cast back so the SUM itself is exact HUGEINT
+               sum(CAST(2 ** ({w_bits} - rho) AS HUGEINT)) AS denom_used
+        FROM rho {gby})
+SELECT {gsel}
+       CASE WHEN {alpha!r}::DOUBLE * {m} * {m} * {2 ** w_bits}::DOUBLE /
+                 (denom_used + ({m} - n_used) * {1 << w_bits}::HUGEINT)::DOUBLE
+                 <= 2.5 * {m} AND n_used < {m}
+            THEN round({m} * ln({m}::DOUBLE / ({m} - n_used)), 4)
+            ELSE round({alpha!r}::DOUBLE * {m} * {m} * {2 ** w_bits}::DOUBLE /
+                       (denom_used + ({m} - n_used) * {1 << w_bits}::HUGEINT)::DOUBLE, 4)
+       END AS est_distinct,
+       n_used AS n_used_registers
+FROM est {gord}
+"""

@@ -89,3 +89,61 @@ def sql_fnv1a64_expr(term_expr: str) -> str:
         f"xor((a % 256)::BIGINT, x::BIGINT)::HUGEINT) * "
         f"{int(FNV_PRIME)}::HUGEINT) % {U64_MOD}::HUGEINT))"
     )
+
+
+# ---------------------------------------------------------------------------
+# murmur3 64-bit finalizer (public-domain avalanche mixer)
+# ---------------------------------------------------------------------------
+# FNV-1a's raw bits are NOT uniformly distributed for short keys (the top
+# bits in particular barely avalanche), which breaks any consumer that
+# splits the hash into bit fields (HLL registers, LSH bands). fmix64 gives
+# full avalanche and is plain modular arithmetic + xorshift, so the DuckDB
+# oracle reproduces it exactly.
+
+_FMIX_C1 = np.uint64(0xFF51AFD7ED558CCD)
+_FMIX_C2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+
+def fmix64(h: np.ndarray) -> np.ndarray:
+    """Vectorized murmur3 fmix64 over a uint64 array."""
+    h = h.astype(np.uint64, copy=True)
+    h ^= h >> np.uint64(33)
+    h *= _FMIX_C1
+    h ^= h >> np.uint64(33)
+    h *= _FMIX_C2
+    h ^= h >> np.uint64(33)
+    return h
+
+
+def _sql_xorshift33(expr: str) -> str:
+    """DuckDB HUGEINT twin of ``x ^ (x >> 33)`` for 0 <= x < 2^64.
+
+    ``x >> 33`` < 2^31, so the xor touches only the low 31 bits — both xor
+    operands fit in BIGINT where DuckDB's ``xor`` is defined."""
+    return (
+        f"((({expr}) // {1 << 31}::HUGEINT) * {1 << 31}::HUGEINT"
+        f" + xor((({expr}) % {1 << 31}::HUGEINT)::BIGINT,"
+        f" (({expr}) // {1 << 33}::HUGEINT)::BIGINT)::HUGEINT)"
+    )
+
+
+def _sql_mulmod64(expr: str, c: int) -> str:
+    """DuckDB twin of ``(x * c) mod 2^64``. HUGEINT is INT128, so the naive
+    product of two ~2^64 values overflows; split the constant into 32-bit
+    halves — every intermediate stays < 2^97."""
+    c_hi, c_lo = c >> 32, c & 0xFFFFFFFF
+    return (
+        f"((({expr}) * {c_lo}::HUGEINT"
+        f" + ((({expr}) * {c_hi}::HUGEINT) % {1 << 32}::HUGEINT)"
+        f" * {1 << 32}::HUGEINT) % {U64_MOD}::HUGEINT)"
+    )
+
+
+def sql_fmix64_expr(expr: str) -> str:
+    """DuckDB expression computing ``fmix64`` of a HUGEINT in [0, 2^64)."""
+    s = _sql_xorshift33(expr)
+    s = _sql_mulmod64(s, int(_FMIX_C1))
+    s = _sql_xorshift33(s)
+    s = _sql_mulmod64(s, int(_FMIX_C2))
+    s = _sql_xorshift33(s)
+    return s

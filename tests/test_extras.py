@@ -557,3 +557,66 @@ class TestTemporalJoins:
             for b in rows:
                 if (a[0], b[0]) in want:
                     assert gap[(a[0], b[0])] == (b[2] - a[2]) * 60_000_000
+
+
+class TestHLLSketch:
+    """HyperLogLog distinct counting (extras/sketches.py): accuracy vs exact,
+    mergeability (batch-size invariance), and the fmix64 avalanche twin."""
+
+    def test_fmix64_reference_vector_and_sql_twin(self):
+        import duckdb
+
+        from colbert_ray.functions.hashing import fmix64, sql_fmix64_expr
+
+        # murmur3 fmix64(1) public test vector
+        assert int(fmix64(np.array([1], dtype=np.uint64))[0]) == 0xB456BCFC34C2CB2C
+        rng = np.random.default_rng(7)
+        vals = np.concatenate([
+            np.array([0, 1, 2**63, 2**64 - 1], dtype=np.uint64),
+            rng.integers(0, 2**64, 12, dtype=np.uint64)])
+        want = fmix64(vals)
+        con = duckdb.connect()
+        for v, w in zip(vals, want):
+            got = con.sql(
+                f"select {sql_fmix64_expr(f'{int(v)}::HUGEINT')}").fetchone()[0]
+            assert int(got) == int(w)
+
+    def test_accuracy_and_batch_size_invariance(self):
+        from colbert_ray.extras.sketches import hll_distinct
+
+        n = 20_000
+        keys = pa.array([f"key-{i}" for i in range(n)])
+        t = pa.table({"k": keys})
+        est1 = hll_distinct(ray.data.from_arrow(t), "k")
+        # different block structure -> same registers -> IDENTICAL estimate
+        est2 = hll_distinct(
+            ray.data.from_arrow(t).repartition(7), "k")
+        e1 = est1.column("est_distinct")[0].as_py()
+        e2 = est2.column("est_distinct")[0].as_py()
+        assert e1 == e2
+        assert abs(e1 - n) / n < 0.1  # p=10 -> ~3.25% sigma
+
+    def test_grouped_matches_per_group(self):
+        from colbert_ray.extras.sketches import hll_distinct
+
+        t = pa.table({
+            "g": pa.array(["a"] * 300 + ["b"] * 50),
+            "k": pa.array([f"u{i % 97}" for i in range(300)]
+                          + [f"v{i}" for i in range(50)]),
+        })
+        grouped = (hll_distinct(ray.data.from_arrow(t), "k", "g")
+                   .to_pandas().sort_values("g").reset_index(drop=True))
+        for i, g in enumerate(["a", "b"]):
+            sub = t.filter(pa.compute.equal(t.column("g"), g))
+            solo = hll_distinct(ray.data.from_arrow(sub), "k")
+            assert grouped["est_distinct"][i] == solo.column("est_distinct")[0].as_py()
+            assert grouped["n_used_registers"][i] == solo.column("n_used_registers")[0].as_py()
+
+    def test_duplicates_do_not_move_estimate(self):
+        from colbert_ray.extras.sketches import hll_distinct
+
+        base = pa.table({"k": pa.array([f"x{i}" for i in range(500)])})
+        dup = pa.table({"k": pa.array([f"x{i % 500}" for i in range(5000)])})
+        e1 = hll_distinct(ray.data.from_arrow(base), "k").column("est_distinct")[0].as_py()
+        e2 = hll_distinct(ray.data.from_arrow(dup), "k").column("est_distinct")[0].as_py()
+        assert e1 == e2
