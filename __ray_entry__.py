@@ -532,6 +532,37 @@ def _q_hll_event_count(sf_dir: str) -> pd.DataFrame:
     return x_sk.hll_distinct(ev, "event_id").to_pandas()
 
 
+SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SAMPLE_RATE = 0.2
+
+
+def _q_hash_sample_docs(sf_dir: str) -> pd.DataFrame:
+    """Deterministic hash-gate sampling (extras/sampling.hash_sample):
+    reproducible at any parallelism, no shuffle; decisions are integer
+    hash compares so the SQL twin is bit-exact."""
+    from colbert_ray.extras import sampling as x_samp
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    ds = x_samp.hash_sample(docs, "doc_id", SAMPLE_RATE)
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_doc_split_counts(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val/test assignment (extras/sampling.hash_split)
+    + per-split count — exact disjoint partitions of the key space."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from colbert_ray.extras import sampling as x_samp
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    tagged = x_samp.hash_split(docs, "doc_id", SPLIT_FRACTIONS)
+    df = (tagged.groupby("split").aggregate(Count(alias_name="n_docs"))
+          .to_pandas().sort_values("split").reset_index(drop=True))
+    df["n_docs"] = df["n_docs"].astype(np.int64)
+    return df
+
+
 def _q_retrieval_metrics(sf_dir: str) -> pd.DataFrame:
     """MRR@10 / Recall@10 / Success@{1,5} of the BM25 ranking against
     rule-derived qrels (a doc is relevant to a query iff it contains ALL the
@@ -768,6 +799,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_conversions": _q_click_conversions,
         "hll_user_count": _q_hll_user_count,
         "hll_event_count": _q_hll_event_count,
+        "hash_sample_docs": _q_hash_sample_docs,
+        "doc_split_counts": _q_doc_split_counts,
         "simhash64": _q_simhash,
         "fingerprints": _q_fingerprints,
         "lang_id_pred": _q_lang_id,
@@ -793,6 +826,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def _toks_expr() -> str:
     return sql_tokenize_expr("text", CFG)
+
+
+def _hash_sample_sql() -> str:
+    """Twin of extras/sampling.hash_sample — same integer hash gate."""
+    from colbert_ray.extras.sampling import sample_threshold, sql_key_hash_expr
+
+    h = sql_key_hash_expr("CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT doc_id FROM documents
+WHERE ({h}) <= {sample_threshold(SAMPLE_RATE)}::HUGEINT
+ORDER BY doc_id
+"""
+
+
+def _doc_split_sql() -> str:
+    """Twin of extras/sampling.hash_split + grouped count — the CASE ladder
+    uses the SAME cumulative integer edges (h < edge <=> h <= edge-1)."""
+    from colbert_ray.extras.sampling import _thresholds, sql_key_hash_expr
+
+    h = sql_key_hash_expr("CAST(doc_id AS VARCHAR)")
+    edges = _thresholds(SPLIT_FRACTIONS)
+    branches = "\n            ".join(
+        f"WHEN h <= {e - 1}::HUGEINT THEN '{lab}'" for lab, e in edges[:-1])
+    return f"""
+WITH h AS (SELECT ({h}) AS h FROM documents),
+tagged AS (SELECT CASE {branches}
+                       ELSE '{edges[-1][0]}' END AS split
+           FROM h)
+SELECT split, count(*) AS n_docs FROM tagged
+GROUP BY split ORDER BY split
+"""
 
 
 def _hll_sql(table: str, group_col: str | None = None) -> str:
@@ -1532,6 +1596,8 @@ FROM events a JOIN events b
  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 24 HOUR
 ORDER BY a.user_id, click_event_id, purchase_event_id
 """,
+        "hash_sample_docs": _hash_sample_sql(),
+        "doc_split_counts": _doc_split_sql(),
         "hll_user_count": _hll_sql(
             "(SELECT event_type, CAST(user_id AS VARCHAR) AS k FROM events)",
             group_col="event_type"),

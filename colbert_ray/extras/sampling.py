@@ -1,0 +1,107 @@
+"""Deterministic hash-based sampling and dataset splitting.
+
+The way a 100-TB pipeline samples is NOT ``random_sample`` (irreproducible
+across reruns/retries) but a pure function of a stable key: keep a row iff
+``mix(hash(key), seed) < rate * 2^64``. That makes samples (a) reproducible
+at any parallelism, (b) consistent across tables sharing the key, and
+(c) disjoint/composable for train/val/test splits. Embarrassingly parallel —
+a stateless ``map_batches`` filter, no shuffle, no driver state.
+
+Hash = FNV-1a of the key string + seed, finalized with murmur3 fmix64
+(``functions/hashing.py``) — plain modular arithmetic, so the DuckDB oracle
+reproduces decisions bit-exactly (thresholds are embedded as the SAME
+integer on both sides; no float comparison ever happens in the filter).
+Reference capability analog: deterministic pid sampling / heldout splits
+(reference ``utility/utils/save_metadata.py`` sampling helpers and the
+msmarco dev-split tooling); the hash-gate design itself is standard public
+practice.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from colbert_ray.functions.hashing import (
+    U64_MOD,
+    fmix64,
+    fnv1a64_strings,
+    sql_fmix64_expr,
+    sql_fnv1a64_expr,
+)
+
+
+def _thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
+    """Cumulative integer bucket edges: label i owns [edge_{i-1}, edge_i).
+    Computed ONCE in python and embedded verbatim on both engine and SQL
+    sides — the float multiply happens here and nowhere else."""
+    total = sum(fractions.values())
+    if not 0.999999 <= total <= 1.000001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    edges, acc = [], 0.0
+    labels = list(fractions)
+    for lab in labels[:-1]:
+        acc += fractions[lab]
+        edges.append((lab, min(U64_MOD, int(acc * U64_MOD))))
+    edges.append((labels[-1], U64_MOD))
+    return edges
+
+
+def _key_hash(b: pa.Table, key_col: str, seed: int) -> np.ndarray:
+    keys = b.column(key_col)
+    if not (pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type)):
+        keys = keys.cast(pa.string())
+    h = fnv1a64_strings(keys)
+    if seed:
+        h = h + np.uint64(seed % U64_MOD)        # wraps mod 2^64
+    return fmix64(h)
+
+
+def sql_key_hash_expr(key_expr: str, seed: int = 0) -> str:
+    """DuckDB twin of the sampling hash (FNV + seed + fmix64)."""
+    h = sql_fnv1a64_expr(key_expr)
+    if seed:
+        h = f"(({h}) + {seed % U64_MOD}::HUGEINT) % {U64_MOD}::HUGEINT"
+    return sql_fmix64_expr(h)
+
+
+def sample_threshold(rate: float) -> int:
+    """The integer hash gate for ``rate`` — computed once, embedded verbatim
+    on both the engine and SQL sides (keep iff ``hash <= threshold``)."""
+    return min(U64_MOD - 1, int(rate * U64_MOD))
+
+
+def hash_sample(ds: "ray.data.Dataset", key_col: str, rate: float,
+                seed: int = 0) -> "ray.data.Dataset":
+    """Keep rows whose key-hash falls under ``rate`` — deterministic,
+    parallelism-invariant, and consistent across any table keyed the same
+    way. The integer threshold is fixed here; workers never do float math."""
+    thresh = np.uint64(sample_threshold(rate))
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(_key_hash(b, key_col, seed) <= thresh))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hash_split(ds: "ray.data.Dataset", key_col: str,
+               fractions: dict[str, float], seed: int = 0,
+               split_col: str = "split") -> "ray.data.Dataset":
+    """Append a deterministic split label (e.g. train/val/test): the key
+    hash is bucketed by cumulative integer edges, so the splits are exact
+    partitions — disjoint, exhaustive, and stable under any re-run,
+    re-partitioning or retry. Label i owns hashes in [edge_{i-1}, edge_i)."""
+    edges = _thresholds(fractions)
+    # h < edge  <=>  h <= edge-1; edge-1 <= 2^64-1 fits uint64 exactly, so
+    # the bucket lookup is ONE integer searchsorted (side='left' finds the
+    # first edge-1 >= h, i.e. the first edge > h)
+    edges_m1 = np.array([e - 1 for _l, e in edges], dtype=np.uint64)
+    labels = np.array([l for l, _e in edges])
+
+    def tag(b: pa.Table) -> pa.Table:
+        h = _key_hash(b, key_col, seed)
+        idx = np.searchsorted(edges_m1, h, side="left")
+        return b.append_column(split_col, pa.array(labels[idx]))
+
+    return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)

@@ -620,3 +620,61 @@ class TestHLLSketch:
         e1 = hll_distinct(ray.data.from_arrow(base), "k").column("est_distinct")[0].as_py()
         e2 = hll_distinct(ray.data.from_arrow(dup), "k").column("est_distinct")[0].as_py()
         assert e1 == e2
+
+
+class TestHashSampling:
+    """Deterministic hash sampling/splitting (extras/sampling.py)."""
+
+    def test_sample_deterministic_and_near_rate(self):
+        from colbert_ray.extras.sampling import hash_sample
+
+        t = pa.table({"k": pa.array([f"id-{i}" for i in range(10_000)])})
+        a = hash_sample(ray.data.from_arrow(t), "k", 0.25).to_pandas()
+        b = hash_sample(ray.data.from_arrow(t).repartition(9), "k", 0.25).to_pandas()
+        assert sorted(a["k"]) == sorted(b["k"])          # parallelism-invariant
+        assert abs(len(a) / 10_000 - 0.25) < 0.02        # gate is unbiased
+
+    def test_sample_subset_nesting(self):
+        """A 10% sample is a SUBSET of the 30% sample (same seed) — the gate
+        property that makes progressive sampling possible."""
+        from colbert_ray.extras.sampling import hash_sample
+
+        t = pa.table({"k": pa.array([f"id-{i}" for i in range(5_000)])})
+        small = set(hash_sample(ray.data.from_arrow(t), "k", 0.1).to_pandas()["k"])
+        big = set(hash_sample(ray.data.from_arrow(t), "k", 0.3).to_pandas()["k"])
+        assert small <= big and len(small) < len(big)
+
+    def test_split_disjoint_exhaustive_and_stable(self):
+        from colbert_ray.extras.sampling import hash_split
+
+        t = pa.table({"k": pa.array([f"u{i}" for i in range(8_000)])})
+        fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+        df = hash_split(ray.data.from_arrow(t), "k", fr).to_pandas()
+        assert len(df) == 8_000 and set(df["split"]) == set(fr)
+        counts = df["split"].value_counts()
+        assert abs(counts["train"] / 8_000 - 0.8) < 0.02
+        # stable under reshuffling of blocks
+        df2 = (hash_split(ray.data.from_arrow(t).repartition(13), "k", fr)
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        df1 = df.sort_values("k").reset_index(drop=True)
+        assert (df1["split"] == df2["split"]).all()
+
+    def test_seed_changes_sample_consistently(self):
+        from colbert_ray.extras.sampling import hash_sample
+
+        t = pa.table({"k": pa.array([f"id-{i}" for i in range(4_000)])})
+        s0 = set(hash_sample(ray.data.from_arrow(t), "k", 0.2, seed=0).to_pandas()["k"])
+        s1 = set(hash_sample(ray.data.from_arrow(t), "k", 0.2, seed=99).to_pandas()["k"])
+        assert s0 != s1
+        # same seed across two DIFFERENT tables keyed alike -> same decision
+        t2 = pa.table({"k": pa.array([f"id-{i}" for i in range(4_000)]),
+                       "extra": pa.array(range(4_000))})
+        s0b = set(hash_sample(ray.data.from_arrow(t2), "k", 0.2, seed=0).to_pandas()["k"])
+        assert s0 == s0b
+
+    def test_bad_fractions_raise(self):
+        from colbert_ray.extras.sampling import hash_split
+
+        t = pa.table({"k": pa.array(["a"])})
+        with pytest.raises(ValueError):
+            hash_split(ray.data.from_arrow(t), "k", {"a": 0.5, "b": 0.4})
