@@ -563,6 +563,31 @@ def _q_doc_split_counts(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+BLOOM_BITS = 1024       # deliberately small so false positives occur and
+BLOOM_K = 2             # the oracle must reproduce them bit-exactly
+
+
+def _q_bloom_filtered_orders(sf_dir: str) -> pd.DataFrame:
+    """Bloom-filter semi-join (extras/bloom.py): orders probed against a
+    fixed-size bitset of BUILDING-segment custkeys. The bitset is sized to
+    FORCE false positives — the oracle recomputes the same occupied bits, so
+    a hash-exact match proves the bloom mechanics, not just the join."""
+    import pyarrow.compute as pc
+
+    from colbert_ray.extras import bloom as x_bloom
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda b: b.filter(
+            pc.equal(b.column("c_mktsegment"), "BUILDING")),
+            batch_format="pyarrow")
+    bits = x_bloom.build_bloom(cust, "c_custkey",
+                               n_bits=BLOOM_BITS, k=BLOOM_K)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    kept = x_bloom.bloom_semijoin(orders, bits, "o_custkey", k=BLOOM_K)
+    return (kept.to_pandas()[["o_orderkey", "o_custkey"]]
+            .sort_values("o_orderkey").reset_index(drop=True))
+
+
 def _q_retrieval_metrics(sf_dir: str) -> pd.DataFrame:
     """MRR@10 / Recall@10 / Success@{1,5} of the BM25 ranking against
     rule-derived qrels (a doc is relevant to a query iff it contains ALL the
@@ -801,6 +826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_event_count": _q_hll_event_count,
         "hash_sample_docs": _q_hash_sample_docs,
         "doc_split_counts": _q_doc_split_counts,
+        "bloom_filtered_orders": _q_bloom_filtered_orders,
         "simhash64": _q_simhash,
         "fingerprints": _q_fingerprints,
         "lang_id_pred": _q_lang_id,
@@ -857,6 +883,20 @@ tagged AS (SELECT CASE {branches}
 SELECT split, count(*) AS n_docs FROM tagged
 GROUP BY split ORDER BY split
 """
+
+
+def _bloom_sql() -> str:
+    """Twin of extras/bloom.py semi-join — same double-hashed bit positions,
+    so false positives reproduce exactly."""
+    from colbert_ray.extras.bloom import sql_bloom_semijoin
+
+    return sql_bloom_semijoin(
+        probe_table="orders", probe_key="CAST(o_custkey AS VARCHAR)",
+        build_table="(SELECT c_custkey FROM customer "
+                    "WHERE c_mktsegment = 'BUILDING')",
+        build_key="CAST(c_custkey AS VARCHAR)",
+        select="o_orderkey, o_custkey",
+        n_bits=BLOOM_BITS, k=BLOOM_K, order_by="o_orderkey")
 
 
 def _hll_sql(table: str, group_col: str | None = None) -> str:
@@ -1598,6 +1638,7 @@ ORDER BY a.user_id, click_event_id, purchase_event_id
 """,
         "hash_sample_docs": _hash_sample_sql(),
         "doc_split_counts": _doc_split_sql(),
+        "bloom_filtered_orders": _bloom_sql(),
         "hll_user_count": _hll_sql(
             "(SELECT event_type, CAST(user_id AS VARCHAR) AS k FROM events)",
             group_col="event_type"),

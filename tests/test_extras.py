@@ -678,3 +678,58 @@ class TestHashSampling:
         t = pa.table({"k": pa.array(["a"])})
         with pytest.raises(ValueError):
             hash_split(ray.data.from_arrow(t), "k", {"a": 0.5, "b": 0.4})
+
+
+class TestBloomSemijoin:
+    """Bloom-filter semi-join (extras/bloom.py)."""
+
+    @staticmethod
+    def _tables():
+        build = pa.table({"k": pa.array([f"b{i}" for i in range(200)])})
+        probe = pa.table({
+            "k": pa.array([f"b{i}" for i in range(100)]      # 100 true hits
+                          + [f"p{i}" for i in range(2000)]),  # 2000 non-members
+            "v": pa.array(range(2100)),
+        })
+        return build, probe
+
+    def test_no_false_negatives_and_fp_rate(self):
+        from colbert_ray.extras.bloom import bloom_semijoin, build_bloom
+
+        build, probe = self._tables()
+        true_members = {f"b{i}" for i in range(100)}
+        # tiny filter -> false positives certain, false negatives impossible
+        bits = build_bloom(ray.data.from_arrow(build), "k", n_bits=512, k=2)
+        kept = set(bloom_semijoin(ray.data.from_arrow(probe), bits, "k", k=2)
+                   .to_pandas()["k"])
+        assert true_members <= kept
+        fp_small = len(kept) - len(true_members)
+        assert fp_small > 0
+        # generous filter -> near-zero false positives
+        bits_big = build_bloom(ray.data.from_arrow(build), "k",
+                               n_bits=1 << 16, k=5)
+        kept_big = set(bloom_semijoin(ray.data.from_arrow(probe), bits_big,
+                                      "k", k=5).to_pandas()["k"])
+        assert true_members <= kept_big
+        assert len(kept_big) - len(true_members) <= 2
+
+    def test_parallelism_invariance(self):
+        from colbert_ray.extras.bloom import bloom_semijoin, build_bloom
+
+        build, probe = self._tables()
+        b1 = build_bloom(ray.data.from_arrow(build), "k", n_bits=512, k=2)
+        b2 = build_bloom(ray.data.from_arrow(build).repartition(11),
+                         "k", n_bits=512, k=2)
+        assert (b1 == b2).all()
+        k1 = sorted(bloom_semijoin(ray.data.from_arrow(probe), b1, "k", k=2)
+                    .to_pandas()["k"])
+        k2 = sorted(bloom_semijoin(ray.data.from_arrow(probe).repartition(7),
+                                   b1, "k", k=2).to_pandas()["k"])
+        assert k1 == k2
+
+    def test_n_bits_must_be_power_of_two(self):
+        from colbert_ray.extras.bloom import build_bloom
+
+        with pytest.raises(AssertionError):
+            build_bloom(ray.data.from_arrow(self._tables()[0]), "k",
+                        n_bits=960, k=2)
