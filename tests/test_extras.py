@@ -558,6 +558,27 @@ class TestTemporalJoins:
                 if (a[0], b[0]) in want:
                     assert gap[(a[0], b[0])] == (b[2] - a[2]) * 60_000_000
 
+    def test_asof_equals_naive_random(self):
+        from colbert_ray.extras.relational import purchase_attribution
+
+        rng = np.random.default_rng(23)
+        n = 500
+        rows = [(i, int(rng.integers(0, 7)), int(rng.integers(0, 5000)),
+                 str(rng.choice(["click", "purchase", "view"])))
+                for i in range(n)]
+        ev = self._events(rows).repartition(9)
+        out = purchase_attribution(ev).to_pandas()
+        got = dict(zip(out["event_id"], out["click_event_id"]))
+        want = {}
+        for eid, uid, t, typ in rows:
+            if typ != "purchase":
+                continue
+            prior = [(t2, e2) for e2, u2, t2, ty2 in rows
+                     if u2 == uid and ty2 == "click" and t2 < t]
+            if prior:
+                want[eid] = max(prior)[1]
+        assert got == want
+
 
 class TestHLLSketch:
     """HyperLogLog distinct counting (extras/sketches.py): accuracy vs exact,
