@@ -29,6 +29,7 @@ from colbert_ray.extras import relational as x_rel
 from colbert_ray.extras import simsearch as x_sim
 from colbert_ray.extras import textstats as x_text
 from colbert_ray.functions.tokenizer import sql_tokenize_expr, tokenize_query
+from colbert_ray.pipelines import phrase as x_phrase
 
 # ---------------------------------------------------------------------------
 # shared constants (embedded in BOTH the Ray callables and the oracle SQL)
@@ -55,6 +56,8 @@ EMB_DUP_THRESHOLD = 0.3          # rounded-cosine threshold (float policy)
 JACCARD_MAX_ID = 200
 JACCARD_THRESHOLD_NUM = 6      # threshold = 6/10, tested in exact integer
 JACCARD_THRESHOLD_DEN = 10     # arithmetic on both sides
+PHRASE_QUERY = "hash join"     # exact-phrase query (pipelines/phrase.py)
+BOOL_TERMS = ["hash", "join", "merge"]   # conjunctive boolean AND query
 
 
 def _doc_path(sf_dir: str, table: str) -> str:
@@ -260,6 +263,28 @@ def _q_passage_bm25_top5(sf_dir: str) -> pd.DataFrame:
     out = _rerank_rounded(doc, "score", "docid", 5)
     return out[["qid", "docid", "rank", "score"]].rename(
         columns={"score": "score_r"})
+
+
+def _q_phrase_search(sf_dir: str) -> pd.DataFrame:
+    """Exact-phrase top-10 over the documents index: conjunctive candidate
+    intersection on the inverted index, positional verify on candidates
+    only (pipelines/phrase.py)."""
+    from colbert_ray.pipelines.phrase import phrase_search
+
+    idx = _ensure_index(sf_dir)
+    corpus = _read(sf_dir, "documents", ["doc_id", "text"])
+    return phrase_search(idx, corpus, PHRASE_QUERY, k=10, cfg=CFG).to_pandas()
+
+
+def _q_boolean_and_docs(sf_dir: str) -> pd.DataFrame:
+    """Documents containing ALL of BOOL_TERMS — the index-side conjunctive
+    intersection exposed directly (smallest-df-first posting merge)."""
+    from colbert_ray.pipelines.phrase import conjunctive_candidates
+    from colbert_ray.state.decoded import DecodedIndex
+
+    idx = DecodedIndex.load_cached(_ensure_index(sf_dir), load_sha=False)
+    cand = conjunctive_candidates(idx, BOOL_TERMS)
+    return pd.DataFrame({"doc_id": cand})
 
 
 def _q_corpus_stats(sf_dir: str) -> pd.DataFrame:
@@ -802,6 +827,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_top10_pfor": _q_bm25_top10_pfor,
         "bm25_top10_sharded": _q_bm25_top10_sharded,
         "passage_bm25_top5": _q_passage_bm25_top5,
+        "phrase_search_top10": _q_phrase_search,
+        "boolean_and_docs": _q_boolean_and_docs,
         "corpus_stats": _q_corpus_stats,
         "term_df_top100": _q_term_df_top100,
         "token_counts": _q_token_counts,
@@ -1417,6 +1444,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_top10_pfor": _bm25_sql(),      # codec changes bytes, not content
         "bm25_top10_sharded": _bm25_sql(),   # sharding must not change results
         "passage_bm25_top5": _passage_bm25_sql(),
+        "phrase_search_top10": x_phrase.sql_phrase_search(
+            "documents", PHRASE_QUERY, 10, CFG),
+        "boolean_and_docs": x_phrase.sql_conjunctive_docs(
+            "documents", BOOL_TERMS, CFG),
         "corpus_stats": f"""
 SELECT count(*) AS n_docs,
        sum(len(toks))::BIGINT AS total_tokens,

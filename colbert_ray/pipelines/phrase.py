@@ -1,0 +1,271 @@
+"""Exact phrase search: conjunctive index candidates + positional verify.
+
+The reference engine is bag-of-words — its phrase-like needs are covered by
+neural token matching (``colbert/modeling/colbert.py:60-93``); a lexical
+engine needs explicit phrase support. This module adds the classic
+two-stage lexical phrase pipeline on top of the SAME inverted index (no
+index-layout change, so the rankings-sha invariant is untouched):
+
+1. **Candidate generation** (driver-side, O(sum df of phrase terms)):
+   conjunctive docid intersection over the phrase's unique terms, smallest
+   document frequency first, via the mmap'd postings — only the probed
+   terms' slices page in. Any document containing the phrase contains all
+   its terms, so the candidate set is an exact superset.
+2. **Positional verify** (streaming ``map_batches``): re-tokenize ONLY the
+   candidate rows of the corpus (broadcast docid set, pruned at the batch
+   filter) and count exact adjacent occurrences, fully vectorized over the
+   flattened token buffer. Per-batch partial top-k + tiny driver merge —
+   the corpus never materializes.
+
+At 100-TB scale stage 2 touches candidate rows only; storing positions
+index-side is deliberately avoided (positions triple posting bytes and
+would change the shared layout). Occurrence counting matches the SQL twin
+(`sql_phrase_search`): every start offset ``i`` with
+``toks[i..i+m-1] == phrase`` counts, overlaps included.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from colbert_ray.config import EngineConfig
+from colbert_ray.functions.tokenizer import sql_tokenize_expr, tokenize_column
+
+
+def phrase_tokens(phrase: str, cfg: EngineConfig) -> list[str]:
+    """Phrase string -> ORDERED token list under the corpus tokenization
+    (duplicates kept; length bounds applied — same filter as indexing)."""
+    toks = tokenize_column(pa.array([phrase]), cfg)
+    flat = toks.flatten()
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    keep = (lens >= cfg.min_token_len) & (lens <= cfg.max_token_len)
+    return [t for t, k in zip(flat.to_pylist(), keep) if k]
+
+
+def _filtered_flat_tokens(texts: pa.ChunkedArray | pa.Array, cfg: EngineConfig):
+    """Batch of texts -> (parents int64, flat StringArray) with the indexing
+    length filter applied and per-doc token ORDER preserved (unlike
+    ``doc_term_frequencies``, which aggregates to sorted (term, tf))."""
+    toks = tokenize_column(texts, cfg)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    flat = toks.flatten()
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    keep = (lens >= cfg.min_token_len) & (lens <= cfg.max_token_len)
+    if not keep.all():
+        keep_idx = np.flatnonzero(keep)
+        parents = parents[keep_idx]
+        flat = flat.take(pa.array(keep_idx))
+    return parents.astype(np.int64), flat
+
+
+def count_phrase_occurrences(
+    texts: pa.ChunkedArray | pa.Array, words: list[str], cfg: EngineConfig
+) -> np.ndarray:
+    """int64[n_rows] — number of exact phrase occurrences per text.
+
+    Vectorized: per phrase word one Arrow ``equal`` scan over the flattened
+    token buffer, then shifted ANDs; a start at flat position ``p`` is a hit
+    iff all m words match consecutively AND position ``p+m-1`` still belongs
+    to the same document (token order inside a doc is the filtered original
+    order, so document boundaries are the only adjacency breaks)."""
+    n_rows = len(texts)
+    out = np.zeros(n_rows, dtype=np.int64)
+    m = len(words)
+    if m == 0:
+        return out
+    parents, flat = _filtered_flat_tokens(texts, cfg)
+    n = len(parents)
+    if n < m:
+        return out
+    valid = pc.equal(flat, words[0]).to_numpy(zero_copy_only=False)[: n - m + 1].copy()
+    for j in range(1, m):
+        ej = pc.equal(flat, words[j]).to_numpy(zero_copy_only=False)
+        valid &= ej[j: j + n - m + 1]
+    valid &= parents[: n - m + 1] == parents[m - 1:]
+    hits = parents[: n - m + 1][valid]
+    if len(hits):
+        out += np.bincount(hits, minlength=n_rows)[:n_rows]
+    return out
+
+
+def conjunctive_candidates(idx, words: list[str]) -> np.ndarray:
+    """Sorted docids containing ALL the words (bag semantics; exact).
+
+    Intersects posting docid slices smallest-df-first so the working set
+    shrinks monotonically; live tombstones are excluded. Returns empty when
+    any word is out-of-vocabulary."""
+    uniq = sorted(set(words))
+    if not uniq:
+        return np.empty(0, dtype=np.int64)
+    tids = idx.lookup_terms(uniq)
+    if len(tids) < len(uniq):                       # some term OOV
+        return np.empty(0, dtype=np.int64)
+    dfs = idx.posting_offsets[tids + 1] - idx.posting_offsets[tids]
+    cand = None
+    for tid in tids[np.argsort(dfs, kind="stable")]:
+        s, e = idx.posting_offsets[tid], idx.posting_offsets[tid + 1]
+        d = np.asarray(idx.posting_docids[s:e])
+        if cand is None:
+            cand = d
+        else:
+            pos = np.searchsorted(d, cand)
+            pos_c = np.clip(pos, 0, max(0, len(d) - 1))
+            cand = cand[(len(d) > 0) & (d[pos_c] == cand)]
+        if len(cand) == 0:
+            return np.empty(0, dtype=np.int64)
+    if len(idx.tombstones):
+        pos = np.searchsorted(idx.tombstones, cand)
+        pos_c = np.clip(pos, 0, len(idx.tombstones) - 1)
+        cand = cand[idx.tombstones[pos_c] != cand]
+    return np.ascontiguousarray(cand, dtype=np.int64)
+
+
+def _topk_occ(batch: pa.Table, k: int) -> pa.Table:
+    """Keep a batch's k best (n_occ DESC, doc_id ASC) rows."""
+    occ = batch.column("n_occ").to_numpy(zero_copy_only=False)
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -occ))[:k]
+    return pa.table({"doc_id": pa.array(ids[order], type=pa.int64()),
+                     "n_occ": pa.array(occ[order], type=pa.int64())})
+
+
+def phrase_scan(
+    corpus: "ray.data.Dataset",
+    phrase: str,
+    cfg: EngineConfig | None = None,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Index-free full-corpus phrase scan -> Dataset(doc_id, n_occ), matches
+    only (n_occ >= 1). The equivalence baseline for ``phrase_search`` and
+    the fallback when no index exists."""
+    cfg = cfg or EngineConfig()
+    words = phrase_tokens(phrase, cfg)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        occ = (count_phrase_occurrences(batch.column(text_col), words, cfg)
+               if words else np.zeros(batch.num_rows, dtype=np.int64))
+        hit = occ >= 1
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)[hit]
+        return pa.table({"doc_id": pa.array(ids.astype(np.int64)),
+                         "n_occ": pa.array(occ[hit], type=pa.int64())})
+
+    return corpus.select_columns([id_col, text_col]).map_batches(
+        scan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def phrase_search(
+    index_dir: str,
+    corpus: "ray.data.Dataset",
+    phrase: str,
+    k: int = 10,
+    cfg: EngineConfig | None = None,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Top-k (doc_id, n_occ) documents containing the exact phrase, ranked
+    by (-n_occ, doc_id). Candidates come from the inverted index; only
+    candidate rows are re-tokenized. Exact: equals ``phrase_scan`` + top-k
+    (asserted by the equivalence test)."""
+    import ray
+
+    from colbert_ray.state.decoded import DecodedIndex
+
+    cfg = cfg or EngineConfig()
+    words = phrase_tokens(phrase, cfg)
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "n_occ": pa.array([], type=pa.int64())})
+    if not words:
+        return empty
+    idx = DecodedIndex.load_cached(index_dir, load_sha=False)
+    cand = conjunctive_candidates(idx, words)
+    if len(cand) == 0:
+        return empty
+    cand_ref = ray.put(cand)                     # broadcast once, not per batch
+
+    def verify(batch: pa.Table) -> pa.Table:
+        allowed = ray.get(cand_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(allowed, ids)
+        pos_c = np.clip(pos, 0, len(allowed) - 1)
+        keep = allowed[pos_c] == ids
+        if not keep.any():
+            return empty
+        sub = batch.filter(pa.array(keep))
+        occ = count_phrase_occurrences(sub.column(text_col), words, cfg)
+        hit = occ >= 1
+        sub_ids = sub.column(id_col).to_numpy(zero_copy_only=False)[hit]
+        out = pa.table({"doc_id": pa.array(sub_ids.astype(np.int64)),
+                        "n_occ": pa.array(occ[hit], type=pa.int64())})
+        return _topk_occ(out, k)                 # per-batch partial top-k
+
+    partials = corpus.select_columns([id_col, text_col]).map_batches(
+        verify, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    if not partials:
+        return empty
+    merged = pa.Table.from_pylist(partials, schema=empty.schema)
+    return _topk_occ(merged, k)
+
+
+def sql_phrase_search(
+    table: str, phrase: str, k: int,
+    cfg: EngineConfig | None = None,
+    *,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of ``phrase_search``: same tokenization
+    (``sql_tokenize_expr``), same start-offset occurrence count (overlaps
+    included), same (-n_occ, doc_id) top-k order."""
+    cfg = cfg or EngineConfig()
+    words = phrase_tokens(phrase, cfg)
+    if not words:
+        return f"SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_occ WHERE false"
+    m = len(words)
+    conds = " AND ".join(
+        f"toks[i + {j}] = '{w}'" for j, w in enumerate(words))
+    return f"""
+WITH d AS (
+  SELECT {id_col} AS doc_id, {sql_tokenize_expr(text_col, cfg)} AS toks
+  FROM {table}
+),
+p AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - {m - 1})) AS i
+  FROM d WHERE len(toks) >= {m}
+),
+hits AS (
+  SELECT doc_id, count(*)::BIGINT AS n_occ FROM p
+  WHERE {conds}
+  GROUP BY doc_id
+)
+SELECT doc_id, n_occ FROM hits
+ORDER BY n_occ DESC, doc_id
+LIMIT {k}
+"""
+
+
+def sql_conjunctive_docs(
+    table: str, words: list[str],
+    cfg: EngineConfig | None = None,
+    *,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of ``conjunctive_candidates`` (boolean AND over terms)."""
+    cfg = cfg or EngineConfig()
+    uniq = sorted(set(words))
+    lits = ", ".join(f"'{w}'" for w in uniq)
+    return f"""
+WITH d AS (
+  SELECT {id_col} AS doc_id, {sql_tokenize_expr(text_col, cfg)} AS toks
+  FROM {table}
+),
+t AS (SELECT doc_id, unnest(toks) AS term FROM d)
+SELECT doc_id FROM t
+WHERE term IN ({lits})
+GROUP BY doc_id
+HAVING count(DISTINCT term) = {len(uniq)}
+ORDER BY doc_id
+"""

@@ -1,0 +1,143 @@
+"""Phrase search (pipelines/phrase.py): positional verify semantics, index
+candidate generation, and index-path == scan-path equivalence."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from colbert_ray.config import EngineConfig
+from colbert_ray.pipelines.build import build_index
+from colbert_ray.pipelines.phrase import (
+    conjunctive_candidates,
+    count_phrase_occurrences,
+    phrase_scan,
+    phrase_search,
+    phrase_tokens,
+)
+from colbert_ray.state.decoded import DecodedIndex
+
+CFG = EngineConfig()
+
+
+# ---------------------------------------------------------------------------
+# pure-function semantics
+# ---------------------------------------------------------------------------
+
+def _occ(texts, phrase, cfg=CFG):
+    return count_phrase_occurrences(
+        pa.array(texts), phrase_tokens(phrase, cfg), cfg).tolist()
+
+
+def test_overlapping_occurrences_counted():
+    # starts at 0,1,2 — overlaps included, like the SQL twin's offset scan
+    assert _occ(["a a a a"], "a a") == [3]
+
+
+def test_phrase_never_crosses_doc_boundary():
+    assert _occ(["hash", "join hash", "join"], "hash join") == [0, 0, 0]
+    assert _occ(["x hash join y"], "hash join") == [1]
+
+
+def test_tokenization_matches_indexing():
+    # camelCase split + punctuation separators + lowercase
+    assert phrase_tokens("HashJoin", CFG) == ["hash", "join"]
+    assert _occ(["use hashJoin(now)"], "HASH JOIN") == [1]
+
+
+def test_single_word_phrase_is_tf():
+    assert _occ(["b a b b", "a"], "b") == [3, 0]
+
+
+def test_empty_and_separator_only_phrase():
+    assert phrase_tokens("  ... ", CFG) == []
+    assert _occ(["a b"], "...") == [0]
+
+
+def test_length_filter_applied_to_both_sides():
+    cfg = EngineConfig(min_token_len=2)
+    # 'a' drops out of BOTH the doc tokens and the phrase: "bb a cc"
+    # tokenizes to [bb, cc], so the phrase "bb cc" is adjacent
+    assert count_phrase_occurrences(
+        pa.array(["bb a cc"]), phrase_tokens("bb cc", cfg), cfg).tolist() == [1]
+
+
+def _naive_occ(text: str, words: list[str], cfg=CFG) -> int:
+    toks = phrase_tokens(text, cfg)  # same tokenizer, one doc
+    m = len(words)
+    return sum(1 for i in range(len(toks) - m + 1) if toks[i:i + m] == words)
+
+
+def test_randomized_counts_vs_naive():
+    rng = np.random.default_rng(7)
+    vocab = ["a", "b", "c", "ab"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(0, 30)))
+             for _ in range(200)]
+    for phrase in ("a b", "b b", "a b c", "ab a"):
+        words = phrase_tokens(phrase, CFG)
+        got = count_phrase_occurrences(pa.array(texts), words, CFG)
+        want = [_naive_occ(t, words) for t in texts]
+        np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# index-backed paths
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def docs_index(tmp_path_factory):
+    """A tiny documents-shaped corpus (doc_id, text) + its index."""
+    rng = np.random.default_rng(11)
+    vocab = ["hash", "join", "merge", "sort", "scan", "a"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 40)))
+             for _ in range(120)]
+    root = tmp_path_factory.mktemp("phrase")
+    path = os.path.join(str(root), "documents.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array(range(120), type=pa.int64()),
+                             "text": pa.array(texts)}), path)
+    index_dir = os.path.join(str(root), "idx")
+    build_index(path, index_dir, CFG, content_col="text", key_cols=(),
+                meta_cols=(), docid_col="doc_id")
+    return path, index_dir, texts
+
+
+def test_conjunctive_candidates_vs_bruteforce(docs_index):
+    path, index_dir, texts = docs_index
+    idx = DecodedIndex.load_cached(index_dir, load_sha=False)
+    for words in (["hash"], ["hash", "join"], ["hash", "join", "merge"],
+                  ["hash", "zzznotaterm"]):
+        got = conjunctive_candidates(idx, words)
+        want = [i for i, t in enumerate(texts)
+                if all(w in phrase_tokens(t, CFG) for w in words)]
+        np.testing.assert_array_equal(got, want)
+
+
+def test_phrase_search_equals_scan_topk(docs_index):
+    path, index_dir, texts = docs_index
+    corpus = ray.data.read_parquet(path)
+    for phrase, k in (("hash join", 10), ("a a", 5), ("merge sort scan", 7)):
+        res = phrase_search(index_dir, corpus, phrase, k=k, cfg=CFG).to_pandas()
+        scan = pd.DataFrame(phrase_scan(corpus, phrase, CFG).take_all())
+        if len(scan):
+            scan = (scan.sort_values(["n_occ", "doc_id"],
+                                     ascending=[False, True])
+                    .head(k).reset_index(drop=True))
+            pd.testing.assert_frame_equal(res, scan[["doc_id", "n_occ"]])
+        else:
+            assert len(res) == 0
+        # and both agree with the naive per-doc count
+        words = phrase_tokens(phrase, CFG)
+        for row in res.itertuples():
+            assert _naive_occ(texts[row.doc_id], words) == row.n_occ
+
+
+def test_phrase_search_oov_empty(docs_index):
+    path, index_dir, _ = docs_index
+    corpus = ray.data.read_parquet(path)
+    res = phrase_search(index_dir, corpus, "hash zzznotaterm", k=10, cfg=CFG)
+    assert res.num_rows == 0
+    assert res.schema.names == ["doc_id", "n_occ"]
