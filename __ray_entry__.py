@@ -559,6 +559,7 @@ def _q_hll_event_count(sf_dir: str) -> pd.DataFrame:
 
 SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
 SAMPLE_RATE = 0.2
+STRAT_N_PER_LANG = 20          # stratified sample: exact quota per lang
 
 
 def _q_hash_sample_docs(sf_dir: str) -> pd.DataFrame:
@@ -570,6 +571,26 @@ def _q_hash_sample_docs(sf_dir: str) -> pd.DataFrame:
     docs = _read(sf_dir, "documents", ["doc_id"])
     ds = x_samp.hash_sample(docs, "doc_id", SAMPLE_RATE)
     return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Exact per-lang quota sampling (extras/sampling.stratified_sample):
+    the n smallest key-hashes win per group — a deterministic total order,
+    so quotas are exact and the sample is parallelism-invariant."""
+    from colbert_ray.extras import sampling as x_samp
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    ds = x_samp.stratified_sample(docs, "lang", "doc_id", STRAT_N_PER_LANG)
+    df = ds.to_pandas()[["doc_id", "lang"]]
+    return df.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
+def _q_bigram_top100(sf_dir: str) -> pd.DataFrame:
+    """Corpus bigram frequencies (extras/textstats.bigram_stats), top 100
+    by (n DESC, gram)."""
+    ds = x_text.bigram_stats(_read(sf_dir, "documents", ["text"]))
+    df = ds.to_pandas().sort_values(["n", "gram"], ascending=[False, True])
+    return df.head(100)[["gram", "n"]].reset_index(drop=True)
 
 
 def _q_doc_split_counts(sf_dir: str) -> pd.DataFrame:
@@ -853,6 +874,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_event_count": _q_hll_event_count,
         "hash_sample_docs": _q_hash_sample_docs,
         "doc_split_counts": _q_doc_split_counts,
+        "stratified_sample_docs": _q_stratified_sample,
+        "bigram_top100": _q_bigram_top100,
         "bloom_filtered_orders": _q_bloom_filtered_orders,
         "simhash64": _q_simhash,
         "fingerprints": _q_fingerprints,
@@ -909,6 +932,25 @@ tagged AS (SELECT CASE {branches}
            FROM h)
 SELECT split, count(*) AS n_docs FROM tagged
 GROUP BY split ORDER BY split
+"""
+
+
+def _stratified_sql() -> str:
+    """Twin of extras/sampling.stratified_sample — the same hash total
+    order, expressed as a windowed rank."""
+    from colbert_ray.extras.sampling import sql_key_hash_expr
+
+    h = sql_key_hash_expr("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY ({h}), doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked
+WHERE rn <= {STRAT_N_PER_LANG}
+ORDER BY lang, doc_id
 """
 
 
@@ -1669,6 +1711,18 @@ ORDER BY a.user_id, click_event_id, purchase_event_id
 """,
         "hash_sample_docs": _hash_sample_sql(),
         "doc_split_counts": _doc_split_sql(),
+        "stratified_sample_docs": _stratified_sql(),
+        "bigram_top100": f"""
+WITH d AS (SELECT {toks} AS toks FROM documents),
+b AS (
+  SELECT toks[i] || ' ' || toks[i + 1] AS gram
+  FROM d, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+  WHERE len(toks) >= 2
+)
+SELECT gram, count(*)::BIGINT AS n FROM b
+GROUP BY gram ORDER BY n DESC, gram
+LIMIT 100
+""",
         "bloom_filtered_orders": _bloom_sql(),
         "hll_user_count": _hll_sql(
             "(SELECT event_type, CAST(user_id AS VARCHAR) AS k FROM events)",

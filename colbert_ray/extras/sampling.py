@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from colbert_ray.functions.hashing import (
@@ -83,6 +84,56 @@ def hash_sample(ds: "ray.data.Dataset", key_col: str, rate: float,
         return b.filter(pa.array(_key_hash(b, key_col, seed) <= thresh))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _smallest_n_per_group(codes: np.ndarray, h: np.ndarray,
+                          keys: np.ndarray, n: int) -> np.ndarray:
+    """Row indices of the n smallest (h, key) rows per group code —
+    one lexsort + run-relative rank, no Python loop over groups."""
+    order = np.lexsort((keys, h, codes))
+    sc = codes[order]
+    run_start = np.flatnonzero(np.concatenate([[True], sc[1:] != sc[:-1]]))
+    rank = np.arange(len(sc)) - np.repeat(
+        run_start, np.diff(np.concatenate([run_start, [len(sc)]])))
+    return order[rank < n]
+
+
+def stratified_sample(ds: "ray.data.Dataset", group_col: str, key_col: str,
+                      n_per_group: int, seed: int = 0) -> "ray.data.Dataset":
+    """Exactly ``n_per_group`` rows per group (fewer when the group is
+    smaller): the n SMALLEST key-hashes win, ties broken by key. Because
+    membership is a rank in a deterministic total order — not a float
+    draw — the sample is identical at any parallelism and stable across
+    reruns, like ``hash_sample``; unlike it, per-group quotas are exact.
+
+    Scale shape: a stateless per-batch partial (each batch keeps at most n
+    candidate rows per group it sees) so only ≤ n×groups rows per batch
+    ride the single groupby shuffle; the per-group final selection re-ranks
+    the tiny candidate union. Total shuffle bytes ~ groups × n × row_width,
+    independent of corpus size."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        h = _key_hash(b, key_col, seed)
+        genc = pc.dictionary_encode(b.column(group_col).combine_chunks())
+        codes = genc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = b.column(key_col).to_numpy(zero_copy_only=False)
+        idx = _smallest_n_per_group(codes, h, keys, n_per_group)
+        return b.take(pa.array(np.sort(idx)))
+
+    def final(g) -> "pa.Table":
+        ga = pa.Table.from_pandas(g, preserve_index=False)
+        h = _key_hash(ga, key_col, seed)
+        keys = ga.column(key_col).to_numpy(zero_copy_only=False)
+        idx = _smallest_n_per_group(
+            np.zeros(ga.num_rows, dtype=np.int64), h, keys, n_per_group)
+        return ga.take(pa.array(np.sort(idx))).to_pandas()
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(group_col)
+            .map_groups(final, batch_format="pandas"))
 
 
 def hash_split(ds: "ray.data.Dataset", key_col: str,

@@ -89,6 +89,38 @@ def term_stats(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Data
     )
 
 
+def bigram_stats(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
+    """(gram, n) corpus bigram frequencies — adjacent token pairs within a
+    document (the n-gram LM / decontamination building block). Same
+    pre-aggregate-then-small-groupby shape as ``term_stats``: each batch
+    ships (gram, partial count) rows, never raw token streams, so the
+    shuffle is bounded by the batch's distinct-bigram count."""
+    cfg = _cfg()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from colbert_ray.pipelines.phrase import _filtered_flat_tokens
+
+        parents, flat = _filtered_flat_tokens(batch.column(text_col), cfg)
+        n = len(parents)
+        if n < 2:
+            return pa.table({"gram": pa.array([], type=pa.string()),
+                             "n_p": pa.array([], type=pa.int64())})
+        same = parents[:-1] == parents[1:]
+        left = flat.slice(0, n - 1).filter(pa.array(same))
+        right = flat.slice(1, n - 1).filter(pa.array(same))
+        grams = pc.binary_join_element_wise(left, right, " ")
+        t = pa.table({"gram": grams})
+        g = t.group_by("gram").aggregate([("gram", "count")])
+        return g.rename_columns(["gram", "n_p"])
+
+    return (
+        ds.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gram")
+        .aggregate(Sum("n_p", alias_name="n"))
+    )
+
+
 def quality_scores(ds: "ray.data.Dataset", text_col: str = "text",
                    id_col: str = "doc_id") -> "ray.data.Dataset":
     """Per-doc quality features: token count, char count, stopword ratio,

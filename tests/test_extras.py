@@ -247,6 +247,24 @@ class TestTextStats:
         assert out.loc["the", "df"] == 3      # docs 0,1,2
         assert out.loc["the", "cf"] == 6      # 2+2+2
 
+    def test_bigram_stats_vs_naive(self):
+        """bigram_stats == a naive per-doc adjacent-pair count, at any
+        parallelism (pairs never cross doc boundaries)."""
+        from collections import Counter
+
+        from colbert_ray.pipelines.phrase import phrase_tokens
+
+        t = _docs_table()
+        want = Counter()
+        for txt in t.column("text").to_pylist():
+            toks = phrase_tokens(txt, x_text._cfg())
+            want.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+        for n_parts in (1, 4):
+            ds = ray.data.from_arrow(t).repartition(n_parts)
+            got = dict(zip(*(x_text.bigram_stats(ds).to_pandas()
+                             [c] for c in ("gram", "n"))))
+            assert got == dict(want)
+
 
 class TestMultimodal:
     def test_extractor_deterministic_and_typed(self):
@@ -699,6 +717,49 @@ class TestHashSampling:
         t = pa.table({"k": pa.array(["a"])})
         with pytest.raises(ValueError):
             hash_split(ray.data.from_arrow(t), "k", {"a": 0.5, "b": 0.4})
+
+    def test_stratified_exact_quota_and_parallelism_invariant(self):
+        from colbert_ray.extras.sampling import stratified_sample
+
+        t = pa.table({
+            "doc_id": pa.array(range(3_000), type=pa.int64()),
+            "grp": pa.array([f"g{i % 7}" for i in range(3_000)]),
+        })
+        a = (stratified_sample(ray.data.from_arrow(t), "grp", "doc_id", 15)
+             .to_pandas().sort_values(["grp", "doc_id"]).reset_index(drop=True))
+        assert (a.groupby("grp").size() == 15).all() and len(a) == 7 * 15
+        b = (stratified_sample(ray.data.from_arrow(t).repartition(11),
+                               "grp", "doc_id", 15)
+             .to_pandas().sort_values(["grp", "doc_id"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b[a.columns])
+
+    def test_stratified_small_group_returns_all(self):
+        from colbert_ray.extras.sampling import stratified_sample
+
+        t = pa.table({"doc_id": pa.array(range(10), type=pa.int64()),
+                      "grp": pa.array(["a"] * 8 + ["b"] * 2)})
+        df = stratified_sample(ray.data.from_arrow(t), "grp", "doc_id", 5).to_pandas()
+        assert (df.groupby("grp").size().to_dict() == {"a": 5, "b": 2})
+
+    def test_stratified_matches_global_rank_oracle(self):
+        """Per-group members must be exactly the n smallest (hash, key) —
+        verified against a naive full-sort oracle."""
+        import pandas as _pd
+
+        from colbert_ray.extras.sampling import _key_hash, stratified_sample
+
+        t = pa.table({
+            "doc_id": pa.array(range(1_000), type=pa.int64()),
+            "grp": pa.array([f"g{i % 3}" for i in range(1_000)]),
+        })
+        got = (stratified_sample(ray.data.from_arrow(t), "grp", "doc_id", 9)
+               .to_pandas().sort_values(["grp", "doc_id"]).reset_index(drop=True))
+        df = t.to_pandas()
+        df["h"] = _key_hash(t, "doc_id", 0)
+        want = (df.sort_values(["h", "doc_id"]).groupby("grp").head(9)
+                [["doc_id", "grp"]].sort_values(["grp", "doc_id"])
+                .reset_index(drop=True))
+        _pd.testing.assert_frame_equal(got[["doc_id", "grp"]], want)
 
 
 class TestBloomSemijoin:
