@@ -365,6 +365,21 @@ def _q_jaccard_dup_pairs(sf_dir: str) -> pd.DataFrame:
     return ds.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def _q_dup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Transitive dup clustering (extras/dedup.connected_components —
+    hash-min label propagation with pointer jumping over the jaccard dup
+    pairs): (doc_id, cluster_id) with cluster_id = component-min doc_id."""
+    pairs = x_dedup.jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        threshold_num=JACCARD_THRESHOLD_NUM,
+        threshold_den=JACCARD_THRESHOLD_DEN,
+        max_id=JACCARD_MAX_ID,
+    )
+    cc = x_dedup.connected_components(pairs, node_col="doc_id",
+                                      cluster_col="cluster_id")
+    return cc.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 CONTAM_MOD = 29        # doc_id % CONTAM_MOD == 0 -> "benchmark" split
 CONTAM_NGRAM = 4       # word n-gram size
 
@@ -858,6 +873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality_scores,
         "lang_doc_counts": _q_lang_doc_counts,
         "jaccard_dup_pairs": _q_jaccard_dup_pairs,
+        "dup_clusters": _q_dup_clusters,
         "contaminated_docs": _q_contaminated_docs,
         "knn_cosine_top5": _q_knn_cosine_top5,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
@@ -1572,6 +1588,17 @@ SELECT doc_id, n_tokens,
 FROM b ORDER BY doc_id
 """,
         "jaccard_dup_pairs": _jaccard_sql(),
+        "dup_clusters": f"""
+WITH RECURSIVE p AS ({_jaccard_sql()}),
+e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+reach(n, m) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT e.u, r.m FROM e JOIN reach r ON e.v = r.n
+)
+SELECT n AS doc_id, min(m) AS cluster_id FROM reach
+GROUP BY n ORDER BY doc_id
+""",
         "contaminated_docs": _contam_sql(),
         "knn_cosine_top5": _knn_sql(),
         "embedding_dup_pairs": f"""

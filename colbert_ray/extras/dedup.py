@@ -436,3 +436,137 @@ def benchmark_contamination(
 
     return ds.select_columns([id_col, text_col]).map_batches(
         flag, batch_format="pyarrow")
+
+
+def connected_components(
+    pairs: "ray.data.Dataset",
+    col_a: str = "id_a",
+    col_b: str = "id_b",
+    node_col: str = "node",
+    cluster_col: str = "cluster_id",
+    num_partitions: int = 8,
+    max_rounds: int = 64,
+) -> "ray.data.Dataset":
+    """Cluster the dup-pair graph: (node, cluster_id) for every node that
+    appears in ``pairs``, with ``cluster_id`` = the smallest node id in the
+    node's connected component. This is the step BETWEEN pair finding
+    (``jaccard_pairs`` / ``minhash_lsh_pairs``) and the keep decision
+    (``dedup_keep``): transitive duplicates (A~B, B~C) land in one cluster
+    even when A~C was never emitted as a pair.
+
+    Algorithm: hash-min label propagation with pointer jumping (the
+    MapReduce-CC family, cf. Kiveris et al., "Connected Components in
+    MapReduce and Beyond") — every round each node's label drops to
+    min(label(label(node)), min over neighbors' labels), which converges in
+    O(log n) rounds. Each round is two hash joins + one groupby-min over the
+    PAIR graph only (nodes that occur in some dup pair — orders of magnitude
+    smaller than the corpus); labels are materialized per round (tiny) so
+    lineage doesn't re-execute, and convergence is detected by the label sum
+    (labels only decrease, so an unchanged sum is a fixed point). Nodes with
+    no pair are implicitly their own singleton cluster and are NOT emitted.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = b.column(col_a).to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b.column(col_b).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"u": np.concatenate([a, c]),
+                         "v": np.concatenate([c, a])})
+
+    edges = pairs.select_columns([col_a, col_b]).map_batches(
+        sym, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    empty = ray.data.from_arrow(pa.table({
+        node_col: pa.array([], type=pa.int64()),
+        cluster_col: pa.array([], type=pa.int64())}))
+    if edges.count() == 0:
+        return empty
+
+    # round 0: label(u) = min(u, min neighbor)
+    def self_min(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": b.column("u"),
+            "label": pc.min_element_wise(b.column("u"), b.column("min(v)")),
+        })
+
+    labels = (edges.groupby("u").aggregate(Min("v"))
+              .map_batches(self_min, batch_format="pyarrow").materialize())
+    prev_sum = None
+
+    def jump_out(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"), "label": b.column("label2")})
+
+    def prop_out(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("v"), "label": b.column("label")})
+
+    def rename2(b: pa.Table) -> pa.Table:
+        return pa.table({"node2": b.column("node"), "label2": b.column("label")})
+
+    for _ in range(max_rounds):
+        s = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if prev_sum is not None and s == prev_sum:
+            break
+        prev_sum = s
+        lab2 = labels.map_batches(rename2, batch_format="pyarrow")
+        # pointer jump: label(node) <- label(label(node)); every label value
+        # is itself a node (min over node ids), so the inner join is total
+        jumped = labels.join(lab2, join_type="inner", on=("label",),
+                             right_on=("node2",),
+                             num_partitions=num_partitions
+                             ).map_batches(jump_out, batch_format="pyarrow")
+        # neighbor propagation: node <- min over neighbors' labels
+        prop = edges.join(labels, join_type="inner", on=("u",),
+                          right_on=("node",),
+                          num_partitions=num_partitions
+                          ).map_batches(prop_out, batch_format="pyarrow")
+        # repartition before materializing: the union+groupby can emit
+        # schema-less empty blocks, and a downstream join partition fed
+        # ONLY those loses its key columns (pyarrow "no match for field");
+        # merging blocks restores a typed schema on every block
+        labels = (jumped.union(prop).groupby("node")
+                  .aggregate(Min("label", alias_name="label"))
+                  .repartition(num_partitions).materialize())
+    else:
+        raise RuntimeError(f"connected_components: no convergence "
+                           f"in {max_rounds} rounds")
+
+    def final(b: pa.Table) -> pa.Table:
+        return pa.table({node_col: b.column("node"),
+                         cluster_col: b.column("label")})
+
+    return labels.map_batches(final, batch_format="pyarrow")
+
+
+def dedup_keep(
+    ds: "ray.data.Dataset",
+    clusters: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    node_col: str = "node",
+    cluster_col: str = "cluster_id",
+) -> "ray.data.Dataset":
+    """Filter the corpus to one survivor per duplicate cluster: the doc
+    whose id IS the cluster id (the component min) is kept, every other
+    clustered doc is dropped; docs in no cluster pass through untouched.
+
+    Scale shape: the drop set (clustered nodes != their cluster min) is tiny
+    — bounded by the number of near-duplicate docs, not the corpus — so it
+    is collected once, ``ray.put`` once, and the corpus STREAMS through a
+    stateless membership filter; no corpus-side shuffle or join."""
+    import ray as _ray
+
+    drop_tbl = clusters.map_batches(
+        lambda b: b.filter(pc.not_equal(b.column(node_col),
+                                        b.column(cluster_col))),
+        batch_format="pyarrow").select_columns([node_col]).to_pandas()
+    drop_ref = _ray.put(np.sort(drop_tbl[node_col].to_numpy(dtype=np.int64)))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        drop = _ray.get(drop_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if len(drop) == 0:
+            return batch
+        pos = np.searchsorted(drop, ids)
+        pos[pos >= len(drop)] = len(drop) - 1
+        return batch.filter(pa.array(drop[pos] != ids))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

@@ -115,6 +115,68 @@ class TestDedup:
         assert s1[0] != s1[3]
 
 
+def _cc_oracle(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Naive union-find: node -> component-min."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a), parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+class TestConnectedComponents:
+    def test_path_graph_worst_case(self):
+        # a path needs O(log n) pointer-jump rounds, not O(n)
+        n = 64
+        pairs = pa.table({"id_a": list(range(n - 1)),
+                          "id_b": list(range(1, n))})
+        out = x_dedup.connected_components(
+            ray.data.from_arrow(pairs)).to_pandas()
+        assert len(out) == n and (out["cluster_id"] == 0).all()
+
+    def test_random_graphs_match_union_find(self):
+        rng = np.random.default_rng(7)
+        for trial in range(3):
+            n_nodes, n_edges = 200, 120
+            a = rng.integers(0, n_nodes, n_edges)
+            b = rng.integers(0, n_nodes, n_edges)
+            keep = a != b
+            edges = list(zip(a[keep].tolist(), b[keep].tolist()))
+            pairs = pa.table({
+                "id_a": pa.array([e[0] for e in edges], type=pa.int64()),
+                "id_b": pa.array([e[1] for e in edges], type=pa.int64())})
+            got = (x_dedup.connected_components(
+                ray.data.from_arrow(pairs).repartition(3))
+                .to_pandas().set_index("node")["cluster_id"].to_dict())
+            assert got == _cc_oracle(edges)
+
+    def test_empty_pairs(self):
+        pairs = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64())})
+        out = x_dedup.connected_components(ray.data.from_arrow(pairs))
+        assert out.count() == 0
+
+    def test_dedup_keep_one_survivor_per_cluster(self):
+        pairs = pa.table({"id_a": [1, 2, 3, 5], "id_b": [2, 3, 9, 6]})
+        clusters = x_dedup.connected_components(ray.data.from_arrow(pairs))
+        docs = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(12), type=pa.int64()),
+            "text": pa.array([f"d{i}" for i in range(12)])}))
+        kept = sorted(x_dedup.dedup_keep(docs, clusters)
+                      .to_pandas()["doc_id"])
+        # survivors: cluster mins 1 and 5, plus all unclustered docs
+        assert kept == [0, 1, 4, 5, 7, 8, 10, 11]
+
+
 class TestSimsearch:
     @pytest.fixture()
     def emb(self):
