@@ -608,6 +608,18 @@ def _q_bigram_top100(sf_dir: str) -> pd.DataFrame:
     return df.head(100)[["gram", "n"]].reset_index(drop=True)
 
 
+TFIDF_K = 5
+
+
+def _q_tfidf_top5(sf_dir: str) -> pd.DataFrame:
+    """Per-doc TF-IDF keyword extraction (extras/textstats.tfidf_topk):
+    broadcast-df scoring pass, per-doc vectorized top-k, round-6 policy."""
+    ds = x_text.tfidf_topk(_read(sf_dir, "documents", ["doc_id", "text"]),
+                           k=TFIDF_K)
+    df = ds.to_pandas().sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    return df[["doc_id", "term", "tfidf", "rank"]]
+
+
 def _q_doc_split_counts(sf_dir: str) -> pd.DataFrame:
     """Deterministic train/val/test assignment (extras/sampling.hash_split)
     + per-split count — exact disjoint partitions of the key space."""
@@ -892,6 +904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split_counts": _q_doc_split_counts,
         "stratified_sample_docs": _q_stratified_sample,
         "bigram_top100": _q_bigram_top100,
+        "tfidf_top5": _q_tfidf_top5,
         "bloom_filtered_orders": _q_bloom_filtered_orders,
         "simhash64": _q_simhash,
         "fingerprints": _q_fingerprints,
@@ -1749,6 +1762,29 @@ b AS (
 SELECT gram, count(*)::BIGINT AS n FROM b
 GROUP BY gram ORDER BY n DESC, gram
 LIMIT 100
+""",
+        "tfidf_top5": f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln((SELECT count(*)::DOUBLE FROM documents) / df.df),
+               6) AS tfidf
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, tfidf,
+       row_number() OVER (PARTITION BY doc_id
+                          ORDER BY tfidf DESC, term) AS rank
+FROM scored
+QUALIFY rank <= {TFIDF_K}
+ORDER BY doc_id, rank
 """,
         "bloom_filtered_orders": _bloom_sql(),
         "hll_user_count": _hll_sql(

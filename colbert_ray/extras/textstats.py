@@ -121,6 +121,70 @@ def bigram_stats(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Da
     )
 
 
+def tfidf_topk(ds: "ray.data.Dataset", k: int = 5, text_col: str = "text",
+               id_col: str = "doc_id",
+               n_docs: int | None = None) -> "ray.data.Dataset":
+    """Top-k TF-IDF keywords per document: (doc_id, term, tfidf, rank) with
+    tfidf = tf * ln(n_docs / df) rounded to 6 decimals and rank ties broken
+    by term (ascending) — the keyword-extraction building block.
+
+    Scale shape: pass 1 is ``term_stats`` (pre-aggregated df per batch, one
+    vocabulary-sized groupby); the df table is collected ONCE and broadcast
+    via ``ray.put`` (vocabulary ≪ corpus — the same assumption as the
+    engine's dictionary broadcast; above ~2M terms use the engine's
+    distributed join path instead). Pass 2 streams the corpus: per-batch
+    tokenize, vectorized df lookup (searchsorted into the broadcast sorted
+    vocab), score, and per-doc top-k selection — no corpus-side shuffle.
+    """
+    import ray as _ray
+
+    cfg = _cfg()
+    if n_docs is None:
+        n_docs = ds.count()
+    df_tbl = term_stats(ds.select_columns([text_col]), text_col).to_pandas()
+    df_tbl = df_tbl.sort_values("term").reset_index(drop=True)
+    vocab = df_tbl["term"].to_numpy()
+    idf = np.log(float(n_docs) / df_tbl["df"].to_numpy(dtype=np.float64))
+    ref = _ray.put((vocab, idf))
+
+    def score(batch: pa.Table) -> pa.Table:
+        v, iv = _ray.get(ref)
+        _, terms, tfs = doc_term_frequencies(batch.column(text_col), cfg)
+        offs = terms.offsets.to_numpy(zero_copy_only=False)
+        flat_t = terms.flatten().to_numpy(zero_copy_only=False)
+        flat_tf = tfs.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(flat_t)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if n == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "term": pa.array([], type=pa.string()),
+                             "tfidf": pa.array([], type=pa.float64()),
+                             "rank": pa.array([], type=pa.int64())})
+        pos = np.searchsorted(v, flat_t)
+        sc = np.round(flat_tf * iv[pos], 6)
+        parents = np.repeat(np.arange(len(ids)), np.diff(offs))
+        # per-doc rank on (tfidf DESC, term ASC): one lexsort + run-relative
+        # rank (same pattern as sampling._smallest_n_per_group)
+        order = np.lexsort((flat_t, -sc, parents))
+        sp = parents[order]
+        run_start = np.flatnonzero(np.concatenate([[True], sp[1:] != sp[:-1]]))
+        rank = np.arange(n) - np.repeat(
+            run_start, np.diff(np.concatenate([run_start, [n]])))
+        keep = order[rank < k]
+        keep = keep[np.argsort(keep, kind="stable")]
+        krank = np.empty(n, dtype=np.int64)
+        krank[order] = rank + 1
+        return pa.table({
+            id_col: pa.array(np.asarray(ids)[parents[keep]]),
+            "term": pa.array(flat_t[keep].astype(str)),
+            "tfidf": pa.array(sc[keep]),
+            "rank": pa.array(krank[keep]),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def quality_scores(ds: "ray.data.Dataset", text_col: str = "text",
                    id_col: str = "doc_id") -> "ray.data.Dataset":
     """Per-doc quality features: token count, char count, stopword ratio,

@@ -327,6 +327,37 @@ class TestTextStats:
                              [c] for c in ("gram", "n"))))
             assert got == dict(want)
 
+    def test_tfidf_topk_vs_naive(self):
+        """tfidf_topk == a naive per-doc tf*ln(N/df) top-k with (score desc,
+        term asc) tie-break, at any parallelism."""
+        import math
+        from collections import Counter
+
+        from colbert_ray.pipelines.phrase import phrase_tokens
+
+        t = _docs_table()
+        texts = t.column("text").to_pylist()
+        ids = t.column("doc_id").to_pylist()
+        toks = [phrase_tokens(x, x_text._cfg()) for x in texts]
+        n = len(texts)
+        df = Counter()
+        for tk in toks:
+            df.update(set(tk))
+        want = []
+        for did, tk in zip(ids, toks):
+            tf = Counter(tk)
+            scored = sorted(
+                ((round(c * math.log(n / df[w]), 6), w) for w, c in tf.items()),
+                key=lambda sw: (-sw[0], sw[1]))[:3]
+            want += [(did, w, s, r + 1)
+                     for r, (s, w) in enumerate(scored)]
+        want_df = pd.DataFrame(want, columns=["doc_id", "term", "tfidf", "rank"])
+        for n_parts in (1, 4):
+            ds = ray.data.from_arrow(t).repartition(n_parts)
+            got = (x_text.tfidf_topk(ds, k=3).to_pandas()
+                   .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+            pd.testing.assert_frame_equal(got[want_df.columns], want_df)
+
 
 class TestMultimodal:
     def test_extractor_deterministic_and_typed(self):
