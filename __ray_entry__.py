@@ -572,6 +572,27 @@ def _q_hll_event_count(sf_dir: str) -> pd.DataFrame:
     return x_sk.hll_distinct(ev, "event_id").to_pandas()
 
 
+CM_PROBE_K = 20
+
+
+def _q_cm_user_counts(sf_dir: str) -> pd.DataFrame:
+    """Count-Min frequency sketch (extras/sketches.count_min_sketch —
+    mergeable partials like HLL; the only shuffle moves <= depth x width
+    bucket rows per batch). Probes the exact top-20 users: cm_est >= exact
+    by construction, and every estimate is hash-exact SQL-twinnable."""
+    from ray.data.aggregate import Count
+
+    from colbert_ray.extras import sketches as x_sk
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    sk = x_sk.count_min_sketch(ev, "user_id")
+    g = ev.groupby("user_id").aggregate(Count(alias_name="n_events")).to_pandas()
+    top = (g.sort_values(["n_events", "user_id"], ascending=[False, True])
+           .head(CM_PROBE_K).reset_index(drop=True))
+    top["cm_est"] = x_sk.cm_estimate(sk, top["user_id"].tolist()).astype(np.int64)
+    return top[["user_id", "n_events", "cm_est"]]
+
+
 SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
 SAMPLE_RATE = 0.2
 STRAT_N_PER_LANG = 20          # stratified sample: exact quota per lang
@@ -900,6 +921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_conversions": _q_click_conversions,
         "hll_user_count": _q_hll_user_count,
         "hll_event_count": _q_hll_event_count,
+        "cm_user_counts": _q_cm_user_counts,
         "hash_sample_docs": _q_hash_sample_docs,
         "doc_split_counts": _q_doc_split_counts,
         "stratified_sample_docs": _q_stratified_sample,
@@ -1004,6 +1026,20 @@ def _hll_sql(table: str, group_col: str | None = None) -> str:
 
     return sql_hll_distinct_expr(table=table, key_expr="k",
                                  group_col=group_col)
+
+
+def _cm_sql() -> str:
+    """Exact DuckDB twin of extras/sketches.count_min_sketch + cm_estimate
+    (same FNV + additive depth seed + fmix64 + mod-width bucketing)."""
+    from colbert_ray.extras.sketches import sql_count_min_expr
+
+    return sql_count_min_expr(
+        table="events", key_expr="CAST(user_id AS VARCHAR)",
+        probe_cte=("SELECT user_id, count(*)::BIGINT AS n_events FROM events "
+                   f"GROUP BY user_id ORDER BY n_events DESC, user_id "
+                   f"LIMIT {CM_PROBE_K}"),
+        probe_key_expr="CAST(probe.user_id AS VARCHAR)",
+    ) + "\nORDER BY n_events DESC, user_id"
 
 
 def _bm25_sql() -> str:
@@ -1792,6 +1828,7 @@ ORDER BY doc_id, rank
             group_col="event_type"),
         "hll_event_count": _hll_sql(
             "(SELECT CAST(event_id AS VARCHAR) AS k FROM events)"),
+        "cm_user_counts": _cm_sql(),
         "events_hourly": """
 SELECT user_id,
        (epoch_us(ts) // 3600000000) * 3600000000 AS window_start,

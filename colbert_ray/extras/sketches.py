@@ -28,7 +28,13 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Max
 
-from colbert_ray.functions.hashing import fmix64, fnv1a64_strings
+from colbert_ray.functions.hashing import (
+    U64_MOD,
+    fmix64,
+    fnv1a64_strings,
+    sql_fmix64_expr,
+    sql_fnv1a64_expr,
+)
 
 DEFAULT_P = 10                      # 1024 registers, ~3.25% rel. std. error
 
@@ -186,4 +192,119 @@ SELECT {gsel}
        END AS est_distinct,
        n_used AS n_used_registers
 FROM est {gord}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — frequency estimation
+# ---------------------------------------------------------------------------
+# Same mergeable-partial shape as HLL: each batch reduces to <= depth x width
+# (d, bucket, count) rows, the only shuffle moves those partials, and the
+# final sketch is a depth x width table. Estimates overcount (never under):
+# est(k) = min over rows of the row's bucket count. All hashing is the
+# repo's FNV-1a + fmix64 with an ADDITIVE per-row seed (d * golden mod 2^64)
+# so the DuckDB twin reproduces every bucket — and hence every estimate —
+# exactly.
+
+CM_DEPTH = 3
+CM_WIDTH = 64
+_CM_GOLDEN = 0x9E3779B97F4A7C15
+
+
+def _cm_seed(d: int) -> int:
+    return (d * _CM_GOLDEN) % (1 << 64)
+
+
+def cm_buckets(keys_u64: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(depth, n) bucket index of each key hash in each sketch row."""
+    out = np.empty((depth, len(keys_u64)), dtype=np.int64)
+    for d in range(depth):
+        h = fmix64(keys_u64 + np.uint64(_cm_seed(d)))
+        out[d] = (h % np.uint64(width)).astype(np.int64)
+    return out
+
+
+def _as_string_u64(keys) -> np.ndarray:
+    if not (pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type)):
+        keys = keys.cast(pa.string())
+    return fnv1a64_strings(keys)
+
+
+def count_min_sketch(ds: "ray.data.Dataset", key_col: str,
+                     depth: int = CM_DEPTH, width: int = CM_WIDTH) -> np.ndarray:
+    """Build the (depth, width) int64 Count-Min table over ``key_col``."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        f = _as_string_u64(b.column(key_col))
+        bk = cm_buckets(f, depth, width)
+        ds_out, bs_out, cs_out = [], [], []
+        for d in range(depth):
+            c = np.bincount(bk[d], minlength=width)
+            used = np.flatnonzero(c)
+            ds_out.append(np.full(len(used), d, dtype=np.int64))
+            bs_out.append(used.astype(np.int64))
+            cs_out.append(c[used].astype(np.int64))
+        return pa.table({"d": np.concatenate(ds_out) if ds_out else
+                         np.empty(0, dtype=np.int64),
+                         "bucket": np.concatenate(bs_out) if bs_out else
+                         np.empty(0, dtype=np.int64),
+                         "c_p": np.concatenate(cs_out) if cs_out else
+                         np.empty(0, dtype=np.int64)})
+
+    folded = (ds.select_columns([key_col])
+              .map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby(["d", "bucket"])
+              .aggregate(Sum("c_p", alias_name="c"))).to_pandas()
+    sk = np.zeros((depth, width), dtype=np.int64)
+    sk[folded["d"].to_numpy(), folded["bucket"].to_numpy()] = \
+        folded["c"].to_numpy()
+    return sk
+
+
+def cm_estimate(sketch: np.ndarray, keys) -> np.ndarray:
+    """Point-query the sketch for an Arrow string array / list of keys:
+    int64 estimates (>= true counts, hash-exact deterministic)."""
+    depth, width = sketch.shape
+    if not isinstance(keys, (pa.Array, pa.ChunkedArray)):
+        keys = pa.array([str(k) for k in keys], type=pa.string())
+    f = _as_string_u64(keys)
+    bk = cm_buckets(f, depth, width)
+    ests = sketch[np.arange(depth)[:, None], bk]
+    return ests.min(axis=0)
+
+
+def sql_count_min_expr(*, table: str, key_expr: str, probe_cte: str,
+                       probe_key_expr: str, depth: int = CM_DEPTH,
+                       width: int = CM_WIDTH) -> str:
+    """DuckDB twin: builds the same sketch over ``table`` and point-queries
+    it for every row of ``probe_cte`` (a CTE named ``probe`` whose rows keep
+    their columns; the estimate is added as ``cm_est``). Same FNV + additive
+    seed + fmix64 + mod-width bucketing — estimates are hash-exact."""
+    fnv = sql_fnv1a64_expr(key_expr)
+    pfnv = sql_fnv1a64_expr(probe_key_expr)
+    mod = U64_MOD
+
+    def bucket(f_expr: str) -> str:
+        seeded = f"((({f_expr}) + (d.d::HUGEINT * {_CM_GOLDEN}::HUGEINT) " \
+                 f"% {mod}::HUGEINT) % {mod}::HUGEINT)"
+        return f"({sql_fmix64_expr(seeded)} % {width}::HUGEINT)::BIGINT"
+
+    return f"""
+WITH dser(d) AS (SELECT unnest(generate_series(0, {depth - 1}))),
+kf AS (SELECT {fnv} AS f FROM {table}),
+sk AS (
+  SELECT d.d AS d, {bucket('kf.f')} AS bucket, count(*)::BIGINT AS c
+  FROM kf, dser d GROUP BY 1, 2
+),
+probe AS ({probe_cte}),
+pb AS (
+  SELECT probe.*, d.d AS d, {bucket(f'({pfnv})')} AS bucket
+  FROM probe, dser d
+)
+SELECT joined.* EXCLUDE (d, bucket, c), min(c) AS cm_est
+FROM (SELECT pb.*, sk.c FROM pb
+      JOIN sk ON sk.d = pb.d AND sk.bucket = pb.bucket) joined
+GROUP BY ALL
 """

@@ -754,6 +754,56 @@ class TestHLLSketch:
         assert e1 == e2
 
 
+class TestCountMinSketch:
+    """Count-Min frequency sketch (extras/sketches.py)."""
+
+    @staticmethod
+    def _keys_table(n=4000, n_keys=300, seed=3):
+        rng = np.random.default_rng(seed)
+        ks = rng.integers(0, n_keys, n)
+        return pa.table({"k": pa.array([f"key{v}" for v in ks])}), ks
+
+    def test_overcount_never_undercount_and_batch_invariant(self):
+        from collections import Counter
+
+        from colbert_ray.extras.sketches import cm_estimate, count_min_sketch
+
+        t, ks = self._keys_table()
+        exact = Counter(ks)
+        probe = [f"key{v}" for v in sorted(exact)]
+        want_exact = np.array([exact[int(p[3:])] for p in probe])
+        sk1 = count_min_sketch(ray.data.from_arrow(t), "k")
+        sk2 = count_min_sketch(ray.data.from_arrow(t).repartition(7), "k")
+        np.testing.assert_array_equal(sk1, sk2)   # mergeable partials
+        est = cm_estimate(sk1, probe)
+        assert (est >= want_exact).all()          # CM never undercounts
+        assert (est > want_exact).any()           # collisions exist at w=64
+        # every sketch row sums to the stream length
+        assert (sk1.sum(axis=1) == len(ks)).all()
+
+    def test_exact_when_width_exceeds_keys(self):
+        from collections import Counter
+
+        from colbert_ray.extras.sketches import cm_estimate, count_min_sketch
+
+        t, ks = self._keys_table(n=1000, n_keys=20)
+        exact = Counter(ks)
+        probe = [f"key{v}" for v in sorted(exact)]
+        sk = count_min_sketch(ray.data.from_arrow(t), "k", depth=4, width=4096)
+        est = cm_estimate(sk, probe)
+        want = np.array([exact[int(p[3:])] for p in probe])
+        # 20 keys in 4096 buckets x 4 rows: no collision survives the min
+        np.testing.assert_array_equal(est, want)
+
+    def test_int_keys_cast_like_sql(self):
+        from colbert_ray.extras.sketches import cm_estimate, count_min_sketch
+
+        t = pa.table({"k": pa.array([7, 7, 8], type=pa.int64())})
+        sk = count_min_sketch(ray.data.from_arrow(t), "k")
+        np.testing.assert_array_equal(cm_estimate(sk, ["7", "8"]),
+                                      np.array([2, 1]))
+
+
 class TestHashSampling:
     """Deterministic hash sampling/splitting (extras/sampling.py)."""
 
