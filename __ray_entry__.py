@@ -629,6 +629,14 @@ def _q_bigram_top100(sf_dir: str) -> pd.DataFrame:
     return df.head(100)[["gram", "n"]].reset_index(drop=True)
 
 
+def _q_doclen_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact global doc-length quantiles via the value-histogram shape
+    (extras/textstats.doclen_quantiles — no global sort; the shuffle moves
+    (length, count) partials only)."""
+    t = x_text.doclen_quantiles(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return t.to_pandas()
+
+
 TFIDF_K = 5
 
 
@@ -927,6 +935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_docs": _q_stratified_sample,
         "bigram_top100": _q_bigram_top100,
         "tfidf_top5": _q_tfidf_top5,
+        "doclen_quantiles": _q_doclen_quantiles,
         "bloom_filtered_orders": _q_bloom_filtered_orders,
         "simhash64": _q_simhash,
         "fingerprints": _q_fingerprints,
@@ -1821,6 +1830,15 @@ SELECT doc_id, term, tfidf,
 FROM scored
 QUALIFY rank <= {TFIDF_K}
 ORDER BY doc_id, rank
+""",
+        "doclen_quantiles": f"""
+SELECT count(*)::BIGINT AS n_docs,
+       quantile_disc(n, 0.25)::BIGINT AS p25,
+       quantile_disc(n, 0.5)::BIGINT AS p50,
+       quantile_disc(n, 0.75)::BIGINT AS p75,
+       quantile_disc(n, 0.9)::BIGINT AS p90,
+       quantile_disc(n, 0.99)::BIGINT AS p99
+FROM (SELECT len({toks}) AS n FROM documents)
 """,
         "bloom_filtered_orders": _bloom_sql(),
         "hll_user_count": _hll_sql(

@@ -431,3 +431,41 @@ def clean_corpus_stats(
 
 def sql_stopword_list() -> str:
     return "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+def doclen_quantiles(ds: "ray.data.Dataset", text_col: str = "text",
+                     qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99)) -> "pa.Table":
+    """EXACT global token-length quantiles over the whole corpus — the
+    length-filter calibration step of a cleaning pipeline — without a
+    global sort: doc lengths live in a small integer value domain, so the
+    corpus reduces to a (n_tokens, count) histogram (per-batch bincount
+    partials, one tiny groupby), and the quantile is read off the cumsum.
+    Shuffle volume is O(distinct lengths x n_blocks), independent of corpus
+    size. Selection rule = SQL percentile_disc (sorted[ceil(q*n) - 1]),
+    identical to ``user_value_quantiles``."""
+    import math
+
+    from ray.data.aggregate import Sum as RSum
+
+    counted = token_counts(ds.select_columns([text_col, "doc_id"]), text_col)
+
+    def hist(b: pa.Table) -> pa.Table:
+        v = b.column("n_tokens").to_numpy(zero_copy_only=False)
+        c = np.bincount(v)
+        used = np.flatnonzero(c)
+        return pa.table({"n_tokens": used.astype(np.int64),
+                         "c_p": c[used].astype(np.int64)})
+
+    h = (counted.map_batches(hist, batch_format="pyarrow",
+                             zero_copy_batch=True)
+         .groupby("n_tokens").aggregate(RSum("c_p", alias_name="c"))
+         .to_pandas().sort_values("n_tokens").reset_index(drop=True))
+    n = int(h["c"].sum())
+    cum = h["c"].cumsum().to_numpy()
+    vals = h["n_tokens"].to_numpy()
+    cols = {"n_docs": pa.array([n], type=pa.int64())}
+    for q in qs:
+        k = max(1, math.ceil(q * n - 1e-9))          # 1-based target rank
+        cols[f"p{round(q * 100)}"] = pa.array(
+            [int(vals[np.searchsorted(cum, k)])], type=pa.int64())
+    return pa.table(cols)

@@ -327,6 +327,24 @@ class TestTextStats:
                              [c] for c in ("gram", "n"))))
             assert got == dict(want)
 
+    def test_doclen_quantiles_vs_numpy(self):
+        """Histogram-shape quantiles == percentile_disc on the raw lengths,
+        at any parallelism."""
+        import math
+
+        from colbert_ray.pipelines.phrase import phrase_tokens
+
+        t = _docs_table()
+        lens = np.sort([len(phrase_tokens(x, x_text._cfg()))
+                        for x in t.column("text").to_pylist()])
+        for n_parts in (1, 4):
+            got = x_text.doclen_quantiles(
+                ray.data.from_arrow(t).repartition(n_parts)).to_pandas()
+            assert got["n_docs"].iat[0] == len(lens)
+            for q in (25, 50, 75, 90, 99):
+                idx = max(0, math.ceil(q / 100 * len(lens) - 1e-9) - 1)
+                assert got[f"p{q}"].iat[0] == lens[idx]
+
     def test_tfidf_topk_vs_naive(self):
         """tfidf_topk == a naive per-doc tf*ln(N/df) top-k with (score desc,
         term asc) tie-break, at any parallelism."""
