@@ -468,6 +468,21 @@ def _q_embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
     return df.rename(columns={"cosine": "cosine_r"})
 
 
+def _q_embedding_covariance(sf_dir: str) -> pd.DataFrame:
+    """Upper triangle of the population covariance of the embedding column.
+
+    One map_batches reduction to d(d+1)/2 Gram partials per batch + a tiny
+    groupby — corpus size never reaches the driver (simsearch.py
+    ``embedding_covariance``). cov_r follows the float policy (round 6)."""
+    mo = x_sim.embedding_covariance(
+        _read(sf_dir, "embeddings", ["embedding"]))
+    cov = mo["cov"]
+    iu, ju = np.triu_indices(cov.shape[0])
+    return pd.DataFrame({"i": iu.astype(np.int64),
+                         "j": ju.astype(np.int64),
+                         "cov_r": cov[iu, ju].astype(np.float64)})
+
+
 def _q_pricing_summary(sf_dir: str) -> pd.DataFrame:
     ds = x_rel.pricing_summary(
         _read(sf_dir, "lineitem",
@@ -918,6 +933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contaminated_docs": _q_contaminated_docs,
         "knn_cosine_top5": _q_knn_cosine_top5,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
+        "embedding_covariance": _q_embedding_covariance,
         "retrieval_metrics": _q_retrieval_metrics,
         "pricing_summary": _q_pricing_summary,
         "top_revenue_orders": _q_top_revenue_orders,
@@ -1672,6 +1688,20 @@ p AS (
 SELECT id_a, id_b, cosine_r FROM p
 WHERE cosine_r >= {EMB_DUP_THRESHOLD}
 ORDER BY id_a, id_b
+""",
+        # population covariance, textbook E[xy] - E[x]E[y] on BOTH sides so
+        # round-6 absorbs summation-order drift (engine sums float64 partials)
+        "embedding_covariance": """
+WITH u AS (
+  SELECT vec_id,
+         unnest(generate_series(0, len(embedding) - 1)) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+)
+SELECT a.pos AS i, b.pos AS j,
+       round(avg(a.val * b.val) - avg(a.val) * avg(b.val), 6) AS cov_r
+FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+GROUP BY a.pos, b.pos ORDER BY i, j
 """,
         "retrieval_metrics": _metrics_sql(),
         "minhash_dup_pairs": _minhash_sql(),

@@ -359,3 +359,82 @@ def embedding_dup_pairs(
     return ds.select_columns([id_col, vec_col]).map_batches(
         pairs, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def embedding_covariance(ds: "ray.data.Dataset",
+                         col: str = "embedding") -> dict:
+    """Distributed mean + population covariance of an embedding column —
+    the PCA / whitening / drift-detection building block.
+
+    Scale shape: each batch reduces to ONE d x d Gram partial + a sum
+    vector + a count (emitted as (i, j, s) rows, d(d+1)/2 + d + 1 per
+    batch); the only shuffle moves those partials and the driver folds a
+    d x d matrix — corpus size never leaves the map side. Returns
+    ``{"n", "mean" (d,), "cov" (d, d)}``; cov uses the textbook
+    E[xy] - E[x]E[y] form (same expression as the SQL twin) rounded to 6
+    decimals."""
+    from ray.data.aggregate import Sum as RSum
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = _stack(b, col)
+        n, d = m.shape
+        iu, ju = np.triu_indices(d)
+        ss = (m.T @ m)[iu, ju]
+        i_out = np.concatenate([iu, np.arange(d), [-1]])
+        j_out = np.concatenate([ju, np.full(d, -1), [-1]])
+        s_out = np.concatenate([ss, m.sum(axis=0), [float(n)]])
+        return pa.table({"i": i_out.astype(np.int64),
+                         "j": j_out.astype(np.int64),
+                         "s": s_out.astype(np.float64)})
+
+    t = (ds.select_columns([col])
+         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+         .groupby(["i", "j"]).aggregate(RSum("s", alias_name="s"))
+         .to_pandas())
+    i = t["i"].to_numpy()
+    j = t["j"].to_numpy()
+    s = t["s"].to_numpy()
+    n = float(s[(i == -1) & (j == -1)][0])
+    d = int(i.max()) + 1
+    mean = np.zeros(d)
+    sums = (i >= 0) & (j == -1)
+    mean[i[sums]] = s[sums] / n
+    cov = np.zeros((d, d))
+    prods = (i >= 0) & (j >= 0)
+    cov[i[prods], j[prods]] = s[prods] / n
+    cov = np.triu(cov) + np.triu(cov, 1).T
+    cov = np.round(cov - np.outer(mean, mean), 6)
+    return {"n": int(n), "mean": mean, "cov": cov}
+
+
+def pca_project(ds: "ray.data.Dataset", k: int,
+                col: str = "embedding", id_col: str = "vec_id",
+                moments: dict | None = None) -> "ray.data.Dataset":
+    """Project embeddings onto their top-k principal components:
+    (id_col, "pca" list<double>). The d x d eigendecomposition runs on the
+    driver (d is the embedding width, never the corpus); the centered
+    projection matrix is broadcast once via ``ray.put`` and the corpus
+    STREAMS through a stateless matmul pass. Component sign is fixed
+    deterministically (largest-|coeff| entry made positive) so output is
+    reproducible across BLAS builds."""
+    import ray as _ray
+
+    mo = moments if moments is not None else embedding_covariance(ds, col)
+    w, v = np.linalg.eigh(mo["cov"])
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order]                          # (d, k)
+    sign_fix = np.sign(comps[np.abs(comps).argmax(axis=0),
+                             np.arange(comps.shape[1])])
+    comps = comps * np.where(sign_fix == 0, 1.0, sign_fix)
+    ref = _ray.put((mo["mean"], comps))
+
+    def project(b: pa.Table) -> pa.Table:
+        mean, c = _ray.get(ref)
+        m = _stack(b, col)
+        p = (m - mean) @ c
+        return pa.table({id_col: b.column(id_col),
+                         "pca": pa.array(list(map(list, p)),
+                                         type=pa.list_(pa.float64()))})
+
+    return ds.select_columns([id_col, col]).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True)

@@ -279,6 +279,36 @@ class TestSimsearch:
         out = x_sim.embedding_dup_pairs(ds, threshold=0.999).to_pandas()
         assert (0, 100) in set(zip(out["id_a"], out["id_b"]))
 
+    def test_covariance_matches_numpy(self, emb):
+        t, m = emb
+        ds = ray.data.from_arrow(t).repartition(4)
+        mo = x_sim.embedding_covariance(ds)
+        assert mo["n"] == 50
+        np.testing.assert_allclose(mo["mean"], m.mean(axis=0), atol=1e-9)
+        np.testing.assert_allclose(mo["cov"], np.round(np.cov(m, rowvar=False, ddof=0), 6),
+                                   atol=2e-6)
+        # symmetric by construction (upper triangle mirrored)
+        np.testing.assert_array_equal(mo["cov"], mo["cov"].T)
+
+    def test_pca_project(self, emb):
+        t, m = emb
+        ds = ray.data.from_arrow(t).repartition(4)
+        mo = x_sim.embedding_covariance(ds)
+        out = x_sim.pca_project(ds, 4, moments=mo).to_pandas().sort_values("vec_id")
+        p = np.stack(out["pca"].to_numpy())
+        assert p.shape == (50, 4)
+        # projected variance recovers the top-4 eigenvalues, in order
+        w = np.sort(np.linalg.eigh(mo["cov"])[0])[::-1][:4]
+        np.testing.assert_allclose(p.var(axis=0, ddof=0), w, atol=1e-5)
+        assert (np.diff(p.var(axis=0, ddof=0)) <= 1e-12).all()
+        # components are orthogonal => projected dims decorrelated
+        c = np.cov(p, rowvar=False, ddof=0)
+        off = c - np.diag(np.diag(c))
+        assert np.abs(off).max() < 1e-6
+        # deterministic across runs (sign fix)
+        out2 = x_sim.pca_project(ds, 4, moments=mo).to_pandas().sort_values("vec_id")
+        np.testing.assert_array_equal(p, np.stack(out2["pca"].to_numpy()))
+
 
 class TestTextStats:
     def test_token_counts(self):
