@@ -34,7 +34,7 @@ class RssSampler(threading.Thread):
 
     def __init__(self):
         super().__init__(daemon=True)
-        self._stop = threading.Event()
+        self._halt = threading.Event()
         self.peak_task_gb = 0.0
         self.peak_task_cmd = ""
         self.peak_driver_gb = 0.0
@@ -46,7 +46,7 @@ class RssSampler(threading.Thread):
             return int(f.read().split()[1]) * _PAGE / 1e9
 
     def run(self):
-        while not self._stop.is_set():
+        while not self._halt.is_set():
             now_max = 0.0
             for pid in os.listdir("/proc"):
                 if not pid.isdigit():
@@ -69,10 +69,12 @@ class RssSampler(threading.Thread):
             except OSError:
                 pass
             self.timeline.append((time.time(), round(now_max, 3)))
-            self._stop.wait(0.5)
+            self._halt.wait(0.5)
 
     def stop(self):
-        self._stop.set()
+        # NB: attribute must not be named _stop - Thread.join() calls the
+        # private Thread._stop() internally and an Event there breaks join
+        self._halt.set()
         self.join()
 
 
