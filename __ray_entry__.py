@@ -705,6 +705,39 @@ def _q_bloom_filtered_orders(sf_dir: str) -> pd.DataFrame:
             .sort_values("o_orderkey").reset_index(drop=True))
 
 
+def _q_customers_no_urgent(sf_dir: str) -> pd.DataFrame:
+    """Anti join (extras/bloom.py anti_join): customers with NO 1-URGENT
+    order. Bloom misses stream through as definite non-matches; only
+    bloom-maybe rows enter the left_outer join against distinct custkeys."""
+    from colbert_ray.extras import bloom as x_bloom
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    urgent = (_read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+              .filter(expr="o_orderpriority == '1-URGENT'")
+              .select_columns(["o_custkey"]))
+    out = x_bloom.anti_join(cust, urgent, on="c_custkey",
+                            right_on="o_custkey")
+    df = out.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"c_custkey": pd.Series(dtype=np.int64),
+                             "c_name": pd.Series(dtype=object)})
+    return df.sort_values("c_custkey").reset_index(drop=True)
+
+
+def _q_top_orders_per_cust(sf_dir: str) -> pd.DataFrame:
+    """Grouped top-k (extras/relational.py grouped_topk): top-3 orders per
+    customer by o_totalprice (row_number() window semantics, o_orderkey
+    tie-break). Ordering compares the RAW stored doubles — no arithmetic on
+    either side — so engine and oracle rank identically; price is rounded
+    only for the hashed output column (float policy)."""
+    ods = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    tk = x_rel.grouped_topk(ods, "o_custkey", "o_totalprice", 3,
+                            tie_col="o_orderkey")
+    df = tk.to_pandas().sort_values(["o_custkey", "rn"]).reset_index(drop=True)
+    df["price_r"] = df["o_totalprice"].round(2)
+    return df[["o_custkey", "o_orderkey", "rn", "price_r"]]
+
+
 def _q_retrieval_metrics(sf_dir: str) -> pd.DataFrame:
     """MRR@10 / Recall@10 / Success@{1,5} of the BM25 ranking against
     rule-derived qrels (a doc is relevant to a query iff it contains ALL the
@@ -953,6 +986,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top5": _q_tfidf_top5,
         "doclen_quantiles": _q_doclen_quantiles,
         "bloom_filtered_orders": _q_bloom_filtered_orders,
+        "customers_no_urgent": _q_customers_no_urgent,
+        "top_orders_per_cust": _q_top_orders_per_cust,
         "simhash64": _q_simhash,
         "fingerprints": _q_fingerprints,
         "lang_id_pred": _q_lang_id,
@@ -1871,6 +1906,26 @@ SELECT count(*)::BIGINT AS n_docs,
 FROM (SELECT len({toks}) AS n FROM documents)
 """,
         "bloom_filtered_orders": _bloom_sql(),
+        # anti join is exact by construction (bloom misses are definite,
+        # maybes verified by the join), so the twin is plain NOT EXISTS
+        "customers_no_urgent": """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+""",
+        # ordering compares raw stored doubles on both sides; price rounded
+        # only in the output projection (float policy)
+        "top_orders_per_cust": """
+WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders)
+SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn,
+       round(o_totalprice, 2) AS price_r
+FROM r WHERE rn <= 3 ORDER BY o_custkey, rn
+""",
         "hll_user_count": _hll_sql(
             "(SELECT event_type, CAST(user_id AS VARCHAR) AS k FROM events)",
             group_col="event_type"),

@@ -99,6 +99,61 @@ def bloom_semijoin(probe: "ray.data.Dataset", bits: np.ndarray,
                              zero_copy_batch=True)
 
 
+def anti_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
+              on: str, right_on: str | None = None,
+              n_bits: int = 1 << 20, k: int = 5,
+              num_partitions: int = 8) -> "ray.data.Dataset":
+    """Rows of ``left`` whose key appears NOWHERE in ``right`` (anti join).
+
+    Tiered for scale: ``right``'s keys fold into a Bloom bitset (fixed-size
+    broadcast). A bloom MISS is a definite non-match — no false negatives —
+    so the bulk of a selective anti join streams straight through with zero
+    shuffle. Only bloom-MAYBE rows (true matches + the bounded
+    false-positive mass) enter the exchange: a hash-partitioned left_outer
+    ``Dataset.join`` against right's DISTINCT keys, keeping null probes.
+    ``on``/``right_on`` must be distinct column names (TPC-H style keys)."""
+    right_on = right_on or on
+    assert on != right_on, "anti_join needs distinct key column names"
+    bits = build_bloom(right.select_columns([right_on]), right_on,
+                       n_bits=n_bits, k=k)
+    n_bits_eff = len(bits) * 64
+    bits_ref = ray.put(bits)
+    left_cols = left.schema().names
+
+    def _hits(b: pa.Table) -> np.ndarray:
+        w = ray.get(bits_ref)
+        pos = _positions(b, on, n_bits_eff, k)
+        hit = (w[pos // 64] >> (pos % 64).astype(np.uint64)) & np.uint64(1)
+        return hit.all(axis=1)
+
+    def keep_miss(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(~_hits(b)))
+
+    def keep_maybe(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(_hits(b)))
+
+    definite = left.map_batches(keep_miss, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    maybe = left.map_batches(keep_maybe, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    # distinct keys (one row per key) so the left_outer probe can't fan out
+    rkeys = (right.select_columns([right_on])
+             .groupby(right_on).count())
+    joined = maybe.join(rkeys, join_type="left_outer",
+                        num_partitions=num_partitions,
+                        on=(on,), right_on=(right_on,))
+
+    def null_probe(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_null(b.column("count()"))
+        return b.filter(keep).select(left_cols)
+
+    verified = joined.map_batches(null_probe, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    return definite.union(verified)
+
+
 def sql_bloom_semijoin(*, probe_table: str, probe_key: str,
                        build_table: str, build_key: str,
                        select: str, n_bits: int = 1 << 20,

@@ -492,3 +492,49 @@ def events_sliding_window(events: "ray.data.Dataset",
         .aggregate(Sum("c", alias_name="n_events_3h"),
                    Sum("s", alias_name="sum_value_3h"))
     )
+
+
+def grouped_topk(ds: "ray.data.Dataset", group_col: str, order_col: str,
+                 k: int, *, tie_col: str,
+                 descending: bool = True) -> "ray.data.Dataset":
+    """Top-k rows per group by ``order_col`` (ties broken by ``tie_col``
+    ascending), emitting all input columns plus ``rn`` (1..k, int64) — the
+    windowed row_number() <= k shape.
+
+    Map-side partial: each batch keeps at most k rows per group IT contains
+    (one lexsort + change-point rank, no per-row loop), so the single
+    groupby exchange moves <= k x groups-per-batch rows per batch instead of
+    the corpus. Final per-group selection runs in ``map_groups`` over those
+    pre-reduced candidates. Ordering compares the RAW stored values (no
+    arithmetic happens on either side, so engine and SQL twin see
+    bit-identical keys); ``tie_col`` must make the order total."""
+    sign = -1.0 if descending else 1.0
+
+    def _rank_mask(g: np.ndarray, o: np.ndarray, t: np.ndarray) -> np.ndarray:
+        idx = np.lexsort((t, sign * o, g))
+        gs = g[idx]
+        starts = np.flatnonzero(np.concatenate(([True], gs[1:] != gs[:-1])))
+        rank = np.arange(len(gs)) - np.repeat(starts, np.diff(
+            np.concatenate((starts, [len(gs)]))))
+        return idx[rank < k]
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        g = b.column(group_col).to_numpy(zero_copy_only=False)
+        o = b.column(order_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        t = b.column(tie_col).to_numpy(zero_copy_only=False)
+        return b.take(pa.array(np.sort(_rank_mask(g, o, t))))
+
+    def final(g: pa.Table) -> pa.Table:
+        o = g.column(order_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        t = g.column(tie_col).to_numpy(zero_copy_only=False)
+        idx = np.lexsort((t, sign * o))[:k]
+        out = g.take(pa.array(idx))
+        return out.append_column(
+            "rn", pa.array(np.arange(1, len(idx) + 1), type=pa.int64()))
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(group_col)
+            .map_groups(final, batch_format="pyarrow"))

@@ -1006,3 +1006,93 @@ class TestBloomSemijoin:
         with pytest.raises(AssertionError):
             build_bloom(ray.data.from_arrow(self._tables()[0]), "k",
                         n_bits=960, k=2)
+
+
+class TestAntiJoin:
+    """Tiered anti join (extras/bloom.py anti_join)."""
+
+    def test_matches_naive_anti(self):
+        from colbert_ray.extras.bloom import anti_join
+
+        left = pa.table({"lk": pa.array([f"k{i}" for i in range(300)]),
+                         "v": pa.array(range(300))})
+        # right covers k0..k199 (duplicated 3x: join must not fan out)
+        right = pa.table({"rk": pa.array([f"k{i}" for i in range(200)] * 3)})
+        out = anti_join(ray.data.from_arrow(left).repartition(5),
+                        ray.data.from_arrow(right).repartition(3),
+                        on="lk", right_on="rk",
+                        n_bits=512, k=2)   # tiny bloom -> FPs forced into verify
+        df = out.to_pandas().sort_values("v").reset_index(drop=True)
+        assert df["lk"].tolist() == [f"k{i}" for i in range(200, 300)]
+        assert list(df.columns) == ["lk", "v"]
+
+    def test_all_match_yields_empty(self):
+        from colbert_ray.extras.bloom import anti_join
+
+        t = pa.table({"lk": pa.array(["a", "b"]), "v": pa.array([1, 2])})
+        r = pa.table({"rk": pa.array(["a", "b", "b"])})
+        out = anti_join(ray.data.from_arrow(t), ray.data.from_arrow(r),
+                        on="lk", right_on="rk")
+        assert out.count() == 0
+
+    def test_same_key_name_rejected(self):
+        from colbert_ray.extras.bloom import anti_join
+
+        t = pa.table({"k": pa.array(["a"])})
+        with pytest.raises(AssertionError):
+            anti_join(ray.data.from_arrow(t), ray.data.from_arrow(t), on="k")
+
+
+class TestGroupedTopk:
+    def _orders(self):
+        rng = np.random.default_rng(11)
+        n = 400
+        return pa.table({
+            "g": pa.array(rng.integers(0, 20, n), type=pa.int64()),
+            "id": pa.array(np.arange(n), type=pa.int64()),
+            "x": pa.array(rng.standard_normal(n)),
+        })
+
+    def _naive(self, t, k, descending=True):
+        df = t.to_pandas()
+        sign = -1 if descending else 1
+        df = df.sort_values(["g", "x", "id"],
+                            ascending=[True, not descending, True])
+        df["rn"] = df.groupby("g").cumcount() + 1
+        return df[df["rn"] <= k].reset_index(drop=True)
+
+    def test_matches_window_semantics(self):
+        from colbert_ray.extras.relational import grouped_topk
+
+        t = self._orders()
+        out = (grouped_topk(ray.data.from_arrow(t).repartition(7),
+                            "g", "x", 3, tie_col="id")
+               .to_pandas().sort_values(["g", "rn"]).reset_index(drop=True))
+        want = self._naive(t, 3)
+        pd.testing.assert_frame_equal(
+            out[["g", "id", "x", "rn"]], want[["g", "id", "x", "rn"]])
+
+    def test_ascending_and_small_groups(self):
+        from colbert_ray.extras.relational import grouped_topk
+
+        # k larger than some group sizes; ascending order
+        t = pa.table({"g": pa.array([0, 0, 1], type=pa.int64()),
+                      "id": pa.array([0, 1, 2], type=pa.int64()),
+                      "x": pa.array([5.0, 3.0, 9.0])})
+        out = (grouped_topk(ray.data.from_arrow(t), "g", "x", 10,
+                            tie_col="id", descending=False)
+               .to_pandas().sort_values(["g", "rn"]).reset_index(drop=True))
+        assert out[out.g == 0]["id"].tolist() == [1, 0]   # ascending by x
+        assert out[out.g == 0]["rn"].tolist() == [1, 2]
+        assert out[out.g == 1]["rn"].tolist() == [1]
+
+    def test_tie_break_deterministic(self):
+        from colbert_ray.extras.relational import grouped_topk
+
+        t = pa.table({"g": pa.array([0] * 5, type=pa.int64()),
+                      "id": pa.array([4, 2, 0, 3, 1], type=pa.int64()),
+                      "x": pa.array([1.0] * 5)})
+        out = (grouped_topk(ray.data.from_arrow(t).repartition(3),
+                            "g", "x", 3, tie_col="id")
+               .to_pandas().sort_values("rn"))
+        assert out["id"].tolist() == [0, 1, 2]
