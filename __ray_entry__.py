@@ -510,6 +510,17 @@ def _q_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
     return t.to_pandas().reset_index(drop=True)
 
 
+def _q_pricing_rollup(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP(l_returnflag, l_linestatus) — one finest-granularity pass over
+    the corpus, coarser levels re-derived from the tiny grouped frame
+    (extras/relational.pricing_rollup); lvl is the GROUPING() bitmask."""
+    t = x_rel.pricing_rollup(
+        _read(sf_dir, "lineitem",
+              ["l_returnflag", "l_linestatus", "l_quantity",
+               "l_extendedprice", "l_discount"]))
+    return t.to_pandas()
+
+
 def _q_event_sessions(sf_dir: str) -> pd.DataFrame:
     """Per-user 30-min-gap sessionization (extras/relational.sessionize —
     groupby(user) + vectorized per-group sort/diff/cumsum)."""
@@ -969,6 +980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance": _q_embedding_covariance,
         "retrieval_metrics": _q_retrieval_metrics,
         "pricing_summary": _q_pricing_summary,
+        "pricing_rollup": _q_pricing_rollup,
         "top_revenue_orders": _q_top_revenue_orders,
         "events_hourly": _q_events_hourly,
         "event_sessions": _q_event_sessions,
@@ -1799,6 +1811,19 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
+""",
+        # engine re-derives coarser levels from the finest grouped frame;
+        # round-2 on both sides absorbs summation-order drift
+        "pricing_rollup": """
+SELECT coalesce(l_returnflag, '') AS l_returnflag,
+       coalesce(l_linestatus, '') AS l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS lvl,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
+       count(*) AS count_order
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY lvl, l_returnflag, l_linestatus
 """,
         "top_revenue_orders": """
 SELECT l_orderkey, o_orderdate, o_orderpriority,

@@ -538,3 +538,38 @@ def grouped_topk(ds: "ray.data.Dataset", group_col: str, order_col: str,
                            zero_copy_batch=True)
             .groupby(group_col)
             .map_groups(final, batch_format="pyarrow"))
+
+
+def pricing_rollup(lineitem: "ray.data.Dataset") -> "pa.Table":
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) — detail rows, per-flag
+    subtotals, and a grand total, tagged with the standard GROUPING() bitmask
+    (0 = detail, 1 = linestatus rolled up, 3 = grand total).
+
+    Scale shape: the corpus is aggregated ONCE at the finest granularity
+    (same pre-aggregated groupby as ``pricing_summary``); every coarser
+    level is re-derived from that tiny grouped frame on the driver — sums
+    and counts are associative, so no second pass over the data. Returns an
+    Arrow table (the result is O(groups), never O(rows))."""
+    base = (pricing_summary(lineitem)
+            .to_pandas()
+            .sort_values(["l_returnflag", "l_linestatus"])
+            .reset_index(drop=True))
+    base = base.drop(columns=["avg_qty"])
+
+    import pandas as pd
+
+    measures = ["sum_qty", "sum_base_price", "sum_revenue", "count_order"]
+    detail = base.assign(lvl=np.int64(0))
+    sub = (base.groupby("l_returnflag", as_index=False)[measures].sum()
+           .assign(l_linestatus="", lvl=np.int64(1)))
+    grand = pd.DataFrame([{**{m: base[m].sum() for m in measures},
+                           "l_returnflag": "", "l_linestatus": "",
+                           "lvl": np.int64(3)}])
+    out = pd.concat([detail, sub, grand], ignore_index=True)
+    for c in ("sum_qty", "sum_base_price", "sum_revenue"):
+        out[c] = out[c].round(2)
+    out["count_order"] = out["count_order"].astype(np.int64)
+    out = (out[["l_returnflag", "l_linestatus", "lvl"] + measures]
+           .sort_values(["lvl", "l_returnflag", "l_linestatus"])
+           .reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -1096,3 +1096,30 @@ class TestGroupedTopk:
                             "g", "x", 3, tie_col="id")
                .to_pandas().sort_values("rn"))
         assert out["id"].tolist() == [0, 1, 2]
+
+
+class TestPricingRollup:
+    def test_levels_consistent(self):
+        from colbert_ray.extras.relational import pricing_rollup
+
+        rng = np.random.default_rng(3)
+        n = 500
+        t = pa.table({
+            "l_returnflag": pa.array(rng.choice(["A", "N", "R"], n)),
+            "l_linestatus": pa.array(rng.choice(["F", "O"], n)),
+            "l_quantity": pa.array(rng.integers(1, 50, n).astype(float)),
+            "l_extendedprice": pa.array(rng.uniform(100, 9000, n)),
+            "l_discount": pa.array(rng.uniform(0, 0.1, n)),
+        })
+        out = pricing_rollup(ray.data.from_arrow(t).repartition(4)).to_pandas()
+        detail = out[out.lvl == 0]
+        sub = out[out.lvl == 1]
+        grand = out[out.lvl == 3]
+        assert len(grand) == 1
+        assert int(grand["count_order"].iloc[0]) == n
+        # each subtotal equals the sum of its detail rows (round-2 tolerance)
+        for _, r in sub.iterrows():
+            d = detail[detail.l_returnflag == r.l_returnflag]
+            assert int(d["count_order"].sum()) == int(r["count_order"])
+            assert abs(d["sum_revenue"].sum() - r["sum_revenue"]) < 0.02
+        assert abs(detail["sum_qty"].sum() - grand["sum_qty"].iloc[0]) < 0.02
