@@ -483,6 +483,48 @@ def _q_embedding_covariance(sf_dir: str) -> pd.DataFrame:
                          "cov_r": cov[iu, ju].astype(np.float64)})
 
 
+def _q_embedding_int8(sf_dir: str) -> pd.DataFrame:
+    """int8 scalar quantization (extras/simsearch.quantize_int8): per-vector
+    code sums + scale. The half-up floor(x/scale + 0.5) rule is chosen so the
+    codes are bit-reproducible in SQL; sums of |q|<=127 codes are exact
+    integers. Stats reduce per batch (reduceat), stream to a tiny frame."""
+    import pyarrow as pa
+
+    qds = x_sim.quantize_int8(_read(sf_dir, "embeddings",
+                                    ["vec_id", "embedding"]))
+
+    def stats(b: "pa.Table") -> "pa.Table":
+        arr = b.column("q").combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = arr.offsets.to_numpy(zero_copy_only=False)
+        sq = np.add.reduceat(flat, offs[:-1]) if len(flat) else np.zeros(0, np.int64)
+        sq2 = np.add.reduceat(flat * flat, offs[:-1]) if len(flat) else np.zeros(0, np.int64)
+        return pa.table({"vec_id": b.column("vec_id"),
+                         "sum_q": pa.array(sq, type=pa.int64()),
+                         "sum_q2": pa.array(sq2, type=pa.int64()),
+                         "scale_r": pa.array(
+                             np.round(b.column("scale").to_numpy(
+                                 zero_copy_only=False), 6))})
+
+    df = (qds.map_batches(stats, batch_format="pyarrow",
+                          zero_copy_batch=True)
+          .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    return df
+
+
+def _q_knn_q8_top5(sf_dir: str) -> pd.DataFrame:
+    """Quantized-cosine top-5 (extras/simsearch.knn_cosine_q8): integer-code
+    cosine is bit-reproducible (exact int dots in float64, same
+    dot/(sqrt*sqrt) operation order as the SQL twin), so no rounded-tie
+    oversampling is needed — raw ranks match the oracle exactly."""
+    vecs, ids = _knn_queries(sf_dir)
+    ds = x_sim.knn_cosine_q8(_read(sf_dir, "embeddings"), vecs, ids, k=5)
+    df = ds.to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    df["cosine_r"] = df["cosine"].round(6)
+    df["rank"] = df["rank"].astype(np.int64)
+    return df[["qid", "vec_id", "rank", "cosine_r"]]
+
+
 def _q_pricing_summary(sf_dir: str) -> pd.DataFrame:
     ds = x_rel.pricing_summary(
         _read(sf_dir, "lineitem",
@@ -978,6 +1020,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_top5": _q_knn_cosine_top5,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "embedding_covariance": _q_embedding_covariance,
+        "embedding_int8": _q_embedding_int8,
+        "knn_q8_top5": _q_knn_q8_top5,
         "retrieval_metrics": _q_retrieval_metrics,
         "pricing_summary": _q_pricing_summary,
         "pricing_rollup": _q_pricing_rollup,
@@ -1203,6 +1247,35 @@ SELECT qid, vec_id,
 FROM sims
 QUALIFY rank <= 5
 ORDER BY qid, rank
+"""
+
+
+def _knn_q8_sql() -> str:
+    """Twin of ``knn_cosine_q8``: same half-up quantization, integer dots,
+    and dot/(sqrt*sqrt) operation order — bit-exact, raw rank order (no
+    rounded-tie oversampling needed, unlike the float-accumulated exact
+    kNN)."""
+    ids = ", ".join(str(i) for i in KNN_QUERY_IDS)
+    return f"""
+WITH u AS (SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS pos,
+                  CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings),
+s AS (SELECT vec_id, max(abs(val)) / 127 AS scale FROM u GROUP BY vec_id),
+q AS (SELECT u.vec_id, u.pos,
+             CASE WHEN s.scale = 0 THEN 0
+                  ELSE floor(u.val / s.scale + 0.5) END AS qv
+      FROM u JOIN s USING (vec_id)),
+n AS (SELECT vec_id, sqrt(sum(qv * qv)) AS nrm FROM q GROUP BY vec_id),
+sims AS (
+  SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+         sum(a.qv * b.qv) / (any_value(na.nrm) * any_value(nb.nrm)) AS cosine
+  FROM q a JOIN q b ON a.pos = b.pos AND b.vec_id <> a.vec_id
+  JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id
+  WHERE a.vec_id IN ({ids}) AND na.nrm > 0 AND nb.nrm > 0
+  GROUP BY a.vec_id, b.vec_id)
+SELECT qid, vec_id,
+       row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank,
+       round(cosine, 6) AS cosine_r
+FROM sims QUALIFY rank <= 5 ORDER BY qid, rank
 """
 
 
@@ -1750,6 +1823,22 @@ SELECT a.pos AS i, b.pos AS j,
 FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.pos <= b.pos
 GROUP BY a.pos, b.pos ORDER BY i, j
 """,
+        # floor(x/scale + 0.5) is the engine's half-up rule verbatim; code
+        # sums are exact integers, so this twin is bit-exact (no rounding)
+        "embedding_int8": """
+WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val
+           FROM embeddings),
+s AS (SELECT vec_id, max(abs(val)) / 127 AS scale FROM u GROUP BY vec_id),
+q AS (SELECT u.vec_id, CASE WHEN s.scale = 0 THEN 0
+                            ELSE floor(u.val / s.scale + 0.5) END AS qv,
+             s.scale
+      FROM u JOIN s USING (vec_id))
+SELECT vec_id, CAST(sum(qv) AS BIGINT) AS sum_q,
+       CAST(sum(qv * qv) AS BIGINT) AS sum_q2,
+       round(any_value(scale), 6) AS scale_r
+FROM q GROUP BY vec_id ORDER BY vec_id
+""",
+        "knn_q8_top5": _knn_q8_sql(),
         "retrieval_metrics": _metrics_sql(),
         "minhash_dup_pairs": _minhash_sql(),
         "ivf_knn_top5": _ivf_sql(),

@@ -438,3 +438,103 @@ def pca_project(ds: "ray.data.Dataset", k: int,
 
     return ds.select_columns([id_col, col]).map_batches(
         project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quantize_int8(ds: "ray.data.Dataset",
+                  vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> "ray.data.Dataset":
+    """Per-vector symmetric int8 scalar quantization — the ANN scale path's
+    4x storage/broadcast reduction: (id_col, q list<int8>, scale double).
+
+    scale = max|x| / 127; q = floor(x/scale + 0.5) (half-up — chosen over
+    numpy's half-to-even rint precisely because ``floor(v + 0.5)`` is
+    reproducible in SQL, keeping the codes oracle-checkable bit-exactly).
+    |q| <= 127 by construction; an all-zero vector gets q = 0, scale = 0.
+    Stateless map_batches — the corpus streams."""
+
+    def qb(b: pa.Table) -> pa.Table:
+        m = _stack(b, vec_col)
+        amax = np.abs(m).max(axis=1) if m.shape[1] else np.zeros(len(b))
+        scale = amax / 127.0
+        safe = np.where(scale == 0, 1.0, scale)
+        q = np.floor(m / safe[:, None] + 0.5)
+        q = np.where(scale[:, None] == 0.0, 0.0, q).astype(np.int8)
+        return pa.table({id_col: b.column(id_col),
+                         "q": pa.array(list(q), type=pa.list_(pa.int8())),
+                         "scale": pa.array(scale, type=pa.float64())})
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        qb, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def knn_cosine_q8(
+    ds: "ray.data.Dataset",
+    query_vecs: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> "ray.data.Dataset":
+    """Top-k QUANTIZED cosine neighbors: both sides are int8-quantized and
+    the cosine is computed over the integer codes (the per-vector scale is
+    positive, so it cancels out of the cosine exactly).
+
+    Every arithmetic step is integer-exact in float64 (|q| <= 127, so dot
+    products and squared norms are exact integers far below 2^53), and the
+    final ``dot / (sqrt(n_a) * sqrt(n_b))`` uses the same operation order as
+    the SQL twin — quantized scores are bit-reproducible, unlike the
+    float-accumulation exact-kNN path. Zero-norm vectors are excluded (a
+    zero code has no direction). Same partial-top-k / tiny-merge shape as
+    ``knn_cosine``."""
+    qm = np.asarray(query_vecs, dtype=np.float64)
+    amax = np.abs(qm).max(axis=1)
+    qscale = np.where(amax == 0, 1.0, amax / 127.0)
+    qq = np.floor(qm / qscale[:, None] + 0.5)
+    qq = np.where(amax[:, None] == 0.0, 0.0, qq)
+    qnorm = np.sqrt((qq * qq).sum(axis=1))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    ref = ray.put((qq, qnorm, qids))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q, qn, qi = ray.get(ref)
+        m = _stack(batch, vec_col)
+        da = np.abs(m).max(axis=1) if m.shape[1] else np.zeros(len(batch))
+        ds_ = np.where(da == 0, 1.0, da / 127.0)
+        dq = np.floor(m / ds_[:, None] + 0.5)
+        dq = np.where(da[:, None] == 0.0, 0.0, dq)
+        dn = np.sqrt((dq * dq).sum(axis=1))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = (q @ dq.T) / (qn[:, None] * dn[None, :])
+        sims = np.where((dn[None, :] == 0) | (qn[:, None] == 0), -np.inf, sims)
+        if exclude_self:
+            sims = np.where(qi[:, None] == ids[None, :], -np.inf, sims)
+        kk = min(k, sims.shape[1])
+        out_q, out_id, out_s = [], [], []
+        for r in range(sims.shape[0]):
+            row = sims[r]
+            sel = (np.argpartition(-row, kk - 1)[:kk]
+                   if len(row) > kk else np.arange(len(row)))
+            sel = sel[np.isfinite(row[sel])]
+            sel = sel[np.lexsort((ids[sel], -row[sel]))]
+            out_q.append(np.full(len(sel), qi[r], dtype=np.int64))
+            out_id.append(ids[sel])
+            out_s.append(row[sel])
+        return pa.table({
+            "qid": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_id)),
+            "cosine": pa.array(np.concatenate(out_s)),
+        })
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g[["qid", id_col, "rank", "cosine"]]
+
+    return (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("qid")
+        .map_groups(merge_topk, batch_format="pandas")
+    )

@@ -1123,3 +1123,50 @@ class TestPricingRollup:
             assert int(d["count_order"].sum()) == int(r["count_order"])
             assert abs(d["sum_revenue"].sum() - r["sum_revenue"]) < 0.02
         assert abs(detail["sum_qty"].sum() - grand["sum_qty"].iloc[0]) < 0.02
+
+
+class TestInt8Quantization:
+    def test_roundtrip_error_bounded(self):
+        rng = np.random.default_rng(5)
+        m = rng.standard_normal((40, 16))
+        t = pa.table({"vec_id": pa.array(range(40), type=pa.int64()),
+                      "embedding": pa.array([r.tolist() for r in m])})
+        out = (x_sim.quantize_int8(ray.data.from_arrow(t).repartition(4))
+               .to_pandas().sort_values("vec_id"))
+        q = np.stack([np.asarray(v, dtype=np.float64) for v in out["q"]])
+        scale = out["scale"].to_numpy()
+        assert np.abs(q).max() <= 127
+        # dequantization error is at most half a step per element
+        err = np.abs(q * scale[:, None] - m)
+        assert (err <= scale[:, None] / 2 + 1e-12).all()
+
+    def test_zero_vector(self):
+        t = pa.table({"vec_id": pa.array([0], type=pa.int64()),
+                      "embedding": pa.array([[0.0, 0.0, 0.0]])})
+        out = x_sim.quantize_int8(ray.data.from_arrow(t)).to_pandas()
+        assert out["scale"].iloc[0] == 0.0
+        assert list(out["q"].iloc[0]) == [0, 0, 0]
+
+    def test_q8_knn_recall_vs_exact(self):
+        rng = np.random.default_rng(9)
+        m = rng.standard_normal((80, 32))
+        t = pa.table({"vec_id": pa.array(range(80), type=pa.int64()),
+                      "embedding": pa.array([r.tolist() for r in m])})
+        ds = ray.data.from_arrow(t).repartition(4)
+        qv, qi = m[:4], np.arange(4)
+        exact = x_sim.knn_cosine(ds, qv, qi, k=5).to_pandas()
+        q8 = x_sim.knn_cosine_q8(ds, qv, qi, k=5).to_pandas()
+        hit = sum(len(set(exact[exact.qid == i]["vec_id"])
+                      & set(q8[q8.qid == i]["vec_id"])) for i in range(4))
+        # int8 quantization preserves direction to ~0.4% per element:
+        # top-5 overlap with exact must be near-total on random gaussians
+        assert hit >= 16   # >= 80% of 20
+
+    def test_q8_zero_norm_docs_excluded(self):
+        t = pa.table({"vec_id": pa.array([0, 1, 2], type=pa.int64()),
+                      "embedding": pa.array([[1.0, 0.0], [0.0, 0.0],
+                                             [0.5, 0.5]])})
+        out = x_sim.knn_cosine_q8(ray.data.from_arrow(t),
+                                  np.array([[1.0, 0.0]]), np.array([9]),
+                                  k=3).to_pandas()
+        assert set(out["vec_id"]) == {0, 2}   # the zero vector never ranks
