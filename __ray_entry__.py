@@ -552,6 +552,46 @@ def _q_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
     return t.to_pandas().reset_index(drop=True)
 
 
+def _q_weighted_sample_docs(sf_dir: str) -> pd.DataFrame:
+    """Sequential Poisson weighted sampling (extras/sampling.weighted_sample,
+    Ohlsson 1998): 50 docs, inclusion ~ length(text)+1. Priority = one IEEE
+    division of the hash-as-double by the weight — bit-portable, so the twin
+    reproduces MEMBERSHIP exactly (unlike an exp/ln-based u^(1/w) rule)."""
+    import pyarrow.compute as pc
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def wcol(b):
+        return b.append_column(
+            "w", pc.add(pc.utf8_length(b.column("text")), 1))
+
+    dw = (docs.map_batches(wcol, batch_format="pyarrow",
+                           zero_copy_batch=True)
+          .select_columns(["doc_id", "w"]))
+    from colbert_ray.extras.sampling import weighted_sample
+
+    out = weighted_sample(dw, "doc_id", "w", 50, seed=7).to_pandas()
+    out["w"] = out["w"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)[["doc_id", "w"]]
+
+
+def _q_zscore_quantity(sf_dir: str) -> pd.DataFrame:
+    """Per-group z-score normalization (extras/relational.group_zscore):
+    l_quantity standardized within each l_returnflag. Broadcast-not-shuffle:
+    one tiny moments groupby, then the corpus streams through a stateless
+    vectorized lookup. (l_orderkey, l_linenumber) is NOT unique in the test
+    data, so z_r joins the sort key on both sides."""
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"])
+    z = x_rel.group_zscore(li, "l_returnflag", "l_quantity").to_pandas()
+    z["z_r"] = z["z"].round(6)
+    out = (z[["l_orderkey", "l_linenumber", "z_r"]]
+           .sort_values(["l_orderkey", "l_linenumber", "z_r"])
+           .reset_index(drop=True))
+    out["l_linenumber"] = out["l_linenumber"].astype(np.int32)
+    return out
+
+
 def _q_pricing_rollup(sf_dir: str) -> pd.DataFrame:
     """ROLLUP(l_returnflag, l_linestatus) — one finest-granularity pass over
     the corpus, coarser levels re-derived from the tiny grouped frame
@@ -1025,6 +1065,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retrieval_metrics": _q_retrieval_metrics,
         "pricing_summary": _q_pricing_summary,
         "pricing_rollup": _q_pricing_rollup,
+        "weighted_sample_docs": _q_weighted_sample_docs,
+        "zscore_quantity": _q_zscore_quantity,
         "top_revenue_orders": _q_top_revenue_orders,
         "events_hourly": _q_events_hourly,
         "event_sessions": _q_event_sessions,
@@ -1248,6 +1290,16 @@ FROM sims
 QUALIFY rank <= 5
 ORDER BY qid, rank
 """
+
+
+def _weighted_sample_sql() -> str:
+    from colbert_ray.extras.sampling import sql_weighted_sample
+
+    return sql_weighted_sample(
+        table="(SELECT doc_id, length(text) + 1 AS w FROM documents)",
+        key_expr="CAST(doc_id AS VARCHAR)", weight_expr="w", n=50,
+        select="doc_id, CAST(w AS BIGINT) AS w", seed=7,
+        tie_expr="doc_id", order_by="doc_id")
 
 
 def _knn_q8_sql() -> str:
@@ -1900,6 +1952,18 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
+""",
+        "weighted_sample_docs": _weighted_sample_sql(),
+        # engine moments (sum/sumsq partials) vs DuckDB window aggregates:
+        # round-6 absorbs accumulation-order drift on O(1) z values;
+        # (l_orderkey, l_linenumber) is non-unique, hence z_r in the sort
+        "zscore_quantity": """
+SELECT l_orderkey, l_linenumber,
+       round(CASE WHEN stddev_pop(l_quantity) OVER w = 0 THEN 0
+                  ELSE (l_quantity - avg(l_quantity) OVER w)
+                       / stddev_pop(l_quantity) OVER w END, 6) AS z_r
+FROM lineitem WINDOW w AS (PARTITION BY l_returnflag)
+ORDER BY l_orderkey, l_linenumber, z_r
 """,
         # engine re-derives coarser levels from the finest grouped frame;
         # round-2 on both sides absorbs summation-order drift

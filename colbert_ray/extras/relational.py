@@ -573,3 +573,55 @@ def pricing_rollup(lineitem: "ray.data.Dataset") -> "pa.Table":
            .sort_values(["lvl", "l_returnflag", "l_linestatus"])
            .reset_index(drop=True))
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def group_zscore(ds: "ray.data.Dataset", group_col: str, val_col: str,
+                 out_col: str = "z") -> "ray.data.Dataset":
+    """Per-group z-score normalization (feature-engineering staple):
+    appends ``out_col`` = (x - mean_g) / stddev_pop_g.
+
+    Two passes, broadcast-not-shuffle: pass 1 reduces the corpus to one
+    (count, sum, sumsq) row per group (map-side partials + a tiny groupby);
+    the group->(mean, std) table is broadcast ONCE via ``ray.put`` and pass
+    2 streams the corpus through a stateless vectorized lookup — the full
+    dataset never enters an exchange. Zero-variance groups get z = 0."""
+    import ray as _ray
+    from ray.data.aggregate import Sum as RSum
+
+    def moments(b: pa.Table) -> pa.Table:
+        g = b.column(group_col).to_numpy(zero_copy_only=False)
+        x = b.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        ug, inv = np.unique(g, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.float64)
+        s = np.zeros(len(ug)); np.add.at(s, inv, x)
+        s2 = np.zeros(len(ug)); np.add.at(s2, inv, x * x)
+        return pa.table({group_col: pa.array(ug),
+                         "n_": pa.array(cnt), "s_": pa.array(s),
+                         "s2_": pa.array(s2)})
+
+    stats = (ds.select_columns([group_col, val_col])
+             .map_batches(moments, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby(group_col)
+             .aggregate(RSum("n_", alias_name="n_"),
+                        RSum("s_", alias_name="s_"),
+                        RSum("s2_", alias_name="s2_"))
+             .to_pandas())
+    mu = stats["s_"].to_numpy() / stats["n_"].to_numpy()
+    var = np.maximum(stats["s2_"].to_numpy() / stats["n_"].to_numpy()
+                     - mu * mu, 0.0)
+    lookup = {k: (m, np.sqrt(v))
+              for k, m, v in zip(stats[group_col], mu, var)}
+    ref = _ray.put(lookup)
+
+    def apply(b: pa.Table) -> pa.Table:
+        lk = _ray.get(ref)
+        g = b.column(group_col).to_numpy(zero_copy_only=False)
+        x = b.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        ug, inv = np.unique(g, return_inverse=True)
+        ms = np.array([lk[k] for k in ug], dtype=np.float64)[inv]  # per GROUP
+        sd = ms[:, 1]
+        z = np.where(sd == 0, 0.0, (x - ms[:, 0]) / np.where(sd == 0, 1.0, sd))
+        return b.append_column(out_col, pa.array(z))
+
+    return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)

@@ -156,3 +156,58 @@ def hash_split(ds: "ray.data.Dataset", key_col: str,
         return b.append_column(split_col, pa.array(labels[idx]))
 
     return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def weighted_sample(ds: "ray.data.Dataset", key_col: str, weight_col: str,
+                    n: int, seed: int = 0) -> "ray.data.Dataset":
+    """Deterministic weighted sampling without replacement — Sequential
+    Poisson Sampling (Ohlsson 1998): priority = u / w with u a key-hash
+    uniform, keep the n SMALLEST priorities. Inclusion probability is
+    ~proportional to weight; the same seed always draws the same sample.
+
+    Exactness: priority is ONE IEEE division of the (identically rounded)
+    hash-as-double by the weight — correctly-rounded on every platform, so
+    the SQL twin reproduces membership bit-exactly. (An Efraimidis-Spirakis
+    u^(1/w) rule would need libm exp/ln, which is not bit-portable.)
+
+    Scale shape: each batch keeps its n smallest candidate rows (one
+    argpartition), so the final exchange sees <= n x blocks rows, never the
+    corpus; the driver folds a single tiny frame."""
+    import ray as _ray
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = _key_hash(b, key_col, seed).astype(np.float64)
+        w = b.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        pr = h / np.maximum(w, 1e-300)
+        kk = min(n, len(pr))
+        sel = np.argpartition(pr, kk - 1)[:kk] if len(pr) > kk else np.arange(len(pr))
+        out = b.take(pa.array(np.sort(sel)))
+        return out.append_column("priority", pa.array(pr[np.sort(sel)]))
+
+    cand = (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .to_pandas())
+    keys = cand[key_col].to_numpy()
+    order = np.lexsort((keys, cand["priority"].to_numpy()))[:n]
+    out = cand.iloc[np.sort(order)].drop(columns=["priority"])
+    return _ray.data.from_pandas(out.reset_index(drop=True))
+
+
+def sql_weighted_sample(*, table: str, key_expr: str, weight_expr: str,
+                        n: int, select: str, seed: int = 0,
+                        tie_expr: str | None = None, order_by: str) -> str:
+    """DuckDB twin: identical hash (over the engine's string cast of the
+    key — pass ``key_expr`` as VARCHAR), identical single division, same
+    (priority, tie) order; ``tie_expr`` defaults to ``key_expr`` and should
+    be the RAW key column so ties sort like the engine's native dtype."""
+    h = sql_key_hash_expr(key_expr, seed=seed)
+    tie = tie_expr or key_expr
+    return f"""
+WITH pr AS (
+  SELECT *, (({h})::DOUBLE / greatest({weight_expr}, 1e-300)) AS priority
+  FROM {table}
+)
+SELECT {select} FROM (
+  SELECT * FROM pr ORDER BY priority, {tie} LIMIT {n}
+) ORDER BY {order_by}
+"""

@@ -1170,3 +1170,63 @@ class TestInt8Quantization:
                                   np.array([[1.0, 0.0]]), np.array([9]),
                                   k=3).to_pandas()
         assert set(out["vec_id"]) == {0, 2}   # the zero vector never ranks
+
+
+class TestWeightedSample:
+    def _tbl(self):
+        rng = np.random.default_rng(13)
+        return pa.table({
+            "k": pa.array(np.arange(1000), type=pa.int64()),
+            "w": pa.array(np.where(np.arange(1000) < 100, 50.0, 1.0)),
+        })
+
+    def test_weight_bias_and_determinism(self):
+        from colbert_ray.extras.sampling import weighted_sample
+
+        ds = ray.data.from_arrow(self._tbl())
+        out = weighted_sample(ds, "k", "w", 100, seed=1).to_pandas()
+        assert len(out) == 100 and out["k"].is_unique
+        # heavy keys (w=50, 10% of rows) must dominate the sample
+        heavy = (out["k"] < 100).sum()
+        assert heavy > 50
+        out2 = weighted_sample(ray.data.from_arrow(self._tbl()).repartition(9),
+                               "k", "w", 100, seed=1).to_pandas()
+        assert sorted(out["k"]) == sorted(out2["k"])   # parallelism-invariant
+        out3 = weighted_sample(ds, "k", "w", 100, seed=2).to_pandas()
+        assert sorted(out["k"]) != sorted(out3["k"])   # seed changes draw
+
+    def test_n_larger_than_input(self):
+        from colbert_ray.extras.sampling import weighted_sample
+
+        t = pa.table({"k": pa.array([1, 2], type=pa.int64()),
+                      "w": pa.array([1.0, 1.0])})
+        out = weighted_sample(ray.data.from_arrow(t), "k", "w", 10).to_pandas()
+        assert sorted(out["k"]) == [1, 2]
+
+
+class TestGroupZscore:
+    def test_matches_pandas(self):
+        from colbert_ray.extras.relational import group_zscore
+
+        rng = np.random.default_rng(21)
+        n = 300
+        t = pa.table({"g": pa.array(rng.choice(["a", "b", "c"], n)),
+                      "id": pa.array(np.arange(n), type=pa.int64()),
+                      "x": pa.array(rng.uniform(0, 10, n))})
+        out = (group_zscore(ray.data.from_arrow(t).repartition(5), "g", "x")
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        df = t.to_pandas()
+        want = df.groupby("g")["x"].transform(
+            lambda s: (s - s.mean()) / s.std(ddof=0))
+        np.testing.assert_allclose(out["z"], want, atol=1e-9)
+        # standardized: per-group mean ~0, std ~1
+        gstats = out.groupby("g")["z"].agg(["mean", "std"])
+        np.testing.assert_allclose(gstats["mean"], 0, atol=1e-9)
+
+    def test_zero_variance_group(self):
+        from colbert_ray.extras.relational import group_zscore
+
+        t = pa.table({"g": pa.array(["a", "a", "b"]),
+                      "x": pa.array([2.0, 2.0, 5.0])})
+        out = group_zscore(ray.data.from_arrow(t), "g", "x").to_pandas()
+        assert (out["z"] == 0).all()
