@@ -552,6 +552,22 @@ def _q_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
     return t.to_pandas().reset_index(drop=True)
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_event_type_pivot(sf_dir: str) -> pd.DataFrame:
+    """Bounded-width pivot (extras/relational.pivot_counts): per-user event
+    counts by type via vectorized 2-D bincount partials + one groupby-Sum;
+    the exchange moves groups x blocks partial rows, never raw events."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    out = (x_rel.pivot_counts(ev, "user_id", "event_type", EVENT_TYPES)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    for c in out.columns:
+        if c.startswith("n_"):
+            out[c] = out[c].astype(np.int64)
+    return out
+
+
 def _q_weighted_sample_docs(sf_dir: str) -> pd.DataFrame:
     """Sequential Poisson weighted sampling (extras/sampling.weighted_sample,
     Ohlsson 1998): 50 docs, inclusion ~ length(text)+1. Priority = one IEEE
@@ -1066,6 +1082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "pricing_rollup": _q_pricing_rollup,
         "weighted_sample_docs": _q_weighted_sample_docs,
+        "event_type_pivot": _q_event_type_pivot,
         "zscore_quantity": _q_zscore_quantity,
         "top_revenue_orders": _q_top_revenue_orders,
         "events_hourly": _q_events_hourly,
@@ -1954,6 +1971,15 @@ GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """,
         "weighted_sample_docs": _weighted_sample_sql(),
+        "event_type_pivot": """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+       count(*) FILTER (WHERE event_type = 'error') AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view') AS n_view
+FROM events GROUP BY user_id ORDER BY user_id
+""",
         # engine moments (sum/sumsq partials) vs DuckDB window aggregates:
         # round-6 absorbs accumulation-order drift on O(1) z values;
         # (l_orderkey, l_linenumber) is non-unique, hence z_r in the sort

@@ -625,3 +625,44 @@ def group_zscore(ds: "ray.data.Dataset", group_col: str, val_col: str,
         return b.append_column(out_col, pa.array(z))
 
     return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pivot_counts(ds: "ray.data.Dataset", group_col: str, pivot_col: str,
+                 values: list[str]) -> "ray.data.Dataset":
+    """Pivot ``pivot_col`` into per-value count columns per group
+    (conditional aggregation: one ``n_<value>`` column per entry of
+    ``values``, unknown values ignored).
+
+    Scale shape: each batch reduces to one partial row per group it contains
+    (vectorized 2-D bincount over group x value codes); the only shuffle
+    moves those ``groups x blocks`` partials through a single groupby-Sum.
+    The pivot width is fixed by ``values`` — this is the bounded-width
+    pivot; discovering columns from data would make the schema data-
+    dependent, which Ray Data (rightly) can't stream."""
+    from ray.data.aggregate import Sum as RSum
+
+    vmap = {v: i for i, v in enumerate(values)}
+    ncols = [f"n_{v}" for v in values]
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.column(group_col).to_numpy(zero_copy_only=False)
+        p = b.column(pivot_col).to_numpy(zero_copy_only=False)
+        up, pinv = np.unique(p, return_inverse=True)       # loop over UNIQUE
+        ucodes = np.array([vmap.get(x, -1) for x in up], dtype=np.int64)
+        codes = ucodes[pinv]
+        keep = codes >= 0
+        g, codes = g[keep], codes[keep]
+        ug, ginv = np.unique(g, return_inverse=True)
+        flat = np.bincount(ginv * len(values) + codes,
+                           minlength=len(ug) * len(values))
+        mat = flat.reshape(len(ug), len(values))
+        cols = {group_col: pa.array(ug)}
+        for i, c in enumerate(ncols):
+            cols[c] = pa.array(mat[:, i].astype(np.int64))
+        return pa.table(cols)
+
+    return (ds.select_columns([group_col, pivot_col])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby(group_col)
+            .aggregate(*[RSum(c, alias_name=c) for c in ncols]))

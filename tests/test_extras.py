@@ -1230,3 +1230,25 @@ class TestGroupZscore:
                       "x": pa.array([2.0, 2.0, 5.0])})
         out = group_zscore(ray.data.from_arrow(t), "g", "x").to_pandas()
         assert (out["z"] == 0).all()
+
+
+class TestPivotCounts:
+    def test_counts_and_unknown_values(self):
+        from colbert_ray.extras.relational import pivot_counts
+
+        t = pa.table({"g": pa.array([1, 1, 1, 2, 2], type=pa.int64()),
+                      "e": pa.array(["a", "a", "b", "b", "zz"])})
+        out = (pivot_counts(ray.data.from_arrow(t).repartition(3),
+                            "g", "e", ["a", "b"])
+               .to_pandas().sort_values("g").reset_index(drop=True))
+        assert out["n_a"].tolist() == [2, 0]
+        assert out["n_b"].tolist() == [1, 1]   # 'zz' ignored
+
+    def test_group_with_no_listed_values_absent(self):
+        from colbert_ray.extras.relational import pivot_counts
+
+        t = pa.table({"g": pa.array([1, 2], type=pa.int64()),
+                      "e": pa.array(["a", "zz"])})
+        out = pivot_counts(ray.data.from_arrow(t), "g", "e", ["a"]).to_pandas()
+        # group 2 only has unlisted values -> contributes no partial row
+        assert out["g"].tolist() == [1]
