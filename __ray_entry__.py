@@ -496,7 +496,10 @@ def _q_embedding_int8(sf_dir: str) -> pd.DataFrame:
     def stats(b: "pa.Table") -> "pa.Table":
         arr = b.column("q").combine_chunks()
         flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        # flatten() re-bases values to 0; offsets of a sliced chunk don't —
+        # rebase so reduceat windows line up
         offs = arr.offsets.to_numpy(zero_copy_only=False)
+        offs = offs - offs[0]
         sq = np.add.reduceat(flat, offs[:-1]) if len(flat) else np.zeros(0, np.int64)
         sq2 = np.add.reduceat(flat * flat, offs[:-1]) if len(flat) else np.zeros(0, np.int64)
         return pa.table({"vec_id": b.column("vec_id"),

@@ -129,13 +129,12 @@ def anti_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
     def keep_miss(b: pa.Table) -> pa.Table:
         return b.filter(pa.array(~_hits(b)))
 
-    def keep_maybe(b: pa.Table) -> pa.Table:
-        return b.filter(pa.array(_hits(b)))
-
+    # two lineages over `left` (Ray Data streams can't fork): the definite
+    # branch re-reads the source, but each branch's output is the small side
+    # of its filter, so no exchange ever sees the full probe table
     definite = left.map_batches(keep_miss, batch_format="pyarrow",
                                 zero_copy_batch=True)
-    maybe = left.map_batches(keep_maybe, batch_format="pyarrow",
-                             zero_copy_batch=True)
+    maybe = bloom_semijoin(left, bits, on, k=k)
     # distinct keys (one row per key) so the left_outer probe can't fan out
     rkeys = (right.select_columns([right_on])
              .groupby(right_on).count())

@@ -508,10 +508,15 @@ def grouped_topk(ds: "ray.data.Dataset", group_col: str, order_col: str,
     pre-reduced candidates. Ordering compares the RAW stored values (no
     arithmetic happens on either side, so engine and SQL twin see
     bit-identical keys); ``tie_col`` must make the order total."""
-    sign = -1.0 if descending else 1.0
+    def _order_key(o: np.ndarray) -> np.ndarray:
+        # dense-rank transform: equal values get equal keys, order preserved
+        # EXACTLY for any comparable dtype — no float64 cast that would
+        # collapse int64 values above 2^53 (ids, ns-timestamps)
+        r = np.unique(o, return_inverse=True)[1]
+        return -r if descending else r
 
     def _rank_mask(g: np.ndarray, o: np.ndarray, t: np.ndarray) -> np.ndarray:
-        idx = np.lexsort((t, sign * o, g))
+        idx = np.lexsort((t, _order_key(o), g))
         gs = g[idx]
         starts = np.flatnonzero(np.concatenate(([True], gs[1:] != gs[:-1])))
         rank = np.arange(len(gs)) - np.repeat(starts, np.diff(
@@ -522,14 +527,14 @@ def grouped_topk(ds: "ray.data.Dataset", group_col: str, order_col: str,
         if b.num_rows == 0:
             return b
         g = b.column(group_col).to_numpy(zero_copy_only=False)
-        o = b.column(order_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        o = b.column(order_col).to_numpy(zero_copy_only=False)
         t = b.column(tie_col).to_numpy(zero_copy_only=False)
         return b.take(pa.array(np.sort(_rank_mask(g, o, t))))
 
     def final(g: pa.Table) -> pa.Table:
-        o = g.column(order_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        o = g.column(order_col).to_numpy(zero_copy_only=False)
         t = g.column(tie_col).to_numpy(zero_copy_only=False)
-        idx = np.lexsort((t, sign * o))[:k]
+        idx = np.lexsort((t, _order_key(o)))[:k]
         out = g.take(pa.array(idx))
         return out.append_column(
             "rn", pa.array(np.arange(1, len(idx) + 1), type=pa.int64()))
@@ -581,12 +586,14 @@ def group_zscore(ds: "ray.data.Dataset", group_col: str, val_col: str,
     appends ``out_col`` = (x - mean_g) / stddev_pop_g.
 
     Two passes, broadcast-not-shuffle: pass 1 reduces the corpus to one
-    (count, sum, sumsq) row per group (map-side partials + a tiny groupby);
-    the group->(mean, std) table is broadcast ONCE via ``ray.put`` and pass
-    2 streams the corpus through a stateless vectorized lookup — the full
-    dataset never enters an exchange. Zero-variance groups get z = 0."""
+    CENTERED-moment row (n, mean, M2) per group per batch and Chan-combines
+    them in a tiny ``groupby.map_groups`` — the numerically stable parallel
+    form (an E[x^2]-E[x]^2 fold cancels catastrophically when |mean| >>
+    stddev, diverging from the oracle's stddev_pop). The group->(mean, std)
+    table is broadcast ONCE via ``ray.put`` and pass 2 streams the corpus
+    through a stateless vectorized lookup — the full dataset never enters an
+    exchange. Zero-variance groups get z = 0."""
     import ray as _ray
-    from ray.data.aggregate import Sum as RSum
 
     def moments(b: pa.Table) -> pa.Table:
         g = b.column(group_col).to_numpy(zero_copy_only=False)
@@ -594,24 +601,41 @@ def group_zscore(ds: "ray.data.Dataset", group_col: str, val_col: str,
         ug, inv = np.unique(g, return_inverse=True)
         cnt = np.bincount(inv).astype(np.float64)
         s = np.zeros(len(ug)); np.add.at(s, inv, x)
-        s2 = np.zeros(len(ug)); np.add.at(s2, inv, x * x)
-        return pa.table({group_col: pa.array(ug),
-                         "n_": pa.array(cnt), "s_": pa.array(s),
-                         "s2_": pa.array(s2)})
+        mean = s / np.maximum(cnt, 1.0)
+        m2 = np.zeros(len(ug))
+        np.add.at(m2, inv, (x - mean[inv]) ** 2)      # centered in-batch
+        return pa.table({group_col: pa.array(ug, type=b.schema.field(
+                             group_col).type),
+                         "n_": pa.array(cnt), "mean_": pa.array(mean),
+                         "m2_": pa.array(m2)})
+
+    def chan_fold(t: pa.Table) -> pa.Table:
+        # pairwise combine (Chan et al.) over this group's batch partials
+        n = t.column("n_").to_numpy(zero_copy_only=False)
+        m = t.column("mean_").to_numpy(zero_copy_only=False)
+        m2 = t.column("m2_").to_numpy(zero_copy_only=False)
+        na, ma, M2 = n[0], m[0], m2[0]
+        for i in range(1, len(n)):
+            nb, mb, M2b = n[i], m[i], m2[i]
+            nt = na + nb
+            d = mb - ma
+            ma = ma + d * nb / nt
+            M2 = M2 + M2b + d * d * na * nb / nt
+            na = nt
+        return pa.table({group_col: t.column(group_col).slice(0, 1),
+                         "n_": pa.array([na]), "mean_": pa.array([ma]),
+                         "m2_": pa.array([M2])})
 
     stats = (ds.select_columns([group_col, val_col])
              .map_batches(moments, batch_format="pyarrow",
                           zero_copy_batch=True)
              .groupby(group_col)
-             .aggregate(RSum("n_", alias_name="n_"),
-                        RSum("s_", alias_name="s_"),
-                        RSum("s2_", alias_name="s2_"))
+             .map_groups(chan_fold, batch_format="pyarrow")
              .to_pandas())
-    mu = stats["s_"].to_numpy() / stats["n_"].to_numpy()
-    var = np.maximum(stats["s2_"].to_numpy() / stats["n_"].to_numpy()
-                     - mu * mu, 0.0)
+    var = np.maximum(stats["m2_"].to_numpy()
+                     / np.maximum(stats["n_"].to_numpy(), 1.0), 0.0)
     lookup = {k: (m, np.sqrt(v))
-              for k, m, v in zip(stats[group_col], mu, var)}
+              for k, m, v in zip(stats[group_col], stats["mean_"], var)}
     ref = _ray.put(lookup)
 
     def apply(b: pa.Table) -> pa.Table:
@@ -649,14 +673,18 @@ def pivot_counts(ds: "ray.data.Dataset", group_col: str, pivot_col: str,
         p = b.column(pivot_col).to_numpy(zero_copy_only=False)
         up, pinv = np.unique(p, return_inverse=True)       # loop over UNIQUE
         ucodes = np.array([vmap.get(x, -1) for x in up], dtype=np.int64)
-        codes = ucodes[pinv]
-        keep = codes >= 0
-        g, codes = g[keep], codes[keep]
+        codes = ucodes[pinv] if len(p) else np.zeros(0, dtype=np.int64)
+        # ug spans ALL rows (before the unlisted-value mask) so a group whose
+        # values are all unlisted still emits an all-zero row, exactly like
+        # SQL's count(*) FILTER under GROUP BY
         ug, ginv = np.unique(g, return_inverse=True)
-        flat = np.bincount(ginv * len(values) + codes,
+        keep = codes >= 0
+        flat = np.bincount(ginv[keep] * len(values) + codes[keep],
                            minlength=len(ug) * len(values))
         mat = flat.reshape(len(ug), len(values))
-        cols = {group_col: pa.array(ug)}
+        # explicit type: an empty ug would otherwise infer a null-typed
+        # column and emit schema-divergent blocks
+        cols = {group_col: pa.array(ug, type=b.schema.field(group_col).type)}
         for i, c in enumerate(ncols):
             cols[c] = pa.array(mat[:, i].astype(np.int64))
         return pa.table(cols)

@@ -180,7 +180,11 @@ def weighted_sample(ds: "ray.data.Dataset", key_col: str, weight_col: str,
         w = b.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
         pr = h / np.maximum(w, 1e-300)
         kk = min(n, len(pr))
-        sel = np.argpartition(pr, kk - 1)[:kk] if len(pr) > kk else np.arange(len(pr))
+        # (priority, key) sort — an argpartition cut would break priority
+        # ties (duplicate keys) arbitrarily per batch; keys should be unique
+        # for a total order, matching the twin's ORDER BY priority, tie
+        keys = b.column(key_col).to_numpy(zero_copy_only=False)
+        sel = np.lexsort((keys, pr))[:kk]
         out = b.take(pa.array(np.sort(sel)))
         return out.append_column("priority", pa.array(pr[np.sort(sel)]))
 

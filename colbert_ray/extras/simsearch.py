@@ -513,10 +513,12 @@ def knn_cosine_q8(
         out_q, out_id, out_s = [], [], []
         for r in range(sims.shape[0]):
             row = sims[r]
-            sel = (np.argpartition(-row, kk - 1)[:kk]
-                   if len(row) > kk else np.arange(len(row)))
+            # full (-cosine, id) sort, NOT argpartition: quantized scores tie
+            # easily (near-dups quantize identically), and an argpartition
+            # cut would drop tie members arbitrarily — the id tie-break must
+            # decide the cut exactly as the SQL twin's row_number does
+            sel = np.lexsort((ids, -row))[:kk]
             sel = sel[np.isfinite(row[sel])]
-            sel = sel[np.lexsort((ids[sel], -row[sel]))]
             out_q.append(np.full(len(sel), qi[r], dtype=np.int64))
             out_id.append(ids[sel])
             out_s.append(row[sel])

@@ -1244,11 +1244,65 @@ class TestPivotCounts:
         assert out["n_a"].tolist() == [2, 0]
         assert out["n_b"].tolist() == [1, 1]   # 'zz' ignored
 
-    def test_group_with_no_listed_values_absent(self):
+    def test_group_with_only_unlisted_values_gets_zero_row(self):
         from colbert_ray.extras.relational import pivot_counts
 
         t = pa.table({"g": pa.array([1, 2], type=pa.int64()),
                       "e": pa.array(["a", "zz"])})
-        out = pivot_counts(ray.data.from_arrow(t), "g", "e", ["a"]).to_pandas()
-        # group 2 only has unlisted values -> contributes no partial row
-        assert out["g"].tolist() == [1]
+        out = (pivot_counts(ray.data.from_arrow(t), "g", "e", ["a"])
+               .to_pandas().sort_values("g").reset_index(drop=True))
+        # SQL count FILTER semantics: group 2 appears with zero counts
+        assert out["g"].tolist() == [1, 2]
+        assert out["n_a"].tolist() == [1, 0]
+
+    def test_string_group_schema_stable_when_block_all_unlisted(self):
+        from colbert_ray.extras.relational import pivot_counts
+
+        t = pa.table({"g": pa.array(["u1", "u2"]),
+                      "e": pa.array(["zz", "a"])})
+        out = (pivot_counts(ray.data.from_arrow(t).repartition(2), "g", "e",
+                            ["a"]).to_pandas().sort_values("g")
+               .reset_index(drop=True))
+        assert out["g"].tolist() == ["u1", "u2"]
+        assert out["n_a"].tolist() == [0, 1]
+
+
+class TestReviewRegressions:
+    """Targeted regressions for the round-4 review findings."""
+
+    def test_grouped_topk_int64_beyond_2_53(self):
+        from colbert_ray.extras.relational import grouped_topk
+
+        base = 2**60
+        # consecutive int64 values that collapse under a float64 cast
+        t = pa.table({"g": pa.array([0, 0, 0], type=pa.int64()),
+                      "id": pa.array([0, 1, 2], type=pa.int64()),
+                      "x": pa.array([base, base + 1, base + 2],
+                                    type=pa.int64())})
+        out = (grouped_topk(ray.data.from_arrow(t), "g", "x", 2,
+                            tie_col="id").to_pandas().sort_values("rn"))
+        assert out["id"].tolist() == [2, 1]   # true order, not tie-col order
+
+    def test_zscore_large_mean_small_spread(self):
+        from colbert_ray.extras.relational import group_zscore
+
+        rng = np.random.default_rng(2)
+        x = 1e6 + rng.uniform(-1e-3, 1e-3, 256)
+        t = pa.table({"g": pa.array(["a"] * 256),
+                      "id": pa.array(np.arange(256), type=pa.int64()),
+                      "x": pa.array(x)})
+        out = (group_zscore(ray.data.from_arrow(t).repartition(8), "g", "x")
+               .to_pandas().sort_values("id"))
+        want = (x - x.mean()) / x.std(ddof=0)
+        # E[x^2]-E[x]^2 would be pure noise here; Chan-combined M2 is exact
+        np.testing.assert_allclose(out["z"].to_numpy(), want, atol=1e-6)
+
+    def test_q8_knn_tie_at_partial_cut(self):
+        # four identical vectors (exact cosine ties) split across blocks:
+        # the per-batch cut must pick the LOWEST ids, like the SQL twin
+        t = pa.table({"vec_id": pa.array([3, 1, 2, 0, 4], type=pa.int64()),
+                      "embedding": pa.array([[1.0, 1.0]] * 4 + [[1.0, 0.9]])})
+        out = x_sim.knn_cosine_q8(ray.data.from_arrow(t).repartition(3),
+                                  np.array([[2.0, 2.0]]), np.array([99]),
+                                  k=3).to_pandas().sort_values("rank")
+        assert out["vec_id"].tolist() == [0, 1, 2]
