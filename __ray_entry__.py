@@ -558,6 +558,18 @@ def _q_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def _q_running_total(sf_dir: str) -> pd.DataFrame:
+    """Per-user running sum in (ts, event_id) order
+    (extras/relational.running_total — one groupby(user), vectorized
+    lexsort + cumsum per group). event_id joins the sort key on BOTH sides:
+    ties in ts would leave the prefix sum nondeterministic."""
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    out = x_rel.running_total(ev).to_pandas()
+    out["running_r"] = out["running"].round(6)
+    return (out[["user_id", "event_id", "running_r"]]
+            .sort_values(["user_id", "event_id"]).reset_index(drop=True))
+
+
 def _q_event_type_pivot(sf_dir: str) -> pd.DataFrame:
     """Bounded-width pivot (extras/relational.pivot_counts): per-user event
     counts by type via vectorized 2-D bincount partials + one groupby-Sum;
@@ -1086,6 +1098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_rollup": _q_pricing_rollup,
         "weighted_sample_docs": _q_weighted_sample_docs,
         "event_type_pivot": _q_event_type_pivot,
+        "running_total": _q_running_total,
         "zscore_quantity": _q_zscore_quantity,
         "top_revenue_orders": _q_top_revenue_orders,
         "events_hourly": _q_events_hourly,
@@ -1983,7 +1996,15 @@ SELECT user_id,
        count(*) FILTER (WHERE event_type = 'view') AS n_view
 FROM events GROUP BY user_id ORDER BY user_id
 """,
-        # engine moments (sum/sumsq partials) vs DuckDB window aggregates:
+        # engine cumsum is strictly sequential per user; DuckDB's windowed
+        # sum may tree-aggregate — round-6 absorbs the accumulation drift
+        "running_total": """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 6) AS running_r
+FROM events ORDER BY user_id, event_id
+""",
+        # engine Chan-combined (n, mean, M2) moments vs DuckDB window aggs:
         # round-6 absorbs accumulation-order drift on O(1) z values;
         # (l_orderkey, l_linenumber) is non-unique, hence z_r in the sort
         "zscore_quantity": """

@@ -694,3 +694,38 @@ def pivot_counts(ds: "ray.data.Dataset", group_col: str, pivot_col: str,
                          zero_copy_batch=True)
             .groupby(group_col)
             .aggregate(*[RSum(c, alias_name=c) for c in ncols]))
+
+
+def running_total(events: "ray.data.Dataset", *,
+                  group_col: str = "user_id", ts_col: str = "ts",
+                  val_col: str = "value", id_col: str = "event_id",
+                  out_col: str = "running") -> "ray.data.Dataset":
+    """Per-group running (cumulative) sum of ``val_col`` in event-time order
+    — the streaming-prefix window (`sum() OVER (PARTITION BY g ORDER BY ts,
+    id ROWS UNBOUNDED PRECEDING)`).
+
+    ``id_col`` joins the sort key because equal timestamps are common and a
+    ts-only ORDER BY leaves the prefix sum nondeterministic — on BOTH the
+    engine and SQL sides.
+
+    Scale shape: same as ``sessionize`` — the only wide step is one
+    ``groupby(group_col)``; each group is one user's events, reduced with a
+    vectorized lexsort + cumsum inside ``map_groups``."""
+
+    def prefix(g) -> "pd.DataFrame":
+        import pandas as pd
+
+        ts = g[ts_col].to_numpy().astype("datetime64[us]")
+        ev = g[id_col].to_numpy()
+        v = g[val_col].to_numpy(dtype=np.float64)
+        order = np.lexsort((ev, ts.astype(np.int64)))
+        return pd.DataFrame({
+            group_col: g[group_col].to_numpy()[order],
+            id_col: ev[order],
+            ts_col: ts[order],
+            out_col: np.cumsum(v[order]),
+        })
+
+    return (events.select_columns([group_col, ts_col, id_col, val_col])
+            .groupby(group_col)
+            .map_groups(prefix, batch_format="pandas"))

@@ -1306,3 +1306,24 @@ class TestReviewRegressions:
                                   np.array([[2.0, 2.0]]), np.array([99]),
                                   k=3).to_pandas().sort_values("rank")
         assert out["vec_id"].tolist() == [0, 1, 2]
+
+
+class TestRunningTotal:
+    def test_prefix_and_tie_determinism(self):
+        from colbert_ray.extras.relational import running_total
+
+        base = np.datetime64("2026-01-01T00:00:00", "us")
+        t = pa.table({
+            "user_id": pa.array([1, 1, 1, 2], type=pa.int64()),
+            # two equal timestamps: event_id must break the tie
+            "event_id": pa.array([20, 10, 30, 40], type=pa.int64()),
+            "ts": pa.array([base, base, base + 60_000_000, base]),
+            "value": pa.array([1.0, 2.0, 4.0, 8.0]),
+        })
+        out = (running_total(ray.data.from_arrow(t).repartition(3))
+               .to_pandas().sort_values(["user_id", "event_id"])
+               .reset_index(drop=True))
+        # ties sort by event_id: 10 (2.0) then 20 (+1.0), then 30 (+4.0);
+        # output rows are ordered by event_id -> running 2.0, 3.0, 7.0
+        assert out[out.user_id == 1]["running"].tolist() == [2.0, 3.0, 7.0]
+        assert out[out.user_id == 2]["running"].tolist() == [8.0]
