@@ -1069,6 +1069,77 @@ def entry() -> Any:
     return _q_bm25_top10("/root/testdata/sf0.001")
 
 
+FREQ_CAPACITY = 128            # frequent_terms: freq > 1/128 of all tokens
+
+
+def _augment_pii(sf_dir: str):
+    """Documents text with deterministic synthetic PII appended (the corpus
+    itself is PII-free word soup) — the SAME concatenation is inlined in the
+    SQL twin, so redaction has real matches to scrub on both sides."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def augment(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id")
+        dn = did.to_numpy(zero_copy_only=False)
+        ds_ = pc.cast(did, pa.string())
+        p3 = pc.cast(pa.array(dn % 900 + 100), pa.string())
+        p4 = pc.cast(pa.array(dn % 9000 + 1000), pa.string())
+        oct_ = pc.cast(pa.array(dn % 256), pa.string())
+        t = pc.binary_join_element_wise(
+            pc.cast(b.column("text"), pa.string()),
+            " contact user", ds_, "@example.com call +1-", p3, "-555-", p4,
+            " from 10.", oct_, ".0.1", "")
+        return pa.table({"doc_id": did, "text": t})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        augment, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_PII_AUG_SQL = ("text || ' contact user' || doc_id || '@example.com call "
+                "+1-' || (doc_id % 900 + 100) || '-555-' || "
+                "(doc_id % 9000 + 1000) || ' from 10.' || (doc_id % 256) "
+                "|| '.0.1'")
+
+
+def _q_pii_redaction(sf_dir: str) -> pd.DataFrame:
+    """PII scrub (extras/redact.redact_pii): RE2 email/phone/IPv4 redaction
+    with per-doc match counts, over the PII-augmented documents table."""
+    from colbert_ray.extras import redact as x_red
+
+    ds = x_red.redact_pii(_augment_pii(sf_dir))
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_normalized_text(sf_dir: str) -> pd.DataFrame:
+    """Canonical normalization (extras/redact.normalize_text): lowercase +
+    whitespace collapse + trim, with normalized char counts."""
+    from colbert_ray.extras import redact as x_red
+
+    ds = x_red.normalize_text(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_frequent_terms(sf_dir: str) -> pd.DataFrame:
+    """EXACT heavy hitters (extras/sketches.frequent_terms): terms with
+    corpus frequency > 1/FREQ_CAPACITY via the two-pass candidates-then-
+    count scheme (per-batch frequent-items lemma gives the candidate
+    superset; pass 2 exact-counts only candidates)."""
+    from colbert_ray.extras import sketches as x_sk
+
+    t = x_sk.frequent_terms(_read(sf_dir, "documents", ["text"]),
+                            capacity=FREQ_CAPACITY)
+    return t.to_pandas()
+
+
+def _q_event_gaps(sf_dir: str) -> pd.DataFrame:
+    """Per-user lag window (extras/relational.event_gaps): microsecond gap
+    to the previous event of the same user, (ts, event_id)-ordered."""
+    ds = x_rel.event_gaps(_read(sf_dir, "events",
+                                ["event_id", "user_id", "ts"]))
+    return ds.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_top10": _q_bm25_top10,
@@ -1123,6 +1194,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _q_fingerprints,
         "lang_id_pred": _q_lang_id,
         "repetition_stats": _q_repetition_stats,
+        "pii_redaction": _q_pii_redaction,
+        "normalized_text": _q_normalized_text,
+        "frequent_terms": _q_frequent_terms,
+        "event_gaps": _q_event_gaps,
         # minhash/ivf gained exact SQL oracles in round 3 (modular-arithmetic
         # minhash twin; fixed-centroid IVF twin); both ALSO keep their pytest
         # recall gates vs the exact baselines
@@ -1772,6 +1847,41 @@ SELECT doc_id, {case} AS pred_lang FROM v ORDER BY doc_id
 """
 
 
+def _pii_sql() -> str:
+    """Exact DuckDB twin of extras/redact.redact_pii over the PII-augmented
+    text: DuckDB's regexp_* are RE2 like pyarrow's, so the module patterns
+    are embedded verbatim and both sides run the same automaton, counting
+    (non-overlapping) then replacing in the same email->phone->ipv4 order."""
+    from colbert_ray.extras.redact import REDACTIONS
+
+    (e_name, e_re, e_rep), (p_name, p_re, p_rep), (i_name, i_re, i_rep) = \
+        REDACTIONS
+    return f"""
+WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t0 FROM documents),
+s1 AS (SELECT doc_id,
+              len(regexp_extract_all(t0, '{e_re}'))::BIGINT AS n_{e_name},
+              regexp_replace(t0, '{e_re}', '{e_rep}', 'g') AS t1 FROM aug),
+s2 AS (SELECT doc_id, n_{e_name},
+              len(regexp_extract_all(t1, '{p_re}'))::BIGINT AS n_{p_name},
+              regexp_replace(t1, '{p_re}', '{p_rep}', 'g') AS t2 FROM s1),
+s3 AS (SELECT doc_id, n_{e_name}, n_{p_name},
+              len(regexp_extract_all(t2, '{i_re}'))::BIGINT AS n_{i_name},
+              regexp_replace(t2, '{i_re}', '{i_rep}', 'g') AS t3 FROM s2)
+SELECT doc_id, n_{e_name}, n_{p_name}, n_{i_name}, t3 AS clean_text
+FROM s3 ORDER BY doc_id
+"""
+
+
+def _frequent_terms_sql() -> str:
+    """Exact-definition twin of extras/sketches.frequent_terms (the two-pass
+    scheme is an execution strategy; the semantics are the plain global
+    HAVING cnt * capacity > total)."""
+    from colbert_ray.extras.sketches import sql_frequent_terms_expr
+
+    return sql_frequent_terms_expr(table="documents", text_col="text",
+                                   capacity=FREQ_CAPACITY)
+
+
 def oracle_sql() -> dict[str, str]:
     toks = _toks_expr()
     stop = x_text.sql_stopword_list()
@@ -1928,6 +2038,24 @@ FROM q GROUP BY vec_id ORDER BY vec_id
         "minhash_dup_pairs": _minhash_sql(),
         "ivf_knn_top5": _ivf_sql(),
         "fingerprints": _fingerprint_sql(),
+        "pii_redaction": _pii_sql(),
+        "normalized_text": """
+WITH n AS (SELECT doc_id,
+                  trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                  AS norm_text
+           FROM documents)
+SELECT doc_id, norm_text, length(norm_text)::BIGINT AS n_chars_norm
+FROM n ORDER BY doc_id
+""",
+        "frequent_terms": _frequent_terms_sql(),
+        "event_gaps": """
+SELECT event_id, user_id,
+       (epoch_us(ts) - epoch_us(lag(ts) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id)))::BIGINT AS gap_us
+FROM events
+QUALIFY lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NOT NULL
+ORDER BY event_id
+""",
         "simhash64": _simhash_sql(),
         "lang_id_pred": _lang_id_sql(),
         # the decode stub tiles payload bytes into the 8x8x3 pixel grid, so

@@ -729,3 +729,33 @@ def running_total(events: "ray.data.Dataset", *,
     return (events.select_columns([group_col, ts_col, id_col, val_col])
             .groupby(group_col)
             .map_groups(prefix, batch_format="pandas"))
+
+
+def event_gaps(events: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-user lag window: for every event with a predecessor (same user,
+    ordered by ``(ts, event_id)``), the gap to that predecessor in
+    microseconds. Emits ``(event_id, user_id, gap_us)`` — the first event of
+    each user is dropped (inner-lag semantics, the DuckDB
+    ``lag() OVER (PARTITION BY user_id ORDER BY ts, event_id)`` twin).
+
+    Scale shape: the only wide step is one ``groupby(user_id)`` (each group
+    is a single user's events); inside the group everything is a vectorized
+    lexsort + diff. The ``(ts, event_id)`` order key makes ties exact —
+    equal timestamps order by event id on both the engine and SQL sides."""
+
+    def gaps(g) -> "pd.DataFrame":
+        import pandas as pd
+
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, ts))
+        ts, eid = ts[order], eid[order]
+        return pd.DataFrame({
+            "event_id": eid[1:],
+            "user_id": np.repeat(g["user_id"].iloc[0], max(len(ts) - 1, 0)),
+            "gap_us": np.diff(ts),
+        })
+
+    return (events.select_columns(["event_id", "user_id", "ts"])
+            .groupby("user_id")
+            .map_groups(gaps, batch_format="pandas"))

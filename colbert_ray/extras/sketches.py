@@ -308,3 +308,114 @@ FROM (SELECT pb.*, sk.c FROM pb
       JOIN sk ON sk.d = pb.d AND sk.bucket = pb.bucket) joined
 GROUP BY ALL
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters in two streaming passes (frequent-items lemma)
+# ---------------------------------------------------------------------------
+# Classic candidates-then-count scheme (Misra-Gries 1982 family): pass 1
+# keeps, per batch, only terms whose IN-BATCH token count c_b satisfies
+# c_b * capacity > N_b (N_b = batch token total). Superset guarantee: if a
+# term's GLOBAL count C satisfies C * capacity > N, then by the pigeonhole
+# contrapositive (all c_b <= N_b/capacity would force C <= N/capacity) at
+# least one batch crosses its local threshold — so the candidate union
+# contains every true heavy hitter REGARDLESS of how Ray blocks the input.
+# Pass 2 exact-counts only the (small, broadcast) candidate set, so the
+# final output is EXACT and deterministic even though the intermediate
+# candidate set depends on block boundaries. Exchange volume: pass 1 moves
+# <= capacity rows per batch; pass 2 moves <= |candidates|+1 rows per batch
+# — the corpus text never shuffles.
+
+
+def _batch_term_counts(texts, cfg) -> tuple:
+    """(unique term StringArray, int64 counts, batch token total) for one
+    batch — tf-weighted bincount over dictionary-encoded flat terms."""
+    from colbert_ray.functions.tokenizer import doc_term_frequencies
+
+    dl, terms, tfs = doc_term_frequencies(texts, cfg)
+    flat = terms.values
+    w = tfs.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(flat) == 0:
+        return flat, np.empty(0, dtype=np.int64), 0
+    enc = flat.dictionary_encode()
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    cnt = np.bincount(idx, weights=w, minlength=len(enc.dictionary)).astype(np.int64)
+    return enc.dictionary, cnt, int(dl.sum())
+
+
+def frequent_terms(ds: "ray.data.Dataset", text_col: str = "text",
+                   capacity: int = 128) -> "pa.Table":
+    """EXACT set of terms whose corpus-wide token count ``C`` satisfies
+    ``C * capacity > N`` (N = total tokens), i.e. frequency > 1/capacity,
+    via the two-pass candidates-then-count scheme above. Returns a small
+    Arrow table ``(term, cnt)`` sorted by term."""
+    from colbert_ray.config import EngineConfig
+
+    cfg = EngineConfig()
+    text_ds = ds.select_columns([text_col])
+
+    def local_candidates(b: pa.Table) -> pa.Table:
+        terms, cnt, total = _batch_term_counts(b.column(text_col), cfg)
+        keep = cnt * capacity > total
+        return pa.table({"term": terms.filter(pa.array(keep))})
+
+    # candidate union is <= capacity rows/batch; groupby dedups it without
+    # ever shuffling corpus rows
+    cand = (text_ds.map_batches(local_candidates, batch_format="pyarrow",
+                                zero_copy_batch=True)
+            .groupby("term").count().to_pandas())
+    if cand.empty:
+        # no batch crossed its local threshold => no term can cross the
+        # global one (the superset lemma) — skip pass 2 entirely
+        return pa.table({"term": pa.array([], type=pa.string()),
+                         "cnt": pa.array([], type=pa.int64())})
+    cand_terms = pa.array(sorted(cand["term"].tolist()), type=pa.string())
+    n_cand = len(cand_terms)
+
+    def exact_counts(b: pa.Table) -> pa.Table:
+        # candidate-set counts + one sentinel row (idx -1) carrying the
+        # batch token total, so N rides the same tiny exchange
+        terms, cnt, total = _batch_term_counts(b.column(text_col), cfg)
+        pos = pa.compute.index_in(terms, value_set=cand_terms)
+        hit = pos.is_valid().to_numpy(zero_copy_only=False)
+        idxs = pa.compute.fill_null(pos, 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)[hit]
+        return pa.table({
+            "term_idx": np.concatenate([idxs, [-1]]),
+            "cnt_p": np.concatenate([cnt[hit], [total]]).astype(np.int64),
+        })
+
+    from ray.data.aggregate import Sum
+
+    folded = (text_ds.map_batches(exact_counts, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+              .groupby("term_idx")
+              .aggregate(Sum("cnt_p", alias_name="cnt"))).to_pandas()
+    by_idx = dict(zip(folded["term_idx"].astype(int), folded["cnt"].astype(int)))
+    n_total = by_idx.pop(-1, 0)
+    out_t, out_c = [], []
+    for i in range(n_cand):
+        c = by_idx.get(i, 0)
+        if c * capacity > n_total:
+            out_t.append(cand_terms[i].as_py())
+            out_c.append(c)
+    return pa.table({"term": pa.array(out_t, type=pa.string()),
+                     "cnt": pa.array(out_c, type=pa.int64())})
+
+
+def sql_frequent_terms_expr(*, table: str, text_col: str = "text",
+                            capacity: int = 128) -> str:
+    """DuckDB twin of :func:`frequent_terms` — the exact global definition
+    (the two-pass scheme is an execution strategy, not a semantics change)."""
+    from colbert_ray.config import EngineConfig
+    from colbert_ray.functions.tokenizer import sql_tokenize_expr
+
+    tok = sql_tokenize_expr(text_col, EngineConfig())
+    return f"""
+WITH toks AS (SELECT unnest({tok}) AS term FROM {table}),
+tot AS (SELECT count(*)::BIGINT AS n FROM toks)
+SELECT term, count(*)::BIGINT AS cnt
+FROM toks GROUP BY term
+HAVING count(*) * {capacity} > (SELECT n FROM tot)
+ORDER BY term
+"""

@@ -1327,3 +1327,106 @@ class TestRunningTotal:
         # output rows are ordered by event_id -> running 2.0, 3.0, 7.0
         assert out[out.user_id == 1]["running"].tolist() == [2.0, 3.0, 7.0]
         assert out[out.user_id == 2]["running"].tolist() == [8.0]
+
+
+class TestRedact:
+    def test_redact_pii_counts_and_text(self):
+        from colbert_ray.extras import redact as x_red
+
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array([
+                "mail a.b-c%d@sub.example.org and x@y.io now",
+                "call +1-212-555-0187 from 192.168.0.1 or 8.8.8.8",
+                "nothing sensitive here",
+            ]),
+        })
+        out = (x_red.redact_pii(ray.data.from_arrow(t))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert out["n_email"].tolist() == [2, 0, 0]
+        assert out["n_phone"].tolist() == [0, 1, 0]
+        assert out["n_ipv4"].tolist() == [0, 2, 0]
+        assert out["clean_text"][0] == "mail <EMAIL> and <EMAIL> now"
+        assert out["clean_text"][1] == "call <PHONE> from <IP> or <IP>"
+        assert out["clean_text"][2] == "nothing sensitive here"
+
+    def test_normalize_text(self):
+        from colbert_ray.extras import redact as x_red
+
+        t = pa.table({
+            "doc_id": pa.array([0, 1], type=pa.int64()),
+            "text": pa.array(["  Hello\t\tWORLD \n", "a  b"]),
+        })
+        out = (x_red.normalize_text(ray.data.from_arrow(t))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert out["norm_text"].tolist() == ["hello world", "a b"]
+        assert out["n_chars_norm"].tolist() == [11, 3]
+
+
+class TestFrequentTerms:
+    def _expected(self, texts, capacity):
+        from collections import Counter
+
+        from colbert_ray.config import EngineConfig
+        from colbert_ray.functions.tokenizer import doc_term_frequencies
+
+        dl, terms, tfs = doc_term_frequencies(
+            pa.array(texts, type=pa.string()), EngineConfig())
+        c = Counter()
+        for ts, fs in zip(terms.to_pylist(), tfs.to_pylist()):
+            for tm, f in zip(ts, fs):
+                c[tm] += f
+        n = sum(c.values())
+        return {t: k for t, k in sorted(c.items()) if k * capacity > n}
+
+    def test_exact_across_block_layouts(self):
+        from colbert_ray.extras import sketches as x_sk
+
+        rng = np.random.default_rng(7)
+        vocab = [f"w{i}" for i in range(50)]
+        # zipf-ish: low ids much more frequent
+        texts = [" ".join(vocab[min(int(rng.zipf(1.3)) - 1, 49)]
+                          for _ in range(30)) for _ in range(120)]
+        expected = self._expected(texts, capacity=40)
+        assert expected, "fixture must produce at least one heavy hitter"
+        t = pa.table({"text": pa.array(texts, type=pa.string())})
+        for nblocks in (1, 7):
+            ds = ray.data.from_arrow(t).repartition(nblocks)
+            out = x_sk.frequent_terms(ds, capacity=40).to_pandas()
+            got = dict(zip(out["term"], out["cnt"]))
+            assert got == expected, f"nblocks={nblocks}"
+
+    def test_no_heavy_hitters_uniform(self):
+        from colbert_ray.extras import sketches as x_sk
+
+        texts = [f"u{i} v{i} x{i}" for i in range(200)]
+        ds = ray.data.from_arrow(
+            pa.table({"text": pa.array(texts, type=pa.string())}))
+        out = x_sk.frequent_terms(ds, capacity=100).to_pandas()
+        assert len(out) == 0
+
+
+class TestEventGaps:
+    def test_gaps_match_pandas_lag(self):
+        from colbert_ray.extras import relational as x_rel
+
+        rng = np.random.default_rng(3)
+        n = 400
+        base = np.datetime64("2026-01-01T00:00:00", "us")
+        df = pd.DataFrame({
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 20, n).astype(np.int64),
+            "ts": base + rng.integers(0, 3_600_000_000, n).astype("timedelta64[us]"),
+        })
+        # force ts ties inside a user to exercise the event_id tie-break
+        df.loc[df.index[1], ["user_id", "ts"]] = df.loc[df.index[0], ["user_id", "ts"]]
+        out = (x_rel.event_gaps(ray.data.from_pandas(df))
+               .to_pandas().sort_values("event_id").reset_index(drop=True))
+        exp = df.sort_values(["user_id", "ts", "event_id"]).copy()
+        tsi = exp["ts"].astype("int64")
+        exp["gap_us"] = tsi - tsi.groupby(exp["user_id"]).shift()
+        exp = exp.dropna(subset=["gap_us"])
+        exp = (exp[["event_id", "user_id"]]
+               .assign(gap_us=exp["gap_us"].astype(np.int64))
+               .sort_values("event_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(out, exp)
