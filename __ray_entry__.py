@@ -1140,6 +1140,24 @@ def _q_event_gaps(sf_dir: str) -> pd.DataFrame:
     return ds.to_pandas().sort_values("event_id").reset_index(drop=True)
 
 
+def _q_unigram_nll(sf_dir: str) -> pd.DataFrame:
+    """Unigram-LM quality score (extras/textstats.unigram_nll): per-doc
+    average negative log-likelihood under the corpus-trained unigram LM
+    (the CCNet-style perplexity filter signal)."""
+    ds = x_text.unigram_nll(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_corr_qty_price(sf_dir: str) -> pd.DataFrame:
+    """Per-returnflag Pearson corr(l_quantity, l_extendedprice)
+    (extras/relational.grouped_corr — one-pass raw moments)."""
+    t = x_rel.grouped_corr(
+        _read(sf_dir, "lineitem",
+              ["l_returnflag", "l_quantity", "l_extendedprice"]),
+        "l_returnflag", "l_quantity", "l_extendedprice")
+    return t.to_pandas()
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_top10": _q_bm25_top10,
@@ -1198,6 +1216,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_text": _q_normalized_text,
         "frequent_terms": _q_frequent_terms,
         "event_gaps": _q_event_gaps,
+        "unigram_nll": _q_unigram_nll,
+        "corr_qty_price": _q_corr_qty_price,
         # minhash/ivf gained exact SQL oracles in round 3 (modular-arithmetic
         # minhash twin; fixed-centroid IVF twin); both ALSO keep their pytest
         # recall gates vs the exact baselines
@@ -2048,6 +2068,36 @@ SELECT doc_id, norm_text, length(norm_text)::BIGINT AS n_chars_norm
 FROM n ORDER BY doc_id
 """,
         "frequent_terms": _frequent_terms_sql(),
+        "unigram_nll": f"""
+WITH toks AS (SELECT doc_id, unnest({_toks_expr()}) AS term FROM documents),
+cf AS (SELECT term, count(*)::DOUBLE AS c FROM toks GROUP BY term),
+tot AS (SELECT count(*)::DOUBLE AS n FROM toks),
+per AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+        FROM toks GROUP BY doc_id, term)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       round(sum(tf * -ln(c / (SELECT n FROM tot))) / sum(tf), 6) AS nll
+FROM per JOIN cf USING (term)
+GROUP BY doc_id ORDER BY doc_id
+""",
+        # same raw-moment formula as grouped_corr (NOT corr()) — one shared
+        # arithmetic path, round-6 (float policy)
+        "corr_qty_price": """
+WITH m AS (SELECT l_returnflag,
+                  count(*)::DOUBLE AS n,
+                  sum(l_quantity::DOUBLE) AS sx,
+                  sum(l_extendedprice::DOUBLE) AS sy,
+                  sum(l_quantity::DOUBLE * l_quantity::DOUBLE) AS sxx,
+                  sum(l_extendedprice::DOUBLE * l_extendedprice::DOUBLE) AS syy,
+                  sum(l_quantity::DOUBLE * l_extendedprice::DOUBLE) AS sxy
+           FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+            THEN round((n*sxy - sx*sy) /
+                       sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6)
+            ELSE NULL END AS corr_xy
+FROM m ORDER BY l_returnflag
+""",
         "event_gaps": """
 SELECT event_id, user_id,
        (epoch_us(ts) - epoch_us(lag(ts) OVER

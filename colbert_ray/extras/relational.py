@@ -759,3 +759,58 @@ def event_gaps(events: "ray.data.Dataset") -> "ray.data.Dataset":
     return (events.select_columns(["event_id", "user_id", "ts"])
             .groupby("user_id")
             .map_groups(gaps, batch_format="pandas"))
+
+
+def grouped_corr(ds: "ray.data.Dataset", group_col: str, x_col: str,
+                 y_col: str) -> "pa.Table":
+    """Per-group Pearson correlation from one-pass raw moments: each batch
+    reduces to one (group, n, Sx, Sy, Sxx, Syy, Sxy) partial row, the only
+    shuffle moves those partials, and the tiny grouped frame folds to
+    ``corr = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))``
+    (round-6; groups with zero variance in either column emit NULL).
+    The SQL twin computes the SAME raw-moment formula (not corr()) so both
+    sides share one arithmetic path (float policy)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.column(group_col).to_numpy(zero_copy_only=False)
+        x = b.column(x_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        y = b.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        gu, gi = np.unique(g, return_inverse=True)
+        m = len(gu)
+        return pa.table({
+            group_col: pa.array(gu),
+            "n_p": np.bincount(gi, minlength=m).astype(np.int64),
+            "sx_p": np.bincount(gi, weights=x, minlength=m),
+            "sy_p": np.bincount(gi, weights=y, minlength=m),
+            "sxx_p": np.bincount(gi, weights=x * x, minlength=m),
+            "syy_p": np.bincount(gi, weights=y * y, minlength=m),
+            "sxy_p": np.bincount(gi, weights=x * y, minlength=m),
+        })
+
+    folded = (ds.select_columns([group_col, x_col, y_col])
+              .map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby(group_col)
+              .aggregate(Sum("n_p", alias_name="n"),
+                         Sum("sx_p", alias_name="sx"),
+                         Sum("sy_p", alias_name="sy"),
+                         Sum("sxx_p", alias_name="sxx"),
+                         Sum("syy_p", alias_name="syy"),
+                         Sum("sxy_p", alias_name="sxy"))).to_pandas()
+    folded = folded.sort_values(group_col).reset_index(drop=True)
+    n = folded["n"].to_numpy(dtype=np.float64)
+    vx = n * folded["sxx"].to_numpy() - folded["sx"].to_numpy() ** 2
+    vy = n * folded["syy"].to_numpy() - folded["sy"].to_numpy() ** 2
+    cov = n * folded["sxy"].to_numpy() - \
+        folded["sx"].to_numpy() * folded["sy"].to_numpy()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        corr = np.round(cov / np.sqrt(vx * vy), 6)
+    valid = (vx > 0) & (vy > 0)
+    return pa.table({
+        group_col: pa.array(folded[group_col]),
+        "n": pa.array(folded["n"].astype(np.int64)),
+        "corr_xy": pa.array([float(c) if v else None
+                             for c, v in zip(corr, valid)],
+                            type=pa.float64()),
+    })

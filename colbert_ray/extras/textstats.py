@@ -469,3 +469,59 @@ def doclen_quantiles(ds: "ray.data.Dataset", text_col: str = "text",
         cols[f"p{round(q * 100)}"] = pa.array(
             [int(vals[np.searchsorted(cum, k)])], type=pa.int64())
     return pa.table(cols)
+
+
+def unigram_nll(ds: "ray.data.Dataset", text_col: str = "text",
+                id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Per-document unigram-LM negative log-likelihood — the CCNet-style
+    LM-quality signal (low = fluent/common vocabulary, high = rare/garbled):
+    ``nll(doc) = -(1/|doc|) * sum_t tf_t * ln(cf_t / N)`` with the LM trained
+    on the corpus itself. Emits ``(doc_id, n_tokens, nll)`` (round-6, empty
+    docs dropped — they have no tokens to score).
+
+    Scale shape: pass 1 is :func:`term_stats` (vocab-sized groupby — the
+    dictionary-build pattern); the (term, ln p) table is broadcast ONCE via
+    ``ray.put``; pass 2 streams the corpus through a stateless vectorized
+    searchsorted + per-doc reduceat — no corpus shuffle. Summation per doc
+    runs in ascending term order (``doc_term_frequencies`` is term-sorted),
+    the repo's deterministic-order rule.
+    """
+    import ray as _ray
+
+    cfg = _cfg()
+    cf_tbl = term_stats(ds.select_columns([text_col]), text_col).to_pandas()
+    if cf_tbl.empty:
+        # all-empty corpus: groupby yields a column-less frame; every doc
+        # is dropped by the dl>0 mask below anyway
+        vocab, logp = np.array([], dtype=object), np.array([])
+    else:
+        cf_tbl = cf_tbl.sort_values("term").reset_index(drop=True)
+        vocab = cf_tbl["term"].to_numpy()
+        cf = cf_tbl["cf"].to_numpy(dtype=np.float64)
+        logp = np.log(cf / cf.sum())
+    ref = _ray.put((vocab, logp))
+
+    def score(batch: pa.Table) -> pa.Table:
+        v, lp = _ray.get(ref)
+        dl, terms, tfs = doc_term_frequencies(batch.column(text_col), cfg)
+        offs = terms.offsets.to_numpy(zero_copy_only=False)
+        flat_t = terms.flatten().to_numpy(zero_copy_only=False)
+        flat_tf = tfs.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        keep = dl > 0
+        if not keep.any():
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "n_tokens": pa.array([], type=pa.int64()),
+                             "nll": pa.array([], type=pa.float64())})
+        pos = np.searchsorted(v, flat_t)
+        tok_nll = flat_tf * -lp[pos]
+        doc_nll = np.add.reduceat(tok_nll, offs[:-1][keep])
+        # reduceat with equal consecutive offsets (empty docs) would copy the
+        # next doc's first element — the keep mask removes those rows first
+        return pa.table({
+            id_col: pa.array(np.asarray(ids)[keep]),
+            "n_tokens": pa.array(dl[keep].astype(np.int64)),
+            "nll": pa.array(np.round(doc_nll / dl[keep], 6)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -1430,3 +1430,73 @@ class TestEventGaps:
                .assign(gap_us=exp["gap_us"].astype(np.int64))
                .sort_values("event_id").reset_index(drop=True))
         pd.testing.assert_frame_equal(out, exp)
+
+
+class TestUnigramNLL:
+    def test_matches_naive_lm(self):
+        import math
+        from collections import Counter
+
+        from colbert_ray.config import EngineConfig
+        from colbert_ray.functions.tokenizer import doc_term_frequencies
+
+        texts = ["the quick fox", "the the the", "rare zebra quux", ""]
+        t = pa.table({"doc_id": pa.array(range(4), type=pa.int64()),
+                      "text": pa.array(texts, type=pa.string())})
+        out = (x_text.unigram_nll(ray.data.from_arrow(t))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        # naive LM
+        _, terms, tfs = doc_term_frequencies(
+            pa.array(texts, type=pa.string()), EngineConfig())
+        cf = Counter()
+        docs = []
+        for ts, fs in zip(terms.to_pylist(), tfs.to_pylist()):
+            d = dict(zip(ts, fs))
+            docs.append(d)
+            cf.update(d)
+        n = sum(cf.values())
+        exp = []
+        for i, d in enumerate(docs):
+            dl = sum(d.values())
+            if dl == 0:
+                continue
+            nll = sum(f * -math.log(cf[tm] / n) for tm, f in sorted(d.items())) / dl
+            exp.append((i, dl, round(nll, 6)))
+        assert out["doc_id"].tolist() == [e[0] for e in exp]
+        assert out["n_tokens"].tolist() == [e[1] for e in exp]
+        assert out["nll"].tolist() == pytest.approx([e[2] for e in exp], abs=1e-9)
+        # the all-repeated doc is the most "fluent" (lowest nll)
+        assert out.loc[out["doc_id"] == 1, "nll"].iloc[0] == out["nll"].min()
+
+    def test_empty_doc_dropped(self):
+        t = pa.table({"doc_id": pa.array([7], type=pa.int64()),
+                      "text": pa.array([""], type=pa.string())})
+        out = x_text.unigram_nll(ray.data.from_arrow(t)).to_pandas()
+        assert len(out) == 0
+
+
+class TestGroupedCorr:
+    def test_matches_numpy_corrcoef(self):
+        from colbert_ray.extras import relational as x_rel
+
+        rng = np.random.default_rng(11)
+        n = 600
+        g = rng.choice(["A", "B", "C"], n)
+        x = rng.normal(0, 1, n)
+        y = 0.6 * x + rng.normal(0, 0.5, n)
+        ds = ray.data.from_arrow(pa.table({"g": g, "x": x, "y": y}))
+        out = x_rel.grouped_corr(ds, "g", "x", "y").to_pandas()
+        assert out["g"].tolist() == ["A", "B", "C"]
+        for _, row in out.iterrows():
+            m = g == row["g"]
+            assert row["n"] == int(m.sum())
+            assert row["corr_xy"] == pytest.approx(
+                round(float(np.corrcoef(x[m], y[m])[0, 1]), 6), abs=2e-6)
+
+    def test_zero_variance_is_null(self):
+        from colbert_ray.extras import relational as x_rel
+
+        ds = ray.data.from_arrow(pa.table({
+            "g": ["Z"] * 5, "x": [1.0] * 5, "y": [1.0, 2, 3, 4, 5]}))
+        out = x_rel.grouped_corr(ds, "g", "x", "y").to_pandas()
+        assert out["corr_xy"].isna().all()
