@@ -1158,6 +1158,16 @@ def _q_corr_qty_price(sf_dir: str) -> pd.DataFrame:
     return t.to_pandas()
 
 
+def _q_fuzzy_term_pairs(sf_dir: str) -> pd.DataFrame:
+    """Typo-level vocabulary pairs at Levenshtein distance exactly 1
+    (extras/dedup.fuzzy_term_pairs — SymSpell deletion-neighborhood join +
+    vectorized verify) over the part-name vocabulary, which actually
+    contains ed-1 word pairs (the documents vocab has none)."""
+    t = x_dedup.fuzzy_term_pairs(_read(sf_dir, "part", ["p_name"]),
+                                 text_col="p_name")
+    return t.to_pandas()
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_top10": _q_bm25_top10,
@@ -1218,6 +1228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": _q_event_gaps,
         "unigram_nll": _q_unigram_nll,
         "corr_qty_price": _q_corr_qty_price,
+        "fuzzy_term_pairs": _q_fuzzy_term_pairs,
         # minhash/ivf gained exact SQL oracles in round 3 (modular-arithmetic
         # minhash twin; fixed-centroid IVF twin); both ALSO keep their pytest
         # recall gates vs the exact baselines
@@ -1892,6 +1903,14 @@ FROM s3 ORDER BY doc_id
 """
 
 
+def _fuzzy_pairs_sql() -> str:
+    """Plain-definition twin of extras/dedup.fuzzy_term_pairs (levenshtein
+    over the distinct part-name vocabulary self-join)."""
+    from colbert_ray.extras.dedup import sql_fuzzy_pairs_expr
+
+    return sql_fuzzy_pairs_expr(table="part", text_col="p_name")
+
+
 def _frequent_terms_sql() -> str:
     """Exact-definition twin of extras/sketches.frequent_terms (the two-pass
     scheme is an execution strategy; the semantics are the plain global
@@ -2068,6 +2087,7 @@ SELECT doc_id, norm_text, length(norm_text)::BIGINT AS n_chars_norm
 FROM n ORDER BY doc_id
 """,
         "frequent_terms": _frequent_terms_sql(),
+        "fuzzy_term_pairs": _fuzzy_pairs_sql(),
         "unigram_nll": f"""
 WITH toks AS (SELECT doc_id, unnest({_toks_expr()}) AS term FROM documents),
 cf AS (SELECT term, count(*)::DOUBLE AS c FROM toks GROUP BY term),

@@ -570,3 +570,135 @@ def dedup_keep(
         return batch.filter(pa.array(drop[pos] != ids))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy vocabulary matching: edit-distance-1 term pairs (SymSpell family)
+# ---------------------------------------------------------------------------
+# Typo-level dictionary dedup: find every pair of vocabulary terms at
+# Levenshtein distance EXACTLY 1 without the O(V^2) cross product. Candidate
+# generation is the deletion-neighborhood trick (Garbe's SymSpell, public):
+# each term emits its identity key plus its |t| single-character deletions;
+# two terms at ed<=1 always share a key (substitution -> same-position
+# deletions collide; insert/delete -> the shorter term IS a deletion of the
+# longer), so grouping by key yields a candidate superset (it also admits
+# some ed-2 pairs, e.g. transpositions "ab"/"ba" — the vectorized verify
+# removes them). Exchange volume: O(V x avg_len) key rows — vocabulary-
+# scale, never corpus-scale.
+
+
+def _ed1_pair_mask(a_list, b_list) -> np.ndarray:
+    """Vectorized exact Levenshtein==1 check for paired ASCII term arrays
+    (tokens are [a-z0-9]+ by construction, so bytes == chars). No per-pair
+    Python: pairs are padded into (n, W) uint8 matrices and verified with
+    numpy comparisons only."""
+    n = len(a_list)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    aa = np.asarray(a_list, dtype=object)
+    bb = np.asarray(b_list, dtype=object)
+    la = np.asarray([len(x) for x in a_list], dtype=np.int64)
+    lb = np.asarray([len(x) for x in b_list], dtype=np.int64)
+    # orient: A = shorter (or equal), B = longer
+    swap = la > lb
+    aa[swap], bb[swap] = bb[swap], aa[swap]
+    la2 = np.minimum(la, lb)
+    lb2 = np.maximum(la, lb)
+    W = int(lb2.max()) + 1
+    A = np.asarray(aa, dtype=f"S{W}").view(np.uint8).reshape(n, W)
+    B = np.asarray(bb, dtype=f"S{W}").view(np.uint8).reshape(n, W)
+    diff = A != B
+    out = np.zeros(n, dtype=bool)
+    same_len = la2 == lb2
+    out[same_len] = diff[same_len].sum(axis=1) == 1
+    one_off = lb2 == la2 + 1
+    if one_off.any():
+        D, Bo, Ao = diff[one_off], B[one_off], A[one_off]
+        # first mismatch position (guaranteed to exist: B has a real char
+        # where A has padding, if nowhere earlier)
+        p = np.argmax(D, axis=1)
+        # deletion check: A[p:] must equal B[p+1:] elementwise (both tails
+        # carry the \0 padding, so full-width shifted comparison works)
+        M = Ao[:, :-1] == Bo[:, 1:]
+        suffix_ok = np.logical_and.accumulate(M[:, ::-1], axis=1)[:, ::-1]
+        out[one_off] = suffix_ok[np.arange(len(p)), p]
+    return out
+
+
+def fuzzy_term_pairs(ds: "ray.data.Dataset",
+                     text_col: str = "text") -> "pa.Table":
+    """All vocabulary term pairs (term_a < term_b) at Levenshtein distance
+    exactly 1 over the corpus' token vocabulary. Returns a small Arrow table
+    ``(term_a, term_b)`` sorted lexicographically."""
+    from colbert_ray.extras.textstats import term_stats
+
+    vocab_ds = term_stats(ds, text_col).select_columns(["term"])
+
+    def del_keys(b: pa.Table) -> pa.Table:
+        terms = b.column("term")
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        lens = pc.utf8_length(terms).to_numpy(zero_copy_only=False)
+        max_len = int(lens.max()) if len(lens) else 0
+        keys = [terms]          # identity key
+        parents = [np.arange(len(terms))]
+        for d in range(max_len):
+            sel = np.flatnonzero(lens > d)
+            if len(sel) == 0:
+                continue
+            sub = terms.take(pa.array(sel))
+            head = pc.utf8_slice_codeunits(sub, 0, d)
+            tail = pc.utf8_slice_codeunits(sub, d + 1, 2**31 - 1)
+            keys.append(pc.binary_join_element_wise(head, tail, ""))
+            parents.append(sel)
+        flat_keys = pa.concat_arrays([k.combine_chunks() if
+                                      isinstance(k, pa.ChunkedArray) else k
+                                      for k in keys])
+        flat_parent = np.concatenate(parents)
+        t_np = terms.to_numpy(zero_copy_only=False)
+        return pa.table({"key": flat_keys,
+                         "term": pa.array(t_np[flat_parent])})
+
+    def pairs_in_group(g) -> "pd.DataFrame":
+        ts = sorted(set(g["term"].tolist()))
+        if len(ts) < 2:
+            return pd.DataFrame({"term_a": pd.Series([], dtype=object),
+                                 "term_b": pd.Series([], dtype=object)})
+        i, j = np.triu_indices(len(ts), k=1)
+        arr = np.asarray(ts, dtype=object)
+        return pd.DataFrame({"term_a": arr[i], "term_b": arr[j]})
+
+    cand = (vocab_ds.map_batches(del_keys, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+            .groupby("key")
+            .map_groups(pairs_in_group, batch_format="pandas")
+            .groupby(["term_a", "term_b"]).count()   # dedupe across keys
+            .to_pandas())
+    if cand.empty:
+        return pa.table({"term_a": pa.array([], type=pa.string()),
+                         "term_b": pa.array([], type=pa.string())})
+    keep = _ed1_pair_mask(cand["term_a"].tolist(), cand["term_b"].tolist())
+    out = (cand.loc[keep, ["term_a", "term_b"]]
+           .sort_values(["term_a", "term_b"]).reset_index(drop=True))
+    return pa.table({"term_a": pa.array(out["term_a"], type=pa.string()),
+                     "term_b": pa.array(out["term_b"], type=pa.string())})
+
+
+def sql_fuzzy_pairs_expr(*, table: str, text_col: str) -> str:
+    """DuckDB twin of :func:`fuzzy_term_pairs` — the plain quadratic
+    definition (levenshtein == 1 over the distinct-term self-join, with the
+    sound |len diff| <= 1 prefilter); the deletion-neighborhood join is an
+    execution strategy, not a semantics change."""
+    from colbert_ray.config import EngineConfig
+    from colbert_ray.functions.tokenizer import sql_tokenize_expr
+
+    tok = sql_tokenize_expr(text_col, EngineConfig())
+    return f"""
+WITH v AS (SELECT DISTINCT unnest({tok}) AS term FROM {table})
+SELECT a.term AS term_a, b.term AS term_b
+FROM v a JOIN v b
+ON a.term < b.term
+AND abs(length(a.term) - length(b.term)) <= 1
+AND levenshtein(a.term, b.term) = 1
+ORDER BY term_a, term_b
+"""

@@ -1500,3 +1500,41 @@ class TestGroupedCorr:
             "g": ["Z"] * 5, "x": [1.0] * 5, "y": [1.0, 2, 3, 4, 5]}))
         out = x_rel.grouped_corr(ds, "g", "x", "y").to_pandas()
         assert out["corr_xy"].isna().all()
+
+
+class TestFuzzyTermPairs:
+    @staticmethod
+    def _lev(a, b):
+        la, lb = len(a), len(b)
+        d = list(range(lb + 1))
+        for i in range(1, la + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, lb + 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (a[i - 1] != b[j - 1]))
+        return d[lb]
+
+    def test_matches_naive_levenshtein(self):
+        # vocabulary with substitutions, inserts/deletes, a transposition
+        # pair ("ab"/"ba" shares deletion keys but is ed-2: must be
+        # excluded), and unrelated words
+        words = ["cat", "cut", "cart", "ca", "cat", "ab", "ba", "dog",
+                 "dogs", "dig", "zebra", "xylophone", "a", "b"]
+        text = " ".join(words)
+        ds = ray.data.from_arrow(
+            pa.table({"text": pa.array([text, "cat dog"])}))
+        out = x_dedup.fuzzy_term_pairs(ds).to_pandas()
+        got = set(zip(out["term_a"], out["term_b"]))
+        vocab = sorted(set(words))
+        exp = {(a, b) for i, a in enumerate(vocab) for b in vocab[i + 1:]
+               if self._lev(a, b) == 1}
+        assert got == exp
+        assert ("ab", "ba") not in got          # transposition excluded
+        assert ("cat", "cut") in got            # substitution
+        assert ("dog", "dogs") in got           # insertion
+        assert ("ca", "cat") in got             # deletion
+
+    def test_empty_and_singleton(self):
+        ds = ray.data.from_arrow(pa.table({"text": pa.array(["", "solo"])}))
+        out = x_dedup.fuzzy_term_pairs(ds).to_pandas()
+        assert len(out) == 0
