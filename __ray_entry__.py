@@ -1168,6 +1168,23 @@ def _q_fuzzy_term_pairs(sf_dir: str) -> pd.DataFrame:
     return t.to_pandas()
 
 
+def _q_ohlc_hourly(sf_dir: str) -> pd.DataFrame:
+    """Per-(user, hour) OHLC bars (extras/relational.ohlc_hourly — mergeable
+    first/last/min/max combiner; raw events never shuffle)."""
+    ds = x_rel.ohlc_hourly(_read(sf_dir, "events",
+                                 ["event_id", "user_id", "ts", "value"]))
+    return (ds.to_pandas().sort_values(["user_id", "hour"])
+            .reset_index(drop=True))
+
+
+def _q_user_quantiles_cont(sf_dir: str) -> pd.DataFrame:
+    """Per-user interpolated quantiles, percentile_cont rule
+    (extras/relational.user_value_quantiles_cont)."""
+    ds = x_rel.user_value_quantiles_cont(
+        _read(sf_dir, "events", ["user_id", "value"]))
+    return ds.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_top10": _q_bm25_top10,
@@ -1229,6 +1246,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_nll": _q_unigram_nll,
         "corr_qty_price": _q_corr_qty_price,
         "fuzzy_term_pairs": _q_fuzzy_term_pairs,
+        "ohlc_hourly": _q_ohlc_hourly,
+        "user_quantiles_cont": _q_user_quantiles_cont,
         # minhash/ivf gained exact SQL oracles in round 3 (modular-arithmetic
         # minhash twin; fixed-centroid IVF twin); both ALSO keep their pytest
         # recall gates vs the exact baselines
@@ -2088,6 +2107,28 @@ FROM n ORDER BY doc_id
 """,
         "frequent_terms": _frequent_terms_sql(),
         "fuzzy_term_pairs": _fuzzy_pairs_sql(),
+        "ohlc_hourly": """
+WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
+                  ts, event_id, value
+           FROM events)
+SELECT user_id, CAST(hour AS BIGINT) AS hour,
+       first(value ORDER BY ts, event_id) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       last(value ORDER BY ts, event_id) AS close,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS volume
+FROM e GROUP BY user_id, hour ORDER BY user_id, hour
+""",
+        # quantile_cont uses the same (n-1)q linear-interpolation rule as
+        # user_value_quantiles_cont (round-6 both sides, float policy)
+        "user_quantiles_cont": """
+SELECT user_id, count(*)::BIGINT AS n_events,
+       round(quantile_cont(value, 0.25), 6) AS p25c,
+       round(quantile_cont(value, 0.50), 6) AS p50c,
+       round(quantile_cont(value, 0.75), 6) AS p75c
+FROM events GROUP BY user_id ORDER BY user_id
+""",
         "unigram_nll": f"""
 WITH toks AS (SELECT doc_id, unnest({_toks_expr()}) AS term FROM documents),
 cf AS (SELECT term, count(*)::DOUBLE AS c FROM toks GROUP BY term),

@@ -814,3 +814,93 @@ def grouped_corr(ds: "ray.data.Dataset", group_col: str, x_col: str,
                              for c, v in zip(corr, valid)],
                             type=pa.float64()),
     })
+
+
+def ohlc_hourly(events: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-(user, hour) OHLC bars: open/close = first/last ``value`` in
+    ``(ts, event_id)`` order, high/low = max/min, plus count and round-6
+    volume (sum). The temporal-downsampling aggregate (time-series
+    compaction for feature pipelines).
+
+    Scale shape: a textbook MERGEABLE combiner — each batch reduces every
+    (user, hour) it touches to ONE partial row carrying (first key+value,
+    last key+value, min, max, n, sum); only those partials ride the single
+    groupby exchange, and the merge (pick global first/last, fold min/max)
+    runs on a handful of partials per group. Raw events never shuffle."""
+    HOUR_US = 3_600_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = (b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        user = b.column("user_id").to_numpy(zero_copy_only=False)
+        eid = b.column("event_id").to_numpy(zero_copy_only=False)
+        val = b.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        hour = ts // HOUR_US
+        order = np.lexsort((eid, ts, hour, user))
+        user, hour, ts, eid, val = (a[order] for a in (user, hour, ts, eid, val))
+        new = np.concatenate([[True], (user[1:] != user[:-1])
+                              | (hour[1:] != hour[:-1])])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(user)) - 1
+        # min/max/sum per run (vectorized reduceat)
+        return pa.table({
+            "user_id": user[starts], "hour": hour[starts],
+            "o_ts": ts[starts], "o_eid": eid[starts], "o_val": val[starts],
+            "c_ts": ts[ends], "c_eid": eid[ends], "c_val": val[ends],
+            "hi_p": np.maximum.reduceat(val, starts),
+            "lo_p": np.minimum.reduceat(val, starts),
+            "n_p": (ends - starts + 1).astype(np.int64),
+            "sum_p": np.add.reduceat(val, starts),
+        })
+
+    def merge(g) -> "pd.DataFrame":
+        import pandas as pd
+
+        o = np.lexsort((g["o_eid"].to_numpy(), g["o_ts"].to_numpy()))[0]
+        c = np.lexsort((-g["c_eid"].to_numpy(), -g["c_ts"].to_numpy()))[0]
+        return pd.DataFrame([{
+            "user_id": g["user_id"].iloc[0],
+            "hour": np.int64(g["hour"].iloc[0]),
+            "open": g["o_val"].iloc[o],
+            "high": g["hi_p"].max(),
+            "low": g["lo_p"].min(),
+            "close": g["c_val"].iloc[c],
+            "n_events": np.int64(g["n_p"].sum()),
+            "volume": round(float(g["sum_p"].sum()), 6),
+        }])
+
+    return (events.select_columns(["event_id", "user_id", "ts", "value"])
+            .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["user_id", "hour"])
+            .map_groups(merge, batch_format="pandas"))
+
+
+def user_value_quantiles_cont(
+    events: "ray.data.Dataset",
+    qs: tuple = (0.25, 0.5, 0.75),
+) -> "ray.data.Dataset":
+    """Exact per-user INTERPOLATED quantiles of ``value`` — the SQL-standard
+    ``percentile_cont`` rule (h = (n-1)q; v = v[floor(h)] + (h - floor(h)) *
+    (v[floor(h)+1] - v[floor(h)])), the linear-interpolation complement of
+    :func:`user_value_quantiles`'s element-exact percentile_disc. Round-6
+    on both sides (float policy). Same scale shape: ONE groupby(user),
+    vectorized sort + interpolation per group."""
+
+    def quants(g) -> "pd.DataFrame":
+        import math
+
+        import pandas as pd
+
+        v = np.sort(g["value"].to_numpy(dtype=np.float64))
+        n = len(v)
+        row = {"user_id": g["user_id"].iloc[0], "n_events": n}
+        for q in qs:
+            h = (n - 1) * q
+            lo = int(math.floor(h))
+            hi = min(lo + 1, n - 1)
+            row[f"p{round(q * 100)}c"] = round(v[lo] + (h - lo) * (v[hi] - v[lo]), 6)
+        return pd.DataFrame([row])
+
+    return (events.select_columns(["user_id", "value"])
+            .groupby("user_id")
+            .map_groups(quants, batch_format="pandas"))

@@ -1538,3 +1538,66 @@ class TestFuzzyTermPairs:
         ds = ray.data.from_arrow(pa.table({"text": pa.array(["", "solo"])}))
         out = x_dedup.fuzzy_term_pairs(ds).to_pandas()
         assert len(out) == 0
+
+
+class TestOhlcHourly:
+    def test_matches_pandas(self):
+        from colbert_ray.extras import relational as x_rel
+
+        rng = np.random.default_rng(5)
+        n = 500
+        base = np.datetime64("2026-02-01T00:00:00", "us")
+        df = pd.DataFrame({
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 8, n).astype(np.int64),
+            "ts": base + rng.integers(0, 6 * 3600_000_000, n).astype("timedelta64[us]"),
+            "value": rng.normal(100, 10, n),
+        })
+        out = (x_rel.ohlc_hourly(ray.data.from_pandas(df).repartition(5))
+               .to_pandas().sort_values(["user_id", "hour"])
+               .reset_index(drop=True))
+        d = df.copy()
+        d["hour"] = d["ts"].astype("int64") // 3_600_000_000
+        d = d.sort_values(["user_id", "hour", "ts", "event_id"])
+        exp = d.groupby(["user_id", "hour"]).agg(
+            open=("value", "first"), high=("value", "max"),
+            low=("value", "min"), close=("value", "last"),
+            n_events=("value", "size"),
+            volume=("value", lambda v: round(v.sum(), 6)),
+        ).reset_index()
+        exp["n_events"] = exp["n_events"].astype(np.int64)
+        pd.testing.assert_frame_equal(out, exp, check_exact=False, atol=1e-6)
+
+    def test_open_close_tie_on_ts(self):
+        from colbert_ray.extras import relational as x_rel
+
+        ts = np.datetime64("2026-02-01T00:00:00", "us")
+        df = pd.DataFrame({
+            "event_id": np.array([5, 2, 9], dtype=np.int64),
+            "user_id": np.zeros(3, dtype=np.int64),
+            "ts": [ts, ts, ts],                       # all tied
+            "value": [10.0, 20.0, 30.0],
+        })
+        out = x_rel.ohlc_hourly(ray.data.from_pandas(df)).to_pandas()
+        assert out["open"].iloc[0] == 20.0     # event_id 2 first
+        assert out["close"].iloc[0] == 30.0    # event_id 9 last
+
+
+class TestQuantilesCont:
+    def test_matches_numpy_linear(self):
+        from colbert_ray.extras import relational as x_rel
+
+        rng = np.random.default_rng(9)
+        df = pd.DataFrame({
+            "user_id": rng.integers(0, 5, 300).astype(np.int64),
+            "value": rng.normal(0, 1, 300),
+        })
+        out = (x_rel.user_value_quantiles_cont(ray.data.from_pandas(df))
+               .to_pandas().sort_values("user_id").reset_index(drop=True))
+        for _, row in out.iterrows():
+            v = df.loc[df["user_id"] == row["user_id"], "value"].to_numpy()
+            assert row["n_events"] == len(v)
+            for q, col in ((0.25, "p25c"), (0.5, "p50c"), (0.75, "p75c")):
+                assert row[col] == pytest.approx(
+                    round(float(np.quantile(v, q, method="linear")), 6),
+                    abs=1e-9)
