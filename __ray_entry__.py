@@ -1185,6 +1185,16 @@ def _q_user_quantiles_cont(sf_dir: str) -> pd.DataFrame:
     return ds.to_pandas().sort_values("user_id").reset_index(drop=True)
 
 
+def _q_curated_corpus(sf_dir: str) -> pd.DataFrame:
+    """End-to-end curation composite (extras/curate.curate_corpus):
+    normalize -> token gate -> corpus-LM NLL gate -> exact dedup on the
+    normalized text; survivors with their stats and dup counts."""
+    from colbert_ray.extras import curate as x_cur
+
+    ds = x_cur.curate_corpus(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_top10": _q_bm25_top10,
@@ -1248,6 +1258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_term_pairs": _q_fuzzy_term_pairs,
         "ohlc_hourly": _q_ohlc_hourly,
         "user_quantiles_cont": _q_user_quantiles_cont,
+        "curated_corpus": _q_curated_corpus,
         # minhash/ivf gained exact SQL oracles in round 3 (modular-arithmetic
         # minhash twin; fixed-centroid IVF twin); both ALSO keep their pytest
         # recall gates vs the exact baselines
@@ -1930,6 +1941,38 @@ def _fuzzy_pairs_sql() -> str:
     return sql_fuzzy_pairs_expr(table="part", text_col="p_name")
 
 
+def _curate_sql() -> str:
+    """Exact CTE-chain twin of extras/curate.curate_corpus: the normalize /
+    LM-NLL / gate / dedup stages compose the already-proven normalized_text,
+    unigram_nll and exact_dedup twins; gates compare against the ROUND-6 nll
+    on both sides and stats are constant within a normalized-text group."""
+    from colbert_ray.extras.curate import MAX_NLL, MAX_TOKENS, MIN_TOKENS
+    from colbert_ray.functions.tokenizer import sql_tokenize_expr
+
+    tok = sql_tokenize_expr("nt", CFG)
+    return f"""
+WITH n AS (SELECT doc_id,
+                  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+           FROM documents),
+toks AS (SELECT doc_id, unnest({tok}) AS term FROM n),
+cf AS (SELECT term, count(*)::DOUBLE AS c FROM toks GROUP BY term),
+tot AS (SELECT count(*)::DOUBLE AS nn FROM toks),
+per AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+        FROM toks GROUP BY doc_id, term),
+stats AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                 round(sum(tf * -ln(c / (SELECT nn FROM tot))) / sum(tf), 6)
+                 AS nll
+          FROM per JOIN cf USING (term) GROUP BY doc_id),
+kept AS (SELECT s.doc_id, s.n_tokens, s.nll, n.nt
+         FROM stats s JOIN n USING (doc_id)
+         WHERE s.n_tokens >= {MIN_TOKENS} AND s.n_tokens <= {MAX_TOKENS}
+           AND s.nll <= {MAX_NLL})
+SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens, min(nll) AS nll,
+       count(*)::BIGINT AS dup_count
+FROM kept GROUP BY nt ORDER BY doc_id
+"""
+
+
 def _frequent_terms_sql() -> str:
     """Exact-definition twin of extras/sketches.frequent_terms (the two-pass
     scheme is an execution strategy; the semantics are the plain global
@@ -2122,6 +2165,7 @@ FROM e GROUP BY user_id, hour ORDER BY user_id, hour
 """,
         # quantile_cont uses the same (n-1)q linear-interpolation rule as
         # user_value_quantiles_cont (round-6 both sides, float policy)
+        "curated_corpus": _curate_sql(),
         "user_quantiles_cont": """
 SELECT user_id, count(*)::BIGINT AS n_events,
        round(quantile_cont(value, 0.25), 6) AS p25c,

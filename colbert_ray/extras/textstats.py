@@ -472,7 +472,8 @@ def doclen_quantiles(ds: "ray.data.Dataset", text_col: str = "text",
 
 
 def unigram_nll(ds: "ray.data.Dataset", text_col: str = "text",
-                id_col: str = "doc_id") -> "ray.data.Dataset":
+                id_col: str = "doc_id",
+                keep_cols: tuple = ()) -> "ray.data.Dataset":
     """Per-document unigram-LM negative log-likelihood — the CCNet-style
     LM-quality signal (low = fluent/common vocabulary, high = rare/garbled):
     ``nll(doc) = -(1/|doc|) * sum_t tf_t * ln(cf_t / N)`` with the LM trained
@@ -510,18 +511,25 @@ def unigram_nll(ds: "ray.data.Dataset", text_col: str = "text",
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         keep = dl > 0
         if not keep.any():
-            return pa.table({id_col: pa.array([], type=pa.int64()),
-                             "n_tokens": pa.array([], type=pa.int64()),
-                             "nll": pa.array([], type=pa.float64())})
+            cols = {id_col: pa.array([], type=pa.int64()),
+                    "n_tokens": pa.array([], type=pa.int64()),
+                    "nll": pa.array([], type=pa.float64())}
+            for c in keep_cols:
+                cols[c] = batch.column(c).slice(0, 0)
+            return pa.table(cols)
         pos = np.searchsorted(v, flat_t)
         tok_nll = flat_tf * -lp[pos]
         doc_nll = np.add.reduceat(tok_nll, offs[:-1][keep])
         # reduceat with equal consecutive offsets (empty docs) would copy the
         # next doc's first element — the keep mask removes those rows first
-        return pa.table({
+        cols = {
             id_col: pa.array(np.asarray(ids)[keep]),
             "n_tokens": pa.array(dl[keep].astype(np.int64)),
             "nll": pa.array(np.round(doc_nll / dl[keep], 6)),
-        })
+        }
+        keep_arrow = pa.array(keep)
+        for c in keep_cols:
+            cols[c] = batch.column(c).filter(keep_arrow)
+        return pa.table(cols)
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -1601,3 +1601,48 @@ class TestQuantilesCont:
                 assert row[col] == pytest.approx(
                     round(float(np.quantile(v, q, method="linear")), 6),
                     abs=1e-9)
+
+
+class TestCurateCorpus:
+    def test_pipeline_stages(self):
+        from colbert_ray.extras import curate as x_cur
+
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        texts = [
+            base,                          # 0 survivor
+            "  THE   quick brown fox jumps over the lazy dog again and again TODAY ",  # 1 normalization dup of 0
+            base,                          # 2 exact dup of 0
+            "tiny doc",                    # 3 gated: too short
+            base + " extra words fill the quota nicely for sure",  # 4 distinct survivor
+        ]
+        t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                      "text": pa.array(texts, type=pa.string())})
+        out = (x_cur.curate_corpus(ray.data.from_arrow(t), min_tokens=5,
+                                   max_tokens=100, max_nll=50.0)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert out["doc_id"].tolist() == [0, 4]
+        assert out.loc[0, "dup_count"] == 3        # 0 + case/ws variant 1 + 2
+        assert out.loc[1, "dup_count"] == 1
+        assert (out["n_tokens"] >= 5).all()
+
+    def test_nll_gate_drops_garbled(self):
+        from colbert_ray.extras import curate as x_cur
+
+        common = ["the data flows through the fast pipeline every day ok"] * 20
+        rare = ["zxqv jkwp mmnb qqrs ttuu vvxx yyzz aabb ccdd eeff gghh"]
+        t = pa.table({
+            "doc_id": pa.array(range(21), type=pa.int64()),
+            "text": pa.array(common + rare, type=pa.string()),
+        })
+        # threshold between the common docs' nll and the rare doc's nll
+        all_rows = (x_cur.curate_corpus(ray.data.from_arrow(t), min_tokens=2,
+                                        max_tokens=100, max_nll=100.0)
+                    .to_pandas())
+        lo = all_rows.loc[all_rows["dup_count"] == 20, "nll"].iloc[0]
+        hi = all_rows.loc[all_rows["dup_count"] == 1, "nll"].iloc[0]
+        assert lo < hi
+        out = (x_cur.curate_corpus(ray.data.from_arrow(t), min_tokens=2,
+                                   max_tokens=100, max_nll=(lo + hi) / 2)
+               .to_pandas())
+        assert out["doc_id"].tolist() == [0]
+        assert out["dup_count"].tolist() == [20]
