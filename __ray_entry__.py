@@ -107,6 +107,31 @@ def _rerank_rounded(df: pd.DataFrame, score_col: str, id_col: str, k: int) -> pd
 # query callables
 # ---------------------------------------------------------------------------
 
+QL_MU = 2000.0
+
+
+def _q_lm_dirichlet_top10(sf_dir: str) -> pd.DataFrame:
+    """Dirichlet query-likelihood ranking over the SAME index as
+    bm25_top10 (functions/ql.py) — the pluggable-scorer gate: one stored
+    index, two exact rankers."""
+    import pyarrow as pa
+
+    from colbert_ray.pipelines.search import search_table
+
+    idx = _ensure_index(sf_dir)
+    qt = pa.table(
+        {
+            "qid": pa.array([q for q, _ in QUERY_SET], type=pa.int64()),
+            "query": pa.array([t for _, t in QUERY_SET], type=pa.string()),
+        }
+    )
+    res = search_table(qt, idx, k=50, with_sha=False, ranker="ql",
+                       mu=QL_MU).to_pandas()
+    out = _rerank_rounded(res, "score", "docid", 10)
+    return out[["qid", "docid", "rank", "score"]].rename(
+        columns={"score": "score_r"})
+
+
 def _q_bm25_top10(sf_dir: str) -> pd.DataFrame:
     import pyarrow as pa
 
@@ -1198,6 +1223,7 @@ def _q_curated_corpus(sf_dir: str) -> pd.DataFrame:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_top10": _q_bm25_top10,
+        "lm_dirichlet_top10": _q_lm_dirichlet_top10,
         "bm25_top10_bmw": _q_bm25_top10_bmw,
         "bm25_top10_pfor": _q_bm25_top10_pfor,
         "bm25_top10_sharded": _q_bm25_top10_sharded,
@@ -1406,6 +1432,64 @@ scores AS (
   JOIN tf ON tf.term = q.term
   CROSS JOIN stats s
   GROUP BY q.qid, tf.doc_id
+)
+SELECT qid::BIGINT AS qid, docid,
+       row_number() OVER (PARTITION BY qid ORDER BY round(score, 6) DESC, docid) AS rank,
+       round(score, 6) AS score_r
+FROM scores
+QUALIFY rank <= 10
+ORDER BY qid, rank
+"""
+
+
+def _ql_sql() -> str:
+    """DuckDB twin of the Dirichlet-QL ranker (functions/ql.py): candidate
+    set = docs matching >=1 in-vocab query term; score = matching-term sum
+    + |q|*ln(mu/(dl+mu)) length tail; |q| counts in-vocabulary query term
+    occurrences (OOV drops on BOTH sides: lookup_terms vs the q JOIN cf)."""
+    values = ",\n      ".join(
+        f"({qid}, '{term}')"
+        for qid, text in QUERY_SET
+        for term in tokenize_query(text, CFG)[0]
+    )
+    mu = QL_MU
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {_toks_expr()} AS toks FROM documents
+),
+coll AS (
+  SELECT sum(len(toks)) AS n_tokens FROM docs
+),
+tok AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM docs
+),
+tf AS (
+  SELECT doc_id, term, any_value(dl) AS dl, count(*) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+cf AS (
+  SELECT term, sum(tf) AS cf FROM tf GROUP BY term
+),
+q(qid, term) AS (
+  VALUES {values}
+),
+qn AS (
+  SELECT q.qid, count(*) AS nq FROM q JOIN cf ON cf.term = q.term
+  GROUP BY q.qid
+),
+match AS (
+  SELECT q.qid, tf.doc_id AS docid, any_value(tf.dl) AS dl,
+         sum( ln(1.0 + tf.tf * c.n_tokens / ({mu} * cf.cf)) ) AS mscore
+  FROM q
+  JOIN cf ON cf.term = q.term
+  JOIN tf ON tf.term = q.term
+  CROSS JOIN coll c
+  GROUP BY q.qid, tf.doc_id
+),
+scores AS (
+  SELECT m.qid, m.docid,
+         m.mscore + qn.nq * ln({mu} / (m.dl + {mu})) AS score
+  FROM match m JOIN qn ON qn.qid = m.qid
 )
 SELECT qid::BIGINT AS qid, docid,
        row_number() OVER (PARTITION BY qid ORDER BY round(score, 6) DESC, docid) AS rank,
@@ -1988,6 +2072,7 @@ def oracle_sql() -> dict[str, str]:
     stop = x_text.sql_stopword_list()
     return {
         "bm25_top10": _bm25_sql(),
+        "lm_dirichlet_top10": _ql_sql(),
         "bm25_top10_bmw": _bm25_sql(),       # BMW pruning is exact
         "bm25_top10_pfor": _bm25_sql(),      # codec changes bytes, not content
         "bm25_top10_sharded": _bm25_sql(),   # sharding must not change results

@@ -73,8 +73,13 @@ def search(
     docid_filter=None,
     docid_range: tuple[int, int] | None = None,
     parent_base: int | None = None,
+    ranker: str = "bm25",
+    mu: float | None = None,
 ) -> "ray.data.Dataset":
-    """Top-k BM25 over the index for every query row (qid, query).
+    """Top-k retrieval over the index for every query row (qid, query).
+
+    ``ranker``: "bm25" (default) or "ql" — Dirichlet query-likelihood with
+    smoothing parameter ``mu`` (functions/ql.py) over the SAME index.
 
     ``docid_filter``: optional sorted int64 array (or list) of allowed
     docids, applied to every query — the engine-level form of the
@@ -133,6 +138,8 @@ def search(
             "prune_strategy": prune_strategy,
             "docid_filter": docid_filter,
             "parent_base": parent_base,
+            "ranker": ranker,
+            "mu": mu,
         },
         batch_format="pyarrow",
         batch_size=batch_size or cfg.score_batch_size,

@@ -174,6 +174,9 @@ class DecodedIndex:
     block_max_tfsat: np.ndarray = None    # float64[n_blocks]
     # docid-range shard origin: doclens/sha256 cover [docid_base, docid_limit)
     docid_base: int = 0
+    # exact build-time collection token count (stats.json); frozen under
+    # deltas like avgdl/idf. Used by the Dirichlet-QL ranker's p(t|C).
+    total_tokens: int = 0
 
     @property
     def docid_limit(self) -> int:
@@ -207,6 +210,10 @@ class DecodedIndex:
         cfg = EngineConfig.from_dict(meta["config"])
         n_docs = int(meta["n_docs"])
         avgdl = float(meta["avgdl"])
+        # pre-total_tokens metadata (older indexes): avgdl*n_docs is exact
+        # there because avgdl was computed as total/n_docs in float64
+        total_tokens = int(meta.get("total_tokens",
+                                    round(avgdl * max(1, n_docs))))
 
         dt = pads.dataset(os.path.join(index_dir, "dictionary")).to_table(
             columns=["term", "term_id", "df"]
@@ -227,7 +234,7 @@ class DecodedIndex:
         if arrays is not None:
             # ---- mmap fast path: no decode, no full-array read ---------
             self = cls(
-                cfg=cfg, n_docs=n_docs, avgdl=avgdl,
+                cfg=cfg, n_docs=n_docs, avgdl=avgdl, total_tokens=total_tokens,
                 dict_terms=dict_terms, dict_term_ids=dict_term_ids,
                 dict_dfs=dict_dfs, idf_by_term_id=idf_by_tid,
                 posting_offsets=np.asarray(arrays["posting_offsets"]),
@@ -288,7 +295,7 @@ class DecodedIndex:
         max_tfsat = _segment_max(posting_tfsat, posting_offsets)
 
         self = cls(
-            cfg=cfg, n_docs=n_docs, avgdl=avgdl,
+            cfg=cfg, n_docs=n_docs, avgdl=avgdl, total_tokens=total_tokens,
             dict_terms=dict_terms, dict_term_ids=dict_term_ids, dict_dfs=dict_dfs,
             idf_by_term_id=idf_by_tid,
             posting_offsets=posting_offsets, posting_docids=posting_docids,
@@ -542,3 +549,9 @@ class DecodedIndex:
     def postings_slice(self, term_id: int):
         s, e = self.posting_offsets[term_id], self.posting_offsets[term_id + 1]
         return (self.posting_docids[s:e], self.posting_tfsat[s:e])
+
+    def postings_slice_raw(self, term_id: int):
+        """(docids, RAW int tfs) — for rankers that smooth tf themselves
+        (Dirichlet QL) instead of using the precomputed BM25 saturation."""
+        s, e = self.posting_offsets[term_id], self.posting_offsets[term_id + 1]
+        return (self.posting_docids[s:e], self.posting_tfs[s:e])

@@ -39,14 +39,32 @@ class BM25Scorer:
     # dense accumulator path is used while the per-shard docid space fits
     # comfortably in a worker heap; beyond that, candidate-based (sparse)
     DENSE_MAX_DOCIDS = 8_000_000
+    # class-level defaults so directly-constructed instances (tests use
+    # __new__ to skip index loading) score as plain BM25
+    ranker = "bm25"
+    mu = 2000.0
 
     def __init__(self, index_dir: str | None = None, k: int = 10,
                  prune: bool | None = None, with_sha: bool = True,
                  index_ref=None, docid_filter=None,
                  docid_range: tuple[int, int] | None = None,
                  prune_strategy: str | None = None,
-                 parent_base: int | None = None):
+                 parent_base: int | None = None,
+                 ranker: str = "bm25", mu: float | None = None):
         from colbert_ray.state.decoded import DecodedIndex
+
+        if ranker not in ("bm25", "ql"):
+            raise ValueError(f"unknown ranker {ranker!r} (bm25|ql)")
+        if ranker == "ql":
+            if docid_range is not None:
+                # QL's cf_t is computed from the served postings; a
+                # docid-range shard holds only its range's postings, so
+                # shard-local cf would diverge from the global collection
+                # model. Sharded QL needs a cf sidecar (future work).
+                raise ValueError("ranker='ql' does not support docid_range "
+                                 "shards (shard-local cf_t would be wrong)")
+            if parent_base is not None:
+                raise ValueError("ranker='ql' + parent_base not supported")
 
         if parent_base is not None:
             if with_sha:
@@ -81,6 +99,11 @@ class BM25Scorer:
             if docid_filter is not None else None
         )
         self.parent_base = parent_base
+        self.ranker = ranker
+        from colbert_ray.functions.ql import DEFAULT_MU
+
+        self.mu = float(DEFAULT_MU if mu is None else mu)
+        self._cf_cache: dict[int, float] = {}
         self._dense = (self.defaults["prefer_dense"]
                        and len(self.idx.doclens) <= self.DENSE_MAX_DOCIDS)
         # introspection counters (tests/bench assert pruning actually fires)
@@ -105,6 +128,10 @@ class BM25Scorer:
         if len(tids) == 0:
             return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64),
                     np.empty(0, dtype=np.int32))
+
+        if self.ranker == "ql":
+            cand, scores = self._ql_all_match_scores(tids, docid_filter)
+            return topk_with_ties(scores, cand, k)
 
         # --- exact block-max MaxScore (K4 analog, lossless) --------------
         # candidates come only from "essential" lists (descending upper
@@ -209,6 +236,56 @@ class BM25Scorer:
             [[0], np.flatnonzero(np.diff(parents)) + 1])
         pmax = np.maximum.reduceat(scores, starts)
         return topk_with_ties(pmax, parents[starts], k)
+
+    def _ql_all_match_scores(self, tids: np.ndarray,
+                             docid_filter: np.ndarray | None):
+        """Dirichlet query-likelihood over the SAME index (functions/ql.py;
+        the pluggable-scorer analog of the reference choosing its scoring
+        backend over one stored index, ``index_storage.py:35-52``).
+
+        Candidates = union of the query terms' posting lists; per-candidate
+        score = sum of matching-term contributions accumulated in ascending
+        term_id order (float64, the determinism contract) + the
+        |q|*ln(mu/(dl+mu)) length tail. cf_t is the served posting content's
+        term frequency sum; n_tokens is the frozen build-time total
+        (stats.json), mirroring BM25's frozen idf/avgdl under deltas."""
+        from colbert_ray.functions.ql import ql_length_norm, ql_term_contrib
+
+        idx = self.idx
+        mu = self.mu
+        posts = [idx.postings_slice_raw(int(t)) for t in tids]
+        # cf BEFORE any docid filtering — the collection model is global
+        cache = self.__dict__.setdefault("_cf_cache", {})
+        cfs = []
+        for tid, (d, tf) in zip(tids, posts):
+            c = cache.get(int(tid))
+            if c is None:
+                c = float(np.asarray(tf, dtype=np.int64).sum())
+                cache[int(tid)] = c
+            cfs.append(c)
+        if docid_filter is not None:
+            masks = [np.isin(d, docid_filter) for d, _ in posts]
+            posts = [(d[m], tf[m]) for (d, tf), m in zip(posts, masks)]
+        nonempty = [d for d, _ in posts if len(d)]
+        if not nonempty:
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        cand = np.unique(np.concatenate(nonempty))
+        if len(idx.tombstones):
+            cand = cand[~np.isin(cand, idx.tombstones)]
+        if len(cand) == 0:
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for (d, tf), cf in zip(posts, cfs):        # ascending term_id
+            if len(d) == 0 or cf <= 0:
+                continue
+            pos = np.searchsorted(cand, d)
+            pos_c = np.minimum(pos, len(cand) - 1)
+            hit = cand[pos_c] == d
+            scores[pos_c[hit]] += ql_term_contrib(
+                tf[hit], cf, idx.total_tokens, mu)
+        dl = idx.doclens[cand - idx.docid_base]
+        scores += ql_length_norm(dl, len(tids), mu)
+        return cand, scores
 
     def _maxscore_query(self, tids: np.ndarray, k: int,
                         docid_filter: np.ndarray | None = None):
