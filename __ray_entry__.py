@@ -132,6 +132,72 @@ def _q_lm_dirichlet_top10(sf_dir: str) -> pd.DataFrame:
         columns={"score": "score_r"})
 
 
+# IndexUpdater gate (T6): deterministic delta scenario applied on a COPY
+# of the documents index. Removed docids exist at every sf; added docs
+# include the otherwise-OOV term of query 7 ("zzznotaterm"), exercising
+# the brand-new-term delta path (idf from delta df, frozen n_docs).
+UPD_REMOVED = [3, 8, 21, 34, 47]
+UPD_ADDED_TEXTS = [
+    "join merge sort join stream window",
+    "window agg stream window agg",
+    "hash join spark hash data",
+    "customer order line customer batch",
+    "the fast scan the slow filter",
+    "dup key value zzznotaterm dup key",
+]
+
+
+def _q_updated_bm25_top10(sf_dir: str) -> pd.DataFrame:
+    """End-to-end IndexUpdater pipeline (T6, index_updater.py:28-65 analog):
+    build -> remove_docids (tombstones) -> add_documents (delta segment) ->
+    search the updated view WITHOUT a rebuild. Frozen-statistics semantics
+    (idf/avgdl of the last full build; delta-only terms get delta-df idf)
+    are replicated exactly by the SQL twin."""
+    import pyarrow as pa
+
+    from colbert_ray.pipelines.build import build_index
+    from colbert_ray.pipelines.search import search_table
+    from colbert_ray.state.updates import IndexUpdater
+
+    src = _doc_path(sf_dir, "documents")
+    st = os.stat(src)
+    root = os.path.join("/tmp/colbert_ray_driver",
+                        "upd_" + hashlib.sha256(
+                            f"{os.path.abspath(src)}:{st.st_mtime_ns}:"
+                            f"{st.st_size}".encode()).hexdigest()[:12])
+    idx = os.path.join(root, "index")
+    build_index(src, idx, CFG, content_col="text", key_cols=(),
+                meta_cols=("lang", "source"), docid_col="doc_id")
+    marker = os.path.join(root, "_updates_applied")
+    if not os.path.exists(marker):
+        import shutil
+
+        # stale partial application (crashed between remove and add):
+        # reset to the clean post-build state and reapply atomically
+        shutil.rmtree(os.path.join(idx, "deltas"), ignore_errors=True)
+        try:
+            os.remove(os.path.join(idx, "tombstones.json"))
+        except FileNotFoundError:
+            pass
+        os.utime(os.path.join(idx, "metadata.json"))
+        upd = IndexUpdater(idx)
+        upd.remove_docids(UPD_REMOVED)
+        added = pa.table({"text": pa.array(UPD_ADDED_TEXTS, type=pa.string())})
+        upd.add_documents(added, content_col="text")
+        with open(marker, "w") as f:
+            f.write("ok")
+    qt = pa.table(
+        {
+            "qid": pa.array([q for q, _ in QUERY_SET], type=pa.int64()),
+            "query": pa.array([t for _, t in QUERY_SET], type=pa.string()),
+        }
+    )
+    res = search_table(qt, idx, k=50, with_sha=False).to_pandas()
+    out = _rerank_rounded(res, "score", "docid", 10)
+    return out[["qid", "docid", "rank", "score"]].rename(
+        columns={"score": "score_r"})
+
+
 def _q_bm25_top10(sf_dir: str) -> pd.DataFrame:
     import pyarrow as pa
 
@@ -1224,6 +1290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_top10": _q_bm25_top10,
         "lm_dirichlet_top10": _q_lm_dirichlet_top10,
+        "updated_bm25_top10": _q_updated_bm25_top10,
         "bm25_top10_bmw": _q_bm25_top10_bmw,
         "bm25_top10_pfor": _q_bm25_top10_pfor,
         "bm25_top10_sharded": _q_bm25_top10_sharded,
@@ -1418,6 +1485,87 @@ tf AS (
 ),
 df AS (
   SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+q(qid, term) AS (
+  VALUES {values}
+),
+scores AS (
+  SELECT q.qid, tf.doc_id AS docid,
+         sum( ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * tf.tf * ({k1} + 1.0)
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+)
+SELECT qid::BIGINT AS qid, docid,
+       row_number() OVER (PARTITION BY qid ORDER BY round(score, 6) DESC, docid) AS rank,
+       round(score, 6) AS score_r
+FROM scores
+QUALIFY rank <= 10
+ORDER BY qid, rank
+"""
+
+
+def _updated_bm25_sql() -> str:
+    """DuckDB twin of the post-update index view (state/updates.py +
+    DecodedIndex._fold_in_deltas semantics): stats (n_docs, avgdl) and the
+    df of build-time terms are FROZEN over the original corpus (tombstoned
+    docs still count); terms first seen in a delta take df = distinct added
+    docs containing them; candidates come from live docs only (original
+    minus removed, plus added, with added docids appended after max)."""
+    values = ",\n      ".join(
+        f"({qid}, '{term}')"
+        for qid, text in QUERY_SET
+        for term in tokenize_query(text, CFG)[0]
+    )
+    added_vals = ",\n      ".join(
+        f"({i}, '{t}')" for i, t in enumerate(UPD_ADDED_TEXTS))
+    removed = ", ".join(str(d) for d in UPD_REMOVED)
+    k1, b = CFG.k1, CFG.b
+    return f"""
+WITH docs0 AS (
+  SELECT doc_id, {_toks_expr()} AS toks FROM documents
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM docs0
+),
+tok0 AS (
+  SELECT doc_id, unnest(toks) AS term FROM docs0
+),
+df0 AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok0 GROUP BY term
+),
+added0(i, text) AS (
+  VALUES {added_vals}
+),
+added AS (
+  SELECT (SELECT max(doc_id) FROM documents) + 1 + i AS doc_id,
+         {_toks_expr()} AS toks
+  FROM added0
+),
+dfd AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM (SELECT doc_id, unnest(toks) AS term FROM added) GROUP BY term
+),
+df AS (
+  SELECT coalesce(df0.term, dfd.term) AS term,
+         coalesce(df0.df, dfd.df) AS df
+  FROM df0 FULL OUTER JOIN dfd ON df0.term = dfd.term
+),
+live AS (
+  SELECT doc_id, toks FROM docs0 WHERE doc_id NOT IN ({removed})
+  UNION ALL
+  SELECT doc_id, toks FROM added
+),
+tok AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM live
+),
+tf AS (
+  SELECT doc_id, term, any_value(dl) AS dl, count(*) AS tf
+  FROM tok GROUP BY doc_id, term
 ),
 q(qid, term) AS (
   VALUES {values}
@@ -2073,6 +2221,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_top10": _bm25_sql(),
         "lm_dirichlet_top10": _ql_sql(),
+        "updated_bm25_top10": _updated_bm25_sql(),
         "bm25_top10_bmw": _bm25_sql(),       # BMW pruning is exact
         "bm25_top10_pfor": _bm25_sql(),      # codec changes bytes, not content
         "bm25_top10_sharded": _bm25_sql(),   # sharding must not change results
