@@ -646,6 +646,31 @@ def _q_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
     return t.to_pandas().reset_index(drop=True)
 
 
+def _q_returned_revenue_by_customer(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10 analog (extras/relational.py:returned_revenue_by_customer):
+    four-table join — map-side combined lineitem returns ⋈ date-filtered
+    orders (hash join) -> per-customer sum ⋈ customer (hash join) +
+    broadcast nation lookup; driver sees only the top-20."""
+    t = x_rel.returned_revenue_by_customer(
+        _read(sf_dir, "customer",
+              ["c_custkey", "c_name", "c_nationkey", "c_acctbal"]),
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]),
+        _read(sf_dir, "nation", ["n_nationkey", "n_name"]),
+    )
+    return t.to_pandas().reset_index(drop=True)
+
+
+def _q_props_value_stats(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured JSON extraction (extras/relational.py:
+    json_props_stats): vectorized regex pull of props.k with a json.loads
+    fallback for non-matching rows, map-side partial aggregation."""
+    t = x_rel.json_props_stats(_read(sf_dir, "events",
+                                     ["event_type", "props"]))
+    return t.to_pandas().reset_index(drop=True)
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1320,6 +1345,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_total": _q_running_total,
         "zscore_quantity": _q_zscore_quantity,
         "top_revenue_orders": _q_top_revenue_orders,
+        "returned_revenue_by_customer": _q_returned_revenue_by_customer,
+        "props_value_stats": _q_props_value_stats,
         "events_hourly": _q_events_hourly,
         "event_sessions": _q_event_sessions,
         "user_value_quantiles": _q_user_value_quantiles,
@@ -2556,6 +2583,31 @@ WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
+""",
+        "returned_revenue_by_customer": """
+SELECT c.c_custkey, any_value(c.c_name) AS c_name,
+       any_value(n.n_name) AS n_name,
+       any_value(c.c_acctbal) AS c_acctbal,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM customer c, orders o, lineitem l, nation n
+WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+  AND l.l_returnflag = 'R' AND c.c_nationkey = n.n_nationkey
+GROUP BY c.c_custkey
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
+        "props_value_stats": """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_v,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_v,
+       round(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             / count(*), 6) AS avg_v
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY event_type ORDER BY event_type
 """,
         "user_value_quantiles": """
 SELECT user_id,

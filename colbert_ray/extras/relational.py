@@ -8,7 +8,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Count, Mean, Sum
+from ray.data.aggregate import Count, Max, Mean, Sum
 
 
 def pricing_summary(lineitem: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -904,3 +904,150 @@ def user_value_quantiles_cont(
     return (events.select_columns(["user_id", "value"])
             .groupby("user_id")
             .map_groups(quants, batch_format="pandas"))
+
+
+def returned_revenue_by_customer(
+    customer: "ray.data.Dataset",
+    orders: "ray.data.Dataset",
+    lineitem: "ray.data.Dataset",
+    nation: "ray.data.Dataset",
+    *,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+    k: int = 20,
+) -> "pa.Table":
+    """TPC-H Q10 analog — the four-table join pipeline: which customers
+    returned the most revenue in a quarter.
+
+    Scale shapes (each table treated at its 100-TB role):
+    - lineitem (largest): filter l_returnflag='R' at the batch level, then
+      map-side combine revenue per orderkey BEFORE the exchange;
+    - orders: date-range filter + column prune, then ONE hash-partitioned
+      ``Dataset.join`` against the combined lineitem partials (the only
+      large-large exchange);
+    - per-customer grouped sum is small (bounded by |customers|);
+    - customer: second hash join against the grouped sum (customer >> the
+      grouped result is still possible at scale, so this stays a join, not
+      a broadcast);
+    - nation (25 rows): broadcast via ``ray.put`` and mapped in-batch.
+    Driver sees only the final top-k.
+    """
+    import ray as _ray
+
+    lo, hi = np.datetime64(date_lo), np.datetime64(date_hi)
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        rf = b.column("l_returnflag").to_numpy(zero_copy_only=False)
+        m = rf == "R"
+        okey = b.column("l_orderkey").to_numpy(zero_copy_only=False)[m]
+        rev = (b.column("l_extendedprice").to_numpy(zero_copy_only=False)[m]
+               * (1.0 - b.column("l_discount").to_numpy(zero_copy_only=False)[m]))
+        uk, inv = np.unique(okey, return_inverse=True)
+        psum = np.zeros(len(uk), dtype=np.float64)
+        np.add.at(psum, inv, rev)
+        return pa.table({"l_orderkey": pa.array(uk, type=pa.int64()),
+                         "rev_partial": pa.array(psum)})
+
+    def orders_filter(b: pa.Table) -> pa.Table:
+        od = b.column("o_orderdate").to_numpy(zero_copy_only=False)
+        m = (od >= lo) & (od < hi)
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey").filter(pa.array(m)),
+            "o_custkey": b.column("o_custkey").filter(pa.array(m)),
+        })
+
+    li = lineitem.select_columns(
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]
+    ).map_batches(li_partial, batch_format="pyarrow")
+    ords = orders.select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_filter, batch_format="pyarrow")
+    joined = li.join(ords, join_type="inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    per_cust = joined.groupby("o_custkey").aggregate(
+        Sum("rev_partial", alias_name="revenue"))
+
+    cust = customer.select_columns(["c_custkey", "c_name", "c_nationkey",
+                                    "c_acctbal"])
+    enriched = per_cust.join(cust, join_type="inner", num_partitions=8,
+                             on=("o_custkey",), right_on=("c_custkey",))
+
+    nat = {int(k_): v for k_, v in zip(
+        *[nation.to_pandas()[c].to_numpy() for c in ("n_nationkey", "n_name")])}
+    nat_ref = _ray.put(nat)
+
+    def add_nation(b: pa.Table) -> pa.Table:
+        lut = _ray.get(nat_ref)
+        nk = b.column("c_nationkey").to_numpy(zero_copy_only=False)
+        names = pa.array([lut[int(x)] for x in nk], type=pa.string())
+        return b.append_column("n_name", names)
+
+    out = enriched.map_batches(add_nation, batch_format="pyarrow").to_pandas()
+    out["revenue"] = out["revenue"].round(4)
+    out = out.rename(columns={"o_custkey": "c_custkey"})
+    out = out.sort_values(["revenue", "c_custkey"],
+                          ascending=[False, True]).head(k)
+    out = out[["c_custkey", "c_name", "n_name", "c_acctbal", "revenue"]]
+    return pa.Table.from_pandas(out.reset_index(drop=True),
+                                preserve_index=False)
+
+
+def json_props_stats(events: "ray.data.Dataset",
+                     field: str = "k") -> "pa.Table":
+    """Semi-structured extraction: pull an integer field out of the JSON
+    ``props`` column and aggregate it per event_type.
+
+    Hot path is ZERO-python-loop: ``pc.extract_regex`` pulls the field's
+    numeric token straight out of the JSON text (exact for flat integer
+    fields). Rows the regex does NOT match (null props, nested/strange
+    encodings) fall back to ``json.loads`` — a per-row loop over only the
+    mismatches, so the fallback costs nothing when the data is clean.
+    Aggregation is map-side partial (per batch, per type) -> one tiny
+    groupby over partials.
+    """
+    import json as _json
+
+    import pyarrow.compute as pc
+
+    pat = '"' + field + '"\\s*:\\s*(?P<v>-?\\d+)'
+
+    def extract_partial(b: pa.Table) -> pa.Table:
+        props = b.column("props")
+        ext = pc.extract_regex(props, pat)
+        v_str = pc.struct_field(ext, "v")
+        vals = v_str.to_pandas()          # object array, None on no-match
+        miss = vals.isna() & props.to_pandas().notna()
+        if miss.any():                    # fallback: real JSON parse
+            raw = props.to_pandas()
+            for i in np.flatnonzero(miss.to_numpy()):
+                try:
+                    d = _json.loads(raw.iloc[i])
+                    if isinstance(d, dict) and field in d:
+                        vals.iloc[i] = int(d[field])
+                except (ValueError, TypeError):
+                    pass
+        ok = vals.notna().to_numpy()
+        v = vals[ok].astype(np.int64).to_numpy()
+        et = b.column("event_type").to_numpy(zero_copy_only=False)[ok]
+        ut, inv = np.unique(et, return_inverse=True)
+        cnt = np.bincount(inv)
+        s = np.zeros(len(ut), dtype=np.int64)
+        np.add.at(s, inv, v)
+        mx = np.full(len(ut), np.iinfo(np.int64).min)
+        np.maximum.at(mx, inv, v)
+        return pa.table({"event_type": pa.array(ut, type=pa.string()),
+                         "cnt": pa.array(cnt.astype(np.int64)),
+                         "sum_v": pa.array(s),
+                         "max_v": pa.array(mx)})
+
+    partials = events.select_columns(["event_type", "props"]).map_batches(
+        extract_partial, batch_format="pyarrow")
+    out = (partials.groupby("event_type")
+           .aggregate(Sum("cnt", alias_name="n"),
+                      Sum("sum_v", alias_name="sum_v"),
+                      Max("max_v", alias_name="max_v"))
+           .to_pandas())
+    out["avg_v"] = (out["sum_v"] / out["n"]).round(6)
+    out = out.sort_values("event_type").reset_index(drop=True)
+    out[["n", "sum_v", "max_v"]] = out[["n", "sum_v", "max_v"]].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -1646,3 +1646,41 @@ class TestCurateCorpus:
                .to_pandas())
         assert out["doc_id"].tolist() == [0]
         assert out["dup_count"].tolist() == [20]
+
+
+class TestJsonPropsStats:
+    def test_regex_path_and_fallback_agree(self):
+        import json
+
+        from colbert_ray.extras import relational as x_rel
+
+        rows = [
+            ("click", '{"k": 10}'),          # regex fast path
+            ("click", '{"k":   -3}'),        # whitespace variant
+            ("view", '{"k": "7"}'),          # string-valued -> json fallback
+            ("view", '{"j": 99}'),           # no field -> dropped
+            ("view", None),                  # null props -> dropped
+            ("error", '{ "k" : 5 }'),        # spaced quotes -> fallback
+        ]
+        t = pa.table({
+            "event_type": pa.array([r[0] for r in rows], type=pa.string()),
+            "props": pa.array([r[1] for r in rows], type=pa.string()),
+        })
+        out = x_rel.json_props_stats(ray.data.from_arrow(t)).to_pandas()
+        got = {r.event_type: (r.n, r.sum_v, r.max_v)
+               for r in out.itertuples()}
+        assert got == {"click": (2, 7, 10), "view": (1, 7, 7),
+                       "error": (1, 5, 5)}
+
+    def test_partition_invariance(self):
+        from colbert_ray.extras import relational as x_rel
+
+        t = pa.table({
+            "event_type": pa.array(["a", "b"] * 50, type=pa.string()),
+            "props": pa.array([f'{{"k": {i}}}' for i in range(100)],
+                              type=pa.string()),
+        })
+        a = x_rel.json_props_stats(ray.data.from_arrow(t)).to_pandas()
+        b = x_rel.json_props_stats(
+            ray.data.from_arrow(t).repartition(7)).to_pandas()
+        pd.testing.assert_frame_equal(a, b)
