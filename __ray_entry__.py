@@ -198,6 +198,35 @@ def _q_updated_bm25_top10(sf_dir: str) -> pd.DataFrame:
         columns={"score": "score_r"})
 
 
+def _q_rrf_bm25_ql_top5(sf_dir: str) -> pd.DataFrame:
+    """Reciprocal-rank fusion (pipelines/evaluate.py:reciprocal_rank_fusion)
+    of the BM25 and Dirichlet-QL top-10 lists over the same index — fusing
+    incomparable scorers by rank, the K7/D6 rank-based complement."""
+    import pyarrow as pa
+
+    from colbert_ray.pipelines.evaluate import reciprocal_rank_fusion
+    from colbert_ray.pipelines.search import search_table
+
+    idx = _ensure_index(sf_dir)
+    qt = pa.table(
+        {
+            "qid": pa.array([q for q, _ in QUERY_SET], type=pa.int64()),
+            "query": pa.array([t for _, t in QUERY_SET], type=pa.string()),
+        }
+    )
+    bm = _rerank_rounded(
+        search_table(qt, idx, k=50, with_sha=False).to_pandas(),
+        "score", "docid", 10)
+    ql = _rerank_rounded(
+        search_table(qt, idx, k=50, with_sha=False, ranker="ql",
+                     mu=QL_MU).to_pandas(),
+        "score", "docid", 10)
+    fused = reciprocal_rank_fusion([bm, ql], k=50)
+    out = _rerank_rounded(fused, "fused", "docid", 5)
+    return out[["qid", "docid", "rank", "fused"]].rename(
+        columns={"fused": "fused_r"})
+
+
 def _q_bm25_top10(sf_dir: str) -> pd.DataFrame:
     import pyarrow as pa
 
@@ -1316,6 +1345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_top10": _q_bm25_top10,
         "lm_dirichlet_top10": _q_lm_dirichlet_top10,
         "updated_bm25_top10": _q_updated_bm25_top10,
+        "rrf_bm25_ql_top5": _q_rrf_bm25_ql_top5,
         "bm25_top10_bmw": _q_bm25_top10_bmw,
         "bm25_top10_pfor": _q_bm25_top10_pfor,
         "bm25_top10_sharded": _q_bm25_top10_sharded,
@@ -1532,6 +1562,28 @@ SELECT qid::BIGINT AS qid, docid,
        round(score, 6) AS score_r
 FROM scores
 QUALIFY rank <= 10
+ORDER BY qid, rank
+"""
+
+
+def _rrf_sql() -> str:
+    """Twin of reciprocal_rank_fusion over the bm25/ql twins' top-10s."""
+    return f"""
+WITH bm AS ({_bm25_sql()}),
+ql AS ({_ql_sql()}),
+u AS (
+  SELECT qid, docid, 1.0 / (60.0 + rank) AS contrib FROM bm
+  UNION ALL
+  SELECT qid, docid, 1.0 / (60.0 + rank) AS contrib FROM ql
+),
+f AS (
+  SELECT qid, docid, sum(contrib) AS fused FROM u GROUP BY qid, docid
+)
+SELECT qid, docid,
+       row_number() OVER (PARTITION BY qid ORDER BY round(fused, 6) DESC, docid) AS rank,
+       round(fused, 6) AS fused_r
+FROM f
+QUALIFY rank <= 5
 ORDER BY qid, rank
 """
 
@@ -2249,6 +2301,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_top10": _bm25_sql(),
         "lm_dirichlet_top10": _ql_sql(),
         "updated_bm25_top10": _updated_bm25_sql(),
+        "rrf_bm25_ql_top5": _rrf_sql(),
         "bm25_top10_bmw": _bm25_sql(),       # BMW pruning is exact
         "bm25_top10_pfor": _bm25_sql(),      # codec changes bytes, not content
         "bm25_top10_sharded": _bm25_sql(),   # sharding must not change results

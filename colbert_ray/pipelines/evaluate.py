@@ -125,6 +125,34 @@ def merge_rankings(
     return ds.groupby("qid").map_groups(rerank, batch_format="pandas")
 
 
+def reciprocal_rank_fusion(
+    rankings: list["ray.data.Dataset | pd.DataFrame"],
+    k: int = 10,
+    c: float = 60.0,
+) -> pd.DataFrame:
+    """Fuse >=2 per-query ranked lists by reciprocal rank (Cormack et al.
+    2009): fused(q,d) = sum over systems with d ranked, 1/(c + rank). The
+    rank-based complement of merge_rankings' score-based union (K7/D6) —
+    scores from different rankers (BM25 vs QL) are not comparable, ranks
+    are. Inputs are per-query top-k lists (bounded rows), so fusion is a
+    driver-side frame op by design; tie-break (-fused, docid).
+    """
+    frames = []
+    for r in rankings:
+        df = r if isinstance(r, pd.DataFrame) else r.to_pandas()
+        frames.append(df[["qid", "docid", "rank"]])
+    allr = pd.concat(frames, ignore_index=True)
+    allr["contrib"] = 1.0 / (c + allr["rank"].astype(np.float64))
+    fused = (allr.groupby(["qid", "docid"], as_index=False)["contrib"].sum()
+             .rename(columns={"contrib": "fused"}))
+    fused = fused.sort_values(["qid", "fused", "docid"],
+                              ascending=[True, False, True])
+    fused["rank"] = fused.groupby("qid").cumcount() + 1
+    fused = fused[fused["rank"] <= k].reset_index(drop=True)
+    fused["rank"] = fused["rank"].astype(np.int64)
+    return fused[["qid", "docid", "rank", "fused"]]
+
+
 def split_ranking_by_queryset(
     ranking: "ray.data.Dataset", querysets: dict[str, "object"]
 ) -> dict[str, "ray.data.Dataset"]:

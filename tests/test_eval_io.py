@@ -321,3 +321,26 @@ class TestQueriesJsonl:
         pd.testing.assert_frame_equal(
             got.sort_values(["qid", "rank"]).reset_index(drop=True),
             want.sort_values(["qid", "rank"]).reset_index(drop=True))
+
+
+def test_reciprocal_rank_fusion_math_and_ties():
+    import pandas as pd
+
+    from colbert_ray.pipelines.evaluate import reciprocal_rank_fusion
+
+    a = pd.DataFrame({"qid": [1, 1, 2], "docid": [10, 11, 20],
+                      "rank": [1, 2, 1]})
+    b = pd.DataFrame({"qid": [1, 1, 2], "docid": [11, 12, 21],
+                      "rank": [1, 2, 1]})
+    out = reciprocal_rank_fusion([a, b], k=10)
+    got = {(r.qid, r.docid): r.fused for r in out.itertuples()}
+    assert abs(got[(1, 11)] - (1 / 62 + 1 / 61)) < 1e-15   # in both lists
+    assert abs(got[(1, 10)] - 1 / 61) < 1e-15
+    assert abs(got[(1, 12)] - 1 / 62) < 1e-15
+    # doc 11 fused > doc 10 fused -> ranks 1,2,3 for qid 1
+    q1 = out[out.qid == 1]
+    assert list(q1.docid) == [11, 10, 12]
+    assert list(q1["rank"]) == [1, 2, 3]
+    # equal fused (docs 20/21 symmetric across systems) -> docid tie-break
+    q2 = out[out.qid == 2]
+    assert list(q2.docid) == [20, 21]
