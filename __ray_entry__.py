@@ -198,6 +198,17 @@ def _q_updated_bm25_top10(sf_dir: str) -> pd.DataFrame:
         columns={"score": "score_r"})
 
 
+def _q_search_facets(sf_dir: str) -> pd.DataFrame:
+    """Faceted retrieval (pipelines/evaluate.py:facet_counts): BM25 top-10
+    per query, then per-(qid, lang, source) hit counts via a broadcast
+    semi-join against the streaming documents table."""
+    from colbert_ray.pipelines.evaluate import facet_counts
+
+    ranking = _q_bm25_top10(sf_dir)
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+    return facet_counts(ranking, docs, facet_cols=("lang", "source"))
+
+
 def _q_rrf_bm25_ql_top5(sf_dir: str) -> pd.DataFrame:
     """Reciprocal-rank fusion (pipelines/evaluate.py:reciprocal_rank_fusion)
     of the BM25 and Dirichlet-QL top-10 lists over the same index — fusing
@@ -1346,6 +1357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_dirichlet_top10": _q_lm_dirichlet_top10,
         "updated_bm25_top10": _q_updated_bm25_top10,
         "rrf_bm25_ql_top5": _q_rrf_bm25_ql_top5,
+        "search_facets": _q_search_facets,
         "bm25_top10_bmw": _q_bm25_top10_bmw,
         "bm25_top10_pfor": _q_bm25_top10_pfor,
         "bm25_top10_sharded": _q_bm25_top10_sharded,
@@ -2302,6 +2314,13 @@ def oracle_sql() -> dict[str, str]:
         "lm_dirichlet_top10": _ql_sql(),
         "updated_bm25_top10": _updated_bm25_sql(),
         "rrf_bm25_ql_top5": _rrf_sql(),
+        "search_facets": f"""
+WITH bm AS ({_bm25_sql()})
+SELECT bm.qid, d.lang, d.source, count(*) AS n_docs
+FROM bm JOIN documents d ON d.doc_id = bm.docid
+GROUP BY bm.qid, d.lang, d.source
+ORDER BY bm.qid, d.lang, d.source
+""",
         "bm25_top10_bmw": _bm25_sql(),       # BMW pruning is exact
         "bm25_top10_pfor": _bm25_sql(),      # codec changes bytes, not content
         "bm25_top10_sharded": _bm25_sql(),   # sharding must not change results

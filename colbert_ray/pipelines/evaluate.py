@@ -125,6 +125,45 @@ def merge_rankings(
     return ds.groupby("qid").map_groups(rerank, batch_format="pandas")
 
 
+def facet_counts(
+    ranking: pd.DataFrame,
+    corpus: "ray.data.Dataset",
+    facet_cols: tuple[str, ...] = ("lang",),
+    id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """Facet the search results: per-query counts over document metadata
+    columns — the search -> metadata semi-join -> grouped count composite.
+
+    Scale shape is the REVERSE of annotate_ranking's broadcast: the ranking
+    is the small side (n_queries x k rows, bounded), so its docid set is
+    broadcast via ``ray.put`` and the corpus STREAMS through a map_batches
+    semi-join filter — only hit rows' metadata ever leaves a corpus task.
+    The per-(qid, facet) count happens on the driver over bounded rows.
+    """
+    import ray as _ray
+
+    hit_ids = np.unique(ranking["docid"].to_numpy(dtype=np.int64))
+    ids_ref = _ray.put(hit_ids)
+
+    def semi(b: "pa.Table") -> "pa.Table":
+        import pyarrow as _pa
+
+        ids = _ray.get(ids_ref)
+        d = b.column(id_col).to_numpy(zero_copy_only=False)
+        return b.filter(_pa.array(np.isin(d, ids)))
+
+    meta = (corpus.select_columns([id_col, *facet_cols])
+            .map_batches(semi, batch_format="pyarrow")
+            .to_pandas())
+    joined = ranking[["qid", "docid"]].merge(
+        meta.rename(columns={id_col: "docid"}), on="docid", how="inner")
+    out = (joined.groupby(["qid", *facet_cols], as_index=False)
+           .size().rename(columns={"size": "n_docs"}))
+    out = out.sort_values(["qid", *facet_cols]).reset_index(drop=True)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out
+
+
 def reciprocal_rank_fusion(
     rankings: list["ray.data.Dataset | pd.DataFrame"],
     k: int = 10,
