@@ -198,6 +198,33 @@ def _q_updated_bm25_top10(sf_dir: str) -> pd.DataFrame:
         columns={"score": "score_r"})
 
 
+RM3_N_EXP = 5
+RM3_ALPHA = 0.5
+
+
+def _q_rm3_bm25_top10(sf_dir: str) -> pd.DataFrame:
+    """RM3 pseudo-relevance feedback (pipelines/expand.py): BM25 top-10
+    -> feedback term stats via streaming semi-join -> weighted expanded
+    re-search through the scorer actor pool's weighted-query batch form."""
+    from colbert_ray.pipelines.expand import (feedback_term_stats,
+                                              rm3_expansions,
+                                              weighted_query_table)
+    from colbert_ray.pipelines.search import search_table
+
+    idx = _ensure_index(sf_dir)
+    ranking = _q_bm25_top10(sf_dir)
+    fb = feedback_term_stats(
+        ranking, _read(sf_dir, "documents", ["doc_id", "text"]), CFG)
+    orig = {qid: tokenize_query(text, CFG)[0] for qid, text in QUERY_SET}
+    exp = rm3_expansions(ranking, fb, orig, n_expansion=RM3_N_EXP,
+                         alpha=RM3_ALPHA)
+    res = search_table(weighted_query_table(exp), idx, k=50,
+                       with_sha=False).to_pandas()
+    out = _rerank_rounded(res, "score", "docid", 10)
+    return out[["qid", "docid", "rank", "score"]].rename(
+        columns={"score": "score_r"})
+
+
 def _q_search_facets(sf_dir: str) -> pd.DataFrame:
     """Faceted retrieval (pipelines/evaluate.py:facet_counts): BM25 top-10
     per query, then per-(qid, lang, source) hit counts via a broadcast
@@ -1358,6 +1385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "updated_bm25_top10": _q_updated_bm25_top10,
         "rrf_bm25_ql_top5": _q_rrf_bm25_ql_top5,
         "search_facets": _q_search_facets,
+        "rm3_bm25_top10": _q_rm3_bm25_top10,
         "bm25_top10_bmw": _q_bm25_top10_bmw,
         "bm25_top10_pfor": _q_bm25_top10_pfor,
         "bm25_top10_sharded": _q_bm25_top10_sharded,
@@ -1568,6 +1596,79 @@ scores AS (
   JOIN tf ON tf.term = q.term
   CROSS JOIN stats s
   GROUP BY q.qid, tf.doc_id
+)
+SELECT qid::BIGINT AS qid, docid,
+       row_number() OVER (PARTITION BY qid ORDER BY round(score, 6) DESC, docid) AS rank,
+       round(score, 6) AS score_r
+FROM scores
+QUALIFY rank <= 10
+ORDER BY qid, rank
+"""
+
+
+def _rm3_sql() -> str:
+    """Twin of the RM3 pipeline: feedback docs from the bm25 twin's
+    top-10; rm_w(q,t) = round(sum tf/dl over feedback docs, 6) with term
+    tie-break; top-5 non-original terms join the query at weight 0.5;
+    weighted BM25 re-scores (originals weight 1.0)."""
+    values = ",\n      ".join(
+        f"({qid}, '{term}')"
+        for qid, text in QUERY_SET
+        for term in tokenize_query(text, CFG)[0]
+    )
+    k1, b = CFG.k1, CFG.b
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {_toks_expr()} AS toks FROM documents
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM docs
+),
+tok AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM docs
+),
+tf AS (
+  SELECT doc_id, term, any_value(dl) AS dl, count(*) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+q(qid, term) AS (
+  VALUES {values}
+),
+bm AS (
+  SELECT qid, docid FROM ({_bm25_sql()})
+),
+fbw AS (
+  SELECT bm.qid, tf.term, round(sum(tf.tf * 1.0 / tf.dl), 6) AS w
+  FROM bm JOIN tf ON tf.doc_id = bm.docid
+  GROUP BY bm.qid, tf.term
+),
+exp AS (
+  SELECT qid, term, w,
+         row_number() OVER (PARTITION BY qid ORDER BY w DESC, term) AS r
+  FROM fbw
+  WHERE NOT EXISTS (SELECT 1 FROM q
+                    WHERE q.qid = fbw.qid AND q.term = fbw.term)
+  QUALIFY r <= {RM3_N_EXP}
+),
+wq AS (
+  SELECT qid, term, 1.0 AS wt FROM q
+  UNION ALL
+  SELECT qid, term, {RM3_ALPHA} AS wt FROM exp
+),
+scores AS (
+  SELECT wq.qid, tf.doc_id AS docid,
+         sum( wq.wt
+              * ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * tf.tf * ({k1} + 1.0)
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.dl / s.avgdl)) ) AS score
+  FROM wq
+  JOIN df ON df.term = wq.term
+  JOIN tf ON tf.term = wq.term
+  CROSS JOIN stats s
+  GROUP BY wq.qid, tf.doc_id
 )
 SELECT qid::BIGINT AS qid, docid,
        row_number() OVER (PARTITION BY qid ORDER BY round(score, 6) DESC, docid) AS rank,
@@ -2314,6 +2415,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_dirichlet_top10": _ql_sql(),
         "updated_bm25_top10": _updated_bm25_sql(),
         "rrf_bm25_ql_top5": _rrf_sql(),
+        "rm3_bm25_top10": _rm3_sql(),
         "search_facets": f"""
 WITH bm AS ({_bm25_sql()})
 SELECT bm.qid, d.lang, d.source, count(*) AS n_docs

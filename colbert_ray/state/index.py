@@ -526,7 +526,53 @@ class BM25Scorer:
                 scores[hit] += idx.idf_by_term_id[tid] * ts[pos_c[hit]]
         return scores
 
+    def score_weighted_terms(self, terms: list[str], weights: list[float],
+                             k: int | None = None):
+        """Exact weighted-term scoring: score(d) = sum_t w_t * idf_t *
+        tfsat(t,d) — the RM3-expanded-query form (pipelines/expand.py).
+        Terms are resolved individually so each keeps its weight; OOV
+        terms drop. Accumulation ascending term_id (determinism contract);
+        pruning bounds assume w=1 so this always takes the exact
+        candidate-union path."""
+        k = self.k if k is None else int(k)
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64),
+                 np.empty(0, dtype=np.int32))
+        if k <= 0:
+            return empty
+        idx = self.idx
+        pairs = []
+        for t, w in zip(terms, weights):
+            tid = idx.lookup_terms([t])
+            if len(tid):
+                pairs.append((int(tid[0]), float(w)))
+        if not pairs:
+            return empty
+        pairs.sort()                              # ascending term_id
+        posts = [idx.postings_slice(tid) for tid, _ in pairs]
+        if self.docid_filter is not None:
+            masks = [np.isin(d, self.docid_filter) for d, _ in posts]
+            posts = [(d[m], ts[m]) for (d, ts), m in zip(posts, masks)]
+        nonempty = [d for d, _ in posts if len(d)]
+        if not nonempty:
+            return empty
+        cand = np.unique(np.concatenate(nonempty))
+        if len(idx.tombstones):
+            cand = cand[~np.isin(cand, idx.tombstones)]
+        if len(cand) == 0:
+            return empty
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for (d, ts), (tid, w) in zip(posts, pairs):
+            if len(d) == 0:
+                continue
+            pos = np.searchsorted(cand, d)
+            pos_c = np.minimum(pos, len(cand) - 1)
+            hit = cand[pos_c] == d
+            scores[pos_c[hit]] += w * idx.idf_by_term_id[tid] * ts[hit]
+        return topk_with_ties(scores, cand, k)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if "terms" in batch.column_names:       # weighted-query batch form
+            return self._call_weighted(batch)
         qids = batch.column("qid").to_pylist()
         texts = batch.column("query").to_pylist()
         score_fn = (self.score_query_parent_max
@@ -560,5 +606,38 @@ class BM25Scorer:
                 if len(docid_a)
                 else np.empty(0, dtype=object)
             )
+            cols["content_sha256"] = pa.array(list(sha), type=pa.string())
+        return pa.table(cols)
+
+    def _call_weighted(self, batch: pa.Table) -> pa.Table:
+        """Batch form for weighted queries: columns qid int64,
+        terms list<string>, weights list<double> -> ranking rows."""
+        qids = batch.column("qid").to_pylist()
+        terms_l = batch.column("terms").to_pylist()
+        weights_l = batch.column("weights").to_pylist()
+        out_qid, out_docid, out_rank, out_score = [], [], [], []
+        for qid, terms, weights in zip(qids, terms_l, weights_l):
+            d, s, rk = self.score_weighted_terms(terms, weights)
+            out_qid.append(np.full(len(d), qid, dtype=np.int64))
+            out_docid.append(d)
+            out_score.append(s)
+            out_rank.append(rk)
+        qid_a = (np.concatenate(out_qid) if out_qid
+                 else np.empty(0, dtype=np.int64))
+        docid_a = (np.concatenate(out_docid).astype(np.int64) if out_docid
+                   else np.empty(0, dtype=np.int64))
+        rank_a = (np.concatenate(out_rank).astype(np.int32) if out_rank
+                  else np.empty(0, dtype=np.int32))
+        score_a = (np.concatenate(out_score) if out_score
+                   else np.empty(0, dtype=np.float64))
+        cols = {
+            "qid": pa.array(qid_a),
+            "docid": pa.array(docid_a),
+            "rank": pa.array(rank_a),
+            "score": pa.array(score_a),
+        }
+        if self.with_sha:
+            sha = (self.reader.sha_for(docid_a) if len(docid_a)
+                   else np.empty(0, dtype=object))
             cols["content_sha256"] = pa.array(list(sha), type=pa.string())
         return pa.table(cols)

@@ -93,3 +93,53 @@ def test_ql_rejects_sharded_and_parent_modes(tmp_path):
                    parent_base=100)
     with pytest.raises(ValueError):
         BM25Scorer(index_dir=str(tmp_path), ranker="nope")
+
+
+def test_weighted_terms_matches_plain_when_weight_one():
+    rng = np.random.default_rng(321)
+    from tests.test_maxscore_property import make_scorer, synth_index
+
+    idx = synth_index(rng, n_docs=150, n_terms=12)
+    sc = make_scorer(idx, k=15, prune=False)
+    terms = list(idx.dict_terms[:4])
+    d0, s0, r0 = sc.score_query(" ".join(terms))
+    d1, s1, r1 = sc.score_weighted_terms(terms, [1.0] * len(terms))
+    np.testing.assert_array_equal(d0, d1)
+    np.testing.assert_array_equal(s0, s1)     # bit-identical float64
+
+
+def test_weighted_terms_scales_contributions():
+    rng = np.random.default_rng(99)
+    from tests.test_maxscore_property import make_scorer, synth_index
+
+    idx = synth_index(rng, n_docs=100, n_terms=6)
+    sc = make_scorer(idx, k=1000, prune=False)
+    t0, t1 = idx.dict_terms[0], idx.dict_terms[1]
+    # single-term runs give per-term exact contributions
+    da, sa, _ = sc.score_weighted_terms([t0], [1.0])
+    db, sb, _ = sc.score_weighted_terms([t1], [1.0])
+    dw, sw, _ = sc.score_weighted_terms([t0, t1], [2.0, 0.5])
+    want = {}
+    for d, s in zip(da, sa):
+        want[d] = want.get(d, 0.0) + 2.0 * s
+    for d, s in zip(db, sb):
+        want[d] = want.get(d, 0.0) + 0.5 * s
+    got = dict(zip(dw.tolist(), sw.tolist()))
+    assert set(got) == set(want)
+    for d in got:
+        assert abs(got[d] - want[d]) < 1e-12
+
+
+def test_weighted_terms_oov_and_empty():
+    rng = np.random.default_rng(5)
+    from tests.test_maxscore_property import make_scorer, synth_index
+
+    idx = synth_index(rng, n_docs=50, n_terms=5)
+    sc = make_scorer(idx, k=5, prune=False)
+    d, s, r = sc.score_weighted_terms(["notaterm", "alsonot"], [1.0, 1.0])
+    assert len(d) == 0
+    d2, s2, _ = sc.score_weighted_terms(
+        [idx.dict_terms[0], "notaterm"], [1.0, 9.9])
+    d3, s3, _ = sc.score_weighted_terms([idx.dict_terms[0]], [1.0])
+    np.testing.assert_array_equal(d2, d3)
+    np.testing.assert_array_equal(s2, s3)
