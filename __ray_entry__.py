@@ -198,6 +198,23 @@ def _q_updated_bm25_top10(sf_dir: str) -> pd.DataFrame:
         columns={"score": "score_r"})
 
 
+SNIPPET_WINDOW = 8
+
+
+def _q_search_snippets(sf_dir: str) -> pd.DataFrame:
+    """Result presentation (pipelines/snippets.py): best 8-token window
+    per (query, top-3 hit) — corpus streams through a broadcast semi-join,
+    window scan is a vectorized cumsum over the query-term mask."""
+    from colbert_ray.pipelines.snippets import extract_snippets
+
+    ranking = _q_bm25_top10(sf_dir)
+    ranking = ranking[ranking["rank"] <= 3]
+    qterms = {qid: tokenize_query(text, CFG)[0] for qid, text in QUERY_SET}
+    return extract_snippets(
+        ranking, _read(sf_dir, "documents", ["doc_id", "text"]),
+        qterms, CFG, window=SNIPPET_WINDOW)
+
+
 RM3_N_EXP = 5
 RM3_ALPHA = 0.5
 
@@ -1386,6 +1403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_bm25_ql_top5": _q_rrf_bm25_ql_top5,
         "search_facets": _q_search_facets,
         "rm3_bm25_top10": _q_rm3_bm25_top10,
+        "search_snippets": _q_search_snippets,
         "bm25_top10_bmw": _q_bm25_top10_bmw,
         "bm25_top10_pfor": _q_bm25_top10_pfor,
         "bm25_top10_sharded": _q_bm25_top10_sharded,
@@ -1603,6 +1621,56 @@ SELECT qid::BIGINT AS qid, docid,
 FROM scores
 QUALIFY rank <= 10
 ORDER BY qid, rank
+"""
+
+
+def _snippets_sql() -> str:
+    """Twin of extract_snippets: DuckDB 1-based inclusive list slices over
+    the same token lists; windows ranked by (hits DESC, start ASC)."""
+    values = ",\n      ".join(
+        f"({qid}, '{term}')"
+        for qid, text in QUERY_SET
+        for term in tokenize_query(text, CFG)[0]
+    )
+    w = SNIPPET_WINDOW
+    return f"""
+WITH q(qid, term) AS (
+  VALUES {values}
+),
+qt AS (
+  SELECT qid, list(DISTINCT term) AS terms FROM q GROUP BY qid
+),
+docs AS (
+  SELECT doc_id, {_toks_expr()} AS toks FROM documents
+),
+bm AS (
+  SELECT qid, docid FROM ({_bm25_sql()}) WHERE rank <= 3
+),
+cand AS (
+  SELECT bm.qid, bm.docid, d.toks, qt.terms
+  FROM bm
+  JOIN docs d ON d.doc_id = bm.docid
+  JOIN qt ON qt.qid = bm.qid
+),
+wins AS (
+  SELECT qid, docid, toks, g.s,
+         len(list_filter(toks[g.s : g.s + {w - 1}],
+                         t -> list_contains(terms, t))) AS hits
+  FROM cand,
+       LATERAL (SELECT unnest(generate_series(
+                    1, greatest(1, len(toks) - {w} + 1))) AS s) g
+),
+best AS (
+  SELECT qid, docid, s, hits, toks,
+         row_number() OVER (PARTITION BY qid, docid
+                            ORDER BY hits DESC, s) AS r
+  FROM wins
+  QUALIFY r = 1
+)
+SELECT qid, docid, s AS start, hits AS n_hits,
+       array_to_string(toks[s : s + {w - 1}], ' ') AS snippet
+FROM best
+ORDER BY qid, docid
 """
 
 
@@ -2416,6 +2484,7 @@ def oracle_sql() -> dict[str, str]:
         "updated_bm25_top10": _updated_bm25_sql(),
         "rrf_bm25_ql_top5": _rrf_sql(),
         "rm3_bm25_top10": _rm3_sql(),
+        "search_snippets": _snippets_sql(),
         "search_facets": f"""
 WITH bm AS ({_bm25_sql()})
 SELECT bm.qid, d.lang, d.source, count(*) AS n_docs
