@@ -282,6 +282,71 @@ def _q_rrf_bm25_ql_top5(sf_dir: str) -> pd.DataFrame:
         columns={"fused": "fused_r"})
 
 
+def _q_compacted_bm25_top10(sf_dir: str) -> pd.DataFrame:
+    """The stats-refresh complement of updated_bm25_top10: the same delta
+    scenario followed by IndexUpdater.compact() (persist+reindex analog,
+    index_updater.py:150-274) — deltas/tombstones clear and ALL statistics
+    (n_docs, avgdl, df) refresh over the live corpus, which the twin
+    computes live-side throughout."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from colbert_ray.pipelines.build import build_index
+    from colbert_ray.pipelines.search import search_table
+    from colbert_ray.state.updates import IndexUpdater
+
+    src = _doc_path(sf_dir, "documents")
+    st = os.stat(src)
+    root = os.path.join("/tmp/colbert_ray_driver",
+                        "cmp_" + hashlib.sha256(
+                            f"{os.path.abspath(src)}:{st.st_mtime_ns}:"
+                            f"{st.st_size}".encode()).hexdigest()[:12])
+    idx = os.path.join(root, "index")
+    live_path = os.path.join(root, "live.parquet")
+    marker = os.path.join(root, "_compacted")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        # deterministic live corpus: original minus removed, plus added
+        # docs appended after max(doc_id) — same scenario as the delta gate
+        orig = _pq.read_table(src, columns=["doc_id", "text"])
+        keep = ~np.isin(orig.column("doc_id").to_numpy(zero_copy_only=False),
+                        np.asarray(UPD_REMOVED, dtype=np.int64))
+        kept = orig.filter(pa.array(keep))
+        base = int(orig.column("doc_id").to_numpy(
+            zero_copy_only=False).max()) + 1
+        added = pa.table({
+            "doc_id": pa.array(
+                np.arange(base, base + len(UPD_ADDED_TEXTS), dtype=np.int64)),
+            "text": pa.array(UPD_ADDED_TEXTS, type=pa.string()),
+        })
+        _pq.write_table(pa.concat_tables([kept, added]), live_path)
+        # exercise the full updater lifecycle: build -> deltas -> compact
+        build_index(src, idx, CFG, content_col="text", key_cols=(),
+                    meta_cols=(), docid_col="doc_id")
+        upd = IndexUpdater(idx)
+        upd.remove_docids(UPD_REMOVED)
+        upd.add_documents(
+            pa.table({"text": pa.array(UPD_ADDED_TEXTS, type=pa.string())}),
+            content_col="text")
+        upd.compact(live_path, content_col="text", key_cols=(),
+                    meta_cols=(), docid_col="doc_id")
+        with open(marker, "w") as f:
+            f.write("ok")
+    qt = pa.table(
+        {
+            "qid": pa.array([q for q, _ in QUERY_SET], type=pa.int64()),
+            "query": pa.array([t for _, t in QUERY_SET], type=pa.string()),
+        }
+    )
+    res = search_table(qt, idx, k=50, with_sha=False).to_pandas()
+    out = _rerank_rounded(res, "score", "docid", 10)
+    return out[["qid", "docid", "rank", "score"]].rename(
+        columns={"score": "score_r"})
+
+
 def _q_bm25_top10(sf_dir: str) -> pd.DataFrame:
     import pyarrow as pa
 
@@ -1400,6 +1465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_top10": _q_bm25_top10,
         "lm_dirichlet_top10": _q_lm_dirichlet_top10,
         "updated_bm25_top10": _q_updated_bm25_top10,
+        "compacted_bm25_top10": _q_compacted_bm25_top10,
         "rrf_bm25_ql_top5": _q_rrf_bm25_ql_top5,
         "search_facets": _q_search_facets,
         "rm3_bm25_top10": _q_rm3_bm25_top10,
@@ -1593,6 +1659,66 @@ stats AS (
 ),
 tok AS (
   SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM docs
+),
+tf AS (
+  SELECT doc_id, term, any_value(dl) AS dl, count(*) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+q(qid, term) AS (
+  VALUES {values}
+),
+scores AS (
+  SELECT q.qid, tf.doc_id AS docid,
+         sum( ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * tf.tf * ({k1} + 1.0)
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+)
+SELECT qid::BIGINT AS qid, docid,
+       row_number() OVER (PARTITION BY qid ORDER BY round(score, 6) DESC, docid) AS rank,
+       round(score, 6) AS score_r
+FROM scores
+QUALIFY rank <= 10
+ORDER BY qid, rank
+"""
+
+
+def _compacted_bm25_sql() -> str:
+    """Twin of the post-compaction view: plain BM25 with ALL statistics
+    over the LIVE corpus (original minus removed plus appended added)."""
+    values = ",\n      ".join(
+        f"({qid}, '{term}')"
+        for qid, text in QUERY_SET
+        for term in tokenize_query(text, CFG)[0]
+    )
+    added_vals = ",\n      ".join(
+        f"({i}, '{t}')" for i, t in enumerate(UPD_ADDED_TEXTS))
+    removed = ", ".join(str(d) for d in UPD_REMOVED)
+    k1, b = CFG.k1, CFG.b
+    return f"""
+WITH added0(i, text) AS (
+  VALUES {added_vals}
+),
+live AS (
+  SELECT doc_id, {_toks_expr()} AS toks FROM documents
+  WHERE doc_id NOT IN ({removed})
+  UNION ALL
+  SELECT (SELECT max(doc_id) FROM documents) + 1 + i AS doc_id,
+         {_toks_expr()} AS toks
+  FROM added0
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM live
+),
+tok AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM live
 ),
 tf AS (
   SELECT doc_id, term, any_value(dl) AS dl, count(*) AS tf
@@ -2482,6 +2608,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_top10": _bm25_sql(),
         "lm_dirichlet_top10": _ql_sql(),
         "updated_bm25_top10": _updated_bm25_sql(),
+        "compacted_bm25_top10": _compacted_bm25_sql(),
         "rrf_bm25_ql_top5": _rrf_sql(),
         "rm3_bm25_top10": _rm3_sql(),
         "search_snippets": _snippets_sql(),
