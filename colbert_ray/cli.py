@@ -100,6 +100,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--shards", type=int, default=1)
     s.add_argument("--job-shards", type=int, default=0,
                    help="resumable qid-sharded output: out/shard=i/ + manifests")
+    s.add_argument("--ranker", choices=("bm25", "ql"), default="bm25",
+                   help="scoring model over the same index (ql = Dirichlet "
+                        "query likelihood; plain search paths only)")
     s.add_argument("--strategy", choices=("maxscore", "bmw"), default=None,
                    help="exact pruning algorithm (default: index config)")
 
@@ -169,6 +172,9 @@ def main(argv: list[str] | None = None) -> int:
         if args.job_shards and not args.out:
             p.error("--job-shards requires --out (sharded resumable output "
                     "is written as parquet under --out)")
+        if args.ranker != "bm25" and (args.shards > 1 or args.job_shards):
+            p.error("--ranker ql is only supported on the plain search "
+                    "paths (docid-range shards would make cf shard-local)")
         queries = read_queries(args.queries)
         if args.out and args.job_shards:
             from colbert_ray.pipelines.search import search_job
@@ -183,12 +189,14 @@ def main(argv: list[str] | None = None) -> int:
                                  prune_strategy=args.strategy)
                   if args.shards > 1
                   else search(queries, args.index, k=args.k,
-                              prune_strategy=args.strategy))
+                              prune_strategy=args.strategy,
+                              ranker=args.ranker))
             write_ranking_parquet(ds, args.out, k=args.k, index=args.index)
             print(json.dumps({"out": args.out}))
         else:
             t = search_table(queries, args.index, k=args.k, with_sha=False,
-                             prune_strategy=args.strategy)
+                             prune_strategy=args.strategy,
+                             ranker=args.ranker)
             for row in t.to_pylist():
                 print(f"{row['qid']}\t{row['docid']}\t{row['rank']}\t{row['score']}")
     elif args.cmd == "eval":

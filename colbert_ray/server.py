@@ -39,12 +39,29 @@ from colbert_ray.state.index import BM25Scorer
 def make_server(index_dir: str, port: int = 8893, k: int = 10,
                 with_sha: bool = True, cache_size: int = 1_000_000,
                 docid_range: tuple[int, int] | None = None) -> ThreadingHTTPServer:
-    """Build (but don't start) the HTTP server; ``serve_forever()`` to run."""
-    scorer = BM25Scorer(index_dir, k=k, with_sha=with_sha,
-                        docid_range=docid_range)
+    """Build (but don't start) the HTTP server; ``serve_forever()`` to run.
+
+    A per-request ``ranker=ql`` query parameter serves Dirichlet QL from
+    the SAME loaded index (the second scorer shares the process-cached
+    DecodedIndex, so the switch costs no decode). QL is incompatible with
+    docid_range shards (cf would be shard-local) and 400s there.
+    """
+    scorers = {"bm25": BM25Scorer(index_dir, k=k, with_sha=with_sha,
+                                  docid_range=docid_range)}
+
+    def get_scorer(ranker: str):
+        sc = scorers.get(ranker)
+        if sc is None:
+            if docid_range is not None:
+                raise ValueError("ranker=ql unsupported on a docid_range "
+                                 "shard server")
+            sc = BM25Scorer(index_dir, k=k, with_sha=with_sha, ranker="ql")
+            scorers["ql"] = sc
+        return sc
 
     @functools.lru_cache(maxsize=cache_size)   # the reference's query cache
-    def cached_search(query: str, kk: int):
+    def cached_search(query: str, kk: int, ranker: str = "bm25"):
+        scorer = get_scorer(ranker)
         docids, scores, ranks = scorer.score_query(query, k=kk)
         rows = []
         for d, s, r in zip(docids.tolist(), scores.tolist(), ranks.tolist()):
@@ -82,10 +99,18 @@ def make_server(index_dir: str, port: int = 8893, k: int = 10,
             if not query:
                 self._reply(400, {"error": "missing query parameter"})
                 return
+            ranker = (params.get("ranker") or ["bm25"])[0]
+            if ranker not in ("bm25", "ql"):
+                self._reply(400, {"error": "ranker must be bm25 or ql"})
+                return
             t0 = time.time()
-            rows = cached_search(query, kk)
+            try:
+                rows = cached_search(query, kk, ranker)
+            except ValueError as e:
+                self._reply(400, {"error": str(e)})
+                return
             self._reply(200, {
-                "query": query, "k": kk,
+                "query": query, "k": kk, "ranker": ranker,
                 "latency_ms": round((time.time() - t0) * 1000, 3),
                 "topk": rows,
             })

@@ -629,3 +629,39 @@ def test_shard_doclens_stays_lazy_memmap(built):
     assert len(shard.doclens) == hi - lo
     np.testing.assert_array_equal(np.asarray(shard.doclens),
                                   np.asarray(full.doclens[lo:hi]))
+
+
+def test_http_server_ql_ranker(built):
+    """Per-request ranker=ql serves Dirichlet QL from the same index."""
+    import json
+    import threading
+    import urllib.request
+
+    from colbert_ray.server import make_server
+
+    _, _, index_dir = built
+    httpd = make_server(index_dir, port=0, k=5, with_sha=False)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        def get(url):
+            with urllib.request.urlopen(url) as r:
+                return json.loads(r.read())
+
+        base = f"http://127.0.0.1:{port}/api/search?query=def+main&k=5"
+        bm = get(base)
+        ql = get(base + "&ranker=ql")
+        assert bm["ranker"] == "bm25" and ql["ranker"] == "ql"
+        assert len(ql["topk"]) > 0
+        # different models -> scores differ even when ranks agree
+        assert bm["topk"][0]["score"] != ql["topk"][0]["score"]
+        # bad ranker -> 400
+        import urllib.error
+        try:
+            get(base + "&ranker=nope")
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()
