@@ -820,6 +820,16 @@ def _q_props_value_stats(sf_dir: str) -> pd.DataFrame:
     return t.to_pandas().reset_index(drop=True)
 
 
+def _q_late_events(sf_dir: str) -> pd.DataFrame:
+    """Watermark late-data detection (extras/relational.py:late_events):
+    global running high-water-mark over arrival order via bucket partials
+    + driver exclusive prefix + ONE seeded groupby scan — the distributed
+    prefix-scan decomposition."""
+    t = x_rel.late_events(_read(sf_dir, "events",
+                                ["event_id", "ts", "event_type"]))
+    return t.to_pandas().reset_index(drop=True)
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1501,6 +1511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_revenue_orders": _q_top_revenue_orders,
         "returned_revenue_by_customer": _q_returned_revenue_by_customer,
         "props_value_stats": _q_props_value_stats,
+        "late_events": _q_late_events,
         "events_hourly": _q_events_hourly,
         "event_sessions": _q_event_sessions,
         "user_value_quantiles": _q_user_value_quantiles,
@@ -2967,6 +2978,20 @@ WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
 GROUP BY c.c_custkey
 ORDER BY revenue DESC, c.c_custkey
 LIMIT 20
+""",
+        "late_events": """
+WITH w AS (
+  SELECT event_type, ts,
+         max(ts) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+  FROM events
+)
+SELECT event_type,
+       coalesce(CAST(sum(CASE WHEN hwm IS NOT NULL
+                               AND ts < hwm - INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_late,
+       count(*) AS n_events
+FROM w GROUP BY event_type ORDER BY event_type
 """,
         "props_value_stats": """
 SELECT event_type, count(*) AS n,

@@ -1051,3 +1051,84 @@ def json_props_stats(events: "ray.data.Dataset",
     out = out.sort_values("event_type").reset_index(drop=True)
     out[["n", "sum_v", "max_v"]] = out[["n", "sum_v", "max_v"]].astype(np.int64)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def late_events(events: "ray.data.Dataset",
+                delay_us: int = 30 * 60 * 1_000_000,
+                bucket_width: int = 100_000) -> "pa.Table":
+    """Watermark-style late-data detection: an event is LATE iff its
+    event time ``ts`` is more than ``delay_us`` behind the running maximum
+    ts over all events that ARRIVED earlier (arrival order = event_id).
+
+    A global running max is a cross-partition PREFIX SCAN — the one shape
+    a plain groupby can't express. Decomposition (scan = local reduce +
+    exclusive prefix + seeded local scan):
+      1. map_batches partials: (bucket, max_ts) per event_id-bucket per
+         batch — only these tiny rows ride the first (combiner) groupby;
+      2. driver: exclusive prefix-max over the bounded bucket maxima,
+         broadcast once via ``ray.put``;
+      3. ONE real groupby(bucket).map_groups: sort by event_id, exclusive
+         cummax seeded with the bucket's prefix, count late per type.
+    Exact at any parallelism; raw events shuffle exactly once.
+    """
+    import ray as _ray
+
+    def bucket_partial(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy(zero_copy_only=False)
+        ts = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        bk = eid // bucket_width
+        ub, inv = np.unique(bk, return_inverse=True)
+        mx = np.full(len(ub), np.iinfo(np.int64).min)
+        np.maximum.at(mx, inv, ts)
+        return pa.table({"bucket": pa.array(ub, type=pa.int64()),
+                         "max_ts": pa.array(mx, type=pa.int64())})
+
+    from ray.data.aggregate import Max as _Max
+
+    bmax = (events.select_columns(["event_id", "ts"])
+            .map_batches(bucket_partial, batch_format="pyarrow")
+            .groupby("bucket").aggregate(_Max("max_ts", alias_name="max_ts"))
+            .to_pandas().sort_values("bucket"))
+    buckets = bmax["bucket"].to_numpy(dtype=np.int64)
+    maxima = bmax["max_ts"].to_numpy(dtype=np.int64)
+    # exclusive prefix over OCCUPIED buckets (gaps carry forward implicitly)
+    prefix = {int(buckets[0]): np.iinfo(np.int64).min}
+    run = maxima[0]
+    for b_, m_ in zip(buckets[1:], maxima[1:]):
+        prefix[int(b_)] = run
+        run = max(run, m_)
+    seed_ref = _ray.put(prefix)
+
+    def scan(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        seeds = _ray.get(seed_ref)
+        g = g.sort_values("event_id")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        run_max = np.maximum.accumulate(ts)
+        hwm = np.empty_like(ts)
+        hwm[0] = seeds[int(g["bucket"].iloc[0])]
+        hwm[1:] = np.maximum(run_max[:-1], hwm[0])
+        late = (hwm != np.iinfo(np.int64).min) & (ts < hwm - delay_us)
+        et = g["event_type"].to_numpy()
+        ut, inv = np.unique(et, return_inverse=True)
+        n_late = np.zeros(len(ut), dtype=np.int64)
+        np.add.at(n_late, inv, late.astype(np.int64))
+        return pd.DataFrame({"event_type": ut, "n_late": n_late,
+                             "n_events": np.bincount(inv).astype(np.int64)})
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "bucket", pa.array(eid // bucket_width, type=pa.int64()))
+
+    per_bucket = (events.select_columns(["event_id", "ts", "event_type"])
+                  .map_batches(add_bucket, batch_format="pyarrow")
+                  .groupby("bucket").map_groups(scan, batch_format="pandas")
+                  .to_pandas())
+    out = (per_bucket.groupby("event_type", as_index=False)
+           [["n_late", "n_events"]].sum()
+           .sort_values("event_type").reset_index(drop=True))
+    out[["n_late", "n_events"]] = out[["n_late", "n_events"]].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -1684,3 +1684,60 @@ class TestJsonPropsStats:
         b = x_rel.json_props_stats(
             ray.data.from_arrow(t).repartition(7)).to_pandas()
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestLateEvents:
+    def _run(self, eids, ts_us, types, **kw):
+        t = pa.table({
+            "event_id": pa.array(eids, type=pa.int64()),
+            "ts": pa.array(np.array(ts_us, dtype="datetime64[us]")),
+            "event_type": pa.array(types, type=pa.string()),
+        })
+        from colbert_ray.extras import relational as x_rel
+
+        return x_rel.late_events(
+            ray.data.from_arrow(t), **kw).to_pandas()
+
+    def test_planted_late_and_cross_bucket_hwm(self):
+        MIN = 60 * 1_000_000
+        # arrival order 0..5; event 3 is >30min behind the HWM set by
+        # event 1; event 5 (bucket 1 with width 3) is late vs a HWM that
+        # lives entirely in bucket 0 — the cross-bucket seed path
+        eids = [0, 1, 2, 3, 4, 5]
+        ts = [0, 100 * MIN, 101 * MIN, 50 * MIN, 102 * MIN, 60 * MIN]
+        types = ["a", "a", "a", "a", "b", "b"]
+        out = self._run(eids, ts, types, bucket_width=3)
+        got = {r.event_type: (r.n_late, r.n_events) for r in out.itertuples()}
+        assert got == {"a": (1, 4), "b": (1, 2)}
+
+    def test_first_event_never_late_and_parallel_invariance(self):
+        rng = np.random.default_rng(11)
+        n = 5000
+        MIN = 60 * 1_000_000
+        ts = np.cumsum(rng.integers(0, 5 * MIN, size=n))
+        # inject 100 heavy stragglers
+        idx = rng.choice(n, 100, replace=False)
+        ts[idx] = np.maximum(0, ts[idx] - 200 * MIN)
+        types = np.array(["x", "y"])[rng.integers(0, 2, size=n)]
+        t = pa.table({
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "event_type": pa.array(types, type=pa.string()),
+        })
+        from colbert_ray.extras import relational as x_rel
+
+        a = x_rel.late_events(ray.data.from_arrow(t),
+                              bucket_width=500).to_pandas()
+        b = x_rel.late_events(ray.data.from_arrow(t).repartition(13),
+                              bucket_width=77).to_pandas()
+        pd.testing.assert_frame_equal(a, b)
+        # naive oracle
+        hwm = np.concatenate([[np.iinfo(np.int64).min],
+                              np.maximum.accumulate(ts)[:-1]])
+        late = (hwm != np.iinfo(np.int64).min) & (ts < hwm - 30 * MIN)
+        assert late.sum() > 0
+        want = pd.DataFrame({"event_type": ["x", "y"]})
+        for i, et in enumerate(["x", "y"]):
+            m = types == et
+            assert a[a.event_type == et].n_late.iloc[0] == late[m].sum()
+            assert a[a.event_type == et].n_events.iloc[0] == m.sum()
