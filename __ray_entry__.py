@@ -695,6 +695,23 @@ def _q_knn_cosine_top5(sf_dir: str) -> pd.DataFrame:
     return out[["qid", "vec_id", "rank", "cosine"]].rename(columns={"cosine": "cosine_r"})
 
 
+MMR_LAM = 0.7
+MMR_N_CAND = 20
+
+
+def _q_mmr_knn_top5(sf_dir: str) -> pd.DataFrame:
+    """MMR diversification (extras/simsearch.py:mmr_diversify) of the
+    exact-kNN top-20: greedy lam*rel - (1-lam)*max-sim-to-selected over
+    rounded similarities, fully deterministic."""
+    vecs, ids = _knn_queries(sf_dir)
+    ds = x_sim.knn_cosine(_read(sf_dir, "embeddings"), vecs, ids, k=60)
+    cand = _rerank_rounded(ds.to_pandas(), "cosine", "vec_id", MMR_N_CAND)
+    cand = cand.rename(columns={"cosine": "rel"})
+    return x_sim.mmr_diversify(_read(sf_dir, "embeddings"),
+                               cand[["qid", "vec_id", "rel"]],
+                               k=5, lam=MMR_LAM)
+
+
 def _q_embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
     ds = x_sim.embedding_dup_pairs(
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
@@ -1497,6 +1514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": _q_dup_clusters,
         "contaminated_docs": _q_contaminated_docs,
         "knn_cosine_top5": _q_knn_cosine_top5,
+        "mmr_knn_top5": _q_mmr_knn_top5,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "embedding_covariance": _q_embedding_covariance,
         "embedding_int8": _q_embedding_int8,
@@ -2086,6 +2104,90 @@ SELECT qid, vec_id,
        round(cosine, 6) AS cosine_r
 FROM sims
 QUALIFY rank <= 5
+ORDER BY qid, rank
+"""
+
+
+def _mmr_sql() -> str:
+    """Twin of mmr_diversify: greedy selection unrolled to 5 steps, each
+    carrying the selected set as a LIST; input similarities rounded 6 dp,
+    scores left UNROUNDED (bit-equal by identical IEEE arithmetic over
+    identical rounded inputs — a final round() would re-introduce the
+    numpy-half-even vs SQL-half-away ambiguity at the ...5 boundary that
+    0.7 x a 6-dp decimal always produces), (score DESC, vec_id ASC)
+    tie-break."""
+    ids = ", ".join(str(i) for i in KNN_QUERY_IDS)
+    lam, olam = MMR_LAM, 1.0 - MMR_LAM
+    steps = []
+    for i in range(2, 6):
+        prev = i - 1
+        steps.append(f"""
+s{i} AS (
+  SELECT qid, vec_id, score FROM (
+    SELECT qid, vec_id, score,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, vec_id) AS rr
+    FROM (
+      SELECT c.qid, c.vec_id,
+             {lam} * c.rel - {olam} * max(p.s) AS score
+      FROM cand c
+      JOIN sel{prev} ON sel{prev}.qid = c.qid
+      JOIN p ON p.qid = c.qid AND p.ia = c.vec_id
+            AND list_contains(sel{prev}.sel, p.ib)
+      WHERE NOT list_contains(sel{prev}.sel, c.vec_id)
+      GROUP BY c.qid, c.vec_id, c.rel
+    )
+  ) WHERE rr = 1
+),
+sel{i} AS (
+  SELECT sel{prev}.qid, list_append(sel{prev}.sel, s{i}.vec_id) AS sel
+  FROM sel{prev} JOIN s{i} ON s{i}.qid = sel{prev}.qid
+)""")
+    steps_sql = ",".join(steps)
+    union = "\nUNION ALL\n".join(
+        f"SELECT qid, vec_id, {r} AS rank, score FROM s{r}"
+        for r in range(1, 6))
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN ({ids})
+),
+sims AS (
+  SELECT q.qid, e.vec_id,
+         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cosine
+  FROM q JOIN embeddings e ON e.vec_id <> q.qid
+),
+cand AS (
+  SELECT qid, vec_id, round(cosine, 6) AS rel
+  FROM (
+    SELECT qid, vec_id, cosine,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY round(cosine, 6) DESC, vec_id) AS r
+    FROM sims
+  ) WHERE r <= {MMR_N_CAND}
+),
+p AS (
+  SELECT a.qid, a.vec_id AS ia, b.vec_id AS ib,
+         round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                      CAST(eb.embedding AS DOUBLE[])), 6) AS s
+  FROM cand a
+  JOIN cand b ON b.qid = a.qid AND b.vec_id <> a.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+),
+s1 AS (
+  SELECT qid, vec_id, {lam} * rel AS score FROM (
+    SELECT qid, vec_id, rel,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY rel DESC, vec_id) AS rr
+    FROM cand
+  ) WHERE rr = 1
+),
+sel1 AS (
+  SELECT qid, [vec_id] AS sel FROM s1
+),{steps_sql}
+SELECT qid, vec_id, rank::BIGINT AS rank, score AS mmr_score
+FROM ({union})
 ORDER BY qid, rank
 """
 
@@ -2733,6 +2835,7 @@ GROUP BY n ORDER BY doc_id
 """,
         "contaminated_docs": _contam_sql(),
         "knn_cosine_top5": _knn_sql(),
+        "mmr_knn_top5": _mmr_sql(),
         "embedding_dup_pairs": f"""
 WITH t AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

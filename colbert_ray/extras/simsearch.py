@@ -540,3 +540,81 @@ def knn_cosine_q8(
         .groupby("qid")
         .map_groups(merge_topk, batch_format="pandas")
     )
+
+
+def mmr_diversify(
+    ds: "ray.data.Dataset",
+    candidates: "pd.DataFrame",
+    k: int = 5,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    rel_col: str = "rel",
+) -> "pd.DataFrame":
+    """Maximal-marginal-relevance re-ranking of per-query candidate lists.
+
+    ``candidates``: (qid, vec_id, rel) — rel is the ROUNDED (6 dp) query
+    similarity. Float policy: the INPUTS (rel, pairwise sims) are rounded
+    6 dp, the score itself is NOT re-rounded — both sides compute
+    lam*rel - (1-lam)*maxsim from identical rounded doubles with identical
+    IEEE arithmetic, so scores are bit-equal (a final round() would
+    re-introduce the half-boundary ambiguity: 0.7 x a 6-dp decimal ends
+    in ...5, where numpy rounds half-even and SQL half-away).
+    Greedy MMR (Carbonell & Goldstein 1998):
+
+        score(c) = lam * rel(c) - (1-lam) * max over selected s of sim(c, s)
+
+    (empty selected set -> the subtrahend is 0). Scale shape: candidate
+    sets are BOUNDED (n_queries x n_cand), so candidate vectors come back
+    through a broadcast semi-join over the streaming embeddings table and
+    the greedy loop runs on the driver over k x n_cand rounded floats —
+    the corpus is never touched beyond the semi-join.
+    """
+    import ray as _ray
+
+    cand_ids = np.unique(candidates["vec_id"].to_numpy(dtype=np.int64))
+    ids_ref = _ray.put(cand_ids)
+
+    def semi(b: pa.Table) -> pa.Table:
+        ids = _ray.get(ids_ref)
+        d = b.column(id_col).to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(np.isin(d, ids)))
+
+    vec_rows = (ds.select_columns([id_col, vec_col])
+                .map_batches(semi, batch_format="pyarrow")
+                .to_pandas())
+    vecs = _normalize(np.stack(
+        vec_rows[vec_col].to_numpy()).astype(np.float64))
+    row_of = {int(i): r for r, i in enumerate(vec_rows[id_col].to_numpy())}
+
+    out = {"qid": [], "vec_id": [], "rank": [], "mmr_score": []}
+    for qid, g in candidates.groupby("qid"):
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        rel = g[rel_col].to_numpy(dtype=np.float64)
+        m = vecs[[row_of[int(i)] for i in ids]]
+        sims = np.round(m @ m.T, 6)                 # rounded pairwise
+        order = np.argsort(ids, kind="stable")     # vec_id tie order base
+        chosen: list[int] = []
+        avail = np.ones(len(ids), dtype=bool)
+        for r in range(min(k, len(ids))):
+            if chosen:
+                maxsim = sims[:, chosen].max(axis=1)
+            else:
+                maxsim = np.zeros(len(ids))
+            score = lam * rel - (1.0 - lam) * maxsim
+            score[~avail] = -np.inf
+            # argmax by (score desc, vec_id asc)
+            best = max(np.flatnonzero(avail),
+                       key=lambda i: (score[i], -int(ids[i])))
+            chosen.append(best)
+            avail[best] = False
+            out["qid"].append(int(qid))
+            out["vec_id"].append(int(ids[best]))
+            out["rank"].append(r + 1)
+            out["mmr_score"].append(float(score[best]))
+
+    import pandas as pd
+
+    res = pd.DataFrame(out)
+    res["rank"] = res["rank"].astype(np.int64)
+    return res.sort_values(["qid", "rank"]).reset_index(drop=True)
