@@ -198,6 +198,21 @@ def _q_updated_bm25_top10(sf_dir: str) -> pd.DataFrame:
         columns={"score": "score_r"})
 
 
+PROX_QUERY = "join merge sort"
+
+
+def _q_proximity_top10(sf_dir: str) -> pd.DataFrame:
+    """Proximity ranking (pipelines/phrase.py:proximity_search): docs with
+    ALL query words ranked by smallest covering token window — integer-
+    exact, conjunctive candidates + candidate-only verify."""
+    from colbert_ray.pipelines.phrase import proximity_search
+
+    idx = _ensure_index(sf_dir)
+    t = proximity_search(idx, _read(sf_dir, "documents", ["doc_id", "text"]),
+                         PROX_QUERY, k=10, cfg=CFG)
+    return t.to_pandas().reset_index(drop=True)
+
+
 SNIPPET_WINDOW = 8
 
 
@@ -1497,6 +1512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_facets": _q_search_facets,
         "rm3_bm25_top10": _q_rm3_bm25_top10,
         "search_snippets": _q_search_snippets,
+        "proximity_top10": _q_proximity_top10,
         "bm25_top10_bmw": _q_bm25_top10_bmw,
         "bm25_top10_pfor": _q_bm25_top10_pfor,
         "bm25_top10_sharded": _q_bm25_top10_sharded,
@@ -1776,6 +1792,40 @@ SELECT qid::BIGINT AS qid, docid,
 FROM scores
 QUALIFY rank <= 10
 ORDER BY qid, rank
+"""
+
+
+def _proximity_sql() -> str:
+    """Twin of proximity_search for the fixed 3-word query: positions via
+    generate_subscripts over the same filtered token list; min span =
+    min over the per-doc position cross product (small per doc); integer-
+    exact so no float policy is involved."""
+    words = sorted(set(PROX_QUERY.split()))
+    assert len(words) == 3
+    w1, w2, w3 = words
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {_toks_expr()} AS toks FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) AS p
+  FROM docs
+),
+p1 AS (SELECT doc_id, p FROM pos WHERE term = '{w1}'),
+p2 AS (SELECT doc_id, p FROM pos WHERE term = '{w2}'),
+p3 AS (SELECT doc_id, p FROM pos WHERE term = '{w3}'),
+spans AS (
+  SELECT p1.doc_id,
+         min(greatest(p1.p, p2.p, p3.p)
+             - least(p1.p, p2.p, p3.p) + 1) AS span
+  FROM p1
+  JOIN p2 ON p2.doc_id = p1.doc_id
+  JOIN p3 ON p3.doc_id = p1.doc_id
+  GROUP BY p1.doc_id
+)
+SELECT doc_id, CAST(span AS BIGINT) AS span
+FROM spans ORDER BY span, doc_id LIMIT 10
 """
 
 
@@ -2725,6 +2775,7 @@ def oracle_sql() -> dict[str, str]:
         "rrf_bm25_ql_top5": _rrf_sql(),
         "rm3_bm25_top10": _rm3_sql(),
         "search_snippets": _snippets_sql(),
+        "proximity_top10": _proximity_sql(),
         "search_facets": f"""
 WITH bm AS ({_bm25_sql()})
 SELECT bm.qid, d.lang, d.source, count(*) AS n_docs

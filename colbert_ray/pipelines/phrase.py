@@ -269,3 +269,116 @@ GROUP BY doc_id
 HAVING count(DISTINCT term) = {len(uniq)}
 ORDER BY doc_id
 """
+
+
+def min_token_span(positions_by_word: list[np.ndarray]) -> int:
+    """Smallest window [lo, hi] (inclusive, 1-based or any consistent
+    base) covering >=1 occurrence of EVERY word; returns hi-lo+1.
+    Classic two-pointer sweep over the merged (pos, word) event list —
+    O(total occurrences), exact integers."""
+    events = np.concatenate(positions_by_word)
+    labels = np.concatenate([
+        np.full(len(p), w, dtype=np.int64)
+        for w, p in enumerate(positions_by_word)])
+    order = np.argsort(events, kind="stable")
+    events, labels = events[order], labels[order]
+    need = len(positions_by_word)
+    counts = np.zeros(need, dtype=np.int64)
+    have = 0
+    best = np.iinfo(np.int64).max
+    lo = 0
+    for hi in range(len(events)):
+        w = labels[hi]
+        counts[w] += 1
+        if counts[w] == 1:
+            have += 1
+        while have == need:
+            best = min(best, int(events[hi] - events[lo] + 1))
+            wl = labels[lo]
+            counts[wl] -= 1
+            if counts[wl] == 0:
+                have -= 1
+            lo += 1
+    return int(best)
+
+
+def proximity_search(
+    index_dir: str,
+    corpus: "ray.data.Dataset",
+    query: str,
+    k: int = 10,
+    cfg: EngineConfig | None = None,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Proximity ranking: docs containing ALL query words, ranked by the
+    smallest token window covering every word — (span ASC, doc_id ASC),
+    integer-exact. Same two-stage shape as phrase_search: conjunctive
+    candidates from the inverted index (only the probed terms' posting
+    slices page in), then a verify pass that re-tokenizes ONLY candidate
+    rows (broadcast docid set) and runs the two-pointer span sweep per
+    candidate. Per-batch partial top-k keeps the exchange bounded."""
+    import ray
+
+    from colbert_ray.state.decoded import DecodedIndex
+
+    cfg = cfg or EngineConfig()
+    words = sorted(set(phrase_tokens(query, cfg)))
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "span": pa.array([], type=pa.int64())})
+    if not words:
+        return empty
+    idx = DecodedIndex.load_cached(index_dir, load_sha=False)
+    cand = conjunctive_candidates(idx, words)
+    if len(cand) == 0:
+        return empty
+    cand_ref = ray.put(cand)
+
+    def _topk_span(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(t, sort_keys=[("span", "ascending"),
+                                              ("doc_id", "ascending")])
+        return t.take(order[:k])
+
+    def verify(batch: pa.Table) -> pa.Table:
+        allowed = ray.get(cand_ref)
+        ids = batch.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(allowed, ids)
+        pos_c = np.clip(pos, 0, len(allowed) - 1)
+        keep = allowed[pos_c] == ids
+        if not keep.any():
+            return empty
+        sub = batch.filter(pa.array(keep))
+        parents, flat = _filtered_flat_tokens(sub.column(text_col), cfg)
+        tokens = flat.to_numpy(zero_copy_only=False)   # object[str]
+        sub_ids = sub.column(id_col).to_numpy(zero_copy_only=False)
+        row_start = np.searchsorted(parents, np.arange(sub.num_rows))
+        row_end = np.searchsorted(parents, np.arange(sub.num_rows),
+                                  side="right")
+        out_id, out_span = [], []
+        for row in range(sub.num_rows):
+            tk = tokens[row_start[row]:row_end[row]]
+            pos_by_word = []
+            ok = True
+            for w in words:
+                p = np.flatnonzero(tk == w)
+                if len(p) == 0:       # tokenizer drift guard; cand says all
+                    ok = False
+                    break
+                pos_by_word.append(p)
+            if not ok:
+                continue
+            out_id.append(int(sub_ids[row]))
+            out_span.append(min_token_span(pos_by_word))
+        return _topk_span(pa.table({
+            "doc_id": pa.array(out_id, type=pa.int64()),
+            "span": pa.array(out_span, type=pa.int64())}))
+
+    partials = corpus.select_columns([id_col, text_col]).map_batches(
+        verify, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    if not partials:
+        return empty
+    return _topk_span(pa.Table.from_pylist(partials, schema=empty.schema))

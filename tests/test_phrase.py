@@ -141,3 +141,46 @@ def test_phrase_search_oov_empty(docs_index):
     res = phrase_search(index_dir, corpus, "hash zzznotaterm", k=10, cfg=CFG)
     assert res.num_rows == 0
     assert res.schema.names == ["doc_id", "n_occ"]
+
+
+class TestProximity:
+    def test_min_token_span_cases(self):
+        from colbert_ray.pipelines.phrase import min_token_span
+
+        # adjacent
+        assert min_token_span([np.array([0]), np.array([1])]) == 2
+        # pick the tight combo, not the first
+        assert min_token_span([np.array([0, 50]),
+                               np.array([52]),
+                               np.array([10, 51])]) == 3
+        # single word
+        assert min_token_span([np.array([7])]) == 1
+        # repeated positions interleaved
+        assert min_token_span([np.array([0, 4, 8]),
+                               np.array([2, 6])]) == 3
+
+    def test_proximity_matches_naive(self, docs_index):
+        path, index_dir, texts = docs_index
+        from colbert_ray.pipelines.phrase import (_filtered_flat_tokens,
+                                                  min_token_span,
+                                                  phrase_tokens,
+                                                  proximity_search)
+
+        q = "join merge sort"
+        words = sorted(set(phrase_tokens(q, CFG)))
+        tbl = pq.read_table(path)
+        parents, flat = _filtered_flat_tokens(tbl.column("text"), CFG)
+        toks = flat.to_numpy(zero_copy_only=False)
+        want = []
+        for row in range(tbl.num_rows):
+            tk = toks[parents == row]
+            pos = [np.flatnonzero(tk == w) for w in words]
+            if all(len(p) for p in pos):
+                want.append((row, min_token_span(pos)))
+        want.sort(key=lambda x: (x[1], x[0]))
+        assert len(want) > 3          # fixture vocab guarantees co-occurrence
+        got = proximity_search(index_dir, ray.data.read_parquet(path),
+                               q, k=10, cfg=CFG)
+        got_rows = list(zip(got.column("doc_id").to_pylist(),
+                            got.column("span").to_pylist()))
+        assert got_rows == want[:10]
