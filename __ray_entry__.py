@@ -710,6 +710,22 @@ def _q_knn_cosine_top5(sf_dir: str) -> pd.DataFrame:
     return out[["qid", "vec_id", "rank", "cosine"]].rename(columns={"cosine": "cosine_r"})
 
 
+RPLSH_THRESHOLD = 0.45   # max pair cosine in the test embeddings is ~0.51
+RPLSH_PLANES = 32
+RPLSH_BANDS = 8
+RPLSH_DIM = 64                   # embeddings table vector width
+
+
+def _q_rplsh_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    """Random-hyperplane LSH near-dup pairs over int8-quantized embeddings
+    (extras/simsearch.py:rp_lsh_dup_pairs) — the embedding-side LSH scale
+    path; signatures and verification are integer-exact."""
+    return x_sim.rp_lsh_dup_pairs(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        threshold=RPLSH_THRESHOLD, n_planes=RPLSH_PLANES,
+        n_bands=RPLSH_BANDS)
+
+
 MMR_LAM = 0.7
 MMR_N_CAND = 20
 
@@ -1531,6 +1547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contaminated_docs": _q_contaminated_docs,
         "knn_cosine_top5": _q_knn_cosine_top5,
         "mmr_knn_top5": _q_mmr_knn_top5,
+        "rplsh_dup_pairs": _q_rplsh_dup_pairs,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "embedding_covariance": _q_embedding_covariance,
         "embedding_int8": _q_embedding_int8,
@@ -2155,6 +2172,72 @@ SELECT qid, vec_id,
 FROM sims
 QUALIFY rank <= 5
 ORDER BY qid, rank
+"""
+
+
+def _rplsh_sql() -> str:
+    """Twin of rp_lsh_dup_pairs — the ALGORITHM (bucket candidates then
+    verify), not ground truth: same half-up int8 codes, +-1 plane signs
+    from the shared fmix64, integer sign dots, 4-bit band keys, then the
+    bit-exact quantized-cosine verify."""
+    from colbert_ray.functions.hashing import sql_fmix64_expr
+
+    bpb = RPLSH_PLANES // RPLSH_BANDS
+    fmix = sql_fmix64_expr(
+        f"CAST(pl0.j * {RPLSH_DIM} + pl0.pos + 1 AS HUGEINT)")
+    return f"""
+WITH u AS (
+  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+),
+s AS (SELECT vec_id, max(abs(val)) / 127 AS scale FROM u GROUP BY vec_id),
+q AS (
+  SELECT u.vec_id, u.pos,
+         CASE WHEN s.scale = 0 THEN 0
+              ELSE floor(u.val / s.scale + 0.5) END AS qv
+  FROM u JOIN s USING (vec_id)
+),
+pl AS (
+  SELECT pl0.j, pl0.pos,
+         CASE WHEN ({fmix}) % 2 = 0 THEN 1 ELSE -1 END AS sign
+  FROM (SELECT j0.j, p0.pos
+        FROM (SELECT unnest(generate_series(0, {RPLSH_PLANES - 1})) AS j) j0,
+             (SELECT unnest(generate_series(0, {RPLSH_DIM - 1})) AS pos) p0
+       ) pl0
+),
+bits AS (
+  SELECT q.vec_id, pl.j,
+         CASE WHEN sum(pl.sign * q.qv) > 0 THEN 1 ELSE 0 END AS bit
+  FROM q JOIN pl ON pl.pos = q.pos
+  GROUP BY q.vec_id, pl.j
+),
+keys AS (
+  SELECT vec_id, j // {bpb} AS band,
+         CAST(sum(bit * (1 << (j % {bpb}))) AS BIGINT) AS key
+  FROM bits GROUP BY vec_id, j // {bpb}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM keys a
+  JOIN keys b ON b.band = a.band AND b.key = a.key AND a.vec_id < b.vec_id
+),
+n AS (SELECT vec_id, sqrt(sum(qv * qv)) AS nrm FROM q GROUP BY vec_id),
+ver AS (
+  SELECT c.id_a, c.id_b,
+         sum(qa.qv * qb.qv)
+         / (any_value(na.nrm) * any_value(nb.nrm)) AS cosine
+  FROM cand c
+  JOIN q qa ON qa.vec_id = c.id_a
+  JOIN q qb ON qb.vec_id = c.id_b AND qb.pos = qa.pos
+  JOIN n na ON na.vec_id = c.id_a
+  JOIN n nb ON nb.vec_id = c.id_b
+  WHERE na.nrm > 0 AND nb.nrm > 0
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, round(cosine, 6) AS cosine_r
+FROM ver WHERE cosine >= {RPLSH_THRESHOLD}
+ORDER BY id_a, id_b
 """
 
 
@@ -2887,6 +2970,7 @@ GROUP BY n ORDER BY doc_id
         "contaminated_docs": _contam_sql(),
         "knn_cosine_top5": _knn_sql(),
         "mmr_knn_top5": _mmr_sql(),
+        "rplsh_dup_pairs": _rplsh_sql(),
         "embedding_dup_pairs": f"""
 WITH t AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

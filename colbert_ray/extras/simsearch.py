@@ -618,3 +618,135 @@ def mmr_diversify(
     res = pd.DataFrame(out)
     res["rank"] = res["rank"].astype(np.int64)
     return res.sort_values(["qid", "rank"]).reset_index(drop=True)
+
+
+def rp_lsh_planes(n_planes: int, dim: int) -> np.ndarray:
+    """Deterministic Rademacher (+-1) hyperplanes from the shared fmix64
+    hash — r[j,k] = +1 iff fmix64(j*dim + k + 1) is even. Integer planes
+    over int8 codes keep every signature bit EXACT (no float dot whose
+    summation order could flip a near-zero sign), and the construction is
+    reproducible in SQL via sql_fmix64_expr."""
+    from colbert_ray.functions.hashing import fmix64
+
+    idx = np.arange(n_planes * dim, dtype=np.uint64) + np.uint64(1)
+    bits = (fmix64(idx) & np.uint64(1)) == 0
+    return np.where(bits, 1, -1).astype(np.int64).reshape(n_planes, dim)
+
+
+def rp_lsh_dup_pairs(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.9,
+    n_planes: int = 32,
+    n_bands: int = 8,
+    max_id: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "pd.DataFrame":
+    """Near-duplicate pairs via random-hyperplane LSH over int8-quantized
+    codes — the embedding complement of MinHash+LSH (the brief's
+    "LSH-bucketed variant as the scale path"):
+
+    1. stream: per batch, quantize (the bit-exact half-up int8 rule) and
+       sign-hash against the +-1 planes — INTEGER dots, so signatures are
+       exact; emit (band, key, vec_id) rows only;
+    2. bucket groupby: same (band, key) -> candidate pairs (a < b);
+    3. verify candidates with the quantized cosine (same dot/(sqrt*sqrt)
+       operation order as knn_cosine_q8 — bit-reproducible) >= threshold.
+
+    Like MinHash, recall is probabilistic (banding); the pytest gate
+    measures it against the exact all-pairs ground truth. ``max_id``
+    bounds the verify broadcast (the embedding_dup_pairs convention);
+    at scale the verify becomes a join against the codes table keyed by
+    candidate id — the shape is already pair-driven.
+    Output: (id_a, id_b, cosine_r) sorted, exact-distinct.
+    """
+    import pandas as pd
+
+    bits_per_band = n_planes // n_bands
+    assert bits_per_band * n_bands == n_planes
+
+    def _codes(b: pa.Table):
+        m = _stack(b, vec_col)
+        amax = np.abs(m).max(axis=1) if m.shape[1] else np.zeros(len(b))
+        scale = amax / 127.0
+        safe = np.where(scale == 0, 1.0, scale)
+        q = np.floor(m / safe[:, None] + 0.5)
+        return np.where(scale[:, None] == 0.0, 0.0, q)
+
+    planes_cache: dict[int, np.ndarray] = {}   # planes built per seen dim
+
+    def sig(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if max_id is not None:
+            keep = ids < max_id
+            b = b.filter(pa.array(keep))
+            ids = ids[keep]
+        if len(ids) == 0:
+            return pa.table({"band": pa.array([], type=pa.int64()),
+                             "key": pa.array([], type=pa.int64()),
+                             id_col: pa.array([], type=pa.int64())})
+        q = _codes(b)
+        dim = q.shape[1]
+        pl = planes_cache.get(dim)
+        if pl is None:
+            pl = rp_lsh_planes(n_planes, dim)
+            planes_cache[dim] = pl
+        dots = q @ pl.T.astype(np.float64)       # integer-valued exactly
+        bits = (dots > 0).astype(np.int64)       # (n, n_planes)
+        weights = 1 << np.arange(bits_per_band, dtype=np.int64)
+        keys = bits.reshape(len(ids), n_bands, bits_per_band) @ weights
+        band = np.tile(np.arange(n_bands, dtype=np.int64), len(ids))
+        return pa.table({
+            "band": pa.array(band),
+            "key": pa.array(keys.reshape(-1)),
+            id_col: pa.array(np.repeat(ids, n_bands)),
+        })
+
+    def bucket_pairs(g: "pd.DataFrame") -> "pd.DataFrame":
+        ids = np.sort(g[id_col].to_numpy(dtype=np.int64))
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+    pairs = (ds.select_columns([id_col, vec_col])
+             .map_batches(sig, batch_format="pyarrow")
+             .groupby(["band", "key"])
+             .map_groups(bucket_pairs, batch_format="pandas")
+             .to_pandas().drop_duplicates(["id_a", "id_b"]))
+    if pairs.empty:
+        return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                             "id_b": pd.Series([], dtype=np.int64),
+                             "cosine_r": pd.Series([], dtype=np.float64)})
+
+    # verify: quantized cosine over the candidates' codes (bounded side)
+    need = np.unique(np.concatenate([pairs["id_a"].to_numpy(dtype=np.int64),
+                                     pairs["id_b"].to_numpy(dtype=np.int64)]))
+    import ray as _ray
+
+    need_ref = _ray.put(need)
+
+    def fetch(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.filter(pa.array(np.isin(ids, _ray.get(need_ref))))
+
+    rows = (ds.select_columns([id_col, vec_col])
+            .map_batches(fetch, batch_format="pyarrow").to_pandas())
+    order = np.argsort(rows[id_col].to_numpy())
+    rows = rows.iloc[order]
+    q = _codes(pa.Table.from_pandas(rows, preserve_index=False))
+    rid = rows[id_col].to_numpy(dtype=np.int64)
+    norm = np.sqrt((q * q).sum(axis=1))
+    pos = {int(i): r for r, i in enumerate(rid)}
+    ra = np.array([pos[int(i)] for i in pairs["id_a"]])
+    rb = np.array([pos[int(i)] for i in pairs["id_b"]])
+    dots = (q[ra] * q[rb]).sum(axis=1)
+    ok = (norm[ra] > 0) & (norm[rb] > 0)
+    cos = np.where(ok, dots / (norm[ra] * norm[rb]), -np.inf)
+    keep = cos >= threshold
+    out = pd.DataFrame({
+        "id_a": pairs["id_a"].to_numpy(dtype=np.int64)[keep],
+        "id_b": pairs["id_b"].to_numpy(dtype=np.int64)[keep],
+        "cosine_r": np.round(cos[keep], 6),
+    })
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -1741,3 +1741,46 @@ class TestLateEvents:
             m = types == et
             assert a[a.event_type == et].n_late.iloc[0] == late[m].sum()
             assert a[a.event_type == et].n_events.iloc[0] == m.sum()
+
+
+class TestRpLsh:
+    def _emb(self, n=300, dim=32, seed=3):
+        rng = np.random.default_rng(seed)
+        m = rng.normal(size=(n, dim))
+        # plant near-dup clusters: 20 pairs at high cosine
+        for i in range(20):
+            j = n - 1 - i
+            m[j] = m[i] + rng.normal(scale=0.05, size=dim)
+        return pa.table({
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array([r.astype(np.float32) for r in m],
+                                  type=pa.list_(pa.float32())),
+        }), m
+
+    def test_recall_on_planted_dups_and_subset_of_exact(self):
+        from colbert_ray.extras import simsearch as x_sim
+
+        t, m = self._emb()
+        thr = 0.95
+        norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = norm @ norm.T
+        iu = np.triu_indices(len(m), 1)
+        exact = {(int(a), int(b)) for a, b in zip(*iu)
+                 if sims[a, b] >= thr - 0.02}   # tolerance: verify is q8
+        got = x_sim.rp_lsh_dup_pairs(ray.data.from_arrow(t), threshold=thr)
+        pairs = {(int(a), int(b)) for a, b in zip(got.id_a, got.id_b)}
+        assert pairs <= exact                     # verify stage is exact-ish
+        planted = {(i, 299 - i) for i in range(20)
+                   if sims[i, 299 - i] >= thr}
+        assert planted
+        recall = len(pairs & planted) / len(planted)
+        assert recall >= 0.8                      # 8x4-bit banding at 0.95
+
+    def test_parallelism_invariance(self):
+        from colbert_ray.extras import simsearch as x_sim
+
+        t, _ = self._emb(seed=9)
+        a = x_sim.rp_lsh_dup_pairs(ray.data.from_arrow(t), threshold=0.9)
+        b = x_sim.rp_lsh_dup_pairs(
+            ray.data.from_arrow(t).repartition(7), threshold=0.9)
+        pd.testing.assert_frame_equal(a, b)
