@@ -868,6 +868,23 @@ def _q_props_value_stats(sf_dir: str) -> pd.DataFrame:
     return t.to_pandas().reset_index(drop=True)
 
 
+def _q_session_funnel(sf_dir: str) -> pd.DataFrame:
+    """Ordered view->click->purchase funnel within 30-min sessions
+    (extras/relational.py:session_funnel)."""
+    t = x_rel.session_funnel(_read(sf_dir, "events",
+                                   ["user_id", "ts", "event_type",
+                                    "event_id"]))
+    return t.to_pandas().reset_index(drop=True)
+
+
+def _q_cohort_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention (extras/relational.py:cohort_retention): per-user
+    first week -> distinct weekly activity -> hash join -> grouped
+    distinct-user counts per (cohort_week, week_offset)."""
+    t = x_rel.cohort_retention(_read(sf_dir, "events", ["user_id", "ts"]))
+    return t.to_pandas().reset_index(drop=True)
+
+
 def _q_late_events(sf_dir: str) -> pd.DataFrame:
     """Watermark late-data detection (extras/relational.py:late_events):
     global running high-water-mark over arrival order via bucket partials
@@ -1563,6 +1580,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_revenue_by_customer": _q_returned_revenue_by_customer,
         "props_value_stats": _q_props_value_stats,
         "late_events": _q_late_events,
+        "cohort_retention": _q_cohort_retention,
+        "session_funnel": _q_session_funnel,
         "events_hourly": _q_events_hourly,
         "event_sessions": _q_event_sessions,
         "user_value_quantiles": _q_user_value_quantiles,
@@ -3216,6 +3235,55 @@ WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
 GROUP BY c.c_custkey
 ORDER BY revenue DESC, c.c_custkey
 LIMIT 20
+""",
+        "session_funnel": """
+WITH d AS (
+  SELECT user_id, ts, event_type, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, event_type,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM d
+),
+t1 AS (
+  SELECT user_id, sid, min(ts) AS t1 FROM s
+  WHERE event_type = 'view' GROUP BY user_id, sid
+),
+t2 AS (
+  SELECT s.user_id, s.sid, min(s.ts) AS t2
+  FROM s JOIN t1 ON t1.user_id = s.user_id AND t1.sid = s.sid
+  WHERE s.event_type = 'click' AND s.ts >= t1.t1
+  GROUP BY s.user_id, s.sid
+),
+t3 AS (
+  SELECT DISTINCT s.user_id, s.sid
+  FROM s JOIN t2 ON t2.user_id = s.user_id AND t2.sid = s.sid
+  WHERE s.event_type = 'purchase' AND s.ts >= t2.t2
+)
+SELECT (SELECT count(*) FROM (SELECT DISTINCT user_id, sid FROM s)) AS n_sessions,
+       (SELECT count(*) FROM t1) AS n_s1,
+       (SELECT count(*) FROM t2) AS n_s12,
+       (SELECT count(*) FROM t3) AS n_s123
+""",
+        "cohort_retention": """
+WITH wk AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+  FROM events
+),
+first AS (
+  SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id
+)
+SELECT f.cohort_week, wk.week - f.cohort_week AS week_offset,
+       count(*) AS n_users
+FROM wk JOIN first f USING (user_id)
+GROUP BY f.cohort_week, week_offset
+ORDER BY cohort_week, week_offset
 """,
         "late_events": """
 WITH w AS (

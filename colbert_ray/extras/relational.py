@@ -1132,3 +1132,118 @@ def late_events(events: "ray.data.Dataset",
            .sort_values("event_type").reset_index(drop=True))
     out[["n_late", "n_events"]] = out[["n_late", "n_events"]].astype(np.int64)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def cohort_retention(events: "ray.data.Dataset",
+                     week_us: int = 7 * 86_400 * 1_000_000) -> "pa.Table":
+    """Cohort retention: users grouped by first-seen week, counted as
+    retained in each later week they were active.
+
+    Shapes at scale: (1) per-user first week = one groupby(user) Min —
+    map-side combinable; (2) distinct (user, week) activity = map-side
+    per-batch dedup partials, then the pair groupby dedups globally;
+    (3) cohort attach = hash-partitioned Dataset.join (user cardinality
+    can rival the corpus, so no broadcast); (4) final (cohort_week,
+    week_offset) distinct-user count is a small grouped aggregate.
+    All week math is integer µs // week — exact, timezone-free.
+    Output: (cohort_week, week_offset, n_users), sorted.
+    """
+    from ray.data.aggregate import Min
+
+    def to_week(b: pa.Table) -> pa.Table:
+        ts = (b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        wk = ts // week_us
+        t = pa.table({"user_id": b.column("user_id"),
+                      "week": pa.array(wk, type=pa.int64())})
+        # map-side dedup: one (user, week) row per batch
+        return t.group_by(["user_id", "week"]).aggregate([])
+
+    from ray.data.aggregate import Count as _Count
+
+    pairs = (events.select_columns(["user_id", "ts"])
+             .map_batches(to_week, batch_format="pyarrow")
+             .groupby(["user_id", "week"])
+             .aggregate(_Count(alias_name="_c"))      # global distinct
+             .drop_columns(["_c"]))
+    first = (events.select_columns(["user_id", "ts"])
+             .map_batches(to_week, batch_format="pyarrow")
+             .groupby("user_id").aggregate(Min("week", alias_name="cohort_week")))
+    joined = pairs.join(first, join_type="inner", num_partitions=8,
+                        on=("user_id",))
+
+    def offset(b: pa.Table) -> pa.Table:
+        wk = b.column("week").to_numpy(zero_copy_only=False)
+        cw = b.column("cohort_week").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cohort_week": b.column("cohort_week"),
+            "week_offset": pa.array(wk - cw, type=pa.int64()),
+        })
+
+    from ray.data.aggregate import Count
+
+    out = (joined.map_batches(offset, batch_format="pyarrow")
+           .groupby(["cohort_week", "week_offset"])
+           .aggregate(Count(alias_name="n_users"))
+           .to_pandas()
+           .sort_values(["cohort_week", "week_offset"])
+           .reset_index(drop=True))
+    out["n_users"] = out["n_users"].astype(np.int64)
+    out["cohort_week"] = out["cohort_week"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def session_funnel(events: "ray.data.Dataset",
+                   stages: tuple[str, str, str] = ("view", "click",
+                                                   "purchase"),
+                   gap_minutes: int = 30) -> "pa.Table":
+    """Ordered conversion funnel within sessions: a session converts to
+    stage 2 iff it has a stage-2 event AT/after its first stage-1 event,
+    and to stage 3 iff a stage-3 event lands at/after that first
+    qualifying stage-2 event (first-qualifying-time semantics; >= keeps
+    equal-µs ties consistent with the SQL twin).
+
+    Shape: ONE groupby(user) (the sessionize shuffle); per user the
+    session split and all three stage times are vectorized pandas; only
+    per-user partial counters leave the group, summed on the driver.
+    Output: one row (n_sessions, n_s1, n_s12, n_s123).
+    """
+    gap_us = gap_minutes * 60_000_000
+    s1, s2, s3 = stages
+
+    def per_user(g) -> "pd.DataFrame":
+        import pandas as pd
+
+        order = np.lexsort((g["event_id"].to_numpy(),
+                            g["ts"].to_numpy()))
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(
+            np.int64)[order]
+        et = g["event_type"].to_numpy()[order]
+        new_s = np.empty(len(ts), dtype=np.int64)
+        new_s[0] = 1
+        new_s[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+        sid = np.cumsum(new_s)
+        df = pd.DataFrame({"sid": sid, "ts": ts, "et": et})
+        n_sessions = int(sid[-1])
+        t1 = (df[df.et == s1].groupby("sid")["ts"].min())
+        n_s1 = len(t1)
+        d2 = df[df.et == s2].merge(t1.rename("t1"), on="sid")
+        t2 = (d2[d2.ts >= d2.t1].groupby("sid")["ts"].min())
+        n_s12 = len(t2)
+        d3 = df[df.et == s3].merge(t2.rename("t2"), on="sid")
+        n_s123 = int((d3[d3.ts >= d3.t2].groupby("sid").size() > 0).sum())
+        return pd.DataFrame([{"n_sessions": n_sessions, "n_s1": n_s1,
+                              "n_s12": n_s12, "n_s123": n_s123}])
+
+    parts = (events.select_columns(["user_id", "ts", "event_type",
+                                    "event_id"])
+             .groupby("user_id")
+             .map_groups(per_user, batch_format="pandas")
+             .to_pandas())
+    tot = parts.sum()
+    return pa.table({
+        "n_sessions": pa.array([int(tot.n_sessions)], type=pa.int64()),
+        "n_s1": pa.array([int(tot.n_s1)], type=pa.int64()),
+        "n_s12": pa.array([int(tot.n_s12)], type=pa.int64()),
+        "n_s123": pa.array([int(tot.n_s123)], type=pa.int64()),
+    })

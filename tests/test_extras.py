@@ -1784,3 +1784,44 @@ class TestRpLsh:
         b = x_sim.rp_lsh_dup_pairs(
             ray.data.from_arrow(t).repartition(7), threshold=0.9)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestSessionFunnel:
+    def _run(self, rows):
+        t = pa.table({
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array(np.array([r[1] for r in rows],
+                                    dtype="datetime64[us]")),
+            "event_type": pa.array([r[2] for r in rows], type=pa.string()),
+            "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        })
+        from colbert_ray.extras import relational as x_rel
+
+        return x_rel.session_funnel(ray.data.from_arrow(t)).to_pandas()
+
+    def test_full_funnel_and_order_enforcement(self):
+        MIN = 60 * 1_000_000
+        rows = [
+            # user 1 session 1: full ordered funnel
+            (1, 0 * MIN, "view"), (1, 1 * MIN, "click"),
+            (1, 2 * MIN, "purchase"),
+            # user 1 session 2 (2h later): click BEFORE view -> no s12
+            (1, 120 * MIN, "click"), (1, 121 * MIN, "view"),
+            # user 2: purchase before click -> s12 but no s123
+            (2, 0 * MIN, "view"), (2, 1 * MIN, "purchase"),
+            (2, 2 * MIN, "click"),
+            # user 3: view only
+            (3, 0 * MIN, "view"),
+            # user 4: no view at all
+            (4, 0 * MIN, "click"), (4, 1 * MIN, "purchase"),
+        ]
+        out = self._run(rows)
+        assert out.iloc[0].to_dict() == {
+            "n_sessions": 5, "n_s1": 4, "n_s12": 2, "n_s123": 1}
+
+    def test_equal_timestamp_ties_count_inclusive(self):
+        # click at the SAME microsecond as the first view qualifies (>=)
+        rows = [(7, 1000, "view"), (7, 1000, "click"), (7, 1000, "purchase")]
+        out = self._run(rows)
+        assert out.iloc[0].to_dict() == {
+            "n_sessions": 1, "n_s1": 1, "n_s12": 1, "n_s123": 1}
