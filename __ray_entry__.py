@@ -1202,6 +1202,75 @@ def _q_top_orders_per_cust(sf_dir: str) -> pd.DataFrame:
     return df[["o_custkey", "o_orderkey", "rn", "price_r"]]
 
 
+def _q_ndcg10(sf_dir: str) -> pd.DataFrame:
+    """Per-query NDCG@10 of the BM25 ranking against the same rule-derived
+    qrels as retrieval_metrics (binary relevance; queries with no relevant
+    doc score 0). DCG = sum 1/log2(rank+1) over relevant ranked docs;
+    IDCG over min(n_rel, 10) ideal ranks; round-6 both sides."""
+    import pyarrow as pa
+
+    from colbert_ray.pipelines.search import search
+
+    idx = _ensure_index(sf_dir)
+    qt = pa.table(
+        {"qid": pa.array([q for q, _ in QUERY_SET], type=pa.int64()),
+         "query": pa.array([t for _, t in QUERY_SET], type=pa.string())})
+    raw = search(qt, idx, k=50, with_sha=False).to_pandas()
+    rdf = _rerank_rounded(raw, "score", "docid", 10)
+    qr = _rule_qrels(sf_dir).to_pandas()
+    rows = []
+    for qid, _text in QUERY_SET:
+        rel = set(qr[qr.qid == qid]["docid"].tolist())
+        n_rel = len(rel)
+        g = rdf[rdf.qid == qid]
+        dcg = float(sum(1.0 / np.log2(r + 1)
+                        for r, d in zip(g["rank"], g["docid"]) if d in rel))
+        m = min(n_rel, 10)
+        idcg = float(sum(1.0 / np.log2(i + 1) for i in range(1, m + 1)))
+        ndcg = round(dcg / idcg, 6) if idcg > 0 else 0.0
+        rows.append({"qid": qid, "n_rel": n_rel, "ndcg10": ndcg})
+    out = pd.DataFrame(rows)
+    out["qid"] = out["qid"].astype(np.int64)
+    out["n_rel"] = out["n_rel"].astype(np.int64)
+    return out
+
+
+def _rule_qrels(sf_dir: str) -> "object":
+    """Rule-derived qrels Dataset (qid, docid): a doc is relevant iff it
+    contains ALL the query's terms — shared by retrieval_metrics and
+    ndcg10; computed distributed over the streaming documents table."""
+    from colbert_ray.functions.tokenizer import tokenize_column
+
+    qterms = [(qid, tokenize_query(text, CFG)[0]) for qid, text in QUERY_SET]
+
+    def qrels_batch(batch: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        toks = tokenize_column(batch.column("text"), CFG)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        out_q, out_d = [], []
+        n = batch.num_rows
+        for qid, terms in qterms:
+            if not terms:
+                continue
+            ok = np.ones(n, dtype=bool)
+            for t in terms:
+                has = np.zeros(n, dtype=bool)
+                sel = flat == t
+                has[np.unique(parents[sel])] = True
+                ok &= has
+            out_q.extend([qid] * int(ok.sum()))
+            out_d.extend(ids[ok].tolist())
+        return pa.table({"qid": pa.array(out_q, type=pa.int64()),
+                         "docid": pa.array(out_d, type=pa.int64())})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        qrels_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_retrieval_metrics(sf_dir: str) -> pd.DataFrame:
     """MRR@10 / Recall@10 / Success@{1,5} of the BM25 ranking against
     rule-derived qrels (a doc is relevant to a query iff it contains ALL the
@@ -1226,36 +1295,8 @@ def _q_retrieval_metrics(sf_dir: str) -> pd.DataFrame:
     rdf = _rerank_rounded(raw, "score", "docid", 10)
     ranking = ray.data.from_pandas(rdf)
 
-    # qrels by rule, computed distributed: per batch, per query, a vectorized
-    # all-terms-present membership test over each doc's token set
-    qterms = [(qid, tokenize_query(text, CFG)[0]) for qid, text in QUERY_SET]
-
-    def qrels_batch(batch: pa.Table) -> pa.Table:
-        toks = tokenize_column(batch.column("text"), CFG)
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        import pyarrow.compute as pc
-
-        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        flat = toks.flatten().to_numpy(zero_copy_only=False)
-        out_q, out_d = [], []
-        n = batch.num_rows
-        for qid, terms in qterms:
-            if not terms:
-                continue
-            ok = np.ones(n, dtype=bool)
-            for t in terms:
-                has = np.zeros(n, dtype=bool)
-                sel = flat == t
-                has[np.unique(parents[sel])] = True
-                ok &= has
-            out_q.extend([qid] * int(ok.sum()))
-            out_d.extend(ids[ok].tolist())
-        return pa.table({"qid": pa.array(out_q, type=pa.int64()),
-                         "docid": pa.array(out_d, type=pa.int64())})
-
-    qrels = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        qrels_batch, batch_format="pyarrow", zero_copy_batch=True
-    )
+    # qrels by rule (shared helper; computed distributed)
+    qrels = _rule_qrels(sf_dir)
     m = ev.ranking_metrics(ranking, qrels, mrr_at=10, recall_at=(10,),
                            success_at=(1, 5))
     for c in ("mrr@10", "recall@10", "success@1", "success@5"):
@@ -1570,6 +1611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_int8": _q_embedding_int8,
         "knn_q8_top5": _q_knn_q8_top5,
         "retrieval_metrics": _q_retrieval_metrics,
+        "ndcg10": _q_ndcg10,
         "pricing_summary": _q_pricing_summary,
         "pricing_rollup": _q_pricing_rollup,
         "weighted_sample_docs": _q_weighted_sample_docs,
@@ -1985,6 +2027,71 @@ SELECT qid::BIGINT AS qid, docid,
 FROM scores
 QUALIFY rank <= 10
 ORDER BY qid, rank
+"""
+
+
+def _ndcg_sql() -> str:
+    """Twin of ndcg10: rule qrels (ALL query terms present), DCG over the
+    bm25 twin's top-10, IDCG over min(n_rel, 10) ideal ranks."""
+    values = ",\n      ".join(
+        f"({qid}, '{term}')"
+        for qid, text in QUERY_SET
+        for term in tokenize_query(text, CFG)[0]
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {_toks_expr()} AS toks FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS term FROM docs
+),
+tf AS (
+  SELECT DISTINCT doc_id, term FROM tok
+),
+q(qid, term) AS (
+  VALUES {values}
+),
+qn AS (
+  SELECT qid, count(DISTINCT term) AS nt FROM q GROUP BY qid
+),
+qrels AS (
+  SELECT q.qid, tf.doc_id AS docid
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN qn ON qn.qid = q.qid
+  GROUP BY q.qid, tf.doc_id, qn.nt
+  HAVING count(DISTINCT q.term) = qn.nt
+),
+bm AS (
+  SELECT qid, docid, rank FROM ({_bm25_sql()})
+),
+dcg AS (
+  SELECT bm.qid, sum(1.0 / log2(bm.rank + 1)) AS dcg
+  FROM bm JOIN qrels ON qrels.qid = bm.qid AND qrels.docid = bm.docid
+  GROUP BY bm.qid
+),
+nrel AS (
+  SELECT qid, count(*) AS n_rel FROM qrels GROUP BY qid
+),
+idcg AS (
+  SELECT n.qid, sum(1.0 / log2(g.i + 1)) AS idcg
+  FROM nrel n,
+       LATERAL (SELECT unnest(generate_series(1, least(n.n_rel, 10))) AS i) g
+  GROUP BY n.qid
+),
+base AS (
+  SELECT DISTINCT qid FROM q
+)
+SELECT b.qid::BIGINT AS qid,
+       coalesce(n.n_rel, 0)::BIGINT AS n_rel,
+       CASE WHEN i.idcg > 0
+            THEN round(coalesce(d.dcg, 0) / i.idcg, 6)
+            ELSE 0.0 END AS ndcg10
+FROM base b
+LEFT JOIN nrel n ON n.qid = b.qid
+LEFT JOIN dcg d ON d.qid = b.qid
+LEFT JOIN idcg i ON i.qid = b.qid
+ORDER BY qid
 """
 
 
@@ -3035,6 +3142,7 @@ FROM q GROUP BY vec_id ORDER BY vec_id
 """,
         "knn_q8_top5": _knn_q8_sql(),
         "retrieval_metrics": _metrics_sql(),
+        "ndcg10": _ndcg_sql(),
         "minhash_dup_pairs": _minhash_sql(),
         "ivf_knn_top5": _ivf_sql(),
         "fingerprints": _fingerprint_sql(),
