@@ -362,11 +362,23 @@ def _q_compacted_bm25_top10(sf_dir: str) -> pd.DataFrame:
         columns={"score": "score_r"})
 
 
+_BM25_TOP10_MEMO: dict = {}
+
+
 def _q_bm25_top10(sf_dir: str) -> pd.DataFrame:
     import pyarrow as pa
 
     from colbert_ray.pipelines.search import search_table
 
+    # memoized per source identity: the composites built on this ranking
+    # (rm3 / rrf / facets / snippets / ndcg) each call it, and the search
+    # is deterministic for a given documents.parquet
+    src = _doc_path(sf_dir, "documents")
+    st = os.stat(src)
+    key = (os.path.abspath(src), st.st_mtime_ns, st.st_size)
+    hit = _BM25_TOP10_MEMO.get(key)
+    if hit is not None:
+        return hit.copy()
     idx = _ensure_index(sf_dir)
     qt = pa.table(
         {
@@ -376,7 +388,10 @@ def _q_bm25_top10(sf_dir: str) -> pd.DataFrame:
     )
     res = search_table(qt, idx, k=50, with_sha=False).to_pandas()
     out = _rerank_rounded(res, "score", "docid", 10)
-    return out[["qid", "docid", "rank", "score"]].rename(columns={"score": "score_r"})
+    out = out[["qid", "docid", "rank", "score"]].rename(
+        columns={"score": "score_r"})
+    _BM25_TOP10_MEMO[key] = out
+    return out.copy()
 
 
 def _q_bm25_top10_bmw(sf_dir: str) -> pd.DataFrame:
