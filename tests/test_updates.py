@@ -140,3 +140,26 @@ def test_compaction_equals_clean_build(small_fixture, tmp_path_factory):
         assert a[1].tolist() == b[1].tolist()    # exact float equality
     # deltas cleared
     assert not glob.glob(os.path.join(d_inc, "deltas", "delta_*"))
+
+
+def test_ql_ranker_over_updated_index(built_index):
+    """Dirichlet QL over a delta+tombstone view: added docs rank for their
+    new term, tombstoned docs never rank, cf comes from the served
+    (folded) postings."""
+    upd = IndexUpdater(built_index)
+    new_ids = upd.add_documents(_added_docs(), content_col="content")
+    sc = BM25Scorer(built_index, k=10, with_sha=False, ranker="ql")
+    d, s, r = sc.score_query(MAGIC)
+    assert set(new_ids[:1]) <= set(d.tolist())   # magic docs rank
+    # tombstone the top magic doc; QL must drop it
+    upd.remove_docids([int(d[0])])
+    os.utime(os.path.join(built_index, "metadata.json"))
+    sc2 = BM25Scorer(built_index, k=10, with_sha=False, ranker="ql")
+    d2, _, _ = sc2.score_query(MAGIC)
+    assert int(d[0]) not in d2.tolist()
+    # cf over folded postings: magic's cf is the sum of added tfs (3)
+    idx = sc2.idx
+    tid = idx.lookup_terms([MAGIC])
+    assert len(tid) == 1
+    _, tfs = idx.postings_slice_raw(int(tid[0]))
+    assert int(np.asarray(tfs, dtype=np.int64).sum()) == 3
