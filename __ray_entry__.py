@@ -745,6 +745,38 @@ MMR_LAM = 0.7
 MMR_N_CAND = 20
 
 
+MLT_SEEDS = [0, 1, 2, 3, 4]
+MLT_TERMS = 5
+
+
+def _q_more_like_this(sf_dir: str) -> pd.DataFrame:
+    """More-like-this recommendation: each seed document's top-5 TF-IDF
+    keywords (corpus-wide df, extras/textstats.tfidf_topk subset path)
+    become a BM25 query; the seed itself is excluded from its results."""
+    import pyarrow as pa
+
+    from colbert_ray.extras import textstats as x_ts
+    from colbert_ray.pipelines.search import search_table
+
+    idx = _ensure_index(sf_dir)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    kw = x_ts.tfidf_topk(docs, k=MLT_TERMS,
+                         subset_ids=MLT_SEEDS).to_pandas()
+    kw = kw.sort_values(["doc_id", "rank"])
+    qrows = [(int(seed),
+              " ".join(kw[kw.doc_id == seed]["term"].tolist()))
+             for seed in MLT_SEEDS]
+    qt = pa.table({
+        "qid": pa.array([q for q, _ in qrows], type=pa.int64()),
+        "query": pa.array([t for _, t in qrows], type=pa.string()),
+    })
+    res = search_table(qt, idx, k=50, with_sha=False).to_pandas()
+    res = res[res["docid"] != res["qid"]]        # never recommend the seed
+    out = _rerank_rounded(res, "score", "docid", 5)
+    return out[["qid", "docid", "rank", "score"]].rename(
+        columns={"score": "score_r", "qid": "seed_id"})
+
+
 def _q_mmr_knn_top5(sf_dir: str) -> pd.DataFrame:
     """MMR diversification (extras/simsearch.py:mmr_diversify) of the
     exact-kNN top-20: greedy lam*rel - (1-lam)*max-sim-to-selected over
@@ -1619,6 +1651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": _q_dup_clusters,
         "contaminated_docs": _q_contaminated_docs,
         "knn_cosine_top5": _q_knn_cosine_top5,
+        "more_like_this": _q_more_like_this,
         "mmr_knn_top5": _q_mmr_knn_top5,
         "rplsh_dup_pairs": _q_rplsh_dup_pairs,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
@@ -2382,6 +2415,65 @@ ORDER BY id_a, id_b
 """
 
 
+def _mlt_sql() -> str:
+    """Twin of more_like_this: tfidf keyword selection (tfidf_top5's exact
+    conventions, corpus-wide df) for the seed docs, then plain BM25 with
+    those keywords as the query, seed excluded before ranking."""
+    seeds = ", ".join(str(i) for i in MLT_SEEDS)
+    k1, b = CFG.k1, CFG.b
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {_toks_expr()} AS toks FROM documents
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM docs
+),
+tok AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM docs
+),
+tf AS (
+  SELECT doc_id, term, any_value(dl) AS dl, count(*) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+kw AS (
+  SELECT doc_id AS seed_id, term FROM (
+    SELECT tf.doc_id, tf.term,
+           round(tf.tf::DOUBLE
+                 * ln((SELECT count(*)::DOUBLE FROM documents)
+                      / df.df::DOUBLE), 6) AS tfidf,
+           row_number() OVER (
+             PARTITION BY tf.doc_id
+             ORDER BY round(tf.tf::DOUBLE
+                            * ln((SELECT count(*)::DOUBLE FROM documents)
+                                 / df.df::DOUBLE), 6) DESC, tf.term) AS r
+    FROM tf JOIN df USING (term)
+    WHERE tf.doc_id IN ({seeds})
+  ) WHERE r <= {MLT_TERMS}
+),
+scores AS (
+  SELECT kw.seed_id, tf.doc_id AS docid,
+         sum( ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * tf.tf * ({k1} + 1.0)
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.dl / s.avgdl)) ) AS score
+  FROM kw
+  JOIN df ON df.term = kw.term
+  JOIN tf ON tf.term = kw.term
+  CROSS JOIN stats s
+  WHERE tf.doc_id <> kw.seed_id
+  GROUP BY kw.seed_id, tf.doc_id
+)
+SELECT seed_id, docid,
+       row_number() OVER (PARTITION BY seed_id ORDER BY round(score, 6) DESC, docid) AS rank,
+       round(score, 6) AS score_r
+FROM scores
+QUALIFY rank <= 5
+ORDER BY seed_id, rank
+"""
+
+
 def _mmr_sql() -> str:
     """Twin of mmr_diversify: greedy selection unrolled to 5 steps, each
     carrying the selected set as a LIST; input similarities rounded 6 dp,
@@ -3110,6 +3202,7 @@ GROUP BY n ORDER BY doc_id
 """,
         "contaminated_docs": _contam_sql(),
         "knn_cosine_top5": _knn_sql(),
+        "more_like_this": _mlt_sql(),
         "mmr_knn_top5": _mmr_sql(),
         "rplsh_dup_pairs": _rplsh_sql(),
         "embedding_dup_pairs": f"""

@@ -123,7 +123,8 @@ def bigram_stats(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Da
 
 def tfidf_topk(ds: "ray.data.Dataset", k: int = 5, text_col: str = "text",
                id_col: str = "doc_id",
-               n_docs: int | None = None) -> "ray.data.Dataset":
+               n_docs: int | None = None,
+               subset_ids=None) -> "ray.data.Dataset":
     """Top-k TF-IDF keywords per document: (doc_id, term, tfidf, rank) with
     tfidf = tf * ln(n_docs / df) rounded to 6 decimals and rank ties broken
     by term (ascending) — the keyword-extraction building block.
@@ -145,10 +146,18 @@ def tfidf_topk(ds: "ray.data.Dataset", k: int = 5, text_col: str = "text",
     df_tbl = df_tbl.sort_values("term").reset_index(drop=True)
     vocab = df_tbl["term"].to_numpy()
     idf = np.log(float(n_docs) / df_tbl["df"].to_numpy(dtype=np.float64))
-    ref = _ray.put((vocab, idf))
+    # subset_ids: statistics stay CORPUS-wide (df/idf from pass 1 above),
+    # but pass 2 scores only the requested docs — the more-like-this seed
+    # path, where keywords of a handful of docs are wanted
+    sub = (np.sort(np.asarray(subset_ids, dtype=np.int64))
+           if subset_ids is not None else None)
+    ref = _ray.put((vocab, idf, sub))
 
     def score(batch: pa.Table) -> pa.Table:
-        v, iv = _ray.get(ref)
+        v, iv, sub_ids = _ray.get(ref)
+        if sub_ids is not None:
+            bi = batch.column(id_col).to_numpy(zero_copy_only=False)
+            batch = batch.filter(pa.array(np.isin(bi, sub_ids)))
         _, terms, tfs = doc_term_frequencies(batch.column(text_col), cfg)
         offs = terms.offsets.to_numpy(zero_copy_only=False)
         flat_t = terms.flatten().to_numpy(zero_copy_only=False)
