@@ -110,14 +110,24 @@ def _rerank_rounded(df: pd.DataFrame, score_col: str, id_col: str, k: int) -> pd
 QL_MU = 2000.0
 
 
+_QL_TOP10_MEMO: dict = {}
+
+
 def _q_lm_dirichlet_top10(sf_dir: str) -> pd.DataFrame:
     """Dirichlet query-likelihood ranking over the SAME index as
     bm25_top10 (functions/ql.py) — the pluggable-scorer gate: one stored
-    index, two exact rankers."""
+    index, two exact rankers. Memoized per source identity (rrf reuses
+    it, like _q_bm25_top10's memo)."""
     import pyarrow as pa
 
     from colbert_ray.pipelines.search import search_table
 
+    src = _doc_path(sf_dir, "documents")
+    st = os.stat(src)
+    key = (os.path.abspath(src), st.st_mtime_ns, st.st_size)
+    hit = _QL_TOP10_MEMO.get(key)
+    if hit is not None:
+        return hit.copy()
     idx = _ensure_index(sf_dir)
     qt = pa.table(
         {
@@ -128,8 +138,10 @@ def _q_lm_dirichlet_top10(sf_dir: str) -> pd.DataFrame:
     res = search_table(qt, idx, k=50, with_sha=False, ranker="ql",
                        mu=QL_MU).to_pandas()
     out = _rerank_rounded(res, "score", "docid", 10)
-    return out[["qid", "docid", "rank", "score"]].rename(
+    out = out[["qid", "docid", "rank", "score"]].rename(
         columns={"score": "score_r"})
+    _QL_TOP10_MEMO[key] = out
+    return out.copy()
 
 
 # IndexUpdater gate (T6): deterministic delta scenario applied on a COPY
@@ -161,10 +173,12 @@ def _q_updated_bm25_top10(sf_dir: str) -> pd.DataFrame:
 
     src = _doc_path(sf_dir, "documents")
     st = os.stat(src)
+    scenario = repr((UPD_REMOVED, UPD_ADDED_TEXTS))
     root = os.path.join("/tmp/colbert_ray_driver",
                         "upd_" + hashlib.sha256(
                             f"{os.path.abspath(src)}:{st.st_mtime_ns}:"
-                            f"{st.st_size}".encode()).hexdigest()[:12])
+                            f"{st.st_size}:{scenario}".encode()
+                        ).hexdigest()[:12])
     idx = os.path.join(root, "index")
     build_index(src, idx, CFG, content_col="text", key_cols=(),
                 meta_cols=("lang", "source"), docid_col="doc_id")
@@ -271,26 +285,12 @@ def _q_search_facets(sf_dir: str) -> pd.DataFrame:
 def _q_rrf_bm25_ql_top5(sf_dir: str) -> pd.DataFrame:
     """Reciprocal-rank fusion (pipelines/evaluate.py:reciprocal_rank_fusion)
     of the BM25 and Dirichlet-QL top-10 lists over the same index — fusing
-    incomparable scorers by rank, the K7/D6 rank-based complement."""
-    import pyarrow as pa
-
+    incomparable scorers by rank, the K7/D6 rank-based complement. Both
+    input rankings come from the per-source memos (no re-search)."""
     from colbert_ray.pipelines.evaluate import reciprocal_rank_fusion
-    from colbert_ray.pipelines.search import search_table
 
-    idx = _ensure_index(sf_dir)
-    qt = pa.table(
-        {
-            "qid": pa.array([q for q, _ in QUERY_SET], type=pa.int64()),
-            "query": pa.array([t for _, t in QUERY_SET], type=pa.string()),
-        }
-    )
-    bm = _rerank_rounded(
-        search_table(qt, idx, k=50, with_sha=False).to_pandas(),
-        "score", "docid", 10)
-    ql = _rerank_rounded(
-        search_table(qt, idx, k=50, with_sha=False, ranker="ql",
-                     mu=QL_MU).to_pandas(),
-        "score", "docid", 10)
+    bm = _q_bm25_top10(sf_dir)
+    ql = _q_lm_dirichlet_top10(sf_dir)
     fused = reciprocal_rank_fusion([bm, ql], k=50)
     out = _rerank_rounded(fused, "fused", "docid", 5)
     return out[["qid", "docid", "rank", "fused"]].rename(
@@ -312,10 +312,12 @@ def _q_compacted_bm25_top10(sf_dir: str) -> pd.DataFrame:
 
     src = _doc_path(sf_dir, "documents")
     st = os.stat(src)
+    scenario = repr((UPD_REMOVED, UPD_ADDED_TEXTS))
     root = os.path.join("/tmp/colbert_ray_driver",
                         "cmp_" + hashlib.sha256(
                             f"{os.path.abspath(src)}:{st.st_mtime_ns}:"
-                            f"{st.st_size}".encode()).hexdigest()[:12])
+                            f"{st.st_size}:{scenario}".encode()
+                        ).hexdigest()[:12])
     idx = os.path.join(root, "index")
     live_path = os.path.join(root, "live.parquet")
     marker = os.path.join(root, "_compacted")
@@ -1254,16 +1256,7 @@ def _q_ndcg10(sf_dir: str) -> pd.DataFrame:
     qrels as retrieval_metrics (binary relevance; queries with no relevant
     doc score 0). DCG = sum 1/log2(rank+1) over relevant ranked docs;
     IDCG over min(n_rel, 10) ideal ranks; round-6 both sides."""
-    import pyarrow as pa
-
-    from colbert_ray.pipelines.search import search
-
-    idx = _ensure_index(sf_dir)
-    qt = pa.table(
-        {"qid": pa.array([q for q, _ in QUERY_SET], type=pa.int64()),
-         "query": pa.array([t for _, t in QUERY_SET], type=pa.string())})
-    raw = search(qt, idx, k=50, with_sha=False).to_pandas()
-    rdf = _rerank_rounded(raw, "score", "docid", 10)
+    rdf = _q_bm25_top10(sf_dir)          # memoized rounded top-10
     qr = _rule_qrels(sf_dir).to_pandas()
     rows = []
     for qid, _text in QUERY_SET:
@@ -1325,8 +1318,6 @@ def _q_retrieval_metrics(sf_dir: str) -> pd.DataFrame:
     import pyarrow as pa
     import ray.data
 
-    from colbert_ray.extras.textstats import _cfg
-    from colbert_ray.functions.tokenizer import tokenize_column
     from colbert_ray.pipelines import evaluate as ev
     from colbert_ray.pipelines.search import search
 

@@ -5,6 +5,8 @@ analogs), expressed standalone so they are oracle-checkable in SQL."""
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pyarrow as pa
 import ray.data
@@ -998,18 +1000,23 @@ def json_props_stats(events: "ray.data.Dataset",
     ``props`` column and aggregate it per event_type.
 
     Hot path is ZERO-python-loop: ``pc.extract_regex`` pulls the field's
-    numeric token straight out of the JSON text (exact for flat integer
-    fields). Rows the regex does NOT match (null props, nested/strange
-    encodings) fall back to ``json.loads`` — a per-row loop over only the
-    mismatches, so the fallback costs nothing when the data is clean.
-    Aggregation is map-side partial (per batch, per type) -> one tiny
-    groupby over partials.
+    integer straight out of the JSON text, anchored so only FLAT
+    top-level integer fields match. Everything else (null props, nested
+    objects, non-integer values) falls to a ``json.loads`` loop over only
+    the mismatches, which keeps TOP-LEVEL integer values and DROPS the
+    rest — the declared semantics of an integer field (the SQL twin's
+    BIGINT cast would error on a float). Aggregation is map-side partial
+    (per batch, per type) -> one tiny groupby over partials.
     """
     import json as _json
 
     import pyarrow.compute as pc
 
-    pat = '"' + field + '"\\s*:\\s*(?P<v>-?\\d+)'
+    # anchored to a FLAT top-level object: no nested braces may precede
+    # the field, and the integer must be terminated by ',' or '}' — so
+    # nested objects and non-integer values never false-positive; they
+    # fall to the json.loads path below
+    pat = ('^\\{[^{}]*"' + field + '"\\s*:\\s*(?P<v>-?\\d+)\\s*[,}]')
 
     def extract_partial(b: pa.Table) -> pa.Table:
         props = b.column("props")
@@ -1022,8 +1029,15 @@ def json_props_stats(events: "ray.data.Dataset",
             for i in np.flatnonzero(miss.to_numpy()):
                 try:
                     d = _json.loads(raw.iloc[i])
-                    if isinstance(d, dict) and field in d:
-                        vals.iloc[i] = int(d[field])
+                    v = d.get(field) if isinstance(d, dict) else None
+                    # mirror the twin's CAST(json_extract_string AS BIGINT):
+                    # ints and integer STRINGS count (bool is an int
+                    # subclass — exclude); floats would error the SQL cast,
+                    # so they are dropped here
+                    if isinstance(v, int) and not isinstance(v, bool):
+                        vals.iloc[i] = int(v)
+                    elif isinstance(v, str) and re.fullmatch(r"-?\d+", v):
+                        vals.iloc[i] = int(v)
                 except (ValueError, TypeError):
                     pass
         ok = vals.notna().to_numpy()
@@ -1089,7 +1103,12 @@ def late_events(events: "ray.data.Dataset",
     bmax = (events.select_columns(["event_id", "ts"])
             .map_batches(bucket_partial, batch_format="pyarrow")
             .groupby("bucket").aggregate(_Max("max_ts", alias_name="max_ts"))
-            .to_pandas().sort_values("bucket"))
+            .to_pandas())
+    if bmax.empty:                             # empty input -> empty result
+        return pa.table({"event_type": pa.array([], type=pa.string()),
+                         "n_late": pa.array([], type=pa.int64()),
+                         "n_events": pa.array([], type=pa.int64())})
+    bmax = bmax.sort_values("bucket")
     buckets = bmax["bucket"].to_numpy(dtype=np.int64)
     maxima = bmax["max_ts"].to_numpy(dtype=np.int64)
     # exclusive prefix over OCCUPIED buckets (gaps carry forward implicitly)
@@ -1166,9 +1185,10 @@ def cohort_retention(events: "ray.data.Dataset",
              .groupby(["user_id", "week"])
              .aggregate(_Count(alias_name="_c"))      # global distinct
              .drop_columns(["_c"]))
-    first = (events.select_columns(["user_id", "ts"])
-             .map_batches(to_week, batch_format="pyarrow")
-             .groupby("user_id").aggregate(Min("week", alias_name="cohort_week")))
+    # cohort week from the already-deduped pairs — the corpus is scanned
+    # and week-bucketized exactly once
+    first = pairs.groupby("user_id").aggregate(
+        Min("week", alias_name="cohort_week"))
     joined = pairs.join(first, join_type="inner", num_partitions=8,
                         on=("user_id",))
 
@@ -1240,6 +1260,13 @@ def session_funnel(events: "ray.data.Dataset",
              .groupby("user_id")
              .map_groups(per_user, batch_format="pandas")
              .to_pandas())
+    if parts.empty:
+        return pa.table({
+            "n_sessions": pa.array([0], type=pa.int64()),
+            "n_s1": pa.array([0], type=pa.int64()),
+            "n_s12": pa.array([0], type=pa.int64()),
+            "n_s123": pa.array([0], type=pa.int64()),
+        })
     tot = parts.sum()
     return pa.table({
         "n_sessions": pa.array([int(tot.n_sessions)], type=pa.int64()),

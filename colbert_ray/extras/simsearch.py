@@ -570,19 +570,11 @@ def mmr_diversify(
     the greedy loop runs on the driver over k x n_cand rounded floats —
     the corpus is never touched beyond the semi-join.
     """
-    import ray as _ray
+    from colbert_ray.functions.util import broadcast_semi_join
 
-    cand_ids = np.unique(candidates["vec_id"].to_numpy(dtype=np.int64))
-    ids_ref = _ray.put(cand_ids)
-
-    def semi(b: pa.Table) -> pa.Table:
-        ids = _ray.get(ids_ref)
-        d = b.column(id_col).to_numpy(zero_copy_only=False)
-        return b.filter(pa.array(np.isin(d, ids)))
-
-    vec_rows = (ds.select_columns([id_col, vec_col])
-                .map_batches(semi, batch_format="pyarrow")
-                .to_pandas())
+    vec_rows = broadcast_semi_join(
+        ds.select_columns([id_col, vec_col]),
+        candidates["vec_id"].to_numpy(dtype=np.int64), id_col).to_pandas()
     vecs = _normalize(np.stack(
         vec_rows[vec_col].to_numpy()).astype(np.float64))
     row_of = {int(i): r for r, i in enumerate(vec_rows[id_col].to_numpy())}
@@ -593,7 +585,6 @@ def mmr_diversify(
         rel = g[rel_col].to_numpy(dtype=np.float64)
         m = vecs[[row_of[int(i)] for i in ids]]
         sims = np.round(m @ m.T, 6)                 # rounded pairwise
-        order = np.argsort(ids, kind="stable")     # vec_id tie order base
         chosen: list[int] = []
         avail = np.ones(len(ids), dtype=bool)
         for r in range(min(k, len(ids))):
@@ -602,8 +593,7 @@ def mmr_diversify(
             else:
                 maxsim = np.zeros(len(ids))
             score = lam * rel - (1.0 - lam) * maxsim
-            score[~avail] = -np.inf
-            # argmax by (score desc, vec_id asc)
+            # argmax by (score desc, vec_id asc) over available candidates
             best = max(np.flatnonzero(avail),
                        key=lambda i: (score[i], -int(ids[i])))
             chosen.append(best)
@@ -720,18 +710,12 @@ def rp_lsh_dup_pairs(
                              "cosine_r": pd.Series([], dtype=np.float64)})
 
     # verify: quantized cosine over the candidates' codes (bounded side)
-    need = np.unique(np.concatenate([pairs["id_a"].to_numpy(dtype=np.int64),
-                                     pairs["id_b"].to_numpy(dtype=np.int64)]))
-    import ray as _ray
+    from colbert_ray.functions.util import broadcast_semi_join
 
-    need_ref = _ray.put(need)
-
-    def fetch(b: pa.Table) -> pa.Table:
-        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        return b.filter(pa.array(np.isin(ids, _ray.get(need_ref))))
-
-    rows = (ds.select_columns([id_col, vec_col])
-            .map_batches(fetch, batch_format="pyarrow").to_pandas())
+    need = np.concatenate([pairs["id_a"].to_numpy(dtype=np.int64),
+                           pairs["id_b"].to_numpy(dtype=np.int64)])
+    rows = broadcast_semi_join(ds.select_columns([id_col, vec_col]),
+                               need, id_col).to_pandas()
     order = np.argsort(rows[id_col].to_numpy())
     rows = rows.iloc[order]
     q = _codes(pa.Table.from_pandas(rows, preserve_index=False))

@@ -42,3 +42,23 @@ def search_defaults_for_k(k: int) -> dict:
     if k <= 100:
         return {"oversample": 2, "prefer_dense": True}
     return {"oversample": 1, "prefer_dense": False}
+
+
+def broadcast_semi_join(ds: "object", ids, id_col: str) -> "object":
+    """Filter a streaming Dataset to rows whose ``id_col`` is in the
+    BOUNDED ``ids`` set: the set is ``ray.put`` ONCE and probed with a
+    vectorized ``np.isin`` inside ``map_batches`` — the shared
+    small-side-broadcast semi-join used by facet counts, feedback term
+    stats, snippets, MMR and RP-LSH candidate fetches (never a shuffle;
+    the big side streams)."""
+    import ray as _ray
+
+    ids_arr = np.unique(np.asarray(ids, dtype=np.int64))
+    ref = _ray.put(ids_arr)
+
+    def keep(b: pa.Table) -> pa.Table:
+        allowed = _ray.get(ref)
+        d = b.column(id_col).to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(np.isin(d, allowed)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

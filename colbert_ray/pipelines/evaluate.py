@@ -140,21 +140,11 @@ def facet_counts(
     semi-join filter — only hit rows' metadata ever leaves a corpus task.
     The per-(qid, facet) count happens on the driver over bounded rows.
     """
-    import ray as _ray
+    from colbert_ray.functions.util import broadcast_semi_join
 
-    hit_ids = np.unique(ranking["docid"].to_numpy(dtype=np.int64))
-    ids_ref = _ray.put(hit_ids)
-
-    def semi(b: "pa.Table") -> "pa.Table":
-        import pyarrow as _pa
-
-        ids = _ray.get(ids_ref)
-        d = b.column(id_col).to_numpy(zero_copy_only=False)
-        return b.filter(_pa.array(np.isin(d, ids)))
-
-    meta = (corpus.select_columns([id_col, *facet_cols])
-            .map_batches(semi, batch_format="pyarrow")
-            .to_pandas())
+    meta = broadcast_semi_join(
+        corpus.select_columns([id_col, *facet_cols]),
+        ranking["docid"].to_numpy(dtype=np.int64), id_col).to_pandas()
     joined = ranking[["qid", "docid"]].merge(
         meta.rename(columns={id_col: "docid"}), on="docid", how="inner")
     out = (joined.groupby(["qid", *facet_cols], as_index=False)

@@ -43,19 +43,12 @@ def feedback_term_stats(
 ) -> pd.DataFrame:
     """(docid, term, tf, dl) rows for every docid in ``ranking`` — corpus
     streams, tokenization runs in the corpus tasks, output is bounded."""
-    import ray as _ray
-
     from colbert_ray.functions.tokenizer import doc_term_frequencies
-
-    hit_ids = np.unique(ranking["docid"].to_numpy(dtype=np.int64))
-    ids_ref = _ray.put(hit_ids)
+    from colbert_ray.functions.util import broadcast_semi_join
 
     def stats(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        ids = _ray.get(ids_ref)
-        d = b.column(id_col).to_numpy(zero_copy_only=False)
-        b = b.filter(pa.array(np.isin(d, ids)))
         if b.num_rows == 0:
             return pa.table({"docid": pa.array([], type=pa.int64()),
                              "term": pa.array([], type=pa.string()),
@@ -72,9 +65,10 @@ def feedback_term_stats(
             "dl": pa.array(doclens[parents].astype(np.int64)),
         })
 
-    return (corpus.select_columns([id_col, text_col])
-            .map_batches(stats, batch_format="pyarrow")
-            .to_pandas())
+    hits = broadcast_semi_join(
+        corpus.select_columns([id_col, text_col]),
+        ranking["docid"].to_numpy(dtype=np.int64), id_col)
+    return hits.map_batches(stats, batch_format="pyarrow").to_pandas()
 
 
 def rm3_expansions(

@@ -53,10 +53,6 @@ def extract_snippets(
 
     def snip(b: pa.Table) -> pa.Table:
         d2q, qs = _ray.get(bcast)
-        d = b.column(id_col).to_numpy(zero_copy_only=False)
-        m = np.isin(d, np.fromiter(d2q.keys(), dtype=np.int64,
-                                   count=len(d2q)))
-        b = b.filter(pa.array(m))
         out = {"qid": [], "docid": [], "start": [], "n_hits": [],
                "snippet": []}
         if b.num_rows:
@@ -93,7 +89,11 @@ def extract_snippets(
             "snippet": pa.array(out["snippet"], type=pa.string()),
         })
 
-    res = (corpus.select_columns([id_col, text_col])
-           .map_batches(snip, batch_format="pyarrow")
-           .to_pandas())
+    from colbert_ray.functions.util import broadcast_semi_join
+
+    hits = broadcast_semi_join(corpus.select_columns([id_col, text_col]),
+                               np.fromiter(doc_to_qids.keys(),
+                                           dtype=np.int64,
+                                           count=len(doc_to_qids)), id_col)
+    res = hits.map_batches(snip, batch_format="pyarrow").to_pandas()
     return res.sort_values(["qid", "docid"]).reset_index(drop=True)

@@ -612,6 +612,11 @@ class BM25Scorer:
     def _call_weighted(self, batch: pa.Table) -> pa.Table:
         """Batch form for weighted queries: columns qid int64,
         terms list<string>, weights list<double> -> ranking rows."""
+        if self.parent_base is not None:
+            # weighted scoring has no parent-max reduction; silently
+            # returning passage-level docids would betray the caller
+            raise ValueError("weighted-query batches do not support "
+                             "parent_base (max-passage) mode")
         qids = batch.column("qid").to_pylist()
         terms_l = batch.column("terms").to_pylist()
         weights_l = batch.column("weights").to_pylist()

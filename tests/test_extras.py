@@ -1825,3 +1825,19 @@ class TestSessionFunnel:
         out = self._run(rows)
         assert out.iloc[0].to_dict() == {
             "n_sessions": 1, "n_s1": 1, "n_s12": 1, "n_s123": 1}
+
+
+def test_late_events_and_funnel_empty_input():
+    from colbert_ray.extras import relational as x_rel
+
+    empty = pa.table({
+        "event_id": pa.array([], type=pa.int64()),
+        "ts": pa.array([], type=pa.timestamp("us")),
+        "event_type": pa.array([], type=pa.string()),
+        "user_id": pa.array([], type=pa.int64()),
+    })
+    le = x_rel.late_events(ray.data.from_arrow(empty)).to_pandas()
+    assert len(le) == 0
+    sf = x_rel.session_funnel(ray.data.from_arrow(empty)).to_pandas()
+    assert sf.iloc[0].to_dict() == {"n_sessions": 0, "n_s1": 0,
+                                    "n_s12": 0, "n_s123": 0}

@@ -143,3 +143,22 @@ def test_weighted_terms_oov_and_empty():
     d3, s3, _ = sc.score_weighted_terms([idx.dict_terms[0]], [1.0])
     np.testing.assert_array_equal(d2, d3)
     np.testing.assert_array_equal(s2, s3)
+
+
+def test_weighted_batch_rejects_parent_base():
+    rng = np.random.default_rng(13)
+    from tests.test_maxscore_property import make_scorer, synth_index
+
+    import pyarrow as pa
+
+    idx = synth_index(rng, n_docs=50, n_terms=5)
+    sc = make_scorer(idx, k=5, prune=False)
+    sc.parent_base = 100
+    batch = pa.table({
+        "qid": pa.array([1], type=pa.int64()),
+        "terms": pa.array([[str(idx.dict_terms[0])]],
+                          type=pa.list_(pa.string())),
+        "weights": pa.array([[1.0]], type=pa.list_(pa.float64())),
+    })
+    with pytest.raises(ValueError):
+        sc._call_weighted(batch)
