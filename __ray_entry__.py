@@ -779,6 +779,23 @@ def _q_more_like_this(sf_dir: str) -> pd.DataFrame:
         columns={"score": "score_r", "qid": "seed_id"})
 
 
+def _q_hybrid_mlt_top5(sf_dir: str) -> pd.DataFrame:
+    """Hybrid dense+sparse similar-docs retrieval: RRF fusion of the
+    more-like-this BM25 ranking (sparse) and the exact embedding-kNN
+    ranking (dense) for the same seed ids — the modern two-tower hybrid
+    pattern, composed from two already-gated rankings."""
+    from colbert_ray.pipelines.evaluate import reciprocal_rank_fusion
+
+    bm = _q_more_like_this(sf_dir).rename(columns={"seed_id": "qid"})
+    kn = _q_knn_cosine_top5(sf_dir).rename(columns={"vec_id": "docid"})
+    fused = reciprocal_rank_fusion(
+        [bm[["qid", "docid", "rank"]], kn[["qid", "docid", "rank"]]], k=50)
+    out = _rerank_rounded(fused, "fused", "docid", 5)
+    out = out[["qid", "docid", "rank", "fused"]].rename(
+        columns={"qid": "seed_id", "fused": "fused_r"})
+    return out
+
+
 def _q_mmr_knn_top5(sf_dir: str) -> pd.DataFrame:
     """MMR diversification (extras/simsearch.py:mmr_diversify) of the
     exact-kNN top-20: greedy lam*rel - (1-lam)*max-sim-to-selected over
@@ -1643,6 +1660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contaminated_docs": _q_contaminated_docs,
         "knn_cosine_top5": _q_knn_cosine_top5,
         "more_like_this": _q_more_like_this,
+        "hybrid_mlt_top5": _q_hybrid_mlt_top5,
         "mmr_knn_top5": _q_mmr_knn_top5,
         "rplsh_dup_pairs": _q_rplsh_dup_pairs,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
@@ -2465,6 +2483,32 @@ ORDER BY seed_id, rank
 """
 
 
+def _hybrid_mlt_sql() -> str:
+    """Twin of hybrid_mlt_top5: RRF over the mlt and knn twins' rankings."""
+    return f"""
+WITH bm AS (
+  SELECT seed_id AS qid, docid, rank FROM ({_mlt_sql()})
+),
+kn AS (
+  SELECT qid, vec_id AS docid, rank FROM ({_knn_sql()})
+),
+u AS (
+  SELECT qid, docid, 1.0 / (60.0 + rank) AS contrib FROM bm
+  UNION ALL
+  SELECT qid, docid, 1.0 / (60.0 + rank) AS contrib FROM kn
+),
+f AS (
+  SELECT qid, docid, sum(contrib) AS fused FROM u GROUP BY qid, docid
+)
+SELECT qid AS seed_id, docid,
+       row_number() OVER (PARTITION BY qid ORDER BY round(fused, 6) DESC, docid) AS rank,
+       round(fused, 6) AS fused_r
+FROM f
+QUALIFY rank <= 5
+ORDER BY seed_id, rank
+"""
+
+
 def _mmr_sql() -> str:
     """Twin of mmr_diversify: greedy selection unrolled to 5 steps, each
     carrying the selected set as a LIST; input similarities rounded 6 dp,
@@ -3194,6 +3238,7 @@ GROUP BY n ORDER BY doc_id
         "contaminated_docs": _contam_sql(),
         "knn_cosine_top5": _knn_sql(),
         "more_like_this": _mlt_sql(),
+        "hybrid_mlt_top5": _hybrid_mlt_sql(),
         "mmr_knn_top5": _mmr_sql(),
         "rplsh_dup_pairs": _rplsh_sql(),
         "embedding_dup_pairs": f"""
