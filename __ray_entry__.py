@@ -989,6 +989,24 @@ def _q_event_type_pivot(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def _q_event_type_unpivot(sf_dir: str) -> pd.DataFrame:
+    """Wide->long reshape (extras/relational.unpivot): the pivot gate's
+    output melted back to (user_id, event_type, n) — round-trip proof of
+    the pivot/unpivot pair; stateless map_batches, no shuffle."""
+    import ray.data
+
+    wide = _q_event_type_pivot(sf_dir)
+    ds = ray.data.from_pandas(wide)
+    out = (x_rel.unpivot(ds, "user_id",
+                         [f"n_{v}" for v in EVENT_TYPES],
+                         name_col="event_type", value_col="n")
+           .to_pandas())
+    out["event_type"] = out["event_type"].str.removeprefix("n_")
+    out = out.sort_values(["user_id", "event_type"]).reset_index(drop=True)
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
 def _q_weighted_sample_docs(sf_dir: str) -> pd.DataFrame:
     """Sequential Poisson weighted sampling (extras/sampling.weighted_sample,
     Ohlsson 1998): 50 docs, inclusion ~ length(text)+1. Priority = one IEEE
@@ -1673,6 +1691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_rollup": _q_pricing_rollup,
         "weighted_sample_docs": _q_weighted_sample_docs,
         "event_type_pivot": _q_event_type_pivot,
+        "event_type_unpivot": _q_event_type_unpivot,
         "running_total": _q_running_total,
         "zscore_quantity": _q_zscore_quantity,
         "top_revenue_orders": _q_top_revenue_orders,
@@ -3421,6 +3440,15 @@ GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """,
         "weighted_sample_docs": _weighted_sample_sql(),
+        "event_type_unpivot": """
+SELECT u.user_id, t.event_type, count(e.user_id) AS n
+FROM (SELECT user_id FROM events GROUP BY user_id) u
+CROSS JOIN (VALUES ('click'), ('error'), ('purchase'),
+                   ('signup'), ('view')) t(event_type)
+LEFT JOIN events e ON e.user_id = u.user_id AND e.event_type = t.event_type
+GROUP BY u.user_id, t.event_type
+ORDER BY u.user_id, t.event_type
+""",
         "event_type_pivot": """
 SELECT user_id,
        count(*) FILTER (WHERE event_type = 'click') AS n_click,

@@ -1274,3 +1274,29 @@ def session_funnel(events: "ray.data.Dataset",
         "n_s12": pa.array([int(tot.n_s12)], type=pa.int64()),
         "n_s123": pa.array([int(tot.n_s123)], type=pa.int64()),
     })
+
+
+def unpivot(ds: "ray.data.Dataset", group_col: str,
+            value_cols: list[str], name_col: str = "name",
+            value_col: str = "value") -> "ray.data.Dataset":
+    """Wide -> long reshape (the inverse of pivot_counts): each input row
+    emits one output row per entry of ``value_cols`` with the column name
+    in ``name_col``. Stateless vectorized map_batches (repeat + tile), no
+    shuffle — partitioning is preserved."""
+
+    def melt(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        k = len(value_cols)
+        g = b.column(group_col).to_numpy(zero_copy_only=False)
+        vals = np.empty(n * k, dtype=np.int64)
+        for i, c in enumerate(value_cols):
+            vals[i::k] = b.column(c).to_numpy(zero_copy_only=False)
+        return pa.table({
+            group_col: pa.array(np.repeat(g, k),
+                                type=b.schema.field(group_col).type),
+            name_col: pa.array(np.tile(np.array(value_cols, dtype=object),
+                                       n), type=pa.string()),
+            value_col: pa.array(vals),
+        })
+
+    return ds.map_batches(melt, batch_format="pyarrow")
