@@ -989,6 +989,15 @@ def _q_event_type_pivot(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def _q_event_ntiles(sf_dir: str) -> pd.DataFrame:
+    """NTILE(4) per user over arrival order (extras/relational.py:
+    user_value_ntile) — SQL's equal-frequency bucket rule, vectorized."""
+    out = (x_rel.user_value_ntile(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id"]), n=4)
+        .to_pandas().sort_values("event_id").reset_index(drop=True))
+    return out[["event_id", "user_id", "tile"]]
+
+
 def _q_event_type_unpivot(sf_dir: str) -> pd.DataFrame:
     """Wide->long reshape (extras/relational.unpivot): the pivot gate's
     output melted back to (user_id, event_type, n) — round-trip proof of
@@ -1692,6 +1701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_docs": _q_weighted_sample_docs,
         "event_type_pivot": _q_event_type_pivot,
         "event_type_unpivot": _q_event_type_unpivot,
+        "event_ntiles": _q_event_ntiles,
         "running_total": _q_running_total,
         "zscore_quantity": _q_zscore_quantity,
         "top_revenue_orders": _q_top_revenue_orders,
@@ -3440,6 +3450,11 @@ GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """,
         "weighted_sample_docs": _weighted_sample_sql(),
+        "event_ntiles": """
+SELECT event_id, user_id,
+       ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS tile
+FROM events ORDER BY event_id
+""",
         "event_type_unpivot": """
 SELECT u.user_id, t.event_type, count(e.user_id) AS n
 FROM (SELECT user_id FROM events GROUP BY user_id) u

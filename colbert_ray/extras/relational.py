@@ -1300,3 +1300,33 @@ def unpivot(ds: "ray.data.Dataset", group_col: str,
         })
 
     return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def user_value_ntile(events: "ray.data.Dataset", n: int = 4) -> "ray.data.Dataset":
+    """NTILE(n) per user over arrival order (ts, event_id) — SQL's
+    equal-frequency bucketing rule: the first ``count %% n`` buckets get
+    one extra row. One groupby(user) shuffle; bucket assignment per group
+    is a vectorized arange/searchsorted, no Python loop over rows.
+    Rows: (event_id, user_id, tile)."""
+
+    def tiles(g) -> "pd.DataFrame":
+        import pandas as pd
+
+        order = np.lexsort((g["event_id"].to_numpy(), g["ts"].to_numpy()))
+        eid = g["event_id"].to_numpy()[order]
+        cnt = len(eid)
+        base, extra = divmod(cnt, n)
+        # bucket boundaries: first `extra` buckets sized base+1, rest base
+        sizes = np.full(min(n, cnt), base, dtype=np.int64)
+        sizes[:extra] += 1
+        bounds = np.cumsum(sizes)
+        tile = np.searchsorted(bounds, np.arange(cnt), side="right") + 1
+        return pd.DataFrame({
+            "event_id": eid,
+            "user_id": np.repeat(g["user_id"].iloc[0], cnt),
+            "tile": tile.astype(np.int64),
+        })
+
+    return (events.select_columns(["user_id", "ts", "event_id"])
+            .groupby("user_id")
+            .map_groups(tiles, batch_format="pandas"))
