@@ -989,6 +989,16 @@ def _q_event_type_pivot(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def _q_session_paths(sf_dir: str) -> pd.DataFrame:
+    """Per-session event-type path strings (extras/relational.py:
+    session_event_paths) — group-concat in arrival order."""
+    out = (x_rel.session_event_paths(
+        _read(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"]))
+        .to_pandas().sort_values(["user_id", "session_id"])
+        .reset_index(drop=True))
+    return out[["user_id", "session_id", "path", "n_events"]]
+
+
 def _q_event_ntiles(sf_dir: str) -> pd.DataFrame:
     """NTILE(4) per user over arrival order (extras/relational.py:
     user_value_ntile) — SQL's equal-frequency bucket rule, vectorized."""
@@ -1702,6 +1712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_pivot": _q_event_type_pivot,
         "event_type_unpivot": _q_event_type_unpivot,
         "event_ntiles": _q_event_ntiles,
+        "session_paths": _q_session_paths,
         "running_total": _q_running_total,
         "zscore_quantity": _q_zscore_quantity,
         "top_revenue_orders": _q_top_revenue_orders,
@@ -3450,6 +3461,27 @@ GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """,
         "weighted_sample_docs": _weighted_sample_sql(),
+        "session_paths": """
+WITH d AS (
+  SELECT user_id, ts, event_type, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, event_type, event_id,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM d
+)
+SELECT user_id, session_id,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+       count(*) AS n_events
+FROM s GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
         "event_ntiles": """
 SELECT event_id, user_id,
        ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS tile

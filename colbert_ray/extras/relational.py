@@ -1330,3 +1330,37 @@ def user_value_ntile(events: "ray.data.Dataset", n: int = 4) -> "ray.data.Datase
     return (events.select_columns(["user_id", "ts", "event_id"])
             .groupby("user_id")
             .map_groups(tiles, batch_format="pandas"))
+
+
+def session_event_paths(events: "ray.data.Dataset",
+                        gap_minutes: int = 30) -> "ray.data.Dataset":
+    """Per-session event-type PATH string ('view>click>purchase', arrival
+    order) — the group-concat / journey-analysis op. Same single
+    groupby(user) shape as sessionize; the concat per session runs on one
+    user's bounded rows. Rows: (user_id, session_id, path, n_events)."""
+    gap_us = gap_minutes * 60_000_000
+
+    def paths(g) -> "pd.DataFrame":
+        import pandas as pd
+
+        order = np.lexsort((g["event_id"].to_numpy(), g["ts"].to_numpy()))
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(
+            np.int64)[order]
+        et = g["event_type"].to_numpy()[order]
+        new_s = np.empty(len(ts), dtype=np.int64)
+        new_s[0] = 1
+        new_s[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+        sid = np.cumsum(new_s)
+        df = pd.DataFrame({"session_id": sid, "et": et})
+        out = df.groupby("session_id")["et"].agg(">".join).reset_index()
+        out = out.rename(columns={"et": "path"})
+        out["n_events"] = df.groupby("session_id").size().to_numpy(
+            dtype=np.int64)
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["session_id"] = out["session_id"].astype(np.int64)
+        return out
+
+    return (events.select_columns(["user_id", "ts", "event_type",
+                                   "event_id"])
+            .groupby("user_id")
+            .map_groups(paths, batch_format="pandas"))
