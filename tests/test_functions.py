@@ -397,3 +397,21 @@ class TestFnvHashing:
                f"FROM (SELECT unnest(?::VARCHAR[]) AS t)")
         via_sql = [int(r[0]) for r in con.execute(sql, [words]).fetchall()]
         assert via_sql == got
+
+
+def test_broadcast_semi_join_filters_and_is_partition_invariant():
+    import ray
+
+    from colbert_ray.functions.util import broadcast_semi_join
+
+    t = pa.table({"id": pa.array(range(100), type=pa.int64()),
+                  "v": pa.array([f"x{i}" for i in range(100)])})
+    want = [3, 7, 97, 98]
+    a = broadcast_semi_join(ray.data.from_arrow(t), want, "id").to_pandas()
+    b = broadcast_semi_join(ray.data.from_arrow(t).repartition(9),
+                            np.array(want + want), "id").to_pandas()
+    assert sorted(a["id"]) == want
+    assert sorted(b["id"]) == want
+    # empty id set -> empty result, not an error
+    e = broadcast_semi_join(ray.data.from_arrow(t), [], "id").to_pandas()
+    assert len(e) == 0
