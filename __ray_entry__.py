@@ -113,6 +113,45 @@ QL_MU = 2000.0
 _QL_TOP10_MEMO: dict = {}
 
 
+def _typo_text(text: str) -> str:
+    """Deterministic typo: delete the 2nd character of the first word."""
+    ws = text.split()
+    ws[0] = ws[0][0] + ws[0][2:]
+    return " ".join(ws)
+
+
+TYPO_QUERY_SET = [(qid, _typo_text(t)) for qid, t in QUERY_SET]
+
+
+def _q_corrected_bm25_top10(sf_dir: str) -> pd.DataFrame:
+    """Query spelling correction (functions/spelling.py): OOV query terms
+    are replaced by their best Levenshtein-1 dictionary neighbor (highest
+    df, term-ascending ties; no neighbor -> dropped), then plain BM25 —
+    the did-you-mean pipeline over deterministic one-deletion typos of
+    the standard query set."""
+    import pyarrow as pa
+
+    from colbert_ray.functions.spelling import correct_terms
+    from colbert_ray.pipelines.search import search_table
+    from colbert_ray.state.decoded import DecodedIndex
+
+    idx_dir = _ensure_index(sf_dir)
+    idx = DecodedIndex.load_cached(idx_dir, load_sha=False)
+    rows = []
+    for qid, text in TYPO_QUERY_SET:
+        toks = tokenize_query(text, CFG)[0]
+        fixed = correct_terms(idx.dict_terms, idx.dict_dfs, toks)
+        rows.append((qid, " ".join(fixed)))
+    qt = pa.table({
+        "qid": pa.array([q for q, _ in rows], type=pa.int64()),
+        "query": pa.array([t for _, t in rows], type=pa.string()),
+    })
+    res = search_table(qt, idx_dir, k=50, with_sha=False).to_pandas()
+    out = _rerank_rounded(res, "score", "docid", 10)
+    return out[["qid", "docid", "rank", "score"]].rename(
+        columns={"score": "score_r"})
+
+
 def _q_lm_dirichlet_top10(sf_dir: str) -> pd.DataFrame:
     """Dirichlet query-likelihood ranking over the SAME index as
     bm25_top10 (functions/ql.py) — the pluggable-scorer gate: one stored
@@ -1672,6 +1711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_top10": _q_bm25_top10,
         "lm_dirichlet_top10": _q_lm_dirichlet_top10,
+        "corrected_bm25_top10": _q_corrected_bm25_top10,
         "updated_bm25_top10": _q_updated_bm25_top10,
         "compacted_bm25_top10": _q_compacted_bm25_top10,
         "rrf_bm25_ql_top5": _q_rrf_bm25_ql_top5,
@@ -2274,6 +2314,67 @@ tf AS (
 ),
 q(qid, term) AS (
   VALUES {values}
+),
+scores AS (
+  SELECT q.qid, tf.doc_id AS docid,
+         sum( ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * tf.tf * ({k1} + 1.0)
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+)
+SELECT qid::BIGINT AS qid, docid,
+       row_number() OVER (PARTITION BY qid ORDER BY round(score, 6) DESC, docid) AS rank,
+       round(score, 6) AS score_r
+FROM scores
+QUALIFY rank <= 10
+ORDER BY qid, rank
+"""
+
+
+def _corrected_bm25_sql() -> str:
+    """Twin of corrected_bm25_top10: per-term correction in SQL — keep
+    in-vocab terms, else the levenshtein=1 neighbor with (df DESC, term
+    ASC), else drop — then the standard BM25 CTEs."""
+    values = ",\n      ".join(
+        f"({qid}, '{term}')"
+        for qid, text in TYPO_QUERY_SET
+        for term in tokenize_query(text, CFG)[0]
+    )
+    k1, b = CFG.k1, CFG.b
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {_toks_expr()} AS toks FROM documents
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM docs
+),
+tok AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM docs
+),
+tf AS (
+  SELECT doc_id, term, any_value(dl) AS dl, count(*) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+qraw(qid, term) AS (
+  VALUES {values}
+),
+q AS (
+  SELECT qid, term FROM (
+    SELECT qraw.qid,
+           CASE WHEN EXISTS (SELECT 1 FROM df WHERE df.term = qraw.term)
+                THEN qraw.term
+                ELSE (SELECT d.term FROM df d
+                      WHERE levenshtein(d.term, qraw.term) = 1
+                      ORDER BY d.df DESC, d.term LIMIT 1) END AS term
+    FROM qraw
+  ) WHERE term IS NOT NULL
 ),
 scores AS (
   SELECT q.qid, tf.doc_id AS docid,
@@ -3161,6 +3262,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_top10": _bm25_sql(),
         "lm_dirichlet_top10": _ql_sql(),
+        "corrected_bm25_top10": _corrected_bm25_sql(),
         "updated_bm25_top10": _updated_bm25_sql(),
         "compacted_bm25_top10": _compacted_bm25_sql(),
         "rrf_bm25_ql_top5": _rrf_sql(),

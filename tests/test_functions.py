@@ -415,3 +415,23 @@ def test_broadcast_semi_join_filters_and_is_partition_invariant():
     # empty id set -> empty result, not an error
     e = broadcast_semi_join(ray.data.from_arrow(t), [], "id").to_pandas()
     assert len(e) == 0
+
+
+def test_correct_terms_rules():
+    from colbert_ray.functions.spelling import correct_terms
+
+    vocab = np.array(sorted(["join", "joint", "merge", "sort", "son"]),
+                     dtype=object)
+    dfs = np.array([10, 50, 3, 7, 7], dtype=np.int64)  # aligned to sorted
+    vmap = dict(zip(vocab, dfs))
+    # in-vocab stays
+    assert correct_terms(vocab, dfs, ["merge"]) == ["merge"]
+    # OOV with one ED1 neighbor
+    assert correct_terms(vocab, dfs, ["mergee"]) == ["merge"]
+    # OOV with several neighbors -> highest df, tie lowest term
+    got = correct_terms(vocab, dfs, ["joinn"])   # join & joint are ED1
+    best_df = max(vmap["join"], vmap["joint"])
+    want = sorted(t for t in ("join", "joint") if vmap[t] == best_df)[0]
+    assert got == [want]
+    # no neighbor -> dropped
+    assert correct_terms(vocab, dfs, ["zzzzz", "sort"]) == ["sort"]
