@@ -1047,6 +1047,14 @@ def _q_event_ntiles(sf_dir: str) -> pd.DataFrame:
     return out[["event_id", "user_id", "tile"]]
 
 
+def _q_top_terms_per_lang(sf_dir: str) -> pd.DataFrame:
+    """Grouped vocabulary profile (extras/textstats.top_terms_per_group):
+    top-5 terms by occurrence count per language."""
+    out = x_text.top_terms_per_group(
+        _read(sf_dir, "documents", ["lang", "text"]), group_col="lang", k=5)
+    return out[["lang", "term", "cnt", "rank"]]
+
+
 def _q_event_type_unpivot(sf_dir: str) -> pd.DataFrame:
     """Wide->long reshape (extras/relational.unpivot): the pivot gate's
     output melted back to (user_id, event_type, n) — round-trip proof of
@@ -1751,6 +1759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_docs": _q_weighted_sample_docs,
         "event_type_pivot": _q_event_type_pivot,
         "event_type_unpivot": _q_event_type_unpivot,
+        "top_terms_per_lang": _q_top_terms_per_lang,
         "event_ntiles": _q_event_ntiles,
         "session_paths": _q_session_paths,
         "running_total": _q_running_total,
@@ -3588,6 +3597,19 @@ ORDER BY user_id, session_id
 SELECT event_id, user_id,
        ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS tile
 FROM events ORDER BY event_id
+""",
+        "top_terms_per_lang": f"""
+WITH tok AS (
+  SELECT lang, unnest({_toks_expr()}) AS term FROM documents
+),
+cnt AS (
+  SELECT lang, term, count(*) AS cnt FROM tok GROUP BY lang, term
+)
+SELECT lang, term, cnt,
+       row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rank
+FROM cnt
+QUALIFY rank <= 5
+ORDER BY lang, rank
 """,
         "event_type_unpivot": """
 SELECT u.user_id, t.event_type, count(e.user_id) AS n

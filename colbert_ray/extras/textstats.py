@@ -542,3 +542,53 @@ def unigram_nll(ds: "ray.data.Dataset", text_col: str = "text",
         return pa.table(cols)
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def top_terms_per_group(ds: "ray.data.Dataset", group_col: str = "lang",
+                        k: int = 5,
+                        text_col: str = "text") -> "pd.DataFrame":
+    """Top-k terms by total occurrence count per group (e.g. language) —
+    the grouped corpus-vocabulary profile. Per batch, counts pre-aggregate
+    to (group, term, partial) rows (the term_stats combiner pattern with a
+    group key); ONE groupby merges partials; the per-group top-k cut runs
+    in map_groups. Ties break (count DESC, term ASC)."""
+    import pandas as pd
+
+    from colbert_ray.functions.tokenizer import doc_term_frequencies
+
+    cfg = _cfg()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        _, terms, tfs = doc_term_frequencies(batch.column(text_col), cfg)
+        parents = pc.list_parent_indices(terms).to_numpy(zero_copy_only=False)
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            group_col: pa.array(g[parents]),
+            "term": terms.flatten(),
+            "tf": tfs.flatten(),
+        })
+        agg = t.group_by([group_col, "term"]).aggregate([("tf", "sum")])
+        return agg.rename_columns([group_col, "term", "cnt_p"])
+
+    from ray.data.aggregate import Sum as RSum
+
+    merged = (ds.select_columns([group_col, text_col])
+              .map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby([group_col, "term"])
+              .aggregate(RSum("cnt_p", alias_name="cnt")))
+
+    def topk(gr: "pd.DataFrame") -> "pd.DataFrame":
+        gr = gr.sort_values(["cnt", "term"], ascending=[False, True]).head(k)
+        gr = gr.reset_index(drop=True)
+        gr["rank"] = np.arange(1, len(gr) + 1, dtype=np.int64)
+        return gr
+
+    out = (merged.groupby(group_col)
+           .map_groups(topk, batch_format="pandas")
+           .to_pandas()
+           .sort_values([group_col, "rank"]).reset_index(drop=True))
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return out
