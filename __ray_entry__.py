@@ -113,6 +113,47 @@ QL_MU = 2000.0
 _QL_TOP10_MEMO: dict = {}
 
 
+PRUNE_RATIO = 0.78   # query-term dfs cluster at 0.75-0.8*n_docs: ~half prune
+
+
+def _q_pruned_bm25_top10(sf_dir: str) -> pd.DataFrame:
+    """Lossy stop-term pruning gate (stages/prune.py, M11): terms with
+    df > ratio*n_docs lose their posting lists; remaining terms keep
+    EXACT scores (idf frozen). The twin simply filters those terms out of
+    the query — the documented semantics, value-checked."""
+    import pyarrow as pa
+
+    from colbert_ray.pipelines.build import build_index
+    from colbert_ray.pipelines.search import search_table
+    from colbert_ray.stages.prune import prune_index
+
+    src = _doc_path(sf_dir, "documents")
+    st = os.stat(src)
+    root = os.path.join("/tmp/colbert_ray_driver",
+                        "prn_" + hashlib.sha256(
+                            f"{os.path.abspath(src)}:{st.st_mtime_ns}:"
+                            f"{st.st_size}:{PRUNE_RATIO}".encode()
+                        ).hexdigest()[:12])
+    idx = os.path.join(root, "index")
+    marker = os.path.join(root, "_pruned")
+    build_index(src, idx, CFG, content_col="text", key_cols=(),
+                meta_cols=(), docid_col="doc_id")
+    if not os.path.exists(marker):
+        prune_index(idx, max_df_ratio=PRUNE_RATIO)
+        with open(marker, "w") as f:
+            f.write("ok")
+    qt = pa.table(
+        {
+            "qid": pa.array([q for q, _ in QUERY_SET], type=pa.int64()),
+            "query": pa.array([t for _, t in QUERY_SET], type=pa.string()),
+        }
+    )
+    res = search_table(qt, idx, k=50, with_sha=False).to_pandas()
+    out = _rerank_rounded(res, "score", "docid", 10)
+    return out[["qid", "docid", "rank", "score"]].rename(
+        columns={"score": "score_r"})
+
+
 def _typo_text(text: str) -> str:
     """Deterministic typo: delete the 2nd character of the first word."""
     ws = text.split()
@@ -1720,6 +1761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_top10": _q_bm25_top10,
         "lm_dirichlet_top10": _q_lm_dirichlet_top10,
         "corrected_bm25_top10": _q_corrected_bm25_top10,
+        "pruned_bm25_top10": _q_pruned_bm25_top10,
         "updated_bm25_top10": _q_updated_bm25_top10,
         "compacted_bm25_top10": _q_compacted_bm25_top10,
         "rrf_bm25_ql_top5": _q_rrf_bm25_ql_top5,
@@ -2323,6 +2365,61 @@ tf AS (
 ),
 q(qid, term) AS (
   VALUES {values}
+),
+scores AS (
+  SELECT q.qid, tf.doc_id AS docid,
+         sum( ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * tf.tf * ({k1} + 1.0)
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+)
+SELECT qid::BIGINT AS qid, docid,
+       row_number() OVER (PARTITION BY qid ORDER BY round(score, 6) DESC, docid) AS rank,
+       round(score, 6) AS score_r
+FROM scores
+QUALIFY rank <= 10
+ORDER BY qid, rank
+"""
+
+
+def _pruned_bm25_sql() -> str:
+    """Twin of pruned_bm25_top10: the standard BM25 twin with query terms
+    whose df exceeds ratio*n_docs removed (their posting lists are gone;
+    everything else scores identically — idf stays build-time)."""
+    values = ",\n      ".join(
+        f"({qid}, '{term}')"
+        for qid, text in QUERY_SET
+        for term in tokenize_query(text, CFG)[0]
+    )
+    k1, b = CFG.k1, CFG.b
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {_toks_expr()} AS toks FROM documents
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM docs
+),
+tok AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM docs
+),
+tf AS (
+  SELECT doc_id, term, any_value(dl) AS dl, count(*) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+qall(qid, term) AS (
+  VALUES {values}
+),
+q AS (
+  SELECT qall.qid, qall.term
+  FROM qall JOIN df ON df.term = qall.term CROSS JOIN stats s
+  WHERE df.df <= {PRUNE_RATIO} * s.n_docs
 ),
 scores AS (
   SELECT q.qid, tf.doc_id AS docid,
@@ -3272,6 +3369,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_top10": _bm25_sql(),
         "lm_dirichlet_top10": _ql_sql(),
         "corrected_bm25_top10": _corrected_bm25_sql(),
+        "pruned_bm25_top10": _pruned_bm25_sql(),
         "updated_bm25_top10": _updated_bm25_sql(),
         "compacted_bm25_top10": _compacted_bm25_sql(),
         "rrf_bm25_ql_top5": _rrf_sql(),
