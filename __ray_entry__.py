@@ -1088,6 +1088,49 @@ def _q_event_ntiles(sf_dir: str) -> pd.DataFrame:
     return out[["event_id", "user_id", "tile"]]
 
 
+def _q_suppliers_per_region(sf_dir: str) -> pd.DataFrame:
+    """Dimension-table join coverage: supplier ⋈ nation ⋈ region grouped
+    counts + balance sums. All three tables are small dimensions, so the
+    whole chain is two broadcast lookups inside one streaming pass over
+    supplier (no shuffle at any scale where dimensions stay dimension-
+    sized)."""
+    import ray as _ray
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    n2r = dict(zip(nat["n_nationkey"].astype(int),
+                   nat["n_regionkey"].astype(int)))
+    r2n = dict(zip(reg["r_regionkey"].astype(int), reg["r_name"]))
+    luts = _ray.put((n2r, r2n))
+
+    def partial(b):
+        import pyarrow as pa
+
+        n2r_, r2n_ = _ray.get(luts)
+        nk = b.column("s_nationkey").to_numpy(zero_copy_only=False)
+        bal = b.column("s_acctbal").to_numpy(zero_copy_only=False)
+        names = np.array([r2n_[n2r_[int(x)]] for x in nk], dtype=object)
+        un, inv = np.unique(names, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        sums = np.zeros(len(un), dtype=np.float64)
+        np.add.at(sums, inv, bal)
+        return pa.table({"r_name": pa.array(un, type=pa.string()),
+                         "n_suppliers": pa.array(cnt),
+                         "bal_p": pa.array(sums)})
+
+    from ray.data.aggregate import Sum as _Sum
+
+    out = (sup.map_batches(partial, batch_format="pyarrow")
+           .groupby("r_name")
+           .aggregate(_Sum("n_suppliers", alias_name="n_suppliers"),
+                      _Sum("bal_p", alias_name="sum_bal"))
+           .to_pandas().sort_values("r_name").reset_index(drop=True))
+    out["n_suppliers"] = out["n_suppliers"].astype(np.int64)
+    out["sum_bal"] = out["sum_bal"].round(4)
+    return out
+
+
 def _q_top_terms_per_lang(sf_dir: str) -> pd.DataFrame:
     """Grouped vocabulary profile (extras/textstats.top_terms_per_group):
     top-5 terms by occurrence count per language."""
@@ -1802,6 +1845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_pivot": _q_event_type_pivot,
         "event_type_unpivot": _q_event_type_unpivot,
         "top_terms_per_lang": _q_top_terms_per_lang,
+        "suppliers_per_region": _q_suppliers_per_region,
         "event_ntiles": _q_event_ntiles,
         "session_paths": _q_session_paths,
         "running_total": _q_running_total,
@@ -3695,6 +3739,14 @@ ORDER BY user_id, session_id
 SELECT event_id, user_id,
        ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS tile
 FROM events ORDER BY event_id
+""",
+        "suppliers_per_region": """
+SELECT r.r_name, count(*) AS n_suppliers,
+       round(sum(s.s_acctbal), 4) AS sum_bal
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY r.r_name ORDER BY r.r_name
 """,
         "top_terms_per_lang": f"""
 WITH tok AS (
