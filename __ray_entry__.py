@@ -1579,6 +1579,31 @@ def _q_ivf_knn_top5(sf_dir: str) -> pd.DataFrame:
         columns={"cosine": "cosine_r"})
 
 
+def _q_media_dedup(sf_dir: str) -> pd.DataFrame:
+    """Binary-payload exact dedup (extras/multimodal.dedup_payloads):
+    md5 digests ride the shuffle, payload bytes never do."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from colbert_ray.extras.multimodal import (dedup_payloads,
+                                               make_payload_table)
+
+    t = pq.read_table(_doc_path(sf_dir, "documents"),
+                      columns=["doc_id", "text"])
+    order = np.argsort(t.column("doc_id").to_numpy(zero_copy_only=False))[:240]
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)[order]
+    texts = [t.column("text")[int(i)].as_py() for i in order]
+    # plant EXACT duplicate payloads under fresh ids (1000 + k for every
+    # 15th source doc) so the dedup has real work on any corpus
+    dup_src = [i for i in range(240) if i % 15 == 0]
+    all_ids = np.concatenate([ids, np.array([1000 + i // 15
+                                             for i in dup_src])])
+    blobs = [x.encode() for x in texts] + [texts[i].encode()
+                                           for i in dup_src]
+    payloads = ray.data.from_arrow(make_payload_table(all_ids, blobs))
+    return dedup_payloads(payloads).to_pandas().reset_index(drop=True)
+
+
 def _q_media_features(sf_dir: str) -> pd.DataFrame:
     """Multimodal plumbing demo: documents' bytes as opaque payloads."""
     import pyarrow.parquet as pq
@@ -1896,6 +1921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # media queries have full SQL oracles (arithmetic-deterministic
         # stubs) plus the media pytest suite
         "media_features": _q_media_features,
+        "media_dedup": _q_media_dedup,
         "video_frame_sample": _q_video_frame_sample,
         # rows-only: gated by the in-process oracle self-check inside the
         # query (1000 queries; ranking sha asserted) — no SQL twin
@@ -3659,6 +3685,16 @@ ORDER BY event_id
         "lang_id_pred": _lang_id_sql(),
         # the decode stub tiles payload bytes into the 8x8x3 pixel grid, so
         # pixel_mean is the mean of the first 192 cyclically-tiled bytes
+        "media_dedup": """
+WITH pay AS (
+  SELECT doc_id AS item_id, text FROM documents WHERE doc_id < 240
+  UNION ALL
+  SELECT 1000 + doc_id // 15 AS item_id, text
+  FROM documents WHERE doc_id < 240 AND doc_id % 15 = 0
+)
+SELECT min(item_id) AS item_id, count(*) AS n_copies
+FROM pay GROUP BY text ORDER BY item_id
+""",
         "media_features": """
 WITH d AS (SELECT doc_id AS item_id,
                   CASE WHEN length(text) <> octet_length(encode(text))

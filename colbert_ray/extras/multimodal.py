@@ -228,3 +228,37 @@ def extract_audio_features(
         AudioFeatureExtractor, batch_format="pyarrow",
         batch_size=batch_size, concurrency=concurrency, zero_copy_batch=True,
     )
+
+
+def dedup_payloads(payloads: "ray.data.Dataset",
+                   payload_col: str = "payload",
+                   id_col: str = "item_id") -> "pa.Table":
+    """Exact dedup over OPAQUE binary payloads: one survivor (min id) per
+    distinct byte string + its copy count. Per batch, each payload hashes
+    to a 128-bit md5 digest (the per-row hash loop is the exact_dedup
+    precedent — hashing is inherently per-payload); only (digest, id)
+    rows ride the shuffle, the payload bytes never do. Output sorted by
+    survivor id."""
+    import hashlib
+
+    from ray.data.aggregate import Count, Min
+
+    def digests(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        col = b.column(payload_col)
+        dg = [hashlib.md5(col[i].as_py()).hexdigest()
+              for i in range(b.num_rows)]
+        return pa.table({"digest": pa.array(dg, type=pa.string()),
+                         id_col: pa.array(ids, type=pa.int64())})
+
+    out = (payloads.select_columns([id_col, payload_col])
+           .map_batches(digests, batch_format="pyarrow")
+           .groupby("digest")
+           .aggregate(Min(id_col, alias_name="survivor"),
+                      Count(alias_name="n_copies"))
+           .to_pandas()
+           .sort_values("survivor").reset_index(drop=True))
+    return pa.table({
+        "item_id": pa.array(out["survivor"].astype(np.int64)),
+        "n_copies": pa.array(out["n_copies"].astype(np.int64)),
+    })
