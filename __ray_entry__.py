@@ -732,6 +732,51 @@ def _q_dup_clusters(sf_dir: str) -> pd.DataFrame:
     return cc.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+DUP_SPAN_GRAM = 8      # token n-gram length for exact-substring dedup
+
+
+def _q_dup_spans(sf_dir: str) -> pd.DataFrame:
+    """Exact duplicated-substring spans (extras/dedup.duplicate_spans — the
+    Lee-et-al-2022 repeated-substring operator: candidate rolling-hash
+    groupby, broadcast dup-hash set, exact-string verify, per-doc island
+    merge). One row per maximal token span shared with another doc."""
+    ds = x_dedup.duplicate_spans(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        gram_len=DUP_SPAN_GRAM, cfg=CFG)
+    return (ds.to_pandas()
+            .sort_values(["doc_id", "start_tok"]).reset_index(drop=True))
+
+
+def _dup_spans_sql() -> str:
+    """Twin of duplicate_spans: the plain SQL definition — every L-token
+    window, windows whose gram occurs in >= 2 distinct docs, covered
+    positions, gaps-and-islands merge. 1-based SQL positions mapped to the
+    engine's 0-based start / exclusive end."""
+    toks, L = _toks_expr(), DUP_SPAN_GRAM
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),
+g AS (
+  SELECT doc_id, i AS pos, array_to_string(toks[i:i+{L - 1}], ' ') AS gram
+  FROM d, unnest(generate_series(1, len(toks) - {L} + 1)) AS t(i)
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT g.doc_id, u.p AS tokpos
+  FROM g JOIN dup USING (gram),
+       unnest(generate_series(g.pos, g.pos + {L} - 1)) AS u(p)
+),
+isl AS (
+  SELECT doc_id, tokpos,
+         tokpos - row_number() OVER (PARTITION BY doc_id ORDER BY tokpos) AS grp
+  FROM cov
+)
+SELECT doc_id, CAST(min(tokpos) - 1 AS BIGINT) AS start_tok,
+       CAST(max(tokpos) AS BIGINT) AS end_tok,
+       CAST(max(tokpos) - min(tokpos) + 1 AS BIGINT) AS n_toks
+FROM isl GROUP BY doc_id, grp ORDER BY doc_id, start_tok
+"""
+
+
 CONTAM_MOD = 29        # doc_id % CONTAM_MOD == 0 -> "benchmark" split
 CONTAM_NGRAM = 4       # word n-gram size
 
@@ -1852,6 +1897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_doc_counts": _q_lang_doc_counts,
         "jaccard_dup_pairs": _q_jaccard_dup_pairs,
         "dup_clusters": _q_dup_clusters,
+        "dup_spans": _q_dup_spans,
         "contaminated_docs": _q_contaminated_docs,
         "knn_cosine_top5": _q_knn_cosine_top5,
         "more_like_this": _q_more_like_this,
@@ -3554,6 +3600,7 @@ reach(n, m) AS (
 SELECT n AS doc_id, min(m) AS cluster_id FROM reach
 GROUP BY n ORDER BY doc_id
 """,
+        "dup_spans": _dup_spans_sql(),
         "contaminated_docs": _contam_sql(),
         "knn_cosine_top5": _knn_sql(),
         "more_like_this": _mlt_sql(),

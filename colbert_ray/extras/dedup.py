@@ -702,3 +702,178 @@ AND abs(length(a.term) - length(b.term)) <= 1
 AND levenshtein(a.term, b.term) = 1
 ORDER BY term_a, term_b
 """
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-substring spans (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better" — the cross-document repeated-substring
+# operator; distinct from whole-doc near-dup above)
+# ---------------------------------------------------------------------------
+
+_SPAN_GRAM = 8
+_SPAN_HASH_BASE = np.uint64(1000003)
+
+
+def _token_hash_windows(tok_list: pa.ListArray, gram_len: int):
+    """Per-doc rolling uint64 hashes of every ``gram_len``-token window.
+
+    Token strings are hashed once per DISTINCT token in the batch (blake2b,
+    8 bytes) via dictionary encoding; window hashes are a vectorized
+    polynomial combine over the per-token hashes (wraparound uint64 — the
+    same arithmetic at any parallelism level, so results are deterministic).
+
+    Returns (offsets, flat_tokens, per-doc list of (start_positions, hashes)).
+    """
+    off = tok_list.offsets.to_numpy()
+    off = (off - off[0]).astype(np.int64)
+    flat = tok_list.flatten()
+    d = flat.dictionary_encode()
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = d.dictionary.to_pylist()
+    uh = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(u.encode(), digest_size=8).digest(),
+                        "little") for u in uniq),
+        dtype=np.uint64, count=len(uniq))
+    th = uh[codes] if len(codes) else np.empty(0, dtype=np.uint64)
+    pows = _SPAN_HASH_BASE ** np.arange(gram_len, dtype=np.uint64)
+    per_doc = []
+    for i in range(len(off) - 1):
+        seg = th[off[i]:off[i + 1]]
+        n = len(seg) - gram_len + 1
+        if n <= 0:
+            per_doc.append((np.empty(0, np.int64), np.empty(0, np.uint64)))
+            continue
+        win = np.lib.stride_tricks.sliding_window_view(seg, gram_len)
+        gh = (win * pows).sum(axis=1, dtype=np.uint64)
+        per_doc.append((np.arange(n, dtype=np.int64), gh))
+    return off, flat, per_doc
+
+
+def duplicate_spans(
+    ds: "ray.data.Dataset",
+    gram_len: int = _SPAN_GRAM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cfg=None,
+) -> "ray.data.Dataset":
+    """Merged per-document token spans covered by any ``gram_len``-token
+    substring that also occurs in at least one OTHER document.
+
+    Output: one row per maximal span — (doc_id, start_tok, end_tok, n_toks)
+    with 0-based ``start_tok`` and exclusive ``end_tok`` in token positions
+    (the oracle twin reproduces this from 1-based SQL positions).
+
+    Scale shape (reference capability: corpus-level dedup; the published
+    alternative is a suffix array, Lee et al. §4 — this is the distributed
+    hash-shuffle equivalent):
+
+    1. **Candidate hashes** — map_batches emits one PARTIAL row per distinct
+       window hash per batch (hash, min_doc, max_doc); a groupby-min/max
+       keeps only hashes whose occurrences span >= 2 distinct docs
+       (``min != max`` <=> >= 2 distinct). The shuffle carries ~one 32-byte
+       row per corpus token — the same order of data movement a suffix-array
+       build would need; nothing is driver-side.
+    2. **Broadcast + verify** — the duplicated-hash set (tiny: only truly
+       repeated content survives) is ``ray.put`` once; a second pass emits
+       (gram STRING, doc, pos) only for candidate positions, and a
+       groupby(gram) re-checks >= 2 distinct docs on the exact string, so a
+       uint64 collision can create no false span.
+    3. **Island merge** — covered token positions are merged per doc into
+       maximal intervals (vectorized diff/cumsum inside one groupby(doc)).
+    """
+    from ray.data.aggregate import Max, Min
+
+    from colbert_ray.config import EngineConfig
+    from colbert_ray.functions.tokenizer import tokenize_column
+
+    cfg = cfg or EngineConfig()
+    src = ds.select_columns([id_col, text_col])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch.column(text_col), cfg)
+        _, _, per_doc = _token_hash_windows(toks, gram_len)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        ghs, dids = [], []
+        for did, (_, gh) in zip(ids, per_doc):
+            if len(gh):
+                ghs.append(gh)
+                dids.append(np.full(len(gh), did, dtype=np.int64))
+        if not ghs:
+            return pa.table({"gh": pa.array([], type=pa.int64()),
+                             "dmin": pa.array([], type=pa.int64()),
+                             "dmax": pa.array([], type=pa.int64())})
+        gh = np.concatenate(ghs).view(np.int64)
+        did = np.concatenate(dids)
+        # batch-local combine: one row per distinct hash
+        order = np.argsort(gh, kind="stable")
+        gh_s, did_s = gh[order], did[order]
+        starts = np.flatnonzero(np.r_[True, gh_s[1:] != gh_s[:-1]])
+        ends = np.r_[starts[1:], len(gh_s)]
+        dmin = np.minimum.reduceat(did_s, starts)
+        dmax = np.maximum.reduceat(did_s, starts)
+        return pa.table({"gh": gh_s[starts], "dmin": dmin, "dmax": dmax})
+
+    agg = (
+        src.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gh")
+        .aggregate(Min("dmin", alias_name="dmin"),
+                   Max("dmax", alias_name="dmax"))
+    )
+    dup_df = agg.filter(expr="dmin != dmax").select_columns(["gh"]).to_pandas()
+    dup_sorted = np.sort(dup_df["gh"].to_numpy(dtype=np.int64))
+    dup_ref = ray.put(dup_sorted)
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        dup = ray.get(dup_ref)
+        toks = tokenize_column(batch.column(text_col), cfg)
+        off, flat, per_doc = _token_hash_windows(toks, gram_len)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        flat_py = None
+        grams, dids, poss = [], [], []
+        for i, (pos, gh) in enumerate(per_doc):
+            if not len(gh):
+                continue
+            hit = np.flatnonzero(np.isin(gh.view(np.int64), dup,
+                                         assume_unique=False))
+            if not len(hit):
+                continue
+            if flat_py is None:
+                flat_py = flat.to_pylist()
+            base = int(off[i])
+            for p in pos[hit]:
+                grams.append(" ".join(flat_py[base + p:base + p + gram_len]))
+                dids.append(int(ids[i]))
+                poss.append(int(p))
+        return pa.table({"gram": pa.array(grams, type=pa.string()),
+                         id_col: pa.array(dids, type=pa.int64()),
+                         "pos": pa.array(poss, type=pa.int64())})
+
+    cand = src.map_batches(candidates, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def verified_cover(g: pd.DataFrame) -> pd.DataFrame:
+        # exact-string re-check: >= 2 distinct docs required per gram
+        if g[id_col].nunique() < 2:
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 "tokpos": pd.Series([], dtype=np.int64)})
+        pos = g["pos"].to_numpy(dtype=np.int64)
+        did = g[id_col].to_numpy(dtype=np.int64)
+        cover = pos[:, None] + np.arange(gram_len, dtype=np.int64)[None, :]
+        return pd.DataFrame({id_col: np.repeat(did, gram_len),
+                             "tokpos": cover.ravel()})
+
+    covered = cand.groupby("gram").map_groups(
+        verified_cover, batch_format="pandas")
+
+    def islands(g: pd.DataFrame) -> pd.DataFrame:
+        did = int(g[id_col].iloc[0])
+        p = np.unique(g["tokpos"].to_numpy(dtype=np.int64))
+        cut = np.flatnonzero(np.r_[True, np.diff(p) > 1])
+        starts = p[cut]
+        ends = p[np.r_[cut[1:] - 1, len(p) - 1]] + 1
+        return pd.DataFrame({
+            id_col: np.full(len(starts), did, dtype=np.int64),
+            "start_tok": starts, "end_tok": ends,
+            "n_toks": ends - starts})
+
+    return covered.groupby(id_col).map_groups(islands, batch_format="pandas")

@@ -165,6 +165,51 @@ class TestConnectedComponents:
         out = x_dedup.connected_components(ray.data.from_arrow(pairs))
         assert out.count() == 0
 
+    def _span_table(self):
+        texts = [
+            "aa bb cc dd ee ff gg hh",        # [2,6) shared with doc1/doc2
+            "zz yy cc dd ee ff qq ww",        # [2,6)
+            "cc dd ee ff",                    # whole doc [0,4)
+            "pp qq rr ss tt",                 # unique -> no span
+            "mm nn oo pp mm nn oo pp",        # repeats only WITHIN itself
+            "xx yy",                          # shorter than gram -> no grams
+        ]
+        return pa.table(
+            {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+             "text": pa.array(texts, type=pa.string())})
+
+    def test_duplicate_spans_exact(self):
+        ds = ray.data.from_arrow(self._span_table())
+        out = (x_dedup.duplicate_spans(ds, gram_len=4).to_pandas()
+               .sort_values(["doc_id", "start_tok"]).reset_index(drop=True))
+        got = list(out.itertuples(index=False, name=None))
+        # (doc, start, end_exclusive, n) — cross-doc shared 4-grams only:
+        # same-doc repetition (doc 4) and unique docs emit nothing
+        assert got == [(0, 2, 6, 4), (1, 2, 6, 4), (2, 0, 4, 4)]
+
+    def test_duplicate_spans_merges_overlapping_grams(self):
+        # doc0/doc1 share SIX consecutive tokens -> three overlapping
+        # 4-grams that must merge into ONE maximal island per doc
+        t = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                      "text": pa.array([
+                          "aa bb cc dd ee ff gg",
+                          "xx bb cc dd ee ff gg"])})
+        out = (x_dedup.duplicate_spans(ray.data.from_arrow(t), gram_len=4)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        got = list(out.itertuples(index=False, name=None))
+        assert got == [(0, 1, 7, 6), (1, 1, 7, 6)]
+
+    def test_duplicate_spans_parallelism_invariant(self):
+        t = self._span_table()
+        base = (x_dedup.duplicate_spans(ray.data.from_arrow(t), gram_len=4)
+                .to_pandas().sort_values(["doc_id", "start_tok"])
+                .reset_index(drop=True))
+        split = (x_dedup.duplicate_spans(
+                     ray.data.from_arrow(t).repartition(5), gram_len=4)
+                 .to_pandas().sort_values(["doc_id", "start_tok"])
+                 .reset_index(drop=True))
+        pd.testing.assert_frame_equal(base, split)
+
     def test_dedup_keep_one_survivor_per_cluster(self):
         pairs = pa.table({"id_a": [1, 2, 3, 5], "id_b": [2, 3, 9, 6]})
         clusters = x_dedup.connected_components(ray.data.from_arrow(pairs))
