@@ -1007,6 +1007,93 @@ def _q_knn_q8_top5(sf_dir: str) -> pd.DataFrame:
     return df[["qid", "vec_id", "rank", "cosine_r"]]
 
 
+def _pq_codebook(sf_dir: str) -> np.ndarray:
+    """Deterministic PQ codebook for the driver query/oracle pair: pure-numpy
+    per-subspace L2 k-means (extras/simsearch.train_pq_codebook) over the
+    embeddings table read in file order — no Ray dependency, so the query
+    side and the SQL-constant side are identical by construction."""
+    import pyarrow.parquet as pq
+
+    from colbert_ray.extras.simsearch import train_pq_codebook
+
+    t = pq.read_table(_doc_path(sf_dir, "embeddings"), columns=["embedding"])
+    arr = t.column("embedding").combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    offs = arr.offsets.to_numpy(zero_copy_only=False)
+    dim = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+    return train_pq_codebook(flat.reshape(-1, dim)[:16384])
+
+
+def _q_pq_adc_top5(sf_dir: str) -> pd.DataFrame:
+    """Product-quantization ADC top-5 (extras/simsearch.pq_encode +
+    pq_adc_knn) with a FIXED deterministic codebook shared with the SQL
+    twin (which inlines the same centroids as literals). Same
+    GRAFT_ORACLE_SF_DIR caveat as the IVF gate: the twin's literals come
+    from the driver's comparison scale."""
+    vecs, ids = _knn_queries(sf_dir)
+    book = _pq_codebook(sf_dir)
+    codes = x_sim.pq_encode(_read(sf_dir, "embeddings",
+                                  ["vec_id", "embedding"]), book)
+    df = (x_sim.pq_adc_knn(codes, vecs, ids, book, k=5)
+          .to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True))
+    df["rank"] = df["rank"].astype(np.int64)
+    return df.rename(columns={"adc": "adc_r"})
+
+
+def _pq_sql() -> str:
+    """DuckDB twin of pq_encode + pq_adc_knn given the FIXED codebook
+    (17-significant-digit literals round-trip float64 exactly). Both code
+    assignment and the per-query lookup tables use the 6-decimal-ROUNDED
+    euclidean distance with centroid-id tie-break — the engine's
+    _pq_dists/argmin float policy — and the ADC sum of rounded entries is
+    rounded again before ranking on (adc, vec_id)."""
+    book = _pq_codebook(ORACLE_SF_DIR)
+    n_sub, _, dsub = book.shape
+    rows = ",\n    ".join(
+        "({}, {}, [{}]::DOUBLE[])".format(
+            s, c, ", ".join(f"{v:.17g}" for v in book[s, c]))
+        for s in range(n_sub) for c in range(book.shape[1]))
+    qids = ", ".join(str(i) for i in KNN_QUERY_IDS)
+    return f"""
+WITH book(s, cid, cv) AS (VALUES
+    {rows}
+),
+q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN ({qids})
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ed AS (
+  SELECT e.vec_id, b.s, b.cid,
+         round(list_distance(e.v[b.s * {dsub} + 1 : b.s * {dsub} + {dsub}],
+                             b.cv), 6) AS d
+  FROM e CROSS JOIN book b
+),
+codes AS (
+  SELECT vec_id, s, cid FROM ed
+  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) = 1
+),
+qd AS (
+  SELECT q.qid, b.s, b.cid,
+         round(list_distance(q.qv[b.s * {dsub} + 1 : b.s * {dsub} + {dsub}],
+                             b.cv), 6) AS d
+  FROM q CROSS JOIN book b
+),
+adc AS (
+  SELECT qd.qid, c.vec_id, round(sum(qd.d), 6) AS adc_r
+  FROM codes c JOIN qd ON qd.s = c.s AND qd.cid = c.cid
+  WHERE c.vec_id <> qd.qid
+  GROUP BY qd.qid, c.vec_id
+)
+SELECT qid, vec_id,
+       row_number() OVER (PARTITION BY qid ORDER BY adc_r, vec_id) AS rank,
+       adc_r
+FROM adc
+QUALIFY rank <= 5
+ORDER BY qid, rank
+"""
+
+
 def _q_pricing_summary(sf_dir: str) -> pd.DataFrame:
     ds = x_rel.pricing_summary(
         _read(sf_dir, "lineitem",
@@ -1908,6 +1995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance": _q_embedding_covariance,
         "embedding_int8": _q_embedding_int8,
         "knn_q8_top5": _q_knn_q8_top5,
+        "pq_adc_top5": _q_pq_adc_top5,
         "retrieval_metrics": _q_retrieval_metrics,
         "ndcg10": _q_ndcg10,
         "pricing_summary": _q_pricing_summary,
@@ -3651,6 +3739,7 @@ SELECT vec_id, CAST(sum(qv) AS BIGINT) AS sum_q,
 FROM q GROUP BY vec_id ORDER BY vec_id
 """,
         "knn_q8_top5": _knn_q8_sql(),
+        "pq_adc_top5": _pq_sql(),
         "retrieval_metrics": _metrics_sql(),
         "ndcg10": _ndcg_sql(),
         "minhash_dup_pairs": _minhash_sql(),

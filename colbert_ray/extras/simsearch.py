@@ -734,3 +734,150 @@ def rp_lsh_dup_pairs(
         "cosine_r": np.round(cos[keep], 6),
     })
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) + asymmetric-distance (ADC) search
+# (reference capability analog: residual compression of embeddings,
+# residual_codec training/encode; here the classic Jegou et al. PQ form —
+# subvector codebooks + per-query lookup tables)
+# ---------------------------------------------------------------------------
+
+_PQ_SUBSPACES = 8
+_PQ_CENTROIDS = 16
+
+
+def train_pq_codebook(m: np.ndarray, n_subspaces: int = _PQ_SUBSPACES,
+                      n_centroids: int = _PQ_CENTROIDS, n_iter: int = 10,
+                      seed: int = 123) -> np.ndarray:
+    """(M, K, dsub) PQ codebook — per-subspace L2 Lloyd k-means, pure seeded
+    numpy (shared by the Ray path and the SQL-oracle literal generation so
+    both sides hold bit-identical centroids; empty clusters keep their
+    previous centroid)."""
+    m = np.asarray(m, dtype=np.float64)
+    n, dim = m.shape
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {n_subspaces}")
+    dsub = dim // n_subspaces
+    kk = min(n_centroids, n)
+    rng = np.random.default_rng(seed)
+    book = np.empty((n_subspaces, kk, dsub), dtype=np.float64)
+    for s in range(n_subspaces):
+        sub = m[:, s * dsub:(s + 1) * dsub]
+        c = sub[rng.choice(n, size=kk, replace=False)]
+        for _ in range(n_iter):
+            d2 = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, sub)
+            counts = np.bincount(assign, minlength=kk).astype(np.float64)
+            c = np.where((counts > 0)[:, None],
+                         sums / np.maximum(counts, 1.0)[:, None], c)
+        book[s] = c
+    return book
+
+
+def _pq_dists(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(n, K) euclidean distances ROUNDED to 6 decimals (float policy —
+    mirrors the oracle's round(list_distance(...), 6), so code assignment
+    and ADC lookup tables cannot flip on summation-order ulps)."""
+    d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return np.round(np.sqrt(d2), 6)
+
+
+def pq_encode(ds: "ray.data.Dataset", codebook: np.ndarray,
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> "ray.data.Dataset":
+    """Encode each vector into M int8 subspace codes: per subspace, the
+    argmin of the ROUNDED euclidean distance to the K centroids (first-min
+    = lowest-centroid-id tie-break, same as the oracle's ORDER BY d, cid).
+
+    Output: (id, codes fixed_size_list<int8>[M]) — the 64-float vector
+    becomes M bytes (8 here, a 32x compression), which is what rides any
+    downstream shuffle or index; the codebook travels once via ray.put."""
+    book_ref = ray.put(np.asarray(codebook, dtype=np.float64))
+
+    def enc(batch: pa.Table) -> pa.Table:
+        book = ray.get(book_ref)
+        m = _stack(batch, vec_col)
+        n_sub, _, dsub = book.shape
+        codes = np.empty((len(m), n_sub), dtype=np.int8)
+        for s in range(n_sub):
+            d = _pq_dists(m[:, s * dsub:(s + 1) * dsub], book[s])
+            codes[:, s] = np.argmin(d, axis=1)
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(codes.ravel(), type=pa.int8()), n_sub)
+        return pa.table({id_col: batch.column(id_col), "codes": arr})
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        enc, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pq_adc_knn(
+    codes_ds: "ray.data.Dataset",
+    query_vecs: np.ndarray,
+    query_ids: np.ndarray,
+    codebook: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> "ray.data.Dataset":
+    """Asymmetric-distance top-k over PQ codes: per query a (M, K) lookup
+    table of ROUNDED euclidean distances query-subvector -> centroid; the
+    ADC distance of a coded vector is the rounded sum of its M table
+    entries. Rank 1..k by (adc asc, id).
+
+    Scale shape: queries + codebook broadcast once; each batch does a pure
+    LUT-gather (no float vector math per candidate), partial top-k per
+    batch, tiny per-query merge — same streaming pattern as knn_cosine but
+    over 8-byte codes instead of 256-byte vectors."""
+    qm = np.asarray(query_vecs, dtype=np.float64)
+    qids = np.asarray(query_ids, dtype=np.int64)
+    book = np.asarray(codebook, dtype=np.float64)
+    n_sub, _, dsub = book.shape
+    lut = np.stack([_pq_dists(qm[:, s * dsub:(s + 1) * dsub], book[s])
+                    for s in range(n_sub)], axis=1)      # (nq, M, K)
+    ref = ray.put((lut, qids))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        lut_, qi = ray.get(ref)
+        arr = batch.column("codes").combine_chunks()
+        codes = arr.flatten().to_numpy(zero_copy_only=False).reshape(
+            -1, n_sub).astype(np.int64)
+        ids = batch.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # (nq, nb): gather each subspace's LUT row at the vector's code
+        adc = np.zeros((len(qi), len(ids)), dtype=np.float64)
+        for s in range(n_sub):
+            adc += lut_[:, s, :][:, codes[:, s]]
+        adc = np.round(adc, 6)
+        if exclude_self:
+            adc = np.where(qi[:, None] == ids[None, :], np.inf, adc)
+        kk = min(k, adc.shape[1])
+        out_q, out_id, out_d = [], [], []
+        for r in range(adc.shape[0]):
+            row = adc[r]
+            sel = (np.argpartition(row, kk - 1)[:kk]
+                   if len(row) > kk else np.arange(len(row)))
+            sel = sel[np.lexsort((ids[sel], row[sel]))]
+            keep = np.isfinite(row[sel])
+            sel = sel[keep]
+            out_q.append(np.full(len(sel), qi[r], dtype=np.int64))
+            out_id.append(ids[sel])
+            out_d.append(row[sel])
+        return pa.table({
+            "qid": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_id)),
+            "adc": pa.array(np.concatenate(out_d)),
+        })
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["adc", id_col], ascending=[True, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["qid", id_col, "rank", "adc"]]
+
+    return (codes_ds.map_batches(partial_topk, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+            .groupby("qid")
+            .map_groups(merge_topk, batch_format="pandas"))

@@ -248,6 +248,60 @@ class TestSimsearch:
             g = got[got.qid == qi].sort_values("rank")["vec_id"].tolist()
             assert g == want.tolist()
 
+    def test_pq_adc_matches_numpy_oracle(self, emb):
+        t, m = emb
+        book = x_sim.train_pq_codebook(m, n_subspaces=4, n_centroids=8)
+        ds = ray.data.from_arrow(t).repartition(4)
+        codes_ds = x_sim.pq_encode(ds, book)
+        codes = (codes_ds.to_pandas().sort_values("vec_id")
+                 .reset_index(drop=True))
+        cm = np.stack(codes["codes"].to_numpy())
+        assert cm.shape == (50, 4) and cm.dtype == np.int8
+        assert cm.max() < 8 and cm.min() >= 0
+        # naive oracle: same rounded-distance argmin + LUT-sum arithmetic
+        dsub = 4
+        want_codes = np.empty((50, 4), dtype=np.int64)
+        for s in range(4):
+            d = np.round(np.sqrt((
+                (m[:, None, s*dsub:(s+1)*dsub]
+                 - book[s][None, :, :]) ** 2).sum(axis=2)), 6)
+            want_codes[:, s] = np.argmin(d, axis=1)
+        assert (cm.astype(np.int64) == want_codes).all()
+        q = m[:3]
+        got = (x_sim.pq_adc_knn(codes_ds, q, np.arange(3), book, k=5)
+               .to_pandas())
+        lut = np.stack([np.round(np.sqrt((
+            (q[:, None, s*dsub:(s+1)*dsub] - book[s][None, :, :]) ** 2
+        ).sum(axis=2)), 6) for s in range(4)], axis=1)
+        adc = np.zeros((3, 50))
+        for s in range(4):
+            adc += lut[:, s, :][:, want_codes[:, s]]
+        adc = np.round(adc, 6)
+        for qi in range(3):
+            row = adc[qi].copy()
+            row[qi] = np.inf
+            want = np.lexsort((np.arange(50), row))[:5]
+            g = got[got.qid == qi].sort_values("rank")["vec_id"].tolist()
+            assert g == want.tolist()
+
+    def test_pq_duplicate_vector_is_top1(self, emb):
+        t, m = emb
+        m2 = np.vstack([m, m[0]])          # vec 50 duplicates vec 0
+        t2 = pa.table(
+            {"vec_id": pa.array(range(51), type=pa.int64()),
+             "embedding": pa.array([r.tolist() for r in m2],
+                                   type=pa.list_(pa.float32()))})
+        book = x_sim.train_pq_codebook(m2, n_subspaces=4, n_centroids=8)
+        codes = x_sim.pq_encode(ray.data.from_arrow(t2), book)
+        got = (x_sim.pq_adc_knn(codes, m2[:1], np.array([0]), book, k=5)
+               .to_pandas().sort_values("rank"))
+        # identical vector -> identical codes -> identical ADC: vec 50 must
+        # sit in the top-k at the MINIMUM distance (another vector may share
+        # the same code cell and win the id tie-break, but never beat it)
+        assert 50 in got["vec_id"].tolist()
+        adc50 = float(got.loc[got["vec_id"] == 50, "adc"].iloc[0])
+        assert adc50 == float(got["adc"].min())
+
     def test_ivf_recall_reasonable(self, emb):
         t, m = emb
         q = m[:3]
