@@ -1474,6 +1474,84 @@ def _q_bigram_top100(sf_dir: str) -> pd.DataFrame:
     return df.head(100)[["gram", "n"]].reset_index(drop=True)
 
 
+PREFIX_QUERY = "s"             # dictionary-prefix wildcard query
+REGEX_PATTERN = r"(join|sort)\s+\w+"   # RE2 on both sides
+
+
+def _q_prefix_search(sf_dir: str) -> pd.DataFrame:
+    """Wildcard term expansion over the BUILT index
+    (pipelines/phrase.prefix_search): binary-search the sorted mmap'd
+    dictionary for the prefix range, roll up only those terms' posting
+    slices per doc."""
+    from colbert_ray.pipelines.phrase import prefix_search
+
+    idx_dir = _ensure_index(sf_dir)
+    t = prefix_search(idx_dir, PREFIX_QUERY)
+    return (t.to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+def _q_regex_match_docs(sf_dir: str) -> pd.DataFrame:
+    """Corpus regex scan (extras/textstats.regex_match_stats): RE2
+    non-overlapping match counts, matching docs only."""
+    ds = x_text.regex_match_stats(
+        _read(sf_dir, "documents", ["doc_id", "text"]), REGEX_PATTERN)
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _prefix_search_sql() -> str:
+    from colbert_ray.pipelines.phrase import sql_prefix_search
+
+    return sql_prefix_search("documents", PREFIX_QUERY, CFG)
+
+
+PMI_K = 50
+PMI_MIN_COUNT = 3
+
+
+def _q_pmi_top50(sf_dir: str) -> pd.DataFrame:
+    """PMI collocations (extras/textstats.pmi_collocations): top-50 by
+    (rounded PMI DESC, gram). Unigram/bigram tables from the existing
+    partial-agg passes; cf map broadcast once."""
+    ds = x_text.pmi_collocations(_read(sf_dir, "documents", ["text"]),
+                                 min_count=PMI_MIN_COUNT)
+    df = ds.to_pandas().sort_values(["pmi_r", "gram"],
+                                    ascending=[False, True])
+    return df.head(PMI_K)[["gram", "n", "pmi_r"]].reset_index(drop=True)
+
+
+def _pmi_sql() -> str:
+    """Twin of pmi_collocations — identical multiply/divide composition
+    inside ln() so the 6-decimal rounding sees the same float64 value."""
+    toks = _toks_expr()
+    return f"""
+WITH d AS (SELECT {toks} AS toks FROM documents),
+b AS (
+  SELECT toks[i] AS x, toks[i + 1] AS y, toks[i] || ' ' || toks[i + 1] AS gram
+  FROM d, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+  WHERE len(toks) >= 2
+),
+bg AS (SELECT gram, any_value(x) AS x, any_value(y) AS y,
+              count(*)::BIGINT AS n
+       FROM b GROUP BY gram),
+u AS (SELECT term, count(*)::BIGINT AS cf
+      FROM (SELECT unnest(toks) AS term FROM d) GROUP BY term),
+tot AS (SELECT (SELECT count(*)::BIGINT FROM b) AS nb,
+               (SELECT sum(cf)::BIGINT FROM u) AS nu),
+scored AS (
+  SELECT bg.gram, bg.n,
+         round(ln(((bg.n::DOUBLE * tot.nu) * tot.nu)
+                  / ((tot.nb::DOUBLE * ux.cf) * uy.cf)), 6) AS pmi_r
+  FROM bg CROSS JOIN tot
+  JOIN u ux ON ux.term = bg.x
+  JOIN u uy ON uy.term = bg.y
+  WHERE bg.n >= {PMI_MIN_COUNT}
+)
+SELECT gram, n, pmi_r FROM scored
+ORDER BY pmi_r DESC, gram
+LIMIT {PMI_K}
+"""
+
+
 def _q_doclen_quantiles(sf_dir: str) -> pd.DataFrame:
     """Exact global doc-length quantiles via the value-histogram shape
     (extras/textstats.doclen_quantiles — no global sort; the shuffle moves
@@ -2028,6 +2106,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split_counts": _q_doc_split_counts,
         "stratified_sample_docs": _q_stratified_sample,
         "bigram_top100": _q_bigram_top100,
+        "pmi_top50": _q_pmi_top50,
+        "prefix_search_docs": _q_prefix_search,
+        "regex_match_docs": _q_regex_match_docs,
         "tfidf_top5": _q_tfidf_top5,
         "doclen_quantiles": _q_doclen_quantiles,
         "bloom_filtered_orders": _q_bloom_filtered_orders,
@@ -4133,6 +4214,15 @@ ORDER BY a.user_id, click_event_id, purchase_event_id
         "hash_sample_docs": _hash_sample_sql(),
         "doc_split_counts": _doc_split_sql(),
         "stratified_sample_docs": _stratified_sql(),
+        "pmi_top50": _pmi_sql(),
+        "prefix_search_docs": _prefix_search_sql(),
+        "regex_match_docs": f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{REGEX_PATTERN}'))::BIGINT AS n_matches
+FROM documents
+WHERE len(regexp_extract_all(text, '{REGEX_PATTERN}')) > 0
+ORDER BY doc_id
+""",
         "bigram_top100": f"""
 WITH d AS (SELECT {toks} AS toks FROM documents),
 b AS (

@@ -592,3 +592,67 @@ def top_terms_per_group(ds: "ray.data.Dataset", group_col: str = "lang",
            .sort_values([group_col, "rank"]).reset_index(drop=True))
     out["cnt"] = out["cnt"].astype(np.int64)
     return out
+
+
+def pmi_collocations(ds: "ray.data.Dataset", min_count: int = 3,
+                     text_col: str = "text") -> "ray.data.Dataset":
+    """Pointwise-mutual-information collocation scores for every bigram
+    occurring >= ``min_count`` times: pmi = ln(p(x,y) / (p(x) p(y))) with
+    p(x,y) = n_xy / NB (bigram positions) and p(x) = cf_x / NU (token
+    occurrences). Output (gram, x, y, n, pmi_r) with pmi_r rounded to 6
+    decimals (float policy; the multiply/divide composition order matches
+    the SQL twin literally).
+
+    Scale shape: bigram and unigram tables come from the existing
+    pre-aggregate-then-small-groupby passes (`bigram_stats`/`term_stats`);
+    the unigram cf map is vocab-bounded and broadcast once via ray.put;
+    only bigrams surviving ``min_count`` are scored."""
+    big = bigram_stats(ds, text_col).materialize()
+    uni = term_stats(ds, text_col).select_columns(["term", "cf"]).to_pandas()
+    nu = int(uni["cf"].sum())
+    nb = int(big.sum("n") or 0)
+    cf_map = dict(zip(uni["term"], uni["cf"].astype(np.int64)))
+    ref = ray.put(cf_map)
+
+    def score(batch: pa.Table) -> pa.Table:
+        cf = ray.get(ref)
+        grams = batch.column("gram").to_pylist()
+        n = batch.column("n").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        xs, ys = [], []
+        for g in grams:
+            x, _, y = g.partition(" ")
+            xs.append(x); ys.append(y)
+        cx = np.array([cf[x] for x in xs], dtype=np.float64)
+        cy = np.array([cf[y] for y in ys], dtype=np.float64)
+        pmi = np.round(np.log(((n * nu) * nu) / ((float(nb) * cx) * cy)), 6)
+        return pa.table({"gram": batch.column("gram"),
+                         "x": pa.array(xs, type=pa.string()),
+                         "y": pa.array(ys, type=pa.string()),
+                         "n": batch.column("n"),
+                         "pmi_r": pa.array(pmi, type=pa.float64())})
+
+    return big.filter(expr=f"n >= {min_count}").map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def regex_match_stats(ds: "ray.data.Dataset", pattern: str,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Grep-style corpus regex scan: (doc_id, n_matches) for documents with
+    at least one NON-OVERLAPPING match of ``pattern`` (RE2 semantics —
+    pyarrow's count_substring_regex and DuckDB's regexp_extract_all are
+    both RE2, so counts agree by construction). Fully vectorized, one
+    streaming pass, no shuffle."""
+
+    def scan(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            pc.cast(batch.column(text_col), pa.string()), pattern)
+        n = pc.fill_null(n, 0)
+        keep = pc.greater(n, 0)
+        return pa.table({
+            id_col: pc.filter(batch.column(id_col), keep),
+            "n_matches": pc.cast(pc.filter(n, keep), pa.int64())})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        scan, batch_format="pyarrow", zero_copy_batch=True)

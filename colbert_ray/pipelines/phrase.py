@@ -382,3 +382,76 @@ def proximity_search(
     if not partials:
         return empty
     return _topk_span(pa.Table.from_pylist(partials, schema=empty.schema))
+
+
+def prefix_search(index_dir: str, prefix: str) -> pa.Table:
+    """Wildcard (prefix) term expansion over the BUILT index: every
+    dictionary term starting with ``prefix`` (one binary-search pair over
+    the sorted mmap'd dictionary — only the matched range pages in), then a
+    vectorized per-doc rollup over ONLY those terms' posting slices.
+
+    Returns (doc_id, n_terms = distinct matched terms in the doc,
+    sum_tf = their total term frequency), ordered by doc_id. Live
+    tombstones are excluded, mirroring ``conjunctive_candidates``.
+
+    Driver-side O(sum df over matched terms) — the same probe-path budget
+    as conjunctive candidate generation; the corpus itself is never read.
+    (Reference capability: dictionary/vocab lookup, indexing/codecs
+    ``residual_codec.py`` analog is the mmap'd dictionary here.)
+    """
+    from colbert_ray.state.decoded import DecodedIndex
+
+    idx = DecodedIndex.load_cached(index_dir, load_sha=False)
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "n_terms": pa.array([], type=pa.int64()),
+                      "sum_tf": pa.array([], type=pa.int64())})
+    if not prefix or not len(idx.dict_terms):
+        return empty
+    lo = np.searchsorted(idx.dict_terms, prefix)
+    # tokens are [a-z0-9]+ (tokenizer filter), so U+FFFF is a safe upper fence
+    hi = np.searchsorted(idx.dict_terms, prefix + "\uffff")
+    if hi <= lo:
+        return empty
+    tids = idx.dict_term_ids[lo:hi]
+    doc_parts, tf_parts = [], []
+    for tid in tids:
+        s, e = idx.posting_offsets[tid], idx.posting_offsets[tid + 1]
+        doc_parts.append(np.asarray(idx.posting_docids[s:e]))
+        tf_parts.append(np.asarray(idx.posting_tfs[s:e], dtype=np.int64))
+    docs = np.concatenate(doc_parts)
+    tfs = np.concatenate(tf_parts)
+    if len(idx.tombstones):
+        pos = np.searchsorted(idx.tombstones, docs)
+        pos_c = np.clip(pos, 0, len(idx.tombstones) - 1)
+        keep = idx.tombstones[pos_c] != docs
+        docs, tfs = docs[keep], tfs[keep]
+    if not len(docs):
+        return empty
+    order = np.argsort(docs, kind="stable")
+    docs, tfs = docs[order], tfs[order]
+    starts = np.flatnonzero(np.r_[True, docs[1:] != docs[:-1]])
+    bounds = np.r_[starts, len(docs)]
+    return pa.table({
+        "doc_id": pa.array(docs[starts], type=pa.int64()),
+        "n_terms": pa.array(np.diff(bounds), type=pa.int64()),
+        "sum_tf": pa.array(np.add.reduceat(tfs, starts), type=pa.int64()),
+    })
+
+
+def sql_prefix_search(table: str, prefix: str,
+                      cfg: EngineConfig | None = None, *,
+                      text_col: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB twin of ``prefix_search`` — per-doc distinct-term count and
+    total tf over terms LIKE 'prefix%'."""
+    cfg = cfg or EngineConfig()
+    return f"""
+WITH d AS (
+  SELECT {id_col} AS doc_id, {sql_tokenize_expr(text_col, cfg)} AS toks
+  FROM {table}
+),
+t AS (SELECT doc_id, unnest(toks) AS term FROM d),
+m AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t
+      WHERE term LIKE '{prefix}%' GROUP BY doc_id, term)
+SELECT doc_id, count(*)::BIGINT AS n_terms, sum(tf)::BIGINT AS sum_tf
+FROM m GROUP BY doc_id ORDER BY doc_id
+"""

@@ -1940,3 +1940,63 @@ def test_late_events_and_funnel_empty_input():
     sf = x_rel.session_funnel(ray.data.from_arrow(empty)).to_pandas()
     assert sf.iloc[0].to_dict() == {"n_sessions": 0, "n_s1": 0,
                                     "n_s12": 0, "n_s123": 0}
+
+
+class TestPmiAndRegex:
+    def _corpus(self):
+        texts = [
+            "hash join hash join hash join",
+            "merge sort merge sort",
+            "hash join merge sort",
+            "data stream data stream data",
+            "hash join",
+        ]
+        return ray.data.from_arrow(pa.table(
+            {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+             "text": pa.array(texts)}))
+
+    def test_pmi_matches_naive(self):
+        import math
+        from collections import Counter
+
+        got = (x_text.pmi_collocations(self._corpus(), min_count=2)
+               .to_pandas().sort_values("gram").reset_index(drop=True))
+        toks = [t.split() for t in [
+            "hash join hash join hash join", "merge sort merge sort",
+            "hash join merge sort", "data stream data stream data",
+            "hash join"]]
+        uni = Counter(w for d in toks for w in d)
+        big = Counter(" ".join(p) for d in toks
+                      for p in zip(d, d[1:]))
+        nu = sum(uni.values())
+        nb = sum(big.values())
+        want = {}
+        for g, n in big.items():
+            if n < 2:
+                continue
+            x, y = g.split()
+            want[g] = (n, round(math.log(
+                ((float(n) * nu) * nu) / ((float(nb) * uni[x]) * uni[y])), 6))
+        assert dict(zip(got["gram"],
+                        zip(got["n"], got["pmi_r"]))) == want
+
+    def test_pmi_parallelism_invariant(self):
+        a = (x_text.pmi_collocations(self._corpus(), min_count=2)
+             .to_pandas().sort_values("gram").reset_index(drop=True))
+        b = (x_text.pmi_collocations(self._corpus().repartition(4),
+                                     min_count=2)
+             .to_pandas().sort_values("gram").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_regex_match_stats(self):
+        import re
+
+        got = (x_text.regex_match_stats(self._corpus(), r"(hash|merge) \w+")
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        texts = ["hash join hash join hash join", "merge sort merge sort",
+                 "hash join merge sort", "data stream data stream data",
+                 "hash join"]
+        want = {i: len(re.findall(r"(?:hash|merge) \w+", t))
+                for i, t in enumerate(texts)
+                if re.search(r"(hash|merge) \w+", t)}
+        assert dict(zip(got["doc_id"], got["n_matches"])) == want

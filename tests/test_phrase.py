@@ -184,3 +184,28 @@ class TestProximity:
         got_rows = list(zip(got.column("doc_id").to_pylist(),
                             got.column("span").to_pylist()))
         assert got_rows == want[:10]
+
+
+def test_prefix_search_vs_bruteforce(docs_index):
+    from collections import Counter
+
+    from colbert_ray.pipelines.phrase import prefix_search
+
+    path, index_dir, texts = docs_index
+    got = prefix_search(index_dir, "s").to_pandas()
+    want = {}
+    for did, t in enumerate(texts):
+        c = Counter(w for w in phrase_tokens(t, CFG) if w.startswith("s"))
+        if c:
+            want[did] = (len(c), sum(c.values()))
+    assert dict(zip(got["doc_id"],
+                    zip(got["n_terms"], got["sum_tf"]))) == want
+    assert got["doc_id"].is_monotonic_increasing
+
+
+def test_prefix_search_no_match_and_empty(docs_index):
+    from colbert_ray.pipelines.phrase import prefix_search
+
+    _, index_dir, _ = docs_index
+    assert prefix_search(index_dir, "zzz").num_rows == 0
+    assert prefix_search(index_dir, "").num_rows == 0
