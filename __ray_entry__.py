@@ -1137,6 +1137,26 @@ def _q_returned_revenue_by_customer(sf_dir: str) -> pd.DataFrame:
     return t.to_pandas().reset_index(drop=True)
 
 
+def _q_customer_order_activity(sf_dir: str) -> pd.DataFrame:
+    """LEFT OUTER join gate (extras/relational.customer_order_activity):
+    customers with no orders survive with coalesced zeros; order side is
+    pre-aggregated to one row per custkey before the exchange."""
+    ds = x_rel.customer_order_activity(
+        _read(sf_dir, "customer", ["c_custkey", "c_name"]),
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]))
+    return (ds.to_pandas().sort_values("c_custkey")
+            .reset_index(drop=True))
+
+
+def _q_user_click_purchase(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER join gate (extras/relational.user_click_purchase_matrix):
+    per-user click vs purchase counts; one-sided users survive with a
+    coalesced key and zeros."""
+    ds = x_rel.user_click_purchase_matrix(
+        _read(sf_dir, "events", ["user_id", "event_type"]))
+    return ds.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
 def _q_props_value_stats(sf_dir: str) -> pd.DataFrame:
     """Semi-structured JSON extraction (extras/relational.py:
     json_props_stats): vectorized regex pull of props.k with a json.loads
@@ -2089,6 +2109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_quantity": _q_zscore_quantity,
         "top_revenue_orders": _q_top_revenue_orders,
         "returned_revenue_by_customer": _q_returned_revenue_by_customer,
+        "customer_order_activity": _q_customer_order_activity,
+        "user_click_purchase": _q_user_click_purchase,
         "props_value_stats": _q_props_value_stats,
         "late_events": _q_late_events,
         "cohort_retention": _q_cohort_retention,
@@ -4075,6 +4097,27 @@ WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
+""",
+        "user_click_purchase": """
+WITH c AS (SELECT user_id, count(*)::BIGINT AS n_clicks
+           FROM events WHERE event_type = 'click' GROUP BY user_id),
+p AS (SELECT user_id, count(*)::BIGINT AS n_purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+       COALESCE(n_clicks, 0)::BIGINT AS n_clicks,
+       COALESCE(n_purchases, 0)::BIGINT AS n_purchases
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+ORDER BY user_id
+""",
+        "customer_order_activity": """
+SELECT c_custkey, c_name,
+       COALESCE(o.n_orders, 0)::BIGINT AS n_orders,
+       round(COALESCE(o.total_spent, 0.0), 2) AS total_spent
+FROM customer LEFT JOIN (
+  SELECT o_custkey, count(*)::BIGINT AS n_orders,
+         sum(o_totalprice) AS total_spent
+  FROM orders GROUP BY o_custkey) o ON o.o_custkey = c_custkey
+ORDER BY c_custkey
 """,
         "returned_revenue_by_customer": """
 SELECT c.c_custkey, any_value(c.c_name) AS c_name,

@@ -1364,3 +1364,103 @@ def session_event_paths(events: "ray.data.Dataset",
                                    "event_id"])
             .groupby("user_id")
             .map_groups(paths, batch_format="pandas"))
+
+
+def customer_order_activity(
+    customer: "ray.data.Dataset",
+    orders: "ray.data.Dataset",
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """LEFT OUTER join coverage: every customer row survives, with
+    (n_orders, total_spent) from a per-custkey order aggregate and 0s for
+    customers that never ordered.
+
+    Scale shape: orders pre-reduce per custkey inside map_batches (partial
+    count/sum) and then through ONE small groupby, so the hash-partitioned
+    ``Dataset.join(join_type='left_outer')`` exchange moves at most one
+    aggregate row per customer — never raw orders. The null side of the
+    outer join is coalesced vectorized post-join."""
+    from ray.data.aggregate import Sum as RSum
+
+    def pre(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        tp = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        order = np.argsort(ck, kind="stable")
+        ck_s, tp_s = ck[order], tp[order]
+        starts = np.flatnonzero(np.r_[True, ck_s[1:] != ck_s[:-1]])
+        bounds = np.r_[starts, len(ck_s)]
+        return pa.table({
+            "o_custkey": pa.array(ck_s[starts], type=pa.int64()),
+            "n_p": pa.array(np.diff(bounds), type=pa.int64()),
+            "s_p": pa.array(np.add.reduceat(tp_s, starts)
+                            if len(ck_s) else np.zeros(0),
+                            type=pa.float64())})
+
+    agg = (orders.select_columns(["o_custkey", "o_totalprice"])
+           .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("o_custkey")
+           .aggregate(RSum("n_p", alias_name="n_orders"),
+                      RSum("s_p", alias_name="total_spent")))
+
+    joined = customer.select_columns(["c_custkey", "c_name"]).join(
+        agg, join_type="left_outer", num_partitions=num_partitions,
+        on=("c_custkey",), right_on=("o_custkey",))
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = pc.fill_null(b.column("n_orders"), 0)
+        s = pc.fill_null(b.column("total_spent"), 0.0)
+        return pa.table({
+            "c_custkey": b.column("c_custkey"),
+            "c_name": b.column("c_name"),
+            "n_orders": pc.cast(n, pa.int64()),
+            "total_spent": pa.array(
+                np.round(s.to_numpy(zero_copy_only=False), 2),
+                type=pa.float64())})
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def user_click_purchase_matrix(
+    events: "ray.data.Dataset",
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """FULL-OUTER-join semantics: per-user click counts ⋈ per-user purchase
+    counts — users active on only one side survive with zero for the
+    missing side.
+
+    Scale shape: instead of a two-sided hash join, each batch emits
+    one-sided partial rows (user, n_clicks_p, n_purchases_p) and a SINGLE
+    groupby(user) sums both columns — the union-of-partials form of a full
+    outer join on aggregates. One exchange, no empty-partition hazard
+    (Ray 2.49's Dataset.join(full_outer) raises ArrowInvalid when a hash
+    partition's left side is empty), and the shuffle moves one partial row
+    per (batch, active user)."""
+    from ray.data.aggregate import Sum as RSum
+
+    def pre(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        et = b.column("event_type")
+        out_u, out_c, out_p = [], [], []
+        for ev, col in (("click", "c"), ("purchase", "p")):
+            m = pc.equal(et, ev)
+            u = b.column("user_id").filter(m).to_numpy(zero_copy_only=False)
+            uu, cc = np.unique(u, return_counts=True)
+            out_u.append(uu)
+            out_c.append(cc if col == "c" else np.zeros(len(uu), np.int64))
+            out_p.append(cc if col == "p" else np.zeros(len(uu), np.int64))
+        return pa.table({
+            "user_id": pa.array(np.concatenate(out_u), type=pa.int64()),
+            "nc_p": pa.array(np.concatenate(out_c), type=pa.int64()),
+            "np_p": pa.array(np.concatenate(out_p), type=pa.int64())})
+
+    return (events.select_columns(["user_id", "event_type"])
+            .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("user_id")
+            .aggregate(RSum("nc_p", alias_name="n_clicks"),
+                       RSum("np_p", alias_name="n_purchases")))

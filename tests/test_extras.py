@@ -2000,3 +2000,37 @@ class TestPmiAndRegex:
                 for i, t in enumerate(texts)
                 if re.search(r"(hash|merge) \w+", t)}
         assert dict(zip(got["doc_id"], got["n_matches"])) == want
+
+
+class TestOuterJoin:
+    def test_customer_order_activity_left_outer(self):
+        from colbert_ray.extras.relational import customer_order_activity
+
+        cust = ray.data.from_arrow(pa.table({
+            "c_custkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "c_name": pa.array(["a", "b", "c", "d"])}))
+        orders = ray.data.from_arrow(pa.table({
+            "o_custkey": pa.array([1, 1, 3], type=pa.int64()),
+            "o_totalprice": pa.array([10.5, 4.5, 7.25],
+                                     type=pa.float64())})).repartition(3)
+        got = (customer_order_activity(cust, orders, num_partitions=2)
+               .to_pandas().sort_values("c_custkey").reset_index(drop=True))
+        assert got["c_custkey"].tolist() == [1, 2, 3, 4]
+        assert got["n_orders"].tolist() == [2, 0, 1, 0]
+        assert got["total_spent"].tolist() == [15.0, 0.0, 7.25, 0.0]
+        assert got["n_orders"].dtype == np.int64
+
+    def test_user_click_purchase_full_outer_semantics(self):
+        from colbert_ray.extras.relational import user_click_purchase_matrix
+
+        ev = ray.data.from_arrow(pa.table({
+            "user_id": pa.array([1, 1, 2, 3, 3, 3, 4], type=pa.int64()),
+            "event_type": pa.array(["click", "purchase", "click",
+                                    "purchase", "purchase", "view",
+                                    "view"])})).repartition(3)
+        got = (user_click_purchase_matrix(ev).to_pandas()
+               .sort_values("user_id").reset_index(drop=True))
+        # user 2 click-only, user 3 purchase-only, user 4 (view-only) absent
+        assert got["user_id"].tolist() == [1, 2, 3]
+        assert got["n_clicks"].tolist() == [1, 1, 0]
+        assert got["n_purchases"].tolist() == [1, 0, 2]
