@@ -1137,6 +1137,75 @@ def _q_returned_revenue_by_customer(sf_dir: str) -> pd.DataFrame:
     return t.to_pandas().reset_index(drop=True)
 
 
+VALIDATE_PRICE_HI = 200000.0
+VALIDATE_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM"]
+
+
+def _q_validate_orders(sf_dir: str) -> pd.DataFrame:
+    """Declarative expectations suite (extras/validate.expect): all
+    row-local rules share one streaming pass of per-batch partial counts;
+    the unique rule adds one (value, count) groupby whose duplicate AND
+    total tallies reduce in the same execution."""
+    from colbert_ray.extras.validate import expect
+
+    return expect(
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]),
+        [
+            {"rule": "custkey_not_null", "kind": "not_null",
+             "col": "o_custkey"},
+            {"rule": "price_range", "kind": "range", "col": "o_totalprice",
+             "lo": 0.0, "hi": VALIDATE_PRICE_HI},
+            {"rule": "priority_vocab", "kind": "in_set",
+             "col": "o_orderpriority", "values": VALIDATE_PRIORITIES},
+            {"rule": "priority_format", "kind": "regex",
+             "col": "o_orderpriority", "pattern": "^[0-9]-"},
+            {"rule": "custkey_unique", "kind": "unique",
+             "col": "o_custkey"},
+        ])
+
+
+def _validate_sql() -> str:
+    vocab = ", ".join(f"'{v}'" for v in VALIDATE_PRIORITIES)
+    return f"""
+SELECT * FROM (
+  SELECT 'custkey_not_null' AS rule,
+         (count(*) FILTER (WHERE o_custkey IS NULL))::BIGINT AS n_violations,
+         count(*)::BIGINT AS n_checked FROM orders
+  UNION ALL
+  SELECT 'price_range',
+         (count(*) FILTER (WHERE NOT (o_totalprice >= 0.0
+                                      AND o_totalprice <= {VALIDATE_PRICE_HI})))::BIGINT,
+         count(*)::BIGINT FROM orders
+  UNION ALL
+  SELECT 'priority_vocab',
+         (count(*) FILTER (WHERE o_orderpriority NOT IN ({vocab})))::BIGINT,
+         count(*)::BIGINT FROM orders
+  UNION ALL
+  SELECT 'priority_format',
+         (count(*) FILTER (WHERE NOT regexp_matches(o_orderpriority,
+                                                    '^[0-9]-')))::BIGINT,
+         count(*)::BIGINT FROM orders
+  UNION ALL
+  SELECT 'custkey_unique',
+         (SELECT COALESCE(sum(n), 0) FROM (
+            SELECT count(*) AS n FROM orders GROUP BY o_custkey
+            HAVING count(*) > 1))::BIGINT,
+         count(*)::BIGINT FROM orders
+)
+ORDER BY rule
+"""
+
+
+def _q_event_transitions(sf_dir: str) -> pd.DataFrame:
+    """Markov transition matrix over event types
+    (extras/relational.event_transitions): one groupby(user) with
+    vectorized in-group pair counting, tiny pair groupby, driver finish."""
+    return x_rel.event_transitions(
+        _read(sf_dir, "events",
+              ["user_id", "event_id", "ts", "event_type"]))
+
+
 def _q_customer_order_activity(sf_dir: str) -> pd.DataFrame:
     """LEFT OUTER join gate (extras/relational.customer_order_activity):
     customers with no orders survive with coalesced zeros; order side is
@@ -2111,6 +2180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_revenue_by_customer": _q_returned_revenue_by_customer,
         "customer_order_activity": _q_customer_order_activity,
         "user_click_purchase": _q_user_click_purchase,
+        "validate_orders": _q_validate_orders,
+        "event_transitions": _q_event_transitions,
         "props_value_stats": _q_props_value_stats,
         "late_events": _q_late_events,
         "cohort_retention": _q_cohort_retention,
@@ -4097,6 +4168,24 @@ WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
+""",
+        "validate_orders": _validate_sql(),
+        "event_transitions": """
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+pairs AS (
+  SELECT event_type AS from_type, nxt AS to_type, count(*)::BIGINT AS n
+  FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT from_type, sum(n) AS tn FROM pairs GROUP BY from_type)
+SELECT p.from_type, p.to_type, p.n,
+       round(p.n::DOUBLE / t.tn::DOUBLE, 6) AS p_r
+FROM pairs p JOIN tot t USING (from_type)
+ORDER BY from_type, to_type
 """,
         "user_click_purchase": """
 WITH c AS (SELECT user_id, count(*)::BIGINT AS n_clicks

@@ -1464,3 +1464,46 @@ def user_click_purchase_matrix(
             .groupby("user_id")
             .aggregate(RSum("nc_p", alias_name="n_clicks"),
                        RSum("np_p", alias_name="n_purchases")))
+
+
+def event_transitions(events: "ray.data.Dataset") -> pd.DataFrame:
+    """First-order Markov transition matrix over event types: for every
+    consecutive event pair within a user's (ts, event_id)-ordered stream,
+    (from_type, to_type, n, p_r) with p_r = round(n / total-from, 6).
+
+    Scale shape: ONE groupby(user) — each group is one user's bounded
+    stream, pair counts computed vectorized in-group — then a tiny
+    groupby((from, to)) sum; the |types|^2 result and its row-normalizing
+    totals finish on the driver. Raw events ride the first exchange once;
+    nothing else is wide."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum as RSum
+
+    def per_user(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        g = g.sort_values(["ts", "event_id"])
+        et = g["event_type"].to_numpy()
+        if len(et) < 2:
+            return pd.DataFrame({"from_type": pd.Series([], dtype=object),
+                                 "to_type": pd.Series([], dtype=object),
+                                 "n_p": pd.Series([], dtype=np.int64)})
+        pairs = pd.DataFrame({"from_type": et[:-1], "to_type": et[1:]})
+        c = (pairs.groupby(["from_type", "to_type"], sort=True)
+             .size().reset_index(name="n_p"))
+        c["n_p"] = c["n_p"].astype(np.int64)
+        return c
+
+    counts = (events.select_columns(["user_id", "event_id", "ts",
+                                     "event_type"])
+              .groupby("user_id").map_groups(per_user, batch_format="pandas")
+              .groupby(["from_type", "to_type"])
+              .aggregate(RSum("n_p", alias_name="n"))
+              .to_pandas())
+    counts["n"] = counts["n"].astype(np.int64)
+    tot = counts.groupby("from_type")["n"].transform("sum")
+    counts["p_r"] = np.round(counts["n"].to_numpy(dtype=np.float64)
+                             / tot.to_numpy(dtype=np.float64), 6)
+    return (counts.sort_values(["from_type", "to_type"])
+            .reset_index(drop=True))

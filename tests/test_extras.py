@@ -2034,3 +2034,79 @@ class TestOuterJoin:
         assert got["user_id"].tolist() == [1, 2, 3]
         assert got["n_clicks"].tolist() == [1, 1, 0]
         assert got["n_purchases"].tolist() == [1, 0, 2]
+
+
+class TestValidate:
+    def _t(self):
+        return ray.data.from_arrow(pa.table({
+            "k": pa.array([1, 2, 2, 3, None], type=pa.int64()),
+            "v": pa.array([5.0, -1.0, 7.5, 100.0, 3.0]),
+            "s": pa.array(["a-x", "b-y", "zz", "a-x", None]),
+        })).repartition(3)
+
+    def test_rule_suite_counts(self):
+        from colbert_ray.extras.validate import expect
+
+        got = expect(self._t(), [
+            {"rule": "k_not_null", "kind": "not_null", "col": "k"},
+            {"rule": "v_range", "kind": "range", "col": "v",
+             "lo": 0.0, "hi": 10.0},
+            {"rule": "s_vocab", "kind": "in_set", "col": "s",
+             "values": ["a-x", "b-y"]},
+            {"rule": "s_format", "kind": "regex", "col": "s",
+             "pattern": "^[ab]-"},
+            {"rule": "k_unique", "kind": "unique", "col": "k"},
+        ])
+        want = {
+            "k_not_null": (1, 5),
+            "v_range": (2, 5),       # -1.0 and 100.0; nulls not counted
+            "s_vocab": (1, 5),       # 'zz'; null not a vocab violation
+            "s_format": (1, 5),      # 'zz'; null not a format violation
+            "k_unique": (2, 5),      # the two k=2 rows
+        }
+        assert dict(zip(got["rule"],
+                        zip(got["n_violations"], got["n_checked"]))) == want
+
+    def test_duplicate_rule_names_rejected(self):
+        from colbert_ray.extras.validate import expect
+
+        with pytest.raises(ValueError):
+            expect(self._t(), [
+                {"rule": "r", "kind": "not_null", "col": "k"},
+                {"rule": "r", "kind": "not_null", "col": "v"}])
+
+
+class TestEventTransitions:
+    def test_matches_naive(self):
+        from collections import Counter
+
+        from colbert_ray.extras.relational import event_transitions
+
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        m = np.timedelta64(60_000_000, "us")
+        rows = [  # (event_id, user, minute, type)
+            (1, 1, 0, "view"), (2, 1, 1, "click"), (3, 1, 2, "click"),
+            (4, 1, 3, "purchase"),
+            (5, 2, 0, "click"), (6, 2, 1, "view"),
+            (7, 3, 0, "view"),                     # single event: no pair
+            # same-ts tie within user 4: event_id breaks the order
+            (9, 4, 0, "a"), (8, 4, 0, "b"), (10, 4, 1, "c"),
+        ]
+        ev = ray.data.from_arrow(pa.table({
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "ts": pa.array([base + r[2] * m for r in rows],
+                           type=pa.timestamp("us")),
+            "event_type": pa.array([r[3] for r in rows]),
+        })).repartition(3)
+        got = event_transitions(ev)
+        # ordered streams: u1 view,click,click,purchase; u2 click,view;
+        # u4 b(id8),a(id9),c(id10)
+        pairs = Counter([("view", "click"), ("click", "click"),
+                         ("click", "purchase"), ("click", "view"),
+                         ("b", "a"), ("a", "c")])
+        froms = Counter(f for f, _ in pairs.elements())
+        want = {(f, t): (n, round(n / froms[f], 6))
+                for (f, t), n in pairs.items()}
+        assert {(r.from_type, r.to_type): (r.n, r.p_r)
+                for r in got.itertuples()} == want
