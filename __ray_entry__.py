@@ -1137,6 +1137,59 @@ def _q_returned_revenue_by_customer(sf_dir: str) -> pd.DataFrame:
     return t.to_pandas().reset_index(drop=True)
 
 
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 120000.0, 64
+HIST_QS = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def _q_price_hist_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Histogram-sketch quantiles (extras/sketches.histogram_quantiles):
+    one streaming pass of fixed-width bincount partials (mergeable and
+    parallelism-invariant by construction); estimate = lower edge of the
+    first bucket reaching ceil(q * n_inside)."""
+    from colbert_ray.extras.sketches import histogram_quantiles
+
+    ests, _, _, _ = histogram_quantiles(
+        _read(sf_dir, "lineitem", ["l_extendedprice"]),
+        "l_extendedprice", HIST_LO, HIST_HI, HIST_QS, n_bins=HIST_BINS)
+    return pd.DataFrame({
+        "q": np.array([q for q, _ in ests], dtype=np.float64),
+        "est_r": np.round([e for _, e in ests], 6)})
+
+
+def _hist_sql() -> str:
+    """Twin of histogram_quantiles: width_bucket counts, cumulative sum over
+    PRESENT buckets (empty buckets cannot be the first to reach a target),
+    lower-edge estimate with the identical inlined bucket width."""
+    w = (HIST_HI - HIST_LO) / HIST_BINS
+    qvals = ", ".join(f"({q})" for q in HIST_QS)
+    # no width_bucket in DuckDB: the CASE mirrors the engine's
+    # floor((v - lo) / w) + 1 with clip-to-[0, n+1] arithmetic literally
+    bucket = (f"CASE WHEN l_extendedprice < {HIST_LO:.17g} THEN 0 "
+              f"WHEN l_extendedprice >= {HIST_HI:.17g} THEN {HIST_BINS + 1} "
+              f"ELSE least(greatest(CAST(floor((l_extendedprice - "
+              f"{HIST_LO:.17g}) / {w:.17g}) AS BIGINT) + 1, 0), "
+              f"{HIST_BINS + 1}) END")
+    return f"""
+WITH h AS (
+  SELECT {bucket} AS b, count(*)::BIGINT AS n
+  FROM lineitem GROUP BY b
+),
+inside AS (SELECT b, n FROM h WHERE b BETWEEN 1 AND {HIST_BINS}),
+tot AS (SELECT COALESCE(sum(n), 0)::BIGINT AS ni FROM inside),
+cum AS (SELECT b, sum(n) OVER (ORDER BY b)::BIGINT AS c FROM inside),
+qs(q) AS (VALUES {qvals}),
+est AS (
+  SELECT q,
+         (SELECT min(b) FROM cum
+          WHERE c >= greatest(CAST(ceil(q * tot.ni) AS BIGINT), 1)) AS bkt
+  FROM qs CROSS JOIN tot
+)
+SELECT CAST(q AS DOUBLE) AS q,
+       round({HIST_LO:.17g} + (bkt - 1) * {w:.17g}, 6) AS est_r
+FROM est ORDER BY q
+"""
+
+
 VALIDATE_PRICE_HI = 200000.0
 VALIDATE_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM"]
 
@@ -2182,6 +2235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_click_purchase": _q_user_click_purchase,
         "validate_orders": _q_validate_orders,
         "event_transitions": _q_event_transitions,
+        "price_hist_quantiles": _q_price_hist_quantiles,
         "props_value_stats": _q_props_value_stats,
         "late_events": _q_late_events,
         "cohort_retention": _q_cohort_retention,
@@ -4170,6 +4224,7 @@ ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """,
         "validate_orders": _validate_sql(),
+        "price_hist_quantiles": _hist_sql(),
         "event_transitions": """
 WITH s AS (
   SELECT user_id, event_type,

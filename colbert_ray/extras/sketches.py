@@ -419,3 +419,67 @@ FROM toks GROUP BY term
 HAVING count(*) * {capacity} > (SELECT n FROM tot)
 ORDER BY term
 """
+
+
+# ---------------------------------------------------------------------------
+# fixed-width histogram + histogram quantiles (the deterministic, mergeable
+# approximate-quantile sketch: per-batch bincount partials sum associatively,
+# so the result is identical at any parallelism — and exactly SQL-expressible,
+# unlike randomized t-digest/KLL)
+# ---------------------------------------------------------------------------
+
+def histogram(ds: "ray.data.Dataset", col: str, lo: float, hi: float,
+              n_bins: int = 64) -> np.ndarray:
+    """int64[n_bins + 2] counts over fixed-width bins of [lo, hi):
+    slot 0 = underflow (< lo), slots 1..n_bins = bins, slot n_bins+1 =
+    overflow (>= hi). Bin rule matches DuckDB width_bucket(v, lo, hi, n):
+    bucket i covers [lo + (i-1)*w, lo + i*w).
+
+    One streaming pass: each batch reduces to an (n_bins+2)-long partial
+    (np.bincount over the bucket index), partials sum on the driver —
+    a few hundred ints per batch regardless of data size."""
+    w = (float(hi) - float(lo)) / n_bins
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        # width_bucket semantics: 0 underflow, n_bins+1 overflow
+        idx = np.floor((v - lo) / w).astype(np.int64) + 1
+        idx = np.clip(idx, 0, n_bins + 1)
+        idx[v < lo] = 0
+        idx[v >= hi] = n_bins + 1
+        cnt = np.bincount(idx, minlength=n_bins + 2).astype(np.int64)
+        return pa.table({"h": pa.array([cnt.tobytes()], type=pa.binary())})
+
+    total = np.zeros(n_bins + 2, dtype=np.int64)
+    for b in ds.select_columns([col]).map_batches(
+            partial, batch_format="pyarrow",
+            zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
+        for blob in b.column("h").to_pylist():
+            total += np.frombuffer(blob, dtype=np.int64)
+    return total
+
+
+def histogram_quantiles(ds: "ray.data.Dataset", col: str, lo: float,
+                        hi: float, qs: list[float],
+                        n_bins: int = 64):
+    """Histogram-sketch quantile estimates: for quantile q, the LOWER EDGE
+    of the first bucket where the cumulative count reaches
+    ceil(q * n_inside) (counting only values inside [lo, hi); under/overflow
+    are reported separately). Max rank error = one bucket width by
+    construction. Returns (list of (q, est), n_under, n_inside, n_over)."""
+    h = histogram(ds, col, lo, hi, n_bins)
+    inside = h[1:n_bins + 1]
+    n_inside = int(inside.sum())
+    cum = np.cumsum(inside)
+    w = (float(hi) - float(lo)) / n_bins
+    out = []
+    for q in qs:
+        if n_inside == 0:
+            out.append((q, float(lo)))
+            continue
+        target = int(np.ceil(q * n_inside))
+        target = max(target, 1)
+        b = int(np.searchsorted(cum, target))      # first bucket reaching it
+        out.append((q, float(lo) + b * w))
+    return out, int(h[0]), n_inside, int(h[-1])

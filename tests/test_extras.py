@@ -2110,3 +2110,47 @@ class TestEventTransitions:
                 for (f, t), n in pairs.items()}
         assert {(r.from_type, r.to_type): (r.n, r.p_r)
                 for r in got.itertuples()} == want
+
+
+class TestHistogramSketch:
+    def _ds(self, vals, parts=1):
+        d = ray.data.from_arrow(pa.table(
+            {"v": pa.array(vals, type=pa.float64())}))
+        return d.repartition(parts) if parts > 1 else d
+
+    def test_counts_and_flows(self):
+        from colbert_ray.extras.sketches import histogram
+
+        vals = [-5.0, 0.0, 0.5, 9.99, 10.0, 25.0, 99.9, 100.0, 250.0]
+        h = histogram(self._ds(vals), "v", 0.0, 100.0, n_bins=10)
+        assert h[0] == 1                       # -5 underflow
+        assert h[-1] == 2                      # 100.0, 250.0 overflow
+        assert h[1] == 3                       # [0,10): 0, 0.5, 9.99
+        assert h[2] == 1                       # [10,20): 10.0
+        assert int(h.sum()) == len(vals)
+
+    def test_parallelism_invariant(self):
+        from colbert_ray.extras.sketches import histogram
+
+        rng = np.random.default_rng(3)
+        vals = rng.uniform(-10, 110, size=5000).tolist()
+        a = histogram(self._ds(vals), "v", 0.0, 100.0, 32)
+        b = histogram(self._ds(vals, parts=13), "v", 0.0, 100.0, 32)
+        np.testing.assert_array_equal(a, b)
+
+    def test_quantile_rank_error_bounded_by_bucket(self):
+        from colbert_ray.extras.sketches import histogram_quantiles
+
+        rng = np.random.default_rng(4)
+        vals = np.sort(rng.uniform(0, 100, size=4000))
+        qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+        ests, nu, ni, no = histogram_quantiles(
+            self._ds(vals.tolist(), parts=7), "v", 0.0, 100.0, qs,
+            n_bins=64)
+        assert (nu, ni, no) == (0, 4000, 0)
+        w = 100.0 / 64
+        for q, est in ests:
+            exact = float(np.quantile(vals, q))
+            # lower-edge estimate: within one bucket width of the truth
+            assert est <= exact + 1e-9
+            assert exact - est <= w + 1e-9
