@@ -1190,6 +1190,22 @@ FROM est ORDER BY q
 """
 
 
+def _q_user_mode_event(sf_dir: str) -> pd.DataFrame:
+    """MODE per group (extras/relational.user_mode_event): per-(user,type)
+    partial counts -> one groupby -> vectorized per-user argmax with
+    (n DESC, type ASC) tie-break."""
+    ds = x_rel.user_mode_event(
+        _read(sf_dir, "events", ["user_id", "event_type"]))
+    return ds.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
+def _q_label_centroids(sf_dir: str) -> pd.DataFrame:
+    """Grouped vector mean (extras/simsearch.label_centroids): per-batch
+    np.add.at partials, one (label, dim) groupby, driver finish."""
+    return x_sim.label_centroids(
+        _read(sf_dir, "embeddings", ["label", "embedding"]))
+
+
 VALIDATE_PRICE_HI = 200000.0
 VALIDATE_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM"]
 
@@ -1617,6 +1633,7 @@ def _q_bigram_top100(sf_dir: str) -> pd.DataFrame:
 
 
 PREFIX_QUERY = "s"             # dictionary-prefix wildcard query
+INFIX_QUERY = "or"             # *or* infix wildcard query
 REGEX_PATTERN = r"(join|sort)\s+\w+"   # RE2 on both sides
 
 
@@ -1632,6 +1649,17 @@ def _q_prefix_search(sf_dir: str) -> pd.DataFrame:
     return (t.to_pandas().sort_values("doc_id").reset_index(drop=True))
 
 
+def _q_infix_search(sf_dir: str) -> pd.DataFrame:
+    """Infix wildcard over the BUILT index (pipelines/phrase.infix_search):
+    vectorized substring scan of the vocab-bounded dictionary, shared
+    posting rollup."""
+    from colbert_ray.pipelines.phrase import infix_search
+
+    idx_dir = _ensure_index(sf_dir)
+    t = infix_search(idx_dir, INFIX_QUERY)
+    return t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_regex_match_docs(sf_dir: str) -> pd.DataFrame:
     """Corpus regex scan (extras/textstats.regex_match_stats): RE2
     non-overlapping match counts, matching docs only."""
@@ -1644,6 +1672,12 @@ def _prefix_search_sql() -> str:
     from colbert_ray.pipelines.phrase import sql_prefix_search
 
     return sql_prefix_search("documents", PREFIX_QUERY, CFG)
+
+
+def _infix_search_sql() -> str:
+    from colbert_ray.pipelines.phrase import sql_infix_search
+
+    return sql_infix_search("documents", INFIX_QUERY, CFG)
 
 
 PMI_K = 50
@@ -2236,6 +2270,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_orders": _q_validate_orders,
         "event_transitions": _q_event_transitions,
         "price_hist_quantiles": _q_price_hist_quantiles,
+        "user_mode_event": _q_user_mode_event,
+        "label_centroids": _q_label_centroids,
         "props_value_stats": _q_props_value_stats,
         "late_events": _q_late_events,
         "cohort_retention": _q_cohort_retention,
@@ -2255,6 +2291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_top100": _q_bigram_top100,
         "pmi_top50": _q_pmi_top50,
         "prefix_search_docs": _q_prefix_search,
+        "infix_search_docs": _q_infix_search,
         "regex_match_docs": _q_regex_match_docs,
         "tfidf_top5": _q_tfidf_top5,
         "doclen_quantiles": _q_doclen_quantiles,
@@ -4225,6 +4262,27 @@ LIMIT 10
 """,
         "validate_orders": _validate_sql(),
         "price_hist_quantiles": _hist_sql(),
+        "user_mode_event": """
+WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS n
+           FROM events GROUP BY user_id, event_type)
+SELECT user_id, event_type AS mode_type, n
+FROM c
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY n DESC, event_type) = 1
+ORDER BY user_id
+""",
+        "label_centroids": """
+WITH e AS (
+  SELECT label, t.dim - 1 AS dim,
+         CAST(embedding[t.dim] AS DOUBLE) AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(dim)
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       round(sum(v) / count(*), 6) AS mean_r,
+       count(*)::BIGINT AS n
+FROM e GROUP BY label, dim
+ORDER BY label, dim
+""",
         "event_transitions": """
 WITH s AS (
   SELECT user_id, event_type,
@@ -4403,6 +4461,7 @@ ORDER BY a.user_id, click_event_id, purchase_event_id
         "stratified_sample_docs": _stratified_sql(),
         "pmi_top50": _pmi_sql(),
         "prefix_search_docs": _prefix_search_sql(),
+        "infix_search_docs": _infix_search_sql(),
         "regex_match_docs": f"""
 SELECT doc_id,
        len(regexp_extract_all(text, '{REGEX_PATTERN}'))::BIGINT AS n_matches

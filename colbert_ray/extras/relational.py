@@ -1507,3 +1507,39 @@ def event_transitions(events: "ray.data.Dataset") -> pd.DataFrame:
                              / tot.to_numpy(dtype=np.float64), 6)
     return (counts.sort_values(["from_type", "to_type"])
             .reset_index(drop=True))
+
+
+def user_mode_event(events: "ray.data.Dataset") -> "ray.data.Dataset":
+    """MODE aggregate per group: each user's most frequent event type
+    (ties -> lexicographically smallest type). Per-(user,type) counts
+    pre-reduce per batch, ride ONE small groupby, and the per-user argmax
+    runs vectorized inside a second tiny groupby."""
+    from ray.data.aggregate import Sum as RSum
+
+    def pre(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "user_id": b.column("user_id").to_numpy(zero_copy_only=False),
+            "event_type": b.column("event_type").to_pylist()})
+        c = (df.groupby(["user_id", "event_type"], sort=True)
+             .size().reset_index(name="n_p"))
+        return pa.Table.from_pandas(c, preserve_index=False)
+
+    counts = (events.select_columns(["user_id", "event_type"])
+              .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+              .groupby(["user_id", "event_type"])
+              .aggregate(RSum("n_p", alias_name="n")))
+
+    def argmax(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        g = g.sort_values(["n", "event_type"],
+                          ascending=[False, True]).head(1)
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(dtype=np.int64),
+            "mode_type": g["event_type"].to_numpy(),
+            "n": g["n"].to_numpy(dtype=np.int64)})
+
+    return counts.groupby("user_id").map_groups(argmax,
+                                                batch_format="pandas")

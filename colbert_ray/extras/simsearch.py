@@ -881,3 +881,41 @@ def pq_adc_knn(
                                  zero_copy_batch=True)
             .groupby("qid")
             .map_groups(merge_topk, batch_format="pandas"))
+
+
+def label_centroids(ds: "ray.data.Dataset", vec_col: str = "embedding",
+                    label_col: str = "label") -> pd.DataFrame:
+    """Grouped vector mean: per-label centroid of an embedding column.
+
+    Scale shape: each batch reduces to (label, dim, partial_sum,
+    partial_count) rows via one np.add.at — |labels|x|dim| rows per batch,
+    never raw vectors — summed by ONE groupby; the tiny (labels x dim)
+    result finishes on the driver with the rounded mean (float policy)."""
+    from ray.data.aggregate import Sum as RSum
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = _stack(b, vec_col)
+        lab = b.column(label_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        uu, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(uu), m.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, m)
+        cnt = np.bincount(inv).astype(np.int64)
+        n_lab, dim = sums.shape
+        return pa.table({
+            "label": pa.array(np.repeat(uu, dim), type=pa.int64()),
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), n_lab)),
+            "s_p": pa.array(sums.ravel(), type=pa.float64()),
+            "n_p": pa.array(np.repeat(cnt, dim), type=pa.int64())})
+
+    agg = (ds.select_columns([label_col, vec_col])
+           .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby(["label", "dim"])
+           .aggregate(RSum("s_p", alias_name="s"),
+                      RSum("n_p", alias_name="n"))
+           .to_pandas())
+    agg["mean_r"] = np.round(agg["s"].to_numpy(dtype=np.float64)
+                             / agg["n"].to_numpy(dtype=np.float64), 6)
+    agg["n"] = agg["n"].astype(np.int64)
+    return (agg[["label", "dim", "mean_r", "n"]]
+            .sort_values(["label", "dim"]).reset_index(drop=True))

@@ -412,7 +412,37 @@ def prefix_search(index_dir: str, prefix: str) -> pa.Table:
     hi = np.searchsorted(idx.dict_terms, prefix + "\uffff")
     if hi <= lo:
         return empty
-    tids = idx.dict_term_ids[lo:hi]
+    return _rollup_term_ids(idx, idx.dict_term_ids[lo:hi])
+
+
+def infix_search(index_dir: str, needle: str) -> pa.Table:
+    """Infix (``*needle*``) term expansion over the BUILT index: dictionary
+    terms CONTAINING ``needle`` (one vectorized Arrow substring scan over
+    the vocab — the dictionary is vocab-bounded, orders of magnitude smaller
+    than the corpus, so the scan is the honest cost; a trigram-over-vocab
+    side index would be the next step if vocabularies grew to billions),
+    then the same per-doc posting rollup as ``prefix_search``."""
+    import pyarrow.compute as pc
+
+    from colbert_ray.state.decoded import DecodedIndex
+
+    idx = DecodedIndex.load_cached(index_dir, load_sha=False)
+    if not needle or not len(idx.dict_terms):
+        return _rollup_term_ids(idx, np.empty(0, dtype=np.int64))
+    hit = pc.match_substring(
+        pa.array(idx.dict_terms, type=pa.string()), needle
+    ).to_numpy(zero_copy_only=False)
+    return _rollup_term_ids(idx, idx.dict_term_ids[np.flatnonzero(hit)])
+
+
+def _rollup_term_ids(idx, tids: np.ndarray) -> pa.Table:
+    """Shared posting rollup: (doc_id, n_terms, sum_tf) over the given
+    term ids, tombstone-aware, ordered by doc_id."""
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "n_terms": pa.array([], type=pa.int64()),
+                      "sum_tf": pa.array([], type=pa.int64())})
+    if not len(tids):
+        return empty
     doc_parts, tf_parts = [], []
     for tid in tids:
         s, e = idx.posting_offsets[tid], idx.posting_offsets[tid + 1]
@@ -452,6 +482,25 @@ WITH d AS (
 t AS (SELECT doc_id, unnest(toks) AS term FROM d),
 m AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t
       WHERE term LIKE '{prefix}%' GROUP BY doc_id, term)
+SELECT doc_id, count(*)::BIGINT AS n_terms, sum(tf)::BIGINT AS sum_tf
+FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def sql_infix_search(table: str, needle: str,
+                     cfg: EngineConfig | None = None, *,
+                     text_col: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB twin of ``infix_search`` — per-doc rollup over terms
+    containing the needle (contains() = plain substring, no wildcards)."""
+    cfg = cfg or EngineConfig()
+    return f"""
+WITH d AS (
+  SELECT {id_col} AS doc_id, {sql_tokenize_expr(text_col, cfg)} AS toks
+  FROM {table}
+),
+t AS (SELECT doc_id, unnest(toks) AS term FROM d),
+m AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t
+      WHERE contains(term, '{needle}') GROUP BY doc_id, term)
 SELECT doc_id, count(*)::BIGINT AS n_terms, sum(tf)::BIGINT AS sum_tf
 FROM m GROUP BY doc_id ORDER BY doc_id
 """

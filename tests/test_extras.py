@@ -2154,3 +2154,39 @@ class TestHistogramSketch:
             # lower-edge estimate: within one bucket width of the truth
             assert est <= exact + 1e-9
             assert exact - est <= w + 1e-9
+
+
+class TestModeAndCentroids:
+    def test_user_mode_event_tiebreak(self):
+        from colbert_ray.extras.relational import user_mode_event
+
+        ev = ray.data.from_arrow(pa.table({
+            "user_id": pa.array([1, 1, 1, 2, 2, 3], type=pa.int64()),
+            "event_type": pa.array(["b", "b", "a", "b", "a", "z"]),
+        })).repartition(3)
+        got = (user_mode_event(ev).to_pandas()
+               .sort_values("user_id").reset_index(drop=True))
+        # user 2: tie a/b at 1 each -> lexicographically smallest wins
+        assert list(zip(got["user_id"], got["mode_type"],
+                        got["n"])) == [(1, "b", 2), (2, "a", 1),
+                                       (3, "z", 1)]
+
+    def test_label_centroids_match_numpy(self):
+        from colbert_ray.extras.simsearch import label_centroids
+
+        rng = np.random.default_rng(5)
+        m = rng.standard_normal((40, 6))
+        lab = rng.integers(0, 3, size=40)
+        t = pa.table({
+            "label": pa.array(lab, type=pa.int64()),
+            "embedding": pa.array([r.tolist() for r in m],
+                                  type=pa.list_(pa.float32()))})
+        got = label_centroids(ray.data.from_arrow(t).repartition(5))
+        m64 = m.astype(np.float32).astype(np.float64)
+        for L in range(3):
+            sub = m64[lab == L]
+            want = np.round(sub.sum(axis=0) / len(sub), 6)
+            g = got[got.label == L].sort_values("dim")
+            np.testing.assert_allclose(g["mean_r"].to_numpy(), want,
+                                       atol=1.1e-6)
+            assert (g["n"] == len(sub)).all()

@@ -209,3 +209,21 @@ def test_prefix_search_no_match_and_empty(docs_index):
     _, index_dir, _ = docs_index
     assert prefix_search(index_dir, "zzz").num_rows == 0
     assert prefix_search(index_dir, "").num_rows == 0
+
+
+def test_infix_search_vs_bruteforce(docs_index):
+    from collections import Counter
+
+    from colbert_ray.pipelines.phrase import infix_search
+
+    path, index_dir, texts = docs_index
+    got = infix_search(index_dir, "a").to_pandas()   # hash, scan, a
+    want = {}
+    for did, t in enumerate(texts):
+        c = Counter(w for w in phrase_tokens(t, CFG) if "a" in w)
+        if c:
+            want[did] = (len(c), sum(c.values()))
+    assert dict(zip(got["doc_id"],
+                    zip(got["n_terms"], got["sum_tf"]))) == want
+    assert infix_search(index_dir, "zzz").num_rows == 0
+    assert infix_search(index_dir, "").num_rows == 0
