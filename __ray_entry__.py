@@ -1634,6 +1634,11 @@ def _q_bigram_top100(sf_dir: str) -> pd.DataFrame:
 
 PREFIX_QUERY = "s"             # dictionary-prefix wildcard query
 INFIX_QUERY = "or"             # *or* infix wildcard query
+SUFFIX_QUERY = "er"            # *er suffix wildcard (reversed-dict search)
+WILDCARD_PRE, WILDCARD_SUF = "s", "n"    # s*n combined wildcard
+OR_TERMS = ["window", "vector", "stream"]  # disjunctive (min 2 of 3)
+NOT_TERMS = ["slow"]                       # ... AND NOT slow
+MIN_SHOULD_MATCH = 2
 REGEX_PATTERN = r"(join|sort)\s+\w+"   # RE2 on both sides
 
 
@@ -1660,6 +1665,41 @@ def _q_infix_search(sf_dir: str) -> pd.DataFrame:
     return t.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_suffix_search(sf_dir: str) -> pd.DataFrame:
+    """Suffix wildcard (*er) over the BUILT index
+    (pipelines/phrase.suffix_search): binary search on a reversed-sorted
+    dictionary copy (built once per actor, vocab-bounded) — index-native,
+    not a vocab scan — then the shared posting rollup."""
+    from colbert_ray.pipelines.phrase import suffix_search
+
+    idx_dir = _ensure_index(sf_dir)
+    t = suffix_search(idx_dir, SUFFIX_QUERY)
+    return t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_wildcard_search(sf_dir: str) -> pd.DataFrame:
+    """Combined wildcard (s*n, LIKE 's%n') over the BUILT index
+    (pipelines/phrase.wildcard_search): prefix range ∩ suffix range over
+    dictionary positions + the non-overlap length constraint."""
+    from colbert_ray.pipelines.phrase import wildcard_search
+
+    idx_dir = _ensure_index(sf_dir)
+    t = wildcard_search(idx_dir, WILDCARD_PRE, WILDCARD_SUF)
+    return t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_boolean_or_not_docs(sf_dir: str) -> pd.DataFrame:
+    """Boolean OR/NOT with min-should-match over the BUILT index
+    (pipelines/phrase.disjunctive_docs): ≥2 of OR_TERMS and none of
+    NOT_TERMS — one posting rollup + sorted-array exclusion."""
+    from colbert_ray.pipelines.phrase import disjunctive_docs
+
+    idx_dir = _ensure_index(sf_dir)
+    t = disjunctive_docs(idx_dir, OR_TERMS, NOT_TERMS,
+                         min_should_match=MIN_SHOULD_MATCH)
+    return t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_regex_match_docs(sf_dir: str) -> pd.DataFrame:
     """Corpus regex scan (extras/textstats.regex_match_stats): RE2
     non-overlapping match counts, matching docs only."""
@@ -1678,6 +1718,25 @@ def _infix_search_sql() -> str:
     from colbert_ray.pipelines.phrase import sql_infix_search
 
     return sql_infix_search("documents", INFIX_QUERY, CFG)
+
+
+def _suffix_search_sql() -> str:
+    from colbert_ray.pipelines.phrase import sql_suffix_search
+
+    return sql_suffix_search("documents", SUFFIX_QUERY, CFG)
+
+
+def _wildcard_search_sql() -> str:
+    from colbert_ray.pipelines.phrase import sql_wildcard_search
+
+    return sql_wildcard_search("documents", WILDCARD_PRE, WILDCARD_SUF, CFG)
+
+
+def _boolean_or_not_sql() -> str:
+    from colbert_ray.pipelines.phrase import sql_disjunctive_docs
+
+    return sql_disjunctive_docs(
+        "documents", OR_TERMS, NOT_TERMS, MIN_SHOULD_MATCH, CFG)
 
 
 PMI_K = 50
@@ -2292,6 +2351,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_top50": _q_pmi_top50,
         "prefix_search_docs": _q_prefix_search,
         "infix_search_docs": _q_infix_search,
+        "suffix_search_docs": _q_suffix_search,
+        "wildcard_search_docs": _q_wildcard_search,
+        "boolean_or_not_docs": _q_boolean_or_not_docs,
         "regex_match_docs": _q_regex_match_docs,
         "tfidf_top5": _q_tfidf_top5,
         "doclen_quantiles": _q_doclen_quantiles,
@@ -4462,6 +4524,9 @@ ORDER BY a.user_id, click_event_id, purchase_event_id
         "pmi_top50": _pmi_sql(),
         "prefix_search_docs": _prefix_search_sql(),
         "infix_search_docs": _infix_search_sql(),
+        "suffix_search_docs": _suffix_search_sql(),
+        "wildcard_search_docs": _wildcard_search_sql(),
+        "boolean_or_not_docs": _boolean_or_not_sql(),
         "regex_match_docs": f"""
 SELECT doc_id,
        len(regexp_extract_all(text, '{REGEX_PATTERN}'))::BIGINT AS n_matches

@@ -504,3 +504,209 @@ m AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t
 SELECT doc_id, count(*)::BIGINT AS n_terms, sum(tf)::BIGINT AS sum_tf
 FROM m GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def _reversed_dict(idx) -> tuple[np.ndarray, np.ndarray]:
+    """(reversed_terms_sorted, perm) over the index dictionary, built ONCE
+    per loaded index and cached on the instance (same lifetime as the
+    ``load_cached`` entry, so one O(V log V) sort per actor process, vocab-
+    bounded — the classic Lucene ``ReversedWildcardFilter`` trick that turns
+    a ``*suffix`` scan into a binary search). ``perm`` maps positions in the
+    reversed-sorted order back to positions in the forward-sorted
+    ``dict_terms`` / ``dict_term_ids`` arrays."""
+    cached = getattr(idx, "_rev_dict_cache", None)
+    # rebuilt if the dictionary grew (IndexUpdater adds terms in place)
+    if cached is None or len(cached[1]) != len(idx.dict_terms):
+        rev = pc.utf8_reverse(
+            pa.array(idx.dict_terms, type=pa.string())
+        ).to_numpy(zero_copy_only=False)
+        perm = np.argsort(rev, kind="stable")
+        cached = (rev[perm], perm)
+        idx._rev_dict_cache = cached
+    return cached
+
+
+def suffix_search(index_dir: str, suffix: str) -> pa.Table:
+    """Suffix wildcard (``*suffix``) term expansion over the BUILT index.
+
+    Index-native (NOT a vocab scan): terms are matched by binary-searching
+    a reversed-sorted copy of the dictionary for ``reversed(suffix)`` as a
+    prefix — only the matched range is touched, mirroring ``prefix_search``.
+    The reversed permutation is built lazily once per actor (vocab-bounded,
+    cached on the DecodedIndex). Returns the same (doc_id, n_terms, sum_tf)
+    rollup as the other wildcard searches, tombstone-aware, doc_id order.
+    """
+    from colbert_ray.state.decoded import DecodedIndex
+
+    idx = DecodedIndex.load_cached(index_dir, load_sha=False)
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "n_terms": pa.array([], type=pa.int64()),
+                      "sum_tf": pa.array([], type=pa.int64())})
+    if not suffix or not len(idx.dict_terms):
+        return empty
+    rev_sorted, perm = _reversed_dict(idx)
+    key = suffix[::-1]
+    lo = np.searchsorted(rev_sorted, key)
+    hi = np.searchsorted(rev_sorted, key + "\uffff")
+    if hi <= lo:
+        return empty
+    return _rollup_term_ids(idx, idx.dict_term_ids[perm[lo:hi]])
+
+
+def wildcard_search(index_dir: str, prefix: str, suffix: str) -> pa.Table:
+    """Combined wildcard (``prefix*suffix``, SQL ``LIKE 'prefix%suffix'``)
+    over the BUILT index: intersection of the prefix binary-search range
+    (forward dictionary) and the suffix binary-search range (reversed
+    dictionary), plus the non-overlap length constraint
+    ``len(term) >= len(prefix) + len(suffix)`` — exactly LIKE semantics.
+    Both ranges are O(log V) probes; the intersection runs over dictionary
+    POSITIONS (two small sorted int sets), never the postings, and only the
+    surviving terms' posting slices page in for the rollup."""
+    from colbert_ray.state.decoded import DecodedIndex
+
+    idx = DecodedIndex.load_cached(index_dir, load_sha=False)
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "n_terms": pa.array([], type=pa.int64()),
+                      "sum_tf": pa.array([], type=pa.int64())})
+    if not prefix or not suffix or not len(idx.dict_terms):
+        return empty
+    p_lo = np.searchsorted(idx.dict_terms, prefix)
+    p_hi = np.searchsorted(idx.dict_terms, prefix + "\uffff")
+    rev_sorted, perm = _reversed_dict(idx)
+    key = suffix[::-1]
+    s_lo = np.searchsorted(rev_sorted, key)
+    s_hi = np.searchsorted(rev_sorted, key + "\uffff")
+    if p_hi <= p_lo or s_hi <= s_lo:
+        return empty
+    pos = np.intersect1d(np.arange(p_lo, p_hi), perm[s_lo:s_hi],
+                         assume_unique=True)
+    if not len(pos):
+        return empty
+    lens = pc.utf8_length(
+        pa.array(idx.dict_terms[pos], type=pa.string())
+    ).to_numpy(zero_copy_only=False)
+    pos = pos[lens >= len(prefix) + len(suffix)]
+    if not len(pos):
+        return empty
+    return _rollup_term_ids(idx, idx.dict_term_ids[pos])
+
+
+def sql_suffix_search(table: str, suffix: str,
+                      cfg: EngineConfig | None = None, *,
+                      text_col: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB twin of ``suffix_search`` — rollup over terms LIKE '%suffix'."""
+    cfg = cfg or EngineConfig()
+    return f"""
+WITH d AS (
+  SELECT {id_col} AS doc_id, {sql_tokenize_expr(text_col, cfg)} AS toks
+  FROM {table}
+),
+t AS (SELECT doc_id, unnest(toks) AS term FROM d),
+m AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t
+      WHERE term LIKE '%{suffix}' GROUP BY doc_id, term)
+SELECT doc_id, count(*)::BIGINT AS n_terms, sum(tf)::BIGINT AS sum_tf
+FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def sql_wildcard_search(table: str, prefix: str, suffix: str,
+                        cfg: EngineConfig | None = None, *,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> str:
+    """DuckDB twin of ``wildcard_search`` — rollup over terms LIKE
+    'prefix%suffix' (LIKE's ``%`` may match empty but never overlaps the
+    anchors, which is exactly the engine's length constraint)."""
+    cfg = cfg or EngineConfig()
+    return f"""
+WITH d AS (
+  SELECT {id_col} AS doc_id, {sql_tokenize_expr(text_col, cfg)} AS toks
+  FROM {table}
+),
+t AS (SELECT doc_id, unnest(toks) AS term FROM d),
+m AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t
+      WHERE term LIKE '{prefix}%{suffix}' GROUP BY doc_id, term)
+SELECT doc_id, count(*)::BIGINT AS n_terms, sum(tf)::BIGINT AS sum_tf
+FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def disjunctive_docs(index_dir: str, or_terms: list[str],
+                     not_terms: list[str] | None = None,
+                     min_should_match: int = 1) -> pa.Table:
+    """Boolean OR / NOT query over the BUILT index: documents matching at
+    least ``min_should_match`` distinct terms from ``or_terms`` and NONE of
+    ``not_terms``. Complements ``conjunctive_candidates`` (the AND path).
+
+    Shape: one posting rollup over the OR terms (same probe-path budget as
+    any candidate generation — O(sum df), only probed slices page in), a
+    vectorized count filter, then a sorted-array exclusion built from the
+    NOT terms' posting docids. OOV OR-terms contribute nothing; OOV NOT
+    terms exclude nothing. Returns (doc_id, n_match) in doc_id order.
+    (Reference capability: candidate generation / filtering,
+    ``colbert/search/index_storage.py:72-96`` analog.)"""
+    from colbert_ray.state.decoded import DecodedIndex
+
+    idx = DecodedIndex.load_cached(index_dir, load_sha=False)
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "n_match": pa.array([], type=pa.int64())})
+    uniq_or = sorted(set(or_terms))
+    if not uniq_or:
+        return empty
+    roll = _rollup_term_ids(idx, idx.lookup_terms(uniq_or))
+    if roll.num_rows == 0:
+        return empty
+    docs = roll.column("doc_id").to_numpy(zero_copy_only=False)
+    n_match = roll.column("n_terms").to_numpy(zero_copy_only=False)
+    keep = n_match >= int(min_should_match)
+    docs, n_match = docs[keep], n_match[keep]
+    uniq_not = sorted(set(not_terms or ()))
+    if len(docs) and uniq_not:
+        not_tids = idx.lookup_terms(uniq_not)
+        excl_parts = [
+            np.asarray(idx.posting_docids[
+                idx.posting_offsets[t]:idx.posting_offsets[t + 1]])
+            for t in not_tids]
+        if excl_parts:
+            excl = np.unique(np.concatenate(excl_parts))
+            if len(excl):
+                pos = np.searchsorted(excl, docs)
+                pos_c = np.clip(pos, 0, len(excl) - 1)
+                ok = excl[pos_c] != docs
+                docs, n_match = docs[ok], n_match[ok]
+    return pa.table({"doc_id": pa.array(docs, type=pa.int64()),
+                     "n_match": pa.array(n_match, type=pa.int64())})
+
+
+def sql_disjunctive_docs(
+    table: str, or_terms: list[str], not_terms: list[str] | None = None,
+    min_should_match: int = 1,
+    cfg: EngineConfig | None = None,
+    *,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of ``disjunctive_docs`` (OR with min-should-match, minus
+    any doc containing a NOT term)."""
+    cfg = cfg or EngineConfig()
+    or_lits = ", ".join(f"'{w}'" for w in sorted(set(or_terms)))
+    not_clause = ""
+    uniq_not = sorted(set(not_terms or ()))
+    if uniq_not:
+        not_lits = ", ".join(f"'{w}'" for w in uniq_not)
+        not_clause = (f"WHERE doc_id NOT IN "
+                      f"(SELECT doc_id FROM t WHERE term IN ({not_lits}))")
+    return f"""
+WITH d AS (
+  SELECT {id_col} AS doc_id, {sql_tokenize_expr(text_col, cfg)} AS toks
+  FROM {table}
+),
+t AS (SELECT doc_id, unnest(toks) AS term FROM d),
+m AS (
+  SELECT doc_id, count(DISTINCT term)::BIGINT AS n_match FROM t
+  WHERE term IN ({or_lits})
+  GROUP BY doc_id
+  HAVING count(DISTINCT term) >= {int(min_should_match)}
+)
+SELECT doc_id, n_match FROM m
+{not_clause}
+ORDER BY doc_id
+"""

@@ -227,3 +227,96 @@ def test_infix_search_vs_bruteforce(docs_index):
                     zip(got["n_terms"], got["sum_tf"]))) == want
     assert infix_search(index_dir, "zzz").num_rows == 0
     assert infix_search(index_dir, "").num_rows == 0
+
+
+def test_suffix_search_vs_bruteforce(docs_index):
+    from collections import Counter
+
+    from colbert_ray.pipelines.phrase import suffix_search
+
+    path, index_dir, texts = docs_index
+    for suf in ("n", "h", "e"):       # {join, scan}, {hash}, {merge}
+        got = suffix_search(index_dir, suf).to_pandas()
+        want = {}
+        for did, t in enumerate(texts):
+            c = Counter(w for w in phrase_tokens(t, CFG) if w.endswith(suf))
+            if c:
+                want[did] = (len(c), sum(c.values()))
+        assert dict(zip(got["doc_id"],
+                        zip(got["n_terms"], got["sum_tf"]))) == want
+        assert got["doc_id"].is_monotonic_increasing
+    assert suffix_search(index_dir, "zzz").num_rows == 0
+    assert suffix_search(index_dir, "").num_rows == 0
+
+
+def test_wildcard_search_like_semantics(docs_index):
+    from collections import Counter
+
+    from colbert_ray.pipelines.phrase import wildcard_search
+
+    path, index_dir, texts = docs_index
+
+    def brute(pre, suf):
+        want = {}
+        for did, t in enumerate(texts):
+            c = Counter(
+                w for w in phrase_tokens(t, CFG)
+                if w.startswith(pre) and w.endswith(suf)
+                and len(w) >= len(pre) + len(suf))   # LIKE 'pre%suf'
+            if c:
+                want[did] = (len(c), sum(c.values()))
+        return want
+
+    for pre, suf in (("s", "n"), ("s", "t"), ("ha", "sh"), ("j", "n")):
+        got = wildcard_search(index_dir, pre, suf).to_pandas()
+        assert dict(zip(got["doc_id"],
+                        zip(got["n_terms"], got["sum_tf"]))) == brute(pre, suf)
+    # overlap edge: 'has%sh' must NOT match 'hash' (len 4 < 3+2) even though
+    # it starts with 'has' and ends with 'sh'
+    assert wildcard_search(index_dir, "has", "sh").num_rows == 0
+    assert wildcard_search(index_dir, "", "n").num_rows == 0
+    assert wildcard_search(index_dir, "s", "").num_rows == 0
+
+
+def test_disjunctive_docs_vs_bruteforce(docs_index):
+    from colbert_ray.pipelines.phrase import disjunctive_docs
+
+    path, index_dir, texts = docs_index
+    toks = [set(phrase_tokens(t, CFG)) for t in texts]
+    for or_t, not_t, m in ((["hash", "join"], [], 1),
+                           (["hash", "join"], [], 2),
+                           (["hash", "join", "merge"], ["sort"], 2),
+                           (["hash", "zzz"], ["join"], 1)):
+        got = disjunctive_docs(index_dir, or_t, not_t,
+                               min_should_match=m).to_pandas()
+        want = {did: len(tk & set(or_t)) for did, tk in enumerate(toks)
+                if len(tk & set(or_t)) >= m and not (tk & set(not_t))}
+        assert dict(zip(got["doc_id"], got["n_match"])) == want
+        assert got["doc_id"].is_monotonic_increasing
+    assert disjunctive_docs(index_dir, [], ["hash"]).num_rows == 0
+    # all-excluded edge: every doc with 'a' also counted, then NOT out
+    full = disjunctive_docs(index_dir, ["a"], ["a"]).to_pandas()
+    assert len(full) == 0
+
+
+def test_reversed_dict_cache_rebuilds_on_vocab_growth():
+    """The reversed-dictionary cache must rebuild when the dictionary grows
+    in place (IndexUpdater folds new terms into dict_terms), and must be
+    reused — same object — while the vocabulary is unchanged."""
+    from colbert_ray.pipelines.phrase import _reversed_dict
+
+    class FakeIdx:
+        pass
+
+    idx = FakeIdx()
+    idx.dict_terms = np.array(["hash", "join", "scan"], dtype=object)
+    rev1, perm1 = _reversed_dict(idx)
+    assert list(rev1) == sorted(t[::-1] for t in idx.dict_terms)
+    assert rev1 is _reversed_dict(idx)[0]          # cached, not rebuilt
+    idx.dict_terms = np.array(["hash", "join", "scan", "xyzzyglorp"],
+                              dtype=object)        # updater growth
+    rev2, perm2 = _reversed_dict(idx)
+    assert rev2 is not rev1
+    assert list(rev2) == sorted(t[::-1] for t in idx.dict_terms)
+    np.testing.assert_array_equal(idx.dict_terms[perm2], [
+        t[::-1] for t in rev2])
