@@ -717,6 +717,20 @@ def _q_jaccard_dup_pairs(sf_dir: str) -> pd.DataFrame:
     return ds.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def _q_jaccard_prefix_pairs(sf_dir: str) -> pd.DataFrame:
+    """Prefix-filtered similarity join (extras/dedup.
+    prefix_filter_jaccard_pairs — AllPairs/PPJoin): identical output
+    contract to the all-pairs path but over the ENTIRE documents table with
+    no O(n^2) stage and no corpus broadcast — df-ranked shingle prefixes
+    ride one groupby, candidates verify exactly in-group."""
+    ds = x_dedup.prefix_filter_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        threshold_num=JACCARD_THRESHOLD_NUM,
+        threshold_den=JACCARD_THRESHOLD_DEN,
+    )
+    return ds.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def _q_dup_clusters(sf_dir: str) -> pd.DataFrame:
     """Transitive dup clustering (extras/dedup.connected_components —
     hash-min label propagation with pointer jumping over the jaccard dup
@@ -2296,6 +2310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality_scores,
         "lang_doc_counts": _q_lang_doc_counts,
         "jaccard_dup_pairs": _q_jaccard_dup_pairs,
+        "jaccard_prefix_pairs": _q_jaccard_prefix_pairs,
         "dup_clusters": _q_dup_clusters,
         "dup_spans": _q_dup_spans,
         "contaminated_docs": _q_contaminated_docs,
@@ -3099,6 +3114,29 @@ WITH t AS (
 g AS (
   SELECT doc_id, list(DISTINCT substr(text, n.n::int, 3)) AS grams
   FROM t, LATERAL (SELECT unnest(generate_series(1, len(text) - 2)) AS n) n
+  GROUP BY doc_id
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.grams, b.grams)) AS n_common,
+         len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS n_union
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, n_common, n_union
+FROM p
+WHERE n_common > 0
+  AND n_common * {JACCARD_THRESHOLD_DEN} >= {JACCARD_THRESHOLD_NUM} * n_union
+ORDER BY id_a, id_b
+"""
+
+
+def _jaccard_prefix_sql() -> str:
+    """Unbounded twin of ``_jaccard_sql`` — the prefix-filter join covers
+    the whole table, so the oracle does too (no doc_id cut)."""
+    return f"""
+WITH g AS (
+  SELECT doc_id, list(DISTINCT substr(text, n.n::int, 3)) AS grams
+  FROM documents, LATERAL (SELECT unnest(generate_series(1, len(text) - 2)) AS n) n
   GROUP BY doc_id
 ),
 p AS (
@@ -4004,6 +4042,7 @@ SELECT doc_id, n_tokens,
 FROM b ORDER BY doc_id
 """,
         "jaccard_dup_pairs": _jaccard_sql(),
+        "jaccard_prefix_pairs": _jaccard_prefix_sql(),
         "dup_clusters": f"""
 WITH RECURSIVE p AS ({_jaccard_sql()}),
 e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),

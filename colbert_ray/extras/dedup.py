@@ -119,6 +119,150 @@ def jaccard_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    ds: "ray.data.Dataset",
+    threshold_num: int = 4,
+    threshold_den: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Exact trigram-Jaccard similarity join via AllPairs/PPJoin PREFIX
+    FILTERING (Bayardo et al. WWW'07; Xiao et al. WWW'08) — same output as
+    ``jaccard_pairs`` (id_a < id_b, integer-exact n_common/n_union,
+    J >= num/den) WITHOUT the O(n^2) all-pairs pass or any corpus broadcast.
+
+    The filter: order all shingles globally by (df ASC, code ASC); a doc
+    with s distinct shingles keeps only its first ``s - ceil(t*s) + 1``
+    shingles in that order (its "prefix"). Any pair with J >= t MUST share
+    at least one prefix shingle, so grouping prefix rows by shingle yields
+    a complete candidate set — sized by the df of the RAREST shingles of
+    each doc, not the corpus.
+
+    Stages (all streaming):
+    1. trigram document frequencies: vectorized per-batch partials ->
+       ONE small groupby (trigram space is ≤2^24, vocab-bounded) ->
+       broadcast the (code -> global rank) map via ``ray.put``.
+    2. per-batch prefix emission: (code, doc_id, n_codes, codes_bin) — the
+       packed distinct-shingle array rides the shuffle (~|doc| bytes),
+       the text never does; ~(1-t)·s rows per doc.
+    3. ``groupby(code)``: within-group pairwise EXACT verification
+       (size-ratio prefilter ``den*|x| >= num*|y|`` first — J <= |x|/|y|),
+       vectorized intersect per surviving pair.
+    4. pair-distinct via ``groupby(id_a, id_b)`` (a pair can collide in
+       several prefix shingles).
+
+    Skew: a prefix shingle's group is bounded by its df; dfs are minimal
+    by construction (each doc contributes its rarest shingles), the same
+    assumption every published prefix-filter join makes. Deterministic at
+    any parallelism level (global rank is data-defined, not seed-defined).
+    """
+    base = ds.select_columns([id_col, text_col])
+    empty_df = pa.table({"code": pa.array([], type=pa.int64()),
+                         "df_part": pa.array([], type=pa.int64())})
+
+    def df_partials(batch: pa.Table) -> pa.Table:
+        codes = _trigram_codes(batch.column(text_col).to_pylist())
+        nonempty = [c for c in codes if len(c)]
+        if not nonempty:
+            return empty_df
+        uniq, cnt = np.unique(np.concatenate(nonempty), return_counts=True)
+        return pa.table({"code": pa.array(uniq.astype(np.int64)),
+                         "df_part": pa.array(cnt.astype(np.int64))})
+
+    df_pd = (base.map_batches(df_partials, batch_format="pyarrow",
+                              zero_copy_batch=True)
+             .groupby("code").sum("df_part").to_pandas())   # vocab-bounded
+    codes_by_code = np.sort(df_pd["code"].to_numpy(dtype=np.int64))
+    dfs_aligned = df_pd.sort_values("code")["sum(df_part)"].to_numpy(
+        dtype=np.int64)
+    # global shingle order (df ASC, code ASC) -> rank per code, aligned to
+    # the code-sorted array so lookup is one searchsorted
+    order = np.lexsort((codes_by_code, dfs_aligned))
+    rank_aligned = np.empty(len(order), dtype=np.int64)
+    rank_aligned[order] = np.arange(len(order), dtype=np.int64)
+    rank_ref = ray.put((codes_by_code, rank_aligned))
+
+    empty_prefix = pa.table({
+        "code": pa.array([], type=pa.int64()),
+        id_col: pa.array([], type=pa.int64()),
+        "n_codes": pa.array([], type=pa.int64()),
+        "codes_bin": pa.array([], type=pa.binary())})
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        by_code, rank = ray.get(rank_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        codes = _trigram_codes(batch.column(text_col).to_pylist())
+        out_code, out_id, out_n, out_bin = [], [], [], []
+        for did, cs in zip(ids, codes):
+            s = len(cs)
+            if s == 0:
+                continue
+            cs_i = cs.astype(np.int64)
+            r = rank[np.searchsorted(by_code, cs_i)]
+            # prefix length: s - ceil(t*s) + 1, integer ceil
+            p = s - (threshold_num * s + threshold_den - 1) // threshold_den + 1
+            pref = cs_i[np.argsort(r, kind="stable")[:p]]
+            packed = cs.tobytes()
+            out_code.extend(int(c) for c in pref)
+            out_id.extend([int(did)] * len(pref))
+            out_n.extend([s] * len(pref))
+            out_bin.extend([packed] * len(pref))
+        if not out_code:
+            return empty_prefix
+        return pa.table({"code": pa.array(out_code, type=pa.int64()),
+                         id_col: pa.array(out_id, type=pa.int64()),
+                         "n_codes": pa.array(out_n, type=pa.int64()),
+                         "codes_bin": pa.array(out_bin, type=pa.binary())})
+
+    empty_pairs = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                "id_b": pd.Series(dtype=np.int64),
+                                "n_common": pd.Series(dtype=np.int64),
+                                "n_union": pd.Series(dtype=np.int64)})
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        if len(g) < 2:
+            return empty_pairs
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        sizes = g["n_codes"].to_numpy(dtype=np.int64)
+        bins = g["codes_bin"].tolist()
+        out = []
+        for i in range(len(ids) - 1):
+            si = sizes[i]
+            # size-ratio prefilter: J <= min/max, so den*min >= num*max
+            small = np.minimum(si, sizes[i + 1:])
+            large = np.maximum(si, sizes[i + 1:])
+            cand = np.flatnonzero(threshold_den * small >=
+                                  threshold_num * large)
+            if not len(cand):
+                continue
+            ci = np.frombuffer(bins[i], dtype=np.uint64)
+            for j in cand + i + 1:
+                cj = np.frombuffer(bins[j], dtype=np.uint64)
+                inter = len(np.intersect1d(ci, cj, assume_unique=True))
+                if inter == 0:
+                    continue
+                union = int(si + sizes[j] - inter)
+                if inter * threshold_den >= threshold_num * union:
+                    out.append((int(ids[i]), int(ids[j]), inter, union))
+        if not out:
+            return empty_pairs
+        a, b, n_c, n_u = map(np.array, zip(*out))
+        return pd.DataFrame({"id_a": a.astype(np.int64),
+                             "id_b": b.astype(np.int64),
+                             "n_common": n_c.astype(np.int64),
+                             "n_union": n_u.astype(np.int64)})
+
+    def pair_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[:1][["id_a", "id_b", "n_common", "n_union"]]
+
+    return (base.map_batches(prefix_rows, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("code").map_groups(group_pairs, batch_format="pandas")
+            .groupby(["id_a", "id_b"]).map_groups(pair_first,
+                                                  batch_format="pandas"))
+
+
 _MINHASH_K = 64
 # 8 bands x 8 rows: band-collision prob = j^8, so merely-similar docs
 # (j~0.6-0.7) rarely collide and buckets stay small on look-alike corpora.

@@ -74,6 +74,45 @@ class TestDedup:
         row01 = out[(out.id_a == 0) & (out.id_b == 1)].iloc[0]
         assert row01["n_common"] == row01["n_union"]
 
+    def test_prefix_filter_equals_allpairs(self):
+        """The AllPairs/PPJoin completeness property: the prefix-filtered
+        join must be EXACTLY the O(n^2) all-pairs result — same pairs, same
+        integer n_common/n_union — on a random corpus with planted dups,
+        at two thresholds and two parallelism levels."""
+        rng = np.random.default_rng(7)
+        vocab = ["hash", "join", "merge", "sort", "scan",
+                 "filter", "agg", "table", "row", "col"]
+        texts = [" ".join(rng.choice(vocab, size=rng.integers(3, 25)))
+                 for _ in range(120)]
+        for i in range(0, 110, 10):
+            texts[i + 1] = texts[i] + " x"          # planted near-dups
+        tbl = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                        "text": pa.array(texts)})
+        for num, den in ((6, 10), (9, 10)):
+            want = (x_dedup.jaccard_pairs(
+                ray.data.from_arrow(tbl), threshold_num=num,
+                threshold_den=den).to_pandas()
+                .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+            for nblocks in (1, 7):
+                got = (x_dedup.prefix_filter_jaccard_pairs(
+                    ray.data.from_arrow(tbl).repartition(nblocks),
+                    threshold_num=num, threshold_den=den).to_pandas()
+                    .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+                pd.testing.assert_frame_equal(
+                    want, got[want.columns.tolist()])
+            assert len(want) > 5     # non-vacuous
+
+    def test_prefix_filter_short_and_empty_texts(self):
+        tbl = pa.table({"doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+                        "text": pa.array(["", "ab", "abcdef", "abcdef"])})
+        out = (x_dedup.prefix_filter_jaccard_pairs(
+            ray.data.from_arrow(tbl), 6, 10).to_pandas()
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+        # only the identical pair (2,3) qualifies; <3-char texts shingle
+        # to the empty set and can never pair
+        assert list(zip(out.id_a, out.id_b)) == [(2, 3)]
+        assert out.n_common.iloc[0] == out.n_union.iloc[0] == 4
+
     def test_minhash_lsh_finds_planted_dups(self):
         ds = ray.data.from_arrow(_docs_table())
         out = x_dedup.minhash_lsh_pairs(ds, threshold=0.8).to_pandas()
