@@ -1512,6 +1512,31 @@ def _q_pricing_rollup(sf_dir: str) -> pd.DataFrame:
     return t.to_pandas()
 
 
+def _q_pricing_cube(sf_dir: str) -> pd.DataFrame:
+    """CUBE(l_returnflag, l_linestatus) — all four grouping sets from ONE
+    finest-granularity pass (extras/relational.pricing_cube); lvl is the
+    GROUPING() bitmask (2 = returnflag rolled up)."""
+    t = x_rel.pricing_cube(
+        _read(sf_dir, "lineitem",
+              ["l_returnflag", "l_linestatus", "l_quantity",
+               "l_extendedprice", "l_discount"]))
+    return t.to_pandas()
+
+
+def _q_order_skyline(sf_dir: str) -> pd.DataFrame:
+    """Skyline / Pareto frontier over orders — maximize o_totalprice,
+    minimize o_orderdate ("highest value, earliest") via the distributive
+    per-block local-skyline + candidate-merge shape
+    (extras/relational.skyline)."""
+    t = x_rel.skyline(
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"]),
+        maximize=["o_totalprice"], minimize=["o_orderdate"],
+        keep_cols=["o_orderkey", "o_totalprice", "o_orderdate"])
+    df = t.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+    df["o_totalprice"] = df["o_totalprice"].round(2)
+    return df
+
+
 def _q_event_sessions(sf_dir: str) -> pd.DataFrame:
     """Per-user 30-min-gap sessionization (extras/relational.sessionize —
     groupby(user) + vectorized per-group sort/diff/cumsum)."""
@@ -2328,6 +2353,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ndcg10": _q_ndcg10,
         "pricing_summary": _q_pricing_summary,
         "pricing_rollup": _q_pricing_rollup,
+        "pricing_cube": _q_pricing_cube,
+        "order_skyline": _q_order_skyline,
         "weighted_sample_docs": _q_weighted_sample_docs,
         "event_type_pivot": _q_event_type_pivot,
         "event_type_unpivot": _q_event_type_unpivot,
@@ -4348,6 +4375,34 @@ SELECT coalesce(l_returnflag, '') AS l_returnflag,
        count(*) AS count_order
 FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
 ORDER BY lvl, l_returnflag, l_linestatus
+""",
+        "pricing_cube": """
+SELECT coalesce(l_returnflag, '') AS l_returnflag,
+       coalesce(l_linestatus, '') AS l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS lvl,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
+       count(*) AS count_order
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+ORDER BY lvl, l_returnflag, l_linestatus
+""",
+        "order_skyline": """
+WITH g AS (
+  SELECT o_totalprice AS p, min(o_orderdate) AS dmin
+  FROM orders GROUP BY o_totalprice
+),
+w AS (
+  SELECT p, dmin,
+         min(dmin) OVER (ORDER BY p DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS best_d
+  FROM g
+)
+SELECT o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice, o.o_orderdate
+FROM orders o JOIN w ON o.o_totalprice = w.p AND o.o_orderdate = w.dmin
+WHERE w.best_d IS NULL OR w.best_d > w.dmin
+ORDER BY o_orderkey
 """,
         "top_revenue_orders": """
 SELECT l_orderkey, o_orderdate, o_orderpriority,

@@ -582,6 +582,99 @@ def pricing_rollup(lineitem: "ray.data.Dataset") -> "pa.Table":
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def pricing_cube(lineitem: "ray.data.Dataset") -> "pa.Table":
+    """GROUP BY CUBE(l_returnflag, l_linestatus) — every grouping set:
+    detail (lvl 0), per-flag subtotal (lvl 1 = linestatus rolled up),
+    per-status subtotal (lvl 2 = returnflag rolled up), grand total (lvl 3)
+    — the standard GROUPING() bitmask.
+
+    Same scale shape as :func:`pricing_rollup`: ONE finest-granularity
+    pre-aggregated pass over the corpus; every coarser grouping set is
+    re-derived from the tiny grouped frame on the driver (sums/counts are
+    associative). O(groups) result, never O(rows)."""
+    base = (pricing_summary(lineitem)
+            .to_pandas()
+            .sort_values(["l_returnflag", "l_linestatus"])
+            .reset_index(drop=True))
+    base = base.drop(columns=["avg_qty"])
+
+    import pandas as pd
+
+    measures = ["sum_qty", "sum_base_price", "sum_revenue", "count_order"]
+    detail = base.assign(lvl=np.int64(0))
+    by_flag = (base.groupby("l_returnflag", as_index=False)[measures].sum()
+               .assign(l_linestatus="", lvl=np.int64(1)))
+    by_status = (base.groupby("l_linestatus", as_index=False)[measures].sum()
+                 .assign(l_returnflag="", lvl=np.int64(2)))
+    grand = pd.DataFrame([{**{m: base[m].sum() for m in measures},
+                           "l_returnflag": "", "l_linestatus": "",
+                           "lvl": np.int64(3)}])
+    out = pd.concat([detail, by_flag, by_status, grand], ignore_index=True)
+    for c in ("sum_qty", "sum_base_price", "sum_revenue"):
+        out[c] = out[c].round(2)
+    out["count_order"] = out["count_order"].astype(np.int64)
+    out = (out[["l_returnflag", "l_linestatus", "lvl"] + measures]
+           .sort_values(["lvl", "l_returnflag", "l_linestatus"])
+           .reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def skyline(ds: "ray.data.Dataset", *, maximize: list[str],
+            minimize: list[str],
+            keep_cols: list[str]) -> "pa.Table":
+    """Skyline (Pareto frontier): rows not DOMINATED by any other row.
+    ``y`` dominates ``x`` iff y is >= x on every ``maximize`` column,
+    <= on every ``minimize`` column, and strictly better on at least one.
+    Ties on every criterion keep both rows (neither dominates).
+
+    Scale shape — the skyline operator is distributive: a row dominated
+    within any subset is dominated globally, so
+    ``skyline(all) == skyline(union of per-block skylines)``.
+    1. per-batch LOCAL skyline (vectorized pairwise dominance matrix,
+       batch-bounded) — survivors are typically O(log^d n) of the block;
+    2. the union of local skylines merges on the driver with the same
+       vectorized check. Only skyline candidates ever leave a task; the
+       corpus streams. The documented assumption (every distributed-skyline
+       paper makes it) is a final candidate set ≪ corpus; for adversarial
+       anti-correlated data where the skyline itself is huge, the result
+       is inherently O(skyline) anyway."""
+    cols = list(maximize) + list(minimize)
+
+    def _local(tbl: pa.Table) -> pa.Table:
+        m = tbl.num_rows
+        if m == 0:
+            return tbl
+        # normalize to all-maximize: negate minimize columns
+        v = np.column_stack(
+            [tbl.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+             for c in maximize] +
+            [-tbl.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+             for c in minimize])
+        ge = (v[:, None, :] >= v[None, :, :]).all(axis=2)
+        gt = (v[:, None, :] > v[None, :, :]).any(axis=2)
+        dominated = (ge & gt).any(axis=0)
+        return tbl.filter(pa.array(~dominated))
+
+    def local_skyline(batch: pa.Table) -> pa.Table:
+        return _local(batch.select(keep_cols))
+
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    refs = (ds.select_columns(keep_cols)
+            .map_batches(local_skyline, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .to_arrow_refs())
+    parts = [t for t in _ray.get(refs) if t.num_rows]
+    if not parts:
+        return pa.table({c: [] for c in keep_cols})
+    merged = pa.concat_tables(parts).combine_chunks()
+    out = _local(merged.select(keep_cols))
+    order = pc.sort_indices(out, sort_keys=[(keep_cols[0], "ascending")])
+    return out.take(order)
+
+
 def group_zscore(ds: "ray.data.Dataset", group_col: str, val_col: str,
                  out_col: str = "z") -> "ray.data.Dataset":
     """Per-group z-score normalization (feature-engineering staple):

@@ -1263,6 +1263,88 @@ class TestPricingRollup:
         assert abs(detail["sum_qty"].sum() - grand["sum_qty"].iloc[0]) < 0.02
 
 
+class TestPricingCube:
+    def test_cube_adds_column_marginals(self):
+        from colbert_ray.extras.relational import pricing_cube, pricing_rollup
+
+        rng = np.random.default_rng(3)
+        n = 500
+        t = pa.table({
+            "l_returnflag": pa.array(rng.choice(["A", "N", "R"], n)),
+            "l_linestatus": pa.array(rng.choice(["F", "O"], n)),
+            "l_quantity": pa.array(rng.integers(1, 50, n).astype(float)),
+            "l_extendedprice": pa.array(rng.uniform(100, 9000, n)),
+            "l_discount": pa.array(rng.uniform(0, 0.1, n)),
+        })
+        cube = pricing_cube(ray.data.from_arrow(t).repartition(4)).to_pandas()
+        roll = pricing_rollup(ray.data.from_arrow(t).repartition(4)).to_pandas()
+        # CUBE = ROLLUP + the lvl-2 (returnflag rolled up) grouping set
+        pd.testing.assert_frame_equal(
+            cube[cube.lvl != 2].reset_index(drop=True), roll)
+        by_status = cube[cube.lvl == 2]
+        detail = cube[cube.lvl == 0]
+        assert set(by_status.l_linestatus) == set(detail.l_linestatus)
+        for _, r in by_status.iterrows():
+            d = detail[detail.l_linestatus == r.l_linestatus]
+            assert int(d["count_order"].sum()) == int(r["count_order"])
+            assert abs(d["sum_revenue"].sum() - r["sum_revenue"]) < 0.02
+
+
+class TestSkyline:
+    def _brute(self, v):
+        # v: (n, d) all-maximize matrix
+        keep = []
+        for i in range(len(v)):
+            dom = ((v >= v[i]).all(axis=1) & (v > v[i]).any(axis=1)).any()
+            if not dom:
+                keep.append(i)
+        return set(keep)
+
+    def test_matches_bruteforce_random(self):
+        from colbert_ray.extras.relational import skyline
+
+        rng = np.random.default_rng(4)
+        n = 400
+        price = rng.uniform(10, 1000, n).round(2)
+        dateint = rng.integers(0, 365, n)
+        t = pa.table({"k": pa.array(range(n), type=pa.int64()),
+                      "price": pa.array(price),
+                      "day": pa.array(dateint.astype(np.int64))})
+        for nblocks in (1, 8):
+            out = skyline(ray.data.from_arrow(t).repartition(nblocks),
+                          maximize=["price"], minimize=["day"],
+                          keep_cols=["k", "price", "day"]).to_pandas()
+            want = self._brute(np.column_stack([price, -dateint]))
+            assert set(out["k"]) == want
+            assert out["k"].is_monotonic_increasing
+
+    def test_ties_keep_both(self):
+        from colbert_ray.extras.relational import skyline
+
+        t = pa.table({"k": pa.array([0, 1, 2], type=pa.int64()),
+                      "price": pa.array([5.0, 5.0, 4.0]),
+                      "day": pa.array([3, 3, 1], type=pa.int64())})
+        out = skyline(ray.data.from_arrow(t), maximize=["price"],
+                      minimize=["day"],
+                      keep_cols=["k", "price", "day"]).to_pandas()
+        # rows 0,1 tie on every criterion (both stay); row 2 trades off
+        assert out["k"].tolist() == [0, 1, 2]
+
+    def test_three_dim(self):
+        from colbert_ray.extras.relational import skyline
+
+        rng = np.random.default_rng(6)
+        n = 200
+        a = rng.uniform(size=n); b = rng.uniform(size=n); c = rng.uniform(size=n)
+        t = pa.table({"k": pa.array(range(n), type=pa.int64()),
+                      "a": pa.array(a), "b": pa.array(b), "c": pa.array(c)})
+        out = skyline(ray.data.from_arrow(t).repartition(5),
+                      maximize=["a", "b"], minimize=["c"],
+                      keep_cols=["k", "a", "b", "c"]).to_pandas()
+        want = self._brute(np.column_stack([a, b, -c]))
+        assert set(out["k"]) == want
+
+
 class TestInt8Quantization:
     def test_roundtrip_error_bounded(self):
         rng = np.random.default_rng(5)
