@@ -1747,6 +1747,22 @@ def _q_regex_match_docs(sf_dir: str) -> pd.DataFrame:
     return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_regex_index_docs(sf_dir: str) -> pd.DataFrame:
+    """Index-accelerated regex (pipelines/regex_index.regex_search — the
+    Google Code Search literal-pruning plan): required literals {join,
+    sort} from the pattern's alternation, dictionary infix probe, posting
+    union as broadcast candidate filter, RE2 verify on candidates only.
+    Same contract (and same oracle) as regex_match_docs."""
+    from colbert_ray.pipelines.regex_index import regex_plan, regex_search
+
+    idx_dir = _ensure_index(sf_dir)
+    plan = regex_plan(idx_dir, REGEX_PATTERN, CFG)
+    assert plan["path"] == "index", plan    # the gate exists to prove pruning
+    ds = regex_search(idx_dir, _read(sf_dir, "documents", ["doc_id", "text"]),
+                      REGEX_PATTERN, CFG)
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _prefix_search_sql() -> str:
     from colbert_ray.pipelines.phrase import sql_prefix_search
 
@@ -2397,6 +2413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_search_docs": _q_wildcard_search,
         "boolean_or_not_docs": _q_boolean_or_not_docs,
         "regex_match_docs": _q_regex_match_docs,
+        "regex_index_docs": _q_regex_index_docs,
         "tfidf_top5": _q_tfidf_top5,
         "doclen_quantiles": _q_doclen_quantiles,
         "bloom_filtered_orders": _q_bloom_filtered_orders,
@@ -4622,6 +4639,13 @@ ORDER BY a.user_id, click_event_id, purchase_event_id
         "wildcard_search_docs": _wildcard_search_sql(),
         "boolean_or_not_docs": _boolean_or_not_sql(),
         "regex_match_docs": f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{REGEX_PATTERN}'))::BIGINT AS n_matches
+FROM documents
+WHERE len(regexp_extract_all(text, '{REGEX_PATTERN}')) > 0
+ORDER BY doc_id
+""",
+        "regex_index_docs": f"""
 SELECT doc_id,
        len(regexp_extract_all(text, '{REGEX_PATTERN}'))::BIGINT AS n_matches
 FROM documents
