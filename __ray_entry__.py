@@ -1108,6 +1108,126 @@ ORDER BY qid, rank
 """
 
 
+IVFPQ_COARSE = 4     # coarse centroids (C); tiny because the gate corpus is
+IVFPQ_NPROBE = 2     # probed buckets per query
+
+
+def _ivfpq_consts(sf_dir: str):
+    """Deterministic (coarse, book) for the IVF-PQ query/oracle pair — the
+    same pure-numpy seeded training (extras/simsearch.train_ivfpq) over the
+    embeddings table in file order, shared by both sides by construction
+    (sampling-at-scale caveat as _pq_codebook)."""
+    import pyarrow.parquet as pq
+
+    from colbert_ray.extras.simsearch import train_ivfpq
+
+    t = pq.read_table(_doc_path(sf_dir, "embeddings"), columns=["embedding"])
+    arr = t.column("embedding").combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    offs = arr.offsets.to_numpy(zero_copy_only=False)
+    dim = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+    return train_ivfpq(flat.reshape(-1, dim)[:16384], n_coarse=IVFPQ_COARSE)
+
+
+def _q_ivfpq_top5(sf_dir: str) -> pd.DataFrame:
+    """IVF-PQ ADC top-5 (extras/simsearch.train_ivfpq/ivfpq_encode/
+    ivfpq_search — the reference's coarse-centroid + compressed-residual
+    architecture, residual_codec.py analog): folded combined centroids make
+    the engine and the SQL twin evaluate the identical float expression;
+    only probed-bucket rows are ever scored."""
+    vecs, ids = _knn_queries(sf_dir)
+    coarse, book = _ivfpq_consts(sf_dir)
+    codes = x_sim.ivfpq_encode(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), coarse, book)
+    df = (x_sim.ivfpq_search(codes, vecs, ids, coarse, book, k=5,
+                             nprobe=IVFPQ_NPROBE)
+          .to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True))
+    df["rank"] = df["rank"].astype(np.int64)
+    return df.rename(columns={"adc": "adc_r"})
+
+
+def _ivfpq_sql() -> str:
+    """DuckDB twin of ivfpq_encode + ivfpq_search with FIXED constants:
+    literal coarse centroids for bucket assignment / query probing and
+    literal FOLDED (coarse-slice + residual-centroid) vectors for code
+    assignment and LUTs — both at the 6-decimal-rounded euclidean with
+    lowest-id tie-breaks, ADC = rounded sum of rounded entries, rank by
+    (adc, vec_id). An unprobed bucket's rows simply never join."""
+    from colbert_ray.extras.simsearch import _ivfpq_combined
+
+    coarse, book = _ivfpq_consts(ORACLE_SF_DIR)
+    comb = _ivfpq_combined(coarse, book)
+    n_sub, dsub = book.shape[0], book.shape[2]
+    coarse_rows = ",\n    ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            b, ", ".join(f"{v:.17g}" for v in coarse[b]))
+        for b in range(len(coarse)))
+    comb_rows = ",\n    ".join(
+        "({}, {}, {}, [{}]::DOUBLE[])".format(
+            b, s, c, ", ".join(f"{v:.17g}" for v in comb[b, s, c]))
+        for b in range(len(coarse)) for s in range(n_sub)
+        for c in range(comb.shape[2]))
+    qids = ", ".join(str(i) for i in KNN_QUERY_IDS)
+    return f"""
+WITH coarse(b, cv) AS (VALUES
+    {coarse_rows}
+),
+cb(b, s, cid, cv) AS (VALUES
+    {comb_rows}
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN ({qids})
+),
+bd AS (
+  SELECT e.vec_id, c.b, round(list_distance(e.v, c.cv), 6) AS d
+  FROM e CROSS JOIN coarse c
+),
+buck AS (
+  SELECT vec_id, b FROM bd
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, b) = 1
+),
+ed AS (
+  SELECT e.vec_id, cb.s, cb.cid,
+         round(list_distance(e.v[cb.s * {dsub} + 1 : cb.s * {dsub} + {dsub}],
+                             cb.cv), 6) AS d,
+         cb.b
+  FROM e JOIN buck USING (vec_id) JOIN cb ON cb.b = buck.b
+),
+codes AS (
+  SELECT vec_id, b, s, cid FROM ed
+  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) = 1
+),
+qbd AS (
+  SELECT q.qid, c.b, round(list_distance(q.qv, c.cv), 6) AS d
+  FROM q CROSS JOIN coarse c
+),
+probes AS (
+  SELECT qid, b FROM qbd
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY d, b) <= {IVFPQ_NPROBE}
+),
+qlut AS (
+  SELECT q.qid, cb.b, cb.s, cb.cid,
+         round(list_distance(q.qv[cb.s * {dsub} + 1 : cb.s * {dsub} + {dsub}],
+                             cb.cv), 6) AS d
+  FROM q JOIN probes p ON p.qid = q.qid JOIN cb ON cb.b = p.b
+),
+adc AS (
+  SELECT l.qid, c.vec_id, round(sum(l.d), 6) AS adc_r
+  FROM codes c JOIN qlut l ON l.b = c.b AND l.s = c.s AND l.cid = c.cid
+  WHERE c.vec_id <> l.qid
+  GROUP BY l.qid, c.vec_id
+)
+SELECT qid, vec_id,
+       row_number() OVER (PARTITION BY qid ORDER BY adc_r, vec_id) AS rank,
+       adc_r
+FROM adc
+QUALIFY rank <= 5
+ORDER BY qid, rank
+"""
+
+
 def _q_pricing_summary(sf_dir: str) -> pd.DataFrame:
     ds = x_rel.pricing_summary(
         _read(sf_dir, "lineitem",
@@ -2365,6 +2485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_int8": _q_embedding_int8,
         "knn_q8_top5": _q_knn_q8_top5,
         "pq_adc_top5": _q_pq_adc_top5,
+        "ivfpq_top5": _q_ivfpq_top5,
         "retrieval_metrics": _q_retrieval_metrics,
         "ndcg10": _q_ndcg10,
         "pricing_summary": _q_pricing_summary,
@@ -4150,6 +4271,7 @@ FROM q GROUP BY vec_id ORDER BY vec_id
 """,
         "knn_q8_top5": _knn_q8_sql(),
         "pq_adc_top5": _pq_sql(),
+        "ivfpq_top5": _ivfpq_sql(),
         "retrieval_metrics": _metrics_sql(),
         "ndcg10": _ndcg_sql(),
         "minhash_dup_pairs": _minhash_sql(),

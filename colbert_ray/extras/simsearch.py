@@ -883,6 +883,158 @@ def pq_adc_knn(
             .map_groups(merge_topk, batch_format="pandas"))
 
 
+def train_ivfpq(m: np.ndarray, n_coarse: int = 4,
+                n_subspaces: int = _PQ_SUBSPACES,
+                n_centroids: int = _PQ_CENTROIDS,
+                seed: int = 123) -> tuple[np.ndarray, np.ndarray]:
+    """IVF-PQ training (the reference's residual-compression architecture:
+    coarse centroid + compressed residual, ``residual_codec.py`` analog):
+    (1) coarse L2 k-means over the raw vectors (``train_pq_codebook`` with
+    ONE subspace = plain Lloyd, same seeded routine both sides share);
+    (2) per-subspace PQ k-means over the RESIDUALS ``v - coarse[assign]``.
+    Pure seeded numpy — the SQL oracle inlines the identical constants.
+    Returns (coarse (C, dim), book (M, K, dsub))."""
+    m = np.asarray(m, dtype=np.float64)
+    coarse = train_pq_codebook(m, 1, n_coarse, seed=seed)[0]      # (C, dim)
+    assign = np.argmin(_pq_dists(m, coarse), axis=1)
+    resid = m - coarse[assign]
+    book = train_pq_codebook(resid, n_subspaces, n_centroids, seed=seed + 1)
+    return coarse, book
+
+
+def _ivfpq_combined(coarse: np.ndarray, book: np.ndarray) -> np.ndarray:
+    """(C, M, K, dsub) FOLDED centroids: coarse-slice + residual centroid.
+    ``||(v - c)_s - b_k|| == ||v_s - (c_s + b_k)||`` in real arithmetic; by
+    computing ``c_s + b_k`` FIRST (one addition, identical on both sides)
+    the engine and the SQL twin evaluate the exact same float expression —
+    residuals are never materialized anywhere."""
+    n_sub, kk, dsub = book.shape
+    c_slices = coarse.reshape(len(coarse), n_sub, 1, dsub)
+    return c_slices + book[None]          # broadcast add -> (C, M, K, dsub)
+
+
+def ivfpq_encode(ds: "ray.data.Dataset", coarse: np.ndarray,
+                 book: np.ndarray, vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> "ray.data.Dataset":
+    """Encode vectors into (id, bucket, codes fsl<int8>[M]): bucket =
+    argmin ROUNDED L2 to the coarse centroids (lowest-id tie-break, the
+    ``_pq_dists`` float policy); codes = per-subspace argmin rounded L2 of
+    the vector SLICE against the folded ``combined[bucket]`` centroids.
+    64 floats -> 1 bucket id + M bytes; constants broadcast once."""
+    combined = _ivfpq_combined(np.asarray(coarse, dtype=np.float64),
+                               np.asarray(book, dtype=np.float64))
+    ref = ray.put((np.asarray(coarse, dtype=np.float64), combined))
+    n_sub, dsub = book.shape[0], book.shape[2]
+
+    def enc(batch: pa.Table) -> pa.Table:
+        coarse_, comb = ray.get(ref)
+        m = _stack(batch, vec_col)
+        bucket = np.argmin(_pq_dists(m, coarse_), axis=1)
+        codes = np.empty((len(m), n_sub), dtype=np.int8)
+        for b in np.unique(bucket):
+            rows = np.flatnonzero(bucket == b)
+            for s in range(n_sub):
+                d = _pq_dists(m[rows, s * dsub:(s + 1) * dsub], comb[b, s])
+                codes[rows, s] = np.argmin(d, axis=1)
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(codes.ravel(), type=pa.int8()), n_sub)
+        return pa.table({id_col: batch.column(id_col),
+                         "bucket": pa.array(bucket.astype(np.int32)),
+                         "codes": arr})
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        enc, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ivfpq_search(
+    codes_ds: "ray.data.Dataset",
+    query_vecs: np.ndarray,
+    query_ids: np.ndarray,
+    coarse: np.ndarray,
+    book: np.ndarray,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> "ray.data.Dataset":
+    """IVF-PQ ADC top-k: per query probe the ``nprobe`` nearest coarse
+    buckets (rounded L2, id tie-break), build the (M, K) LUT against each
+    probed bucket's FOLDED centroids, and score only rows whose bucket is
+    probed — a pure LUT-gather per batch, rank 1..k by (adc ASC, id ASC).
+
+    Scale shape: queries/probes/LUTs broadcast once (nq × nprobe × M × K
+    doubles); each batch touches only its probed-bucket rows; partial
+    top-k per batch + tiny per-query merge. At cluster scale the codes
+    dataset would be hive-partitioned by bucket for path-level pruning
+    exactly like ``build_ann_index`` — here buckets interleave inside
+    batches, the filter is the vectorized membership test."""
+    qm = np.asarray(query_vecs, dtype=np.float64)
+    qids = np.asarray(query_ids, dtype=np.int64)
+    coarse = np.asarray(coarse, dtype=np.float64)
+    combined = _ivfpq_combined(coarse, np.asarray(book, dtype=np.float64))
+    n_sub, dsub = book.shape[0], book.shape[2]
+    dq = _pq_dists(qm, coarse)
+    probes = np.argsort(dq, axis=1, kind="stable")[:, :nprobe]   # (nq, P)
+    # lut[q, p, s, k] = rounded L2 of query slice vs combined[probes[q,p], s, k]
+    lut = np.empty((len(qm), nprobe, n_sub, combined.shape[2]))
+    for qi in range(len(qm)):
+        for p in range(nprobe):
+            for s in range(n_sub):
+                lut[qi, p, s] = _pq_dists(
+                    qm[qi:qi + 1, s * dsub:(s + 1) * dsub],
+                    combined[probes[qi, p], s])[0]
+    ref = ray.put((lut, probes, qids))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        lut_, probes_, qi = ray.get(ref)
+        arr = batch.column("codes").combine_chunks()
+        codes = arr.flatten().to_numpy(zero_copy_only=False).reshape(
+            -1, n_sub).astype(np.int64)
+        buckets = batch.column("bucket").to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        out_q, out_id, out_d = [], [], []
+        for r in range(len(qi)):
+            # rows whose bucket is probed by query r, and which probe slot
+            slot = np.full(len(ids), -1, dtype=np.int64)
+            for p in range(probes_.shape[1]):
+                slot[buckets == probes_[r, p]] = p
+            rows = np.flatnonzero(slot >= 0)
+            if exclude_self:
+                rows = rows[ids[rows] != qi[r]]
+            if not len(rows):
+                continue
+            adc = np.zeros(len(rows), dtype=np.float64)
+            for s in range(n_sub):
+                adc += lut_[r, slot[rows], s, codes[rows, s]]
+            adc = np.round(adc, 6)
+            kk = min(k, len(rows))
+            sel = (np.argpartition(adc, kk - 1)[:kk]
+                   if len(rows) > kk else np.arange(len(rows)))
+            sel = sel[np.lexsort((ids[rows][sel], adc[sel]))]
+            out_q.append(np.full(len(sel), qi[r], dtype=np.int64))
+            out_id.append(ids[rows][sel])
+            out_d.append(adc[sel])
+        if not out_q:
+            return pa.table({"qid": pa.array([], type=pa.int64()),
+                             id_col: pa.array([], type=pa.int64()),
+                             "adc": pa.array([], type=pa.float64())})
+        return pa.table({"qid": pa.array(np.concatenate(out_q)),
+                         id_col: pa.array(np.concatenate(out_id)),
+                         "adc": pa.array(np.concatenate(out_d))})
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["adc", id_col], ascending=[True, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["qid", id_col, "rank", "adc"]]
+
+    return (codes_ds.map_batches(partial_topk, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+            .groupby("qid")
+            .map_groups(merge_topk, batch_format="pandas"))
+
+
 def label_centroids(ds: "ray.data.Dataset", vec_col: str = "embedding",
                     label_col: str = "label") -> pd.DataFrame:
     """Grouped vector mean: per-label centroid of an embedding column.

@@ -341,6 +341,74 @@ class TestSimsearch:
         adc50 = float(got.loc[got["vec_id"] == 50, "adc"].iloc[0])
         assert adc50 == float(got["adc"].min())
 
+    def test_ivfpq_matches_numpy_oracle(self, emb):
+        t, m = emb
+        coarse, book = x_sim.train_ivfpq(m, n_coarse=4, n_subspaces=4,
+                                         n_centroids=8)
+        assert coarse.shape == (4, 16) and book.shape == (4, 8, 4)
+        ds = ray.data.from_arrow(t).repartition(4)
+        codes_ds = x_sim.ivfpq_encode(ds, coarse, book)
+        enc = (codes_ds.to_pandas().sort_values("vec_id")
+               .reset_index(drop=True))
+        cm = np.stack(enc["codes"].to_numpy()).astype(np.int64)
+        buckets = enc["bucket"].to_numpy().astype(np.int64)
+        # numpy oracle: same rounded-L2 argmin on the FOLDED centroids
+        dsub = 4
+        comb = coarse.reshape(4, 4, 1, dsub) + book[None]   # (C, M, K, dsub)
+        want_bucket = np.argmin(np.round(np.sqrt((
+            (m[:, None, :] - coarse[None]) ** 2).sum(axis=2)), 6), axis=1)
+        assert (buckets == want_bucket).all()
+        want_codes = np.empty((50, 4), dtype=np.int64)
+        for i in range(50):
+            for s in range(4):
+                d = np.round(np.sqrt((
+                    (m[i, s*dsub:(s+1)*dsub] - comb[want_bucket[i], s]) ** 2
+                ).sum(axis=1)), 6)
+                want_codes[i, s] = np.argmin(d)
+        assert (cm == want_codes).all()
+        # search oracle: probe 2 buckets, LUT on folded centroids, ADC sum
+        q, qids = m[:3], np.arange(3)
+        got = (x_sim.ivfpq_search(codes_ds, q, qids, coarse, book,
+                                  k=5, nprobe=2)
+               .to_pandas())
+        dq = np.round(np.sqrt((
+            (q[:, None, :] - coarse[None]) ** 2).sum(axis=2)), 6)
+        probes = np.argsort(dq, axis=1, kind="stable")[:, :2]
+        for qi in range(3):
+            adc = np.full(50, np.inf)
+            for i in range(50):
+                if i == qi or want_bucket[i] not in probes[qi]:
+                    continue
+                s_adc = 0.0
+                for s in range(4):
+                    d = np.round(np.sqrt((
+                        (q[qi, s*dsub:(s+1)*dsub]
+                         - comb[want_bucket[i], s, want_codes[i, s]]) ** 2
+                    ).sum()), 6)
+                    s_adc += d
+                adc[i] = np.round(s_adc, 6)
+            want = np.lexsort((np.arange(50), adc))[:5]
+            g = got[got.qid == qi].sort_values("rank")["vec_id"].tolist()
+            assert g == want.tolist()
+
+    def test_ivfpq_duplicate_vector_min_adc(self, emb):
+        t, m = emb
+        m2 = np.vstack([m, m[0]])          # vec 50 duplicates vec 0
+        t2 = pa.table(
+            {"vec_id": pa.array(range(51), type=pa.int64()),
+             "embedding": pa.array([r.tolist() for r in m2],
+                                   type=pa.list_(pa.float32()))})
+        coarse, book = x_sim.train_ivfpq(m2, n_coarse=4, n_subspaces=4,
+                                         n_centroids=8)
+        codes = x_sim.ivfpq_encode(ray.data.from_arrow(t2), coarse, book)
+        # probe ALL buckets so the duplicate is guaranteed to be scored
+        got = (x_sim.ivfpq_search(codes, m2[:1], np.array([0]), coarse,
+                                  book, k=5, nprobe=4)
+               .to_pandas().sort_values("rank"))
+        assert 50 in got["vec_id"].tolist()
+        adc50 = float(got.loc[got["vec_id"] == 50, "adc"].iloc[0])
+        assert adc50 == float(got["adc"].min())
+
     def test_ivf_recall_reasonable(self, emb):
         t, m = emb
         q = m[:3]
