@@ -25,6 +25,7 @@ import pandas as pd
 
 from colbert_ray.config import EngineConfig
 from colbert_ray.extras import dedup as x_dedup
+from colbert_ray.extras import graph as x_graph
 from colbert_ray.extras import relational as x_rel
 from colbert_ray.extras import simsearch as x_sim
 from colbert_ray.extras import textstats as x_text
@@ -1225,6 +1226,62 @@ SELECT qid, vec_id,
 FROM adc
 QUALIFY rank <= 5
 ORDER BY qid, rank
+"""
+
+
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 5
+
+
+def _q_cust_supp_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Distributed PageRank (extras/graph.pagerank — Pregel-style rounds:
+    broadcast rank/degree vectors, per-batch np.add.at partials, one small
+    groupby(node) exchange per round) over the symmetrized customer–supplier
+    co-order graph. Ranks rounded to 6 decimals after EVERY round on both
+    sides, so iteration cannot compound float skew."""
+    edges = x_graph.bipartite_pagerank_edges(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"]))
+    t = x_graph.pagerank(edges, damping=PAGERANK_DAMPING,
+                         n_iter=PAGERANK_ITERS)
+    return t.to_pandas().sort_values("node").reset_index(drop=True)
+
+
+def _pagerank_sql(n_iter: int = PAGERANK_ITERS) -> str:
+    """DuckDB twin of extras/graph.pagerank on the same graph: iterations
+    unrolled as chained CTEs, each one `round((1-d)/N + d*sum(r/deg), 6)`
+    — identical expression and rounding point as the engine's rounds."""
+    its = []
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        its.append(f"""r{i} AS (
+  SELECT deg.node,
+         round((1 - {PAGERANK_DAMPING}) / (SELECT cnt FROM n)
+               + {PAGERANK_DAMPING} * coalesce(s.m, 0), 6) AS r
+  FROM deg LEFT JOIN (
+    SELECT e.dst AS node, sum(p.r / deg.d) AS m
+    FROM edges e JOIN {prev} p ON p.node = e.src
+                 JOIN deg ON deg.node = e.src
+    GROUP BY e.dst
+  ) s USING (node)
+)""")
+        prev = f"r{i}"
+    chain = ",\n".join(its)
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT src, dst FROM pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM pairs
+),
+deg AS (SELECT src AS node, count(*)::DOUBLE AS d FROM edges GROUP BY src),
+n AS (SELECT count(*)::DOUBLE AS cnt FROM deg),
+r0 AS (SELECT node, round(1.0 / (SELECT cnt FROM n), 6) AS r FROM deg),
+{chain}
+SELECT node, r AS rank_r FROM {prev} ORDER BY node
 """
 
 
@@ -2486,6 +2543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_q8_top5": _q_knn_q8_top5,
         "pq_adc_top5": _q_pq_adc_top5,
         "ivfpq_top5": _q_ivfpq_top5,
+        "cust_supp_pagerank": _q_cust_supp_pagerank,
         "retrieval_metrics": _q_retrieval_metrics,
         "ndcg10": _q_ndcg10,
         "pricing_summary": _q_pricing_summary,
@@ -4272,6 +4330,7 @@ FROM q GROUP BY vec_id ORDER BY vec_id
         "knn_q8_top5": _knn_q8_sql(),
         "pq_adc_top5": _pq_sql(),
         "ivfpq_top5": _ivfpq_sql(),
+        "cust_supp_pagerank": _pagerank_sql(),
         "retrieval_metrics": _metrics_sql(),
         "ndcg10": _ndcg_sql(),
         "minhash_dup_pairs": _minhash_sql(),

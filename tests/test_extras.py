@@ -9,6 +9,7 @@ import pytest
 import ray.data
 
 from colbert_ray.extras import dedup as x_dedup
+from colbert_ray.extras import graph as x_graph
 from colbert_ray.extras import simsearch as x_sim
 from colbert_ray.extras import textstats as x_text
 from colbert_ray.extras.multimodal import (
@@ -2379,3 +2380,53 @@ class TestModeAndCentroids:
             np.testing.assert_allclose(g["mean_r"].to_numpy(), want,
                                        atol=1.1e-6)
             assert (g["n"] == len(sub)).all()
+
+
+class TestPageRank:
+    def _edges(self, pairs):
+        src = [a for a, b in pairs] + [b for a, b in pairs]
+        dst = [b for a, b in pairs] + [a for a, b in pairs]
+        return ray.data.from_arrow(pa.table(
+            {"src": pa.array(src, type=pa.int64()),
+             "dst": pa.array(dst, type=pa.int64())})).repartition(3)
+
+    def test_pagerank_matches_numpy_oracle(self):
+        # undirected: 0-1, 0-2, 0-3, 1-2, 3-4 (node 0 is the hub)
+        pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (3, 4)]
+        got = x_graph.pagerank(self._edges(pairs), damping=0.85,
+                               n_iter=5).to_pandas()
+        # naive oracle with the identical round-after-every-iteration policy
+        adj = {i: [] for i in range(5)}
+        for a, b in pairs:
+            adj[a].append(b)
+            adj[b].append(a)
+        n = 5.0
+        r = {i: round(1.0 / n, 6) for i in range(5)}
+        for _ in range(5):
+            nxt = {}
+            for v in range(5):
+                mass = sum(r[u] / len(adj[u]) for u in range(5)
+                           if v in adj[u])
+                nxt[v] = round((1 - 0.85) / n + 0.85 * mass, 6)
+            r = nxt
+        assert got["node"].tolist() == [0, 1, 2, 3, 4]
+        for v in range(5):
+            assert float(got.loc[got.node == v, "rank_r"].iloc[0]) == r[v]
+        # hub has the highest rank; mass conserved up to rounding
+        assert got.loc[got["rank_r"].idxmax(), "node"] == 0
+        assert abs(got["rank_r"].sum() - 1.0) < 5e-5
+
+    def test_pagerank_uniform_on_cycle(self):
+        # symmetric ring: stationary distribution is uniform from r0 on
+        pairs = [(i, (i + 1) % 6) for i in range(6)]
+        got = x_graph.pagerank(self._edges(pairs), n_iter=3).to_pandas()
+        assert (got["rank_r"].round(6) == round(1 / 6, 6)).all()
+
+    def test_pagerank_batch_size_invariant(self):
+        pairs = [(a, b) for a in range(8) for b in range(a + 1, 8)
+                 if (a * 7 + b) % 3]
+        one = x_graph.pagerank(self._edges(pairs).repartition(1),
+                               n_iter=4).to_pandas()
+        many = x_graph.pagerank(self._edges(pairs).repartition(7),
+                                n_iter=4).to_pandas()
+        pd.testing.assert_frame_equal(one, many)
