@@ -1285,6 +1285,111 @@ SELECT node, r AS rank_r FROM {prev} ORDER BY node
 """
 
 
+BFS_SEED_CUSTKEY = 1     # seed = customer node 2*1 in the even/odd encoding
+BFS_MAX_HOPS = 4
+
+
+def _q_supply_chain_hops(sf_dir: str) -> pd.DataFrame:
+    """BFS minimum hops (extras/graph.bfs_hops — broadcast-frontier
+    expansion, one streaming edge pass per hop) from customer 1 over the
+    symmetrized customer–supplier co-order graph. Integer-exact."""
+    edges = x_graph.bipartite_pagerank_edges(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"]))
+    t = x_graph.bfs_hops(edges, seed=2 * BFS_SEED_CUSTKEY,
+                         max_hops=BFS_MAX_HOPS)
+    return t.to_pandas()
+
+
+def _bfs_sql() -> str:
+    """Recursive-CTE twin of bfs_hops: level-deduped UNION recursion capped
+    at BFS_MAX_HOPS, min(hop) per reached node."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT src, dst FROM pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM pairs
+),
+bfs(node, hop) AS (
+  SELECT CAST({2 * BFS_SEED_CUSTKEY} AS BIGINT), CAST(0 AS BIGINT)
+  UNION
+  SELECT e.dst, bfs.hop + 1
+  FROM bfs JOIN edges e ON e.src = bfs.node
+  WHERE bfs.hop < {BFS_MAX_HOPS}
+)
+SELECT node, min(hop)::BIGINT AS hops FROM bfs GROUP BY node ORDER BY node
+"""
+
+
+TRI_MIN_COUNT = 35       # bigram-count edge threshold for the term graph
+
+
+def _q_term_triangles(sf_dir: str) -> pd.DataFrame:
+    """Per-term triangle counts (extras/graph.triangle_counts — degree-
+    oriented wedge join, each triangle materialized once) over the term
+    co-occurrence graph: terms are adjacent-bigram neighbors with count >=
+    TRI_MIN_COUNT (extras/textstats.bigram_stats). Integer-exact."""
+    import pyarrow as pa
+
+    big = x_text.bigram_stats(_read(sf_dir, "documents", ["text"]))
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        n = b.column("n_p" if "n_p" in b.column_names
+                     else "n").to_numpy(zero_copy_only=False)
+        grams = b.column("gram").to_numpy(zero_copy_only=False)
+        keep = n >= TRI_MIN_COUNT
+        xs, ys = [], []
+        for g in grams[keep]:
+            x, y = g.split(" ", 1)
+            if x != y:
+                xs.append(x)
+                ys.append(y)
+        return pa.table({"src": pa.array(xs, type=pa.string()),
+                         "dst": pa.array(ys, type=pa.string())})
+
+    edges = big.map_batches(to_edges, batch_format="pyarrow")
+    t = x_graph.triangle_counts(edges)
+    df = t.to_pandas().rename(columns={"node": "term"})
+    return df.sort_values("term").reset_index(drop=True)
+
+
+def _triangles_sql() -> str:
+    """Twin of triangle_counts on the bigram-threshold term graph: each
+    triangle found once via the a<b<c ordered triple join (same triangle
+    set as the engine's degree orientation), corners unioned and counted."""
+    toks = _toks_expr()
+    return f"""
+WITH d AS (SELECT {toks} AS toks FROM documents),
+b AS (
+  SELECT toks[i] AS x, toks[i + 1] AS y
+  FROM d, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+  WHERE len(toks) >= 2
+),
+cnt AS (SELECT x, y, count(*) AS n FROM b GROUP BY x, y),
+edges AS (
+  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+  FROM cnt WHERE n >= {TRI_MIN_COUNT} AND x <> y
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM edges e1
+  JOIN edges e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN edges e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS term FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT term, count(*)::BIGINT AS n_tri FROM corners
+GROUP BY term ORDER BY term
+"""
+
+
 def _q_pricing_summary(sf_dir: str) -> pd.DataFrame:
     ds = x_rel.pricing_summary(
         _read(sf_dir, "lineitem",
@@ -2544,6 +2649,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_adc_top5": _q_pq_adc_top5,
         "ivfpq_top5": _q_ivfpq_top5,
         "cust_supp_pagerank": _q_cust_supp_pagerank,
+        "supply_chain_hops": _q_supply_chain_hops,
+        "term_triangles": _q_term_triangles,
         "retrieval_metrics": _q_retrieval_metrics,
         "ndcg10": _q_ndcg10,
         "pricing_summary": _q_pricing_summary,
@@ -4331,6 +4438,8 @@ FROM q GROUP BY vec_id ORDER BY vec_id
         "pq_adc_top5": _pq_sql(),
         "ivfpq_top5": _ivfpq_sql(),
         "cust_supp_pagerank": _pagerank_sql(),
+        "supply_chain_hops": _bfs_sql(),
+        "term_triangles": _triangles_sql(),
         "retrieval_metrics": _metrics_sql(),
         "ndcg10": _ndcg_sql(),
         "minhash_dup_pairs": _minhash_sql(),

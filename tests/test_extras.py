@@ -2430,3 +2430,53 @@ class TestPageRank:
         many = x_graph.pagerank(self._edges(pairs).repartition(7),
                                 n_iter=4).to_pandas()
         pd.testing.assert_frame_equal(one, many)
+
+
+class TestGraphTraversal:
+    def _sym(self, pairs, typ=pa.int64()):
+        src = [a for a, b in pairs] + [b for a, b in pairs]
+        dst = [b for a, b in pairs] + [a for a, b in pairs]
+        return ray.data.from_arrow(pa.table(
+            {"src": pa.array(src, type=typ),
+             "dst": pa.array(dst, type=typ)})).repartition(3)
+
+    def test_bfs_hops_path_graph(self):
+        # path 0-1-2-3-4-5 plus a shortcut 0-3
+        got = x_graph.bfs_hops(
+            self._sym([(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (0, 3)]),
+            seed=0, max_hops=4).to_pandas()
+        want = {0: 0, 1: 1, 2: 2, 3: 1, 4: 2, 5: 3}
+        assert dict(zip(got["node"], got["hops"])) == want
+
+    def test_bfs_hops_cap_and_unreachable(self):
+        # two components; cap at 2 hops
+        got = x_graph.bfs_hops(
+            self._sym([(0, 1), (1, 2), (2, 3), (8, 9)]),
+            seed=0, max_hops=2).to_pandas()
+        assert dict(zip(got["node"], got["hops"])) == {0: 0, 1: 1, 2: 2}
+
+    def test_triangle_counts_known_graph(self):
+        # K4 on 0..3 (each node in C(3,2)=3 triangles) + pendant 4, and a
+        # separate triangle 5-6-7
+        k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        pairs = k4 + [(3, 4), (5, 6), (6, 7), (5, 7)]
+        got = x_graph.triangle_counts(self._sym(pairs)).to_pandas()
+        want = {0: 3, 1: 3, 2: 3, 3: 3, 5: 1, 6: 1, 7: 1}
+        assert dict(zip(got["node"], got["n_tri"])) == want
+
+    def test_triangle_counts_string_nodes_and_dups(self):
+        # duplicate + reversed edges and self-loops must not change counts
+        pairs = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+        noisy = pairs + [(b, a) for a, b in pairs] + [("a", "a")]
+        ds = ray.data.from_arrow(pa.table({
+            "src": pa.array([p[0] for p in noisy], type=pa.string()),
+            "dst": pa.array([p[1] for p in noisy], type=pa.string())}))
+        got = x_graph.triangle_counts(ds).to_pandas()
+        assert dict(zip(got["node"], got["n_tri"])) == \
+            {"a": 1, "b": 1, "c": 1}
+
+    def test_triangle_counts_triangle_free(self):
+        # bipartite square 0-4, 4-1, 1-5, 5-0: no triangles
+        got = x_graph.triangle_counts(
+            self._sym([(0, 4), (4, 1), (1, 5), (5, 0)])).to_pandas()
+        assert len(got) == 0
