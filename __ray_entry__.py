@@ -477,6 +477,89 @@ def _q_bm25_top10(sf_dir: str) -> pd.DataFrame:
     return out.copy()
 
 
+# BM25F field weights: title = first BM25F_TITLE_LEN tokens (deterministic
+# field derivation shared with the SQL twin), body = the rest
+BM25F_TITLE_LEN = 5
+BM25F_W_TITLE, BM25F_B_TITLE = 2.5, 0.6
+BM25F_W_BODY, BM25F_B_BODY = 1.0, 0.75
+
+
+def _q_bm25f_top10(sf_dir: str) -> pd.DataFrame:
+    """Field-weighted BM25F top-10 (extras/fields.bm25f_rank): per-field
+    length-normalized tfs combined with field weights BEFORE saturation,
+    cross-field df idf — over the deterministic (title, body) split."""
+    from colbert_ray.extras.fields import FieldSpec, bm25f_rank, field_split
+
+    fds = field_split(_read(sf_dir, "documents", ["doc_id", "text"]),
+                      title_len=BM25F_TITLE_LEN, cfg=CFG)
+    ranked = bm25f_rank(
+        fds, QUERY_SET,
+        [FieldSpec("title", BM25F_W_TITLE, BM25F_B_TITLE),
+         FieldSpec("body", BM25F_W_BODY, BM25F_B_BODY)],
+        k=10, cfg=CFG)
+    return (ranked.to_pandas().sort_values(["qid", "rank"])
+            .reset_index(drop=True))
+
+
+def _bm25f_sql() -> str:
+    """Twin of bm25f_rank over the toks[1:T] / toks[T+1:] field split:
+    per-field tf full-join, cross-field df, combine-then-saturate."""
+    values = ",\n      ".join(
+        f"({qid}, '{term}')"
+        for qid, text in QUERY_SET
+        for term in tokenize_query(text, CFG)[0]
+    )
+    T, k1 = BM25F_TITLE_LEN, CFG.k1
+    wt, bt = BM25F_W_TITLE, BM25F_B_TITLE
+    wb, bb = BM25F_W_BODY, BM25F_B_BODY
+    tfn = (f"( {wt} * m.tf_t / (1.0 - {bt} + {bt} * len(f.tt) / s.avgdl_t)"
+           f" + {wb} * m.tf_b / (1.0 - {bb} + {bb} * len(f.tb) / s.avgdl_b) )")
+    return f"""
+WITH d AS (SELECT doc_id, {_toks_expr()} AS toks FROM documents),
+f AS (
+  SELECT doc_id, toks[1:{T}] AS tt, toks[{T + 1}:len(toks)] AS tb FROM d
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(len(tt)) AS avgdl_t, avg(len(tb)) AS avgdl_b
+  FROM f
+),
+tftc AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(tt) AS term FROM f) GROUP BY doc_id, term
+),
+tfbc AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(tb) AS term FROM f) GROUP BY doc_id, term
+),
+m AS (
+  SELECT coalesce(t.doc_id, b.doc_id) AS doc_id,
+         coalesce(t.term, b.term) AS term,
+         coalesce(t.tf, 0) AS tf_t, coalesce(b.tf, 0) AS tf_b
+  FROM tftc t FULL JOIN tfbc b
+    ON t.doc_id = b.doc_id AND t.term = b.term
+),
+df AS (SELECT term, count(*) AS df FROM m GROUP BY term),
+q(qid, term) AS (VALUES {values}),
+scores AS (
+  SELECT q.qid, m.doc_id AS docid,
+         sum( ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * {tfn} / ( {k1} + {tfn} ) ) AS score
+  FROM q
+  JOIN m ON m.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN f ON f.doc_id = m.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, m.doc_id
+)
+SELECT qid::BIGINT AS qid, docid,
+       row_number() OVER (PARTITION BY qid ORDER BY round(score, 6) DESC, docid) AS rank,
+       round(score, 6) AS score_r
+FROM scores
+QUALIFY rank <= 10
+ORDER BY qid, rank
+"""
+
+
 def _q_bm25_top10_bmw(sf_dir: str) -> pd.DataFrame:
     """Same ranking as bm25_top10 but scored with the Block-Max WAND
     strategy (`prune_strategy="bmw"`, state/index.py:_bmw_query) — exact,
@@ -2619,6 +2702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rm3_bm25_top10": _q_rm3_bm25_top10,
         "search_snippets": _q_search_snippets,
         "proximity_top10": _q_proximity_top10,
+        "bm25f_top10": _q_bm25f_top10,
         "bm25_top10_bmw": _q_bm25_top10_bmw,
         "bm25_top10_pfor": _q_bm25_top10_pfor,
         "bm25_top10_sharded": _q_bm25_top10_sharded,
@@ -4282,6 +4366,7 @@ FROM bm JOIN documents d ON d.doc_id = bm.docid
 GROUP BY bm.qid, d.lang, d.source
 ORDER BY bm.qid, d.lang, d.source
 """,
+        "bm25f_top10": _bm25f_sql(),
         "bm25_top10_bmw": _bm25_sql(),       # BMW pruning is exact
         "bm25_top10_pfor": _bm25_sql(),      # codec changes bytes, not content
         "bm25_top10_sharded": _bm25_sql(),   # sharding must not change results
