@@ -477,6 +477,82 @@ def _q_bm25_top10(sf_dir: str) -> pd.DataFrame:
     return out.copy()
 
 
+def _q_bm25_explain(sf_dir: str) -> pd.DataFrame:
+    """Lucene-explain analog (BM25Scorer.explain, state/index.py): the
+    per-(query term, docid) scoring breakdown for each query's rounded
+    top-10 — the served tf, df, idf and the exact float64 contribution
+    ``idf * tfsat`` that score_query sums. Floats rounded to 6 per the
+    float policy; the twin restricts the same per-term CTEs to the
+    bm25_top10 docid set."""
+    from colbert_ray.state.index import BM25Scorer
+
+    top = _q_bm25_top10(sf_dir)
+    scorer = BM25Scorer(_ensure_index(sf_dir), k=10, with_sha=False)
+    parts = []
+    for qid, text in QUERY_SET:
+        docids = top.loc[top["qid"] == qid, "docid"].to_numpy(dtype=np.int64)
+        t = scorer.explain(text, docids).to_pandas()
+        t.insert(0, "qid", np.int64(qid))
+        parts.append(t)
+    out = pd.concat(parts, ignore_index=True)
+    out["idf_r"] = out.pop("idf").round(6)
+    out["contrib_r"] = out.pop("contribution").round(6)
+    return out[["qid", "term", "docid", "tf", "df", "idf_r", "contrib_r"]]
+
+
+def _bm25_explain_sql() -> str:
+    """Twin of BM25Scorer.explain over the bm25_top10 result set. The
+    saturation is parenthesized exactly as the engine computes it
+    (idf * ((tf * (k1+1)) / denom), functions/bm25.py:34)."""
+    values = ",\n      ".join(
+        f"({qid}, '{term}')"
+        for qid, text in QUERY_SET
+        for term in tokenize_query(text, CFG)[0]
+    )
+    k1, b = CFG.k1, CFG.b
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {_toks_expr()} AS toks FROM documents
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM docs
+),
+tok AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM docs
+),
+tf AS (
+  SELECT doc_id, term, any_value(dl) AS dl, count(*) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+q(qid, term) AS (
+  VALUES {values}
+),
+top AS (
+  SELECT qid, docid FROM ({_bm25_sql()})
+),
+rows AS (
+  SELECT q.qid::BIGINT AS qid, q.term, tf.doc_id AS docid,
+         tf.tf::BIGINT AS tf, df.df::BIGINT AS df,
+         ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) AS idf,
+         ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * ( (tf.tf * ({k1} + 1.0))
+               / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.dl / s.avgdl)) )
+           AS contribution
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  CROSS JOIN stats s
+)
+SELECT r.qid, r.term, r.docid, r.tf, r.df,
+       round(r.idf, 6) AS idf_r, round(r.contribution, 6) AS contrib_r
+FROM rows r JOIN top t ON t.qid = r.qid AND t.docid = r.docid
+ORDER BY r.qid, r.term, r.docid
+"""
+
+
 # BM25F field weights: title = first BM25F_TITLE_LEN tokens (deterministic
 # field derivation shared with the SQL twin), body = the rest
 BM25F_TITLE_LEN = 5
@@ -2703,6 +2779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_snippets": _q_search_snippets,
         "proximity_top10": _q_proximity_top10,
         "bm25f_top10": _q_bm25f_top10,
+        "bm25_explain": _q_bm25_explain,
         "bm25_top10_bmw": _q_bm25_top10_bmw,
         "bm25_top10_pfor": _q_bm25_top10_pfor,
         "bm25_top10_sharded": _q_bm25_top10_sharded,
@@ -4367,6 +4444,7 @@ GROUP BY bm.qid, d.lang, d.source
 ORDER BY bm.qid, d.lang, d.source
 """,
         "bm25f_top10": _bm25f_sql(),
+        "bm25_explain": _bm25_explain_sql(),
         "bm25_top10_bmw": _bm25_sql(),       # BMW pruning is exact
         "bm25_top10_pfor": _bm25_sql(),      # codec changes bytes, not content
         "bm25_top10_sharded": _bm25_sql(),   # sharding must not change results

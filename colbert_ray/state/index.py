@@ -205,6 +205,56 @@ class BM25Scorer:
             scores[pos_c[hit]] += idx.idf_by_term_id[tid] * ts[hit]
         return cand, scores
 
+    def explain(self, text: str, docids) -> "pa.Table":
+        """Lucene-explain analog: the per-term scoring breakdown for the
+        given docids — one row per (query term, docid) match with the term's
+        served df, idf, raw tf, and the exact float64 contribution
+        ``idf * tfsat`` that ``score_query`` sums. Tombstoned docids are
+        excluded (they never rank); terms or docids without a posting simply
+        contribute no row. Emitted in ascending (term_id, docid) order —
+        the scorer's own summation order."""
+        import pyarrow as pa
+
+        idx = self.idx
+        req = np.unique(np.asarray(docids, dtype=np.int64))
+        if len(idx.tombstones):
+            req = req[~np.isin(req, idx.tombstones)]
+        terms = tokenize_query(text, idx.cfg)[0]
+        out: dict[str, list] = {c: [] for c in (
+            "term", "docid", "tf", "df", "idf", "contribution")}
+        if len(req) and terms and len(idx.dict_terms):
+            t_arr = np.asarray(terms, dtype=object)
+            pos = np.searchsorted(idx.dict_terms, t_arr)
+            pos_c = np.clip(pos, 0, len(idx.dict_terms) - 1)
+            hit = idx.dict_terms[pos_c] == t_arr
+            found = [(int(idx.dict_term_ids[p]), str(t), int(p))
+                     for t, p, ok in zip(t_arr, pos_c, hit) if ok]
+            for tid, term, p in sorted(found):   # ascending term_id
+                d, tsat = idx.postings_slice(tid)
+                if len(d) == 0:
+                    continue
+                _, tfs = idx.postings_slice_raw(tid)
+                sel = np.minimum(np.searchsorted(d, req), len(d) - 1)
+                m = d[sel] == req
+                if not m.any():
+                    continue
+                i = sel[m]
+                idf = float(idx.idf_by_term_id[tid])
+                out["term"].extend([term] * int(m.sum()))
+                out["docid"].extend(req[m].tolist())
+                out["tf"].extend(np.asarray(tfs[i], dtype=np.int64).tolist())
+                out["df"].extend([int(idx.dict_dfs[p])] * int(m.sum()))
+                out["idf"].extend([idf] * int(m.sum()))
+                out["contribution"].extend((idf * tsat[i]).tolist())
+        return pa.table({
+            "term": pa.array(out["term"], type=pa.string()),
+            "docid": pa.array(out["docid"], type=pa.int64()),
+            "tf": pa.array(out["tf"], type=pa.int64()),
+            "df": pa.array(out["df"], type=pa.int64()),
+            "idf": pa.array(out["idf"], type=pa.float64()),
+            "contribution": pa.array(out["contribution"], type=pa.float64()),
+        })
+
     def score_query_parent_max(self, text: str, k: int | None = None):
         """Max-passage retrieval (M12 + the K7 max-passage merge,
         ``utility/rankings/dev_subsample.py``-style doc ranking): score ALL

@@ -665,3 +665,73 @@ def test_http_server_ql_ranker(built):
             assert e.code == 400
     finally:
         httpd.shutdown()
+
+
+def test_explain_breakdown_sums_to_exact_score(built):
+    """BM25Scorer.explain (Lucene-explain analog): per-(term, docid) rows
+    whose contributions, summed in the emitted order (ascending term_id —
+    the scorer's own summation order), reproduce score_query's float64
+    scores bit-exactly; df/idf match the served dictionary."""
+    from colbert_ray.state.index import BM25Scorer
+
+    _, queries_path, index_dir = built
+    qdf = pq.read_table(queries_path).to_pandas()
+    scorer = BM25Scorer(index_dir, k=N_DOCS, with_sha=False, prune=False)
+    checked_rows = 0
+    for text in qdf["query"].head(5):
+        docids, scores, _ = scorer.score_query(text, k=10)
+        if len(docids) == 0:
+            continue
+        t = scorer.explain(text, docids).to_pandas()
+        assert set(t["docid"]) == set(int(d) for d in docids)
+        # emitted order IS ascending (term-block, docid) — verify, then
+        # sum sequentially per docid in that order for bit-exact equality
+        by_doc: dict[int, float] = {}
+        for d, c in zip(t["docid"], t["contribution"]):
+            by_doc[int(d)] = by_doc.get(int(d), 0.0) + float(c)
+        for d, s in zip(docids, scores):
+            assert by_doc[int(d)] == float(s), (d, by_doc[int(d)], s)
+        # df column equals the served dictionary df for that term
+        idx = scorer.idx
+        pos = np.searchsorted(idx.dict_terms, t["term"].to_numpy(dtype=object))
+        assert (idx.dict_dfs[pos] == t["df"].to_numpy()).all()
+        # idf * tfsat == contribution, column-wise
+        np.testing.assert_array_equal(
+            t["idf"].to_numpy() * (t["contribution"].to_numpy()
+                                   / t["idf"].to_numpy()),
+            t["contribution"].to_numpy())
+        checked_rows += len(t)
+    assert checked_rows > 0
+
+    # no-match / OOV edges: zero rows, stable schema
+    empty = scorer.explain("zzzzqqqxx", [0, 1]).to_pandas()
+    assert len(empty) == 0
+    assert list(empty.columns) == ["term", "docid", "tf",
+                                   "df", "idf", "contribution"]
+    none = scorer.explain(qdf["query"].iloc[0], []).to_pandas()
+    assert len(none) == 0
+
+
+def test_explain_excludes_tombstoned_docids(built, tmp_path_factory):
+    import shutil
+
+    from colbert_ray.state.index import BM25Scorer
+    from colbert_ray.state.updates import IndexUpdater
+
+    _, queries_path, index_dir = built
+    qdf = pq.read_table(queries_path).to_pandas()
+    text = qdf["query"].iloc[0]
+    base = BM25Scorer(index_dir, k=10, with_sha=False)
+    docids, _, _ = base.score_query(text)
+    if len(docids) == 0:
+        pytest.skip("query has no matches in fixture")
+    victim = int(docids[0])
+
+    root = str(tmp_path_factory.mktemp("explain_tomb"))
+    idx2 = os.path.join(root, "index")
+    shutil.copytree(index_dir, idx2)
+    IndexUpdater(idx2).remove_docids([victim])
+    t = BM25Scorer(idx2, k=10, with_sha=False).explain(
+        text, docids).to_pandas()
+    assert victim not in set(t["docid"])
+    assert len(set(t["docid"])) == len(set(int(d) for d in docids)) - 1
