@@ -826,6 +826,55 @@ def _q_exact_dedup(sf_dir: str) -> pd.DataFrame:
     )
 
 
+SPAN_DEDUP_W = 10
+
+
+def _q_span_dedup(sf_dir: str) -> pd.DataFrame:
+    """C4/Lee-et-al-style duplicated-span REMOVAL with doc rewrite
+    (extras/dedup.span_window_dedup): consecutive 10-word windows, every
+    duplicate window survives only at its globally-first (doc_id, span_no)
+    occurrence, docs reassembled from surviving windows. Integer-exact
+    (counts + rebuilt strings); the engine decides on fnv64(span) — the
+    string-equality twin doubles as a collision check."""
+    ds = x_dedup.span_window_dedup(
+        _read(sf_dir, "documents", ["doc_id", "text"]), span_w=SPAN_DEDUP_W)
+    return (ds.to_pandas()[["doc_id", "text_dedup", "n_kept", "n_dropped"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def _span_dedup_sql() -> str:
+    W, M = SPAN_DEDUP_W, 1 << 20
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sp AS (
+  SELECT doc_id, len(l) AS nl, l,
+         unnest(generate_series(0, CAST(ceil(len(l) / {W}.0) AS BIGINT) - 1))
+           AS span_no
+  FROM d
+),
+spans AS (
+  SELECT doc_id, span_no,
+         array_to_string(
+           l[span_no * {W} + 1 : least((span_no + 1) * {W}, nl)], ' ') AS span
+  FROM sp
+),
+win AS (
+  SELECT span, min(doc_id * {M} + span_no) AS wp FROM spans GROUP BY span
+),
+k AS (
+  SELECT s.doc_id, s.span_no, s.span,
+         (s.doc_id * {M} + s.span_no) = w.wp AS keep
+  FROM spans s JOIN win w ON w.span = s.span
+)
+SELECT doc_id,
+       coalesce(string_agg(span, ' ' ORDER BY span_no)
+                FILTER (WHERE keep), '') AS text_dedup,
+       (count(*) FILTER (WHERE keep))::BIGINT AS n_kept,
+       (count(*) FILTER (WHERE NOT keep))::BIGINT AS n_dropped
+FROM k GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def _q_repetition_stats(sf_dir: str) -> pd.DataFrame:
     """Gopher-style repetition quality signals: per-doc duplicated-word and
     duplicated-2-gram fractions (pre-training data cleaning filters)."""
@@ -2790,6 +2839,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df_top100": _q_term_df_top100,
         "token_counts": _q_token_counts,
         "exact_dedup": _q_exact_dedup,
+        "span_dedup_docs": _q_span_dedup,
         "clean_corpus_stats": _q_clean_corpus_stats,
         "quality_scores": _q_quality_scores,
         "lang_doc_counts": _q_lang_doc_counts,
@@ -4475,6 +4525,7 @@ SELECT doc_id,
 FROM (SELECT doc_id, {toks} AS toks FROM documents)
 ORDER BY doc_id
 """,
+        "span_dedup_docs": _span_dedup_sql(),
         "exact_dedup": """
 SELECT min(doc_id) AS doc_id, count(*) AS dup_count
 FROM documents GROUP BY text ORDER BY doc_id

@@ -1021,3 +1021,180 @@ def duplicate_spans(
             "n_toks": ends - starts})
 
     return covered.groupby(id_col).map_groups(islands, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# C4/RefinedWeb-style duplicated-span REMOVAL with document rewrite
+# (distinct from duplicate_spans above, which only DETECTS repeated runs)
+# ---------------------------------------------------------------------------
+
+_SPAN_DEDUP_W = 10
+_SPAN_NO_MAX = 1 << 20        # packed key = doc_id * 2^20 + span_no
+
+
+def _split_offsets(texts: pa.Array):
+    """(normalized int64 offsets, flat word values) of a ' '-split."""
+    lists = pc.split_pattern(texts, " ")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    off = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    return off - off[0], lists.flatten()
+
+
+def _span_bounds(off: np.ndarray, span_w: int):
+    """Per-doc consecutive span windows over the flat word array:
+    (span start offsets incl. final end, doc index per span, within-doc
+    span_no, word count per span)."""
+    lens = np.diff(off)
+    nspans = -(-lens // span_w)             # ceil; len >= 1 after split
+    doc_rep = np.repeat(np.arange(len(lens)), nspans)
+    span_base = np.cumsum(nspans) - nspans
+    sp_no = np.arange(len(doc_rep), dtype=np.int64) - span_base[doc_rep]
+    starts = off[:-1][doc_rep] + sp_no * span_w
+    bounds = np.append(starts, off[-1])
+    counts = np.full(len(sp_no), span_w, dtype=np.int64)
+    last = span_base + nspans - 1
+    counts[last] = lens - (nspans - 1) * span_w
+    return bounds, doc_rep, sp_no, counts, nspans, span_base
+
+
+def span_window_dedup(
+    ds: "ray.data.Dataset",
+    span_w: int = _SPAN_DEDUP_W,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """Duplicated-span removal with document rewrite (the C4 three-sentence
+    rule of Raffel et al. 2020 / the span dedup of Lee et al. 2022, over
+    fixed ``span_w``-word windows because this corpus has no sentence
+    delimiters): each doc is cut into consecutive whitespace-word windows,
+    any window occurring elsewhere in the corpus survives ONLY at its
+    globally first occurrence (min (doc_id, span_no)), and docs are
+    reassembled from their surviving windows. One output row per input doc:
+    (doc_id, text_dedup, n_kept, n_dropped).
+
+    Scale shape: the global decision shuffle carries only (fnv64 hash,
+    packed int64 position) pairs — span TEXT never leaves the map side;
+    winners come from ONE ``groupby(h).min(packed)``; losers compress to a
+    per-doc packed drop blob and meet the docs in a BUCKETED co-group
+    (union + groupby(doc_id % P) — the repo's join shape; ``Dataset.join``
+    is avoided because Ray 2.49's hash-join feeds zero-column blocks for
+    empty key partitions, the documented full_outer ArrowInvalid pitfall);
+    the rewrite is a vectorized offsets/mask pass per bucket. Duplicate
+    decision is hash equality (64-bit FNV-1a of the span string) — the
+    documented scale tradeoff vs string equality, verified collision-free
+    by the SQL gate at test scale.
+    """
+    from colbert_ray.functions.hashing import fnv1a64_strings
+
+    docs = ds.select_columns([id_col, text_col])
+
+    def to_spans(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        off, flat = _split_offsets(b.column(text_col).combine_chunks())
+        bounds, doc_rep, sp_no, _, _, _ = _span_bounds(off, span_w)
+        if len(sp_no) and int(sp_no.max()) >= _SPAN_NO_MAX:
+            raise ValueError(
+                f"doc with >= {_SPAN_NO_MAX} spans breaks the packed "
+                f"(doc_id, span_no) key; raise span_w or repartition docs")
+        span_list = pa.ListArray.from_arrays(
+            pa.array(bounds, type=pa.int32()), flat)
+        spans = pc.binary_join(span_list, " ")
+        h = fnv1a64_strings(spans).astype(np.int64)
+        return pa.table({
+            "h": pa.array(h),
+            "packed": pa.array(ids[doc_rep] * _SPAN_NO_MAX + sp_no),
+        })
+
+    lines = docs.map_batches(to_spans, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    winners = lines.groupby("h").min("packed")
+
+    def losers(b: pa.Table) -> pa.Table:
+        packed = b.column("packed").to_numpy(zero_copy_only=False)
+        wp = b.column("min(packed)").to_numpy(zero_copy_only=False)
+        drop = packed != wp
+        p = packed[drop]
+        return pa.table({
+            id_col: pa.array(p // _SPAN_NO_MAX),
+            "span_no": pa.array(p % _SPAN_NO_MAX),
+        })
+
+    drops = (lines.join(winners, join_type="inner",
+                        num_partitions=num_partitions, on=("h",))
+             .map_batches(losers, batch_format="pyarrow"))
+
+    # ---- per-doc drop blob (span_nos packed as int64 bytes: nested list
+    # payloads are join/union-hostile, binary is schema-stable) ----------
+    def drop_list(g: pa.Table) -> pa.Table:
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        nos = g.column("span_no").to_numpy(zero_copy_only=False)
+        order = np.lexsort((nos, ids))
+        ids_s, nos_s = ids[order], nos[order]
+        starts = np.flatnonzero(np.r_[True, ids_s[1:] != ids_s[:-1]])
+        offs = np.append(starts, len(ids_s))
+        blobs = [nos_s[a:b].tobytes() for a, b in zip(offs[:-1], offs[1:])]
+        return pa.table({
+            id_col: pa.array(ids_s[starts], type=pa.int64()),
+            "bucket": pa.array(ids_s[starts] % num_partitions),
+            text_col: pa.array([None] * len(starts), type=pa.string()),
+            "drop_nos": pa.array(blobs, type=pa.binary()),
+        })
+
+    drop_rows = drops.groupby(id_col).map_groups(
+        drop_list, batch_format="pyarrow")
+
+    def doc_rows(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: b.column(id_col),
+            "bucket": pa.array(ids % num_partitions),
+            text_col: b.column(text_col),
+            "drop_nos": pa.array([None] * len(ids), type=pa.binary()),
+        })
+
+    def bucket_rewrite(g: pa.Table) -> pa.Table:
+        texts_all = g.column(text_col).combine_chunks()
+        is_doc = np.asarray(pc.is_valid(texts_all))
+        d = g.filter(pa.array(is_doc))
+        r = g.filter(pa.array(~is_doc))
+        ids = d.column(id_col).to_numpy(zero_copy_only=False)
+        off, flat = _split_offsets(d.column(text_col).combine_chunks())
+        _, _, _, counts, nspans, span_base = _span_bounds(off, span_w)
+        keep = np.ones(int(nspans.sum()), dtype=bool)
+        if r.num_rows:
+            rid = r.column(id_col).to_numpy(zero_copy_only=False)
+            rorder = np.argsort(ids, kind="stable")
+            pos = rorder[np.searchsorted(ids, rid, sorter=rorder)]
+            blobs = r.column("drop_nos").combine_chunks()
+            cnts = np.empty(len(rid), dtype=np.int64)
+            allv = []
+            for i, blob in enumerate(blobs):
+                v = np.frombuffer(blob.as_py(), dtype=np.int64)
+                cnts[i] = len(v)
+                allv.append(v)
+            vals = np.concatenate(allv) if allv else np.empty(0, np.int64)
+            parents = np.repeat(pos, cnts)
+            keep[span_base[parents] + vals] = False
+        word_keep = np.repeat(keep, counts)
+        kept_words = flat.filter(pa.array(word_keep))
+        kept_per_doc = np.add.reduceat(
+            word_keep.astype(np.int64), off[:-1]) if len(off) > 1 else \
+            np.empty(0, dtype=np.int64)
+        new_off = np.concatenate([[0], np.cumsum(kept_per_doc)])
+        new_list = pa.ListArray.from_arrays(
+            pa.array(new_off, type=pa.int32()), kept_words)
+        n_kept = np.add.reduceat(keep.astype(np.int64), span_base) \
+            if len(span_base) else np.empty(0, dtype=np.int64)
+        return pa.table({
+            id_col: d.column(id_col),
+            "text_dedup": pc.binary_join(new_list, " "),
+            "n_kept": pa.array(n_kept),
+            "n_dropped": pa.array(nspans - n_kept),
+        })
+
+    merged = docs.map_batches(doc_rows, batch_format="pyarrow").union(
+        drop_rows)
+    return merged.groupby("bucket").map_groups(
+        bucket_rewrite, batch_format="pyarrow")

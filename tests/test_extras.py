@@ -2480,3 +2480,71 @@ class TestGraphTraversal:
         got = x_graph.triangle_counts(
             self._sym([(0, 4), (4, 1), (1, 5), (5, 0)])).to_pandas()
         assert len(got) == 0
+
+
+class TestSpanWindowDedup:
+    """C4-style duplicated-span removal with doc rewrite."""
+
+    def _mk(self, texts, repart=3):
+        t = pa.table({
+            "doc_id": pa.array(
+                np.arange(1, len(texts) + 1, dtype=np.int64)),
+            "text": pa.array(texts, type=pa.string()),
+        })
+        return ray.data.from_arrow(t).repartition(repart)
+
+    @staticmethod
+    def _naive(texts, w):
+        spans_of = []
+        for t in texts:
+            words = t.split(" ")
+            spans_of.append([" ".join(words[i:i + w])
+                             for i in range(0, len(words), w)])
+        seen = {}
+        for di, spans in enumerate(spans_of):
+            for si, s in enumerate(spans):
+                seen.setdefault(s, (di, si))
+        out = []
+        for di, spans in enumerate(spans_of):
+            kept = [s for si, s in enumerate(spans)
+                    if seen[s] == (di, si)]
+            out.append((di + 1, " ".join(kept),
+                        len(kept), len(spans) - len(kept)))
+        return out
+
+    def test_matches_naive_oracle(self):
+        rng = np.random.default_rng(7)
+        vocab = [f"w{i}" for i in range(12)]
+        texts = [" ".join(rng.choice(vocab, size=int(n)))
+                 for n in rng.integers(3, 40, size=60)]
+        # force exact duplicate spans across docs
+        texts[10] = texts[3]
+        texts[11] = texts[3] + " " + texts[5]
+        for w in (3, 10):
+            got = (x_dedup.span_window_dedup(self._mk(texts), span_w=w)
+                   .to_pandas().sort_values("doc_id").reset_index(drop=True))
+            want = self._naive(texts, w)
+            assert len(got) == len(want)
+            for row, (did, txt, nk, nd) in zip(got.itertuples(), want):
+                assert (row.doc_id, row.text_dedup,
+                        row.n_kept, row.n_dropped) == (did, txt, nk, nd)
+
+    def test_parallelism_invariant_and_lossless_when_unique(self):
+        texts = [f"u{i} v{i} w{i} x{i} y{i}" for i in range(30)]
+        a = (x_dedup.span_window_dedup(self._mk(texts, 1), span_w=2)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        b = (x_dedup.span_window_dedup(self._mk(texts, 7), span_w=2)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+        # all spans unique -> every doc survives byte-identical
+        assert (a["text_dedup"] == pd.Series(texts)).all()
+        assert (a["n_dropped"] == 0).all()
+
+    def test_whole_doc_duplicate_empties_later_doc(self):
+        texts = ["a b c d", "a b c d", "a b c d e"]
+        got = (x_dedup.span_window_dedup(self._mk(texts), span_w=4)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert got.loc[0, "text_dedup"] == "a b c d"
+        assert got.loc[1, "text_dedup"] == ""      # every span was a dup
+        assert got.loc[1, "n_kept"] == 0 and got.loc[1, "n_dropped"] == 1
+        assert got.loc[2, "text_dedup"] == "e"     # tail span survives
