@@ -378,6 +378,60 @@ def _q_rrf_bm25_ql_top5(sf_dir: str) -> pd.DataFrame:
         columns={"fused": "fused_r"})
 
 
+def _q_merged_bm25_top10(sf_dir: str) -> pd.DataFrame:
+    """Index-merge gate (pipelines/merge.merge_indexes — the Lucene
+    addIndexes / SPIMI multi-way merge analog): documents split into two
+    disjoint halves by doc_id, each half built into its OWN index, the two
+    merged with full global stats refresh (df / avgdl / tfsat), then the
+    standard query set searched on the MERGED index. Twin: the plain
+    single-corpus BM25 oracle — merge must be indistinguishable from one
+    build over the union."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from colbert_ray.pipelines.build import build_index
+    from colbert_ray.pipelines.merge import merge_indexes
+    from colbert_ray.pipelines.search import search_table
+
+    src = _doc_path(sf_dir, "documents")
+    st = os.stat(src)
+    root = os.path.join("/tmp/colbert_ray_driver",
+                        "mrg_" + hashlib.sha256(
+                            f"{os.path.abspath(src)}:{st.st_mtime_ns}:"
+                            f"{st.st_size}".encode()).hexdigest()[:12])
+    merged = os.path.join(root, "merged")
+    marker = os.path.join(root, "_merged")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        t = _pq.read_table(src, columns=["doc_id", "text"])
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        cut = int(np.median(ids))
+        lo = t.filter(pa.array(ids <= cut))
+        hi = t.filter(pa.array(ids > cut))
+        pa_lo = os.path.join(root, "lo.parquet")
+        pa_hi = os.path.join(root, "hi.parquet")
+        _pq.write_table(lo, pa_lo)
+        _pq.write_table(hi, pa_hi)
+        ia, ib = os.path.join(root, "idx_lo"), os.path.join(root, "idx_hi")
+        for p, d in ((pa_lo, ia), (pa_hi, ib)):
+            build_index(p, d, CFG, content_col="text", key_cols=(),
+                        meta_cols=(), docid_col="doc_id")
+        merge_indexes([ia, ib], merged, CFG)
+        with open(marker, "w") as f:
+            f.write("ok")
+    qt = pa.table({
+        "qid": pa.array([q for q, _ in QUERY_SET], type=pa.int64()),
+        "query": pa.array([t for _, t in QUERY_SET], type=pa.string()),
+    })
+    res = search_table(qt, merged, k=50, with_sha=False).to_pandas()
+    out = _rerank_rounded(res, "score", "docid", 10)
+    return out[["qid", "docid", "rank", "score"]].rename(
+        columns={"score": "score_r"})
+
+
 def _q_compacted_bm25_top10(sf_dir: str) -> pd.DataFrame:
     """The stats-refresh complement of updated_bm25_top10: the same delta
     scenario followed by IndexUpdater.compact() (persist+reindex analog,
@@ -2822,6 +2876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pruned_bm25_top10": _q_pruned_bm25_top10,
         "updated_bm25_top10": _q_updated_bm25_top10,
         "compacted_bm25_top10": _q_compacted_bm25_top10,
+        "merged_bm25_top10": _q_merged_bm25_top10,
         "rrf_bm25_ql_top5": _q_rrf_bm25_ql_top5,
         "search_facets": _q_search_facets,
         "rm3_bm25_top10": _q_rm3_bm25_top10,
@@ -4482,6 +4537,7 @@ def oracle_sql() -> dict[str, str]:
         "pruned_bm25_top10": _pruned_bm25_sql(),
         "updated_bm25_top10": _updated_bm25_sql(),
         "compacted_bm25_top10": _compacted_bm25_sql(),
+        "merged_bm25_top10": _bm25_sql(),   # merge == single union build
         "rrf_bm25_ql_top5": _rrf_sql(),
         "rm3_bm25_top10": _rm3_sql(),
         "search_snippets": _snippets_sql(),

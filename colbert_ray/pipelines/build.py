@@ -226,7 +226,7 @@ def build_index(
         os.path.join(index_dir, "plan.json"),
         {"config": cfg.to_dict(), "inputs": files, "inputs_hash": inputs_hash,
          "semantic_hash_pretokenize": sem_pre, "key_cols": list(key_cols),
-         "docid_col": docid_col},
+         "meta_cols": list(meta_cols), "docid_col": docid_col},
     )
 
     def _phase(name, h):
