@@ -866,6 +866,45 @@ def _q_term_df_top100(sf_dir: str) -> pd.DataFrame:
     return df[["term", "df", "cf"]].reset_index(drop=True)
 
 
+PACK_SEQ_LEN = 512
+
+
+def _q_packed_sequences(sf_dir: str) -> pd.DataFrame:
+    """GPT-style training-sequence packing metadata
+    (extras/packing.pack_sequences): concatenate docs in ascending doc_id
+    order, cut every PACK_SEQ_LEN whitespace tokens; per doc the global
+    token offset and sequence span. A cross-partition prefix sum
+    (bucket partials -> driver exclusive prefix -> seeded local scan);
+    integer-exact."""
+    from colbert_ray.extras.packing import pack_sequences
+
+    ds = pack_sequences(_read(sf_dir, "documents", ["doc_id", "text"]),
+                        seq_len=PACK_SEQ_LEN)
+    return (ds.to_pandas()
+            [["doc_id", "n_tokens", "tok_start", "seq_first", "seq_last"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def _packed_sequences_sql() -> str:
+    L = PACK_SEQ_LEN
+    return f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         (sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+          - n_tokens)::BIGINT AS tok_start
+  FROM t
+)
+SELECT doc_id, n_tokens, tok_start,
+       (tok_start // {L})::BIGINT AS seq_first,
+       ((tok_start + n_tokens - 1) // {L})::BIGINT AS seq_last
+FROM c ORDER BY doc_id
+"""
+
+
 def _q_token_counts(sf_dir: str) -> pd.DataFrame:
     ds = x_text.token_counts(_read(sf_dir, "documents", ["doc_id", "text"]))
     return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
@@ -2893,6 +2932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stats": _q_corpus_stats,
         "term_df_top100": _q_term_df_top100,
         "token_counts": _q_token_counts,
+        "packed_sequences": _q_packed_sequences,
         "exact_dedup": _q_exact_dedup,
         "span_dedup_docs": _q_span_dedup,
         "clean_corpus_stats": _q_clean_corpus_stats,
@@ -4582,6 +4622,7 @@ FROM (SELECT doc_id, {toks} AS toks FROM documents)
 ORDER BY doc_id
 """,
         "span_dedup_docs": _span_dedup_sql(),
+        "packed_sequences": _packed_sequences_sql(),
         "exact_dedup": """
 SELECT min(doc_id) AS doc_id, count(*) AS dup_count
 FROM documents GROUP BY text ORDER BY doc_id

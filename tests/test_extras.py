@@ -2548,3 +2548,47 @@ class TestSpanWindowDedup:
         assert got.loc[1, "text_dedup"] == ""      # every span was a dup
         assert got.loc[1, "n_kept"] == 0 and got.loc[1, "n_dropped"] == 1
         assert got.loc[2, "text_dedup"] == "e"     # tail span survives
+
+
+class TestPackSequences:
+    def _mk(self, texts, ids=None, repart=3):
+        ids = ids if ids is not None else np.arange(
+            1, len(texts) + 1, dtype=np.int64)
+        t = pa.table({"doc_id": pa.array(np.asarray(ids, dtype=np.int64)),
+                      "text": pa.array(texts, type=pa.string())})
+        return ray.data.from_arrow(t).repartition(repart)
+
+    def test_matches_naive_prefix_and_parallelism_invariant(self):
+        from colbert_ray.extras.packing import pack_sequences
+
+        rng = np.random.default_rng(3)
+        texts = [" ".join(f"t{j}" for j in range(int(n)))
+                 for n in rng.integers(1, 30, size=50)]
+        # non-contiguous, shuffled ids crossing bucket boundaries
+        ids = (rng.permutation(50) * 70_001 + 5).astype(np.int64)
+        outs = []
+        for p in (1, 7):
+            out = (pack_sequences(self._mk(texts, ids, p), seq_len=16,
+                                  bucket_width=100_000)
+                   .to_pandas().sort_values("doc_id")
+                   .reset_index(drop=True))
+            outs.append(out)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        out = outs[0]
+        order = np.argsort(ids)
+        n = np.array([len(t.split(" ")) for t in texts])[order]
+        starts = np.concatenate([[0], np.cumsum(n)[:-1]])
+        assert (out["n_tokens"].to_numpy() == n).all()
+        assert (out["tok_start"].to_numpy() == starts).all()
+        assert (out["seq_first"].to_numpy() == starts // 16).all()
+        assert (out["seq_last"].to_numpy() == (starts + n - 1) // 16).all()
+
+    def test_straddling_and_exact_fit(self):
+        from colbert_ray.extras.packing import pack_sequences
+
+        texts = ["a b c d", "e f", "g h i j k"]   # 4 + 2 + 5, L=4
+        out = (pack_sequences(self._mk(texts), seq_len=4)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        # doc1 fills seq0 exactly; doc2 sits inside seq1; doc3 straddles 1->2
+        assert out["seq_first"].tolist() == [0, 1, 1]
+        assert out["seq_last"].tolist() == [0, 1, 2]
