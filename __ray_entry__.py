@@ -905,6 +905,99 @@ FROM c ORDER BY doc_id
 """
 
 
+BPE_N_MERGES = 8
+
+
+def _q_bpe_merges(sf_dir: str) -> pd.DataFrame:
+    """BPE tokenizer training (extras/bpe.bpe_train — Sennrich learn_bpe):
+    ONE distributed word-count shuffle, then the merge loop over the
+    vocab-bounded (word, freq) table; selection = (max count, lex smallest
+    pair), a total order => exactly reproducible by the unrolled SQL twin."""
+    from colbert_ray.extras.bpe import bpe_train
+
+    t = bpe_train(_read(sf_dir, "documents", ["text"]),
+                  n_merges=BPE_N_MERGES)
+    return t.to_pandas()[["rank", "left", "right", "cnt"]]
+
+
+def _q_bpe_token_counts(sf_dir: str) -> pd.DataFrame:
+    """Distributed BPE APPLY (extras/bpe.bpe_token_counts): broadcast merge
+    list, per-batch segmentation of DISTINCT words only, per-doc token
+    counts under the learned tokenizer."""
+    from colbert_ray.extras.bpe import bpe_token_counts, bpe_train
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = bpe_train(_read(sf_dir, "documents", ["text"]),
+                       n_merges=BPE_N_MERGES)
+    return (bpe_token_counts(docs, merges).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def _bpe_merge_sql_expr(s: str, pl: str, pr: str) -> str:
+    """DuckDB twin of extras/bpe._merge_syms: greedy left-to-right
+    non-overlapping pair merge via list_reduce with a chr(1) just-merged
+    marker (prevents a merged symbol from re-matching as a left side)."""
+    return (
+        f"ltrim(replace(list_reduce(list_prepend('', string_split({s}, ' ')), "
+        f"(a, x) -> CASE WHEN right(a, length({pl}) + 1) = ' ' || {pl} "
+        f"AND x = {pr} "
+        f"THEN left(a, length(a) - length({pl}) - 1) "
+        f"|| ' ' || {pl} || {pr} || chr(1) "
+        f"ELSE a || ' ' || x END), chr(1), ''))"
+    )
+
+
+def _bpe_ctes(n: int) -> str:
+    """The shared unrolled learn CTE chain w0..w{n} / b1..b{n} (same
+    unrolled-iteration twin pattern as the PageRank oracle)."""
+    parts = [f"""
+wc AS (
+  SELECT word, count(*)::BIGINT AS f
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY word
+),
+w0 AS (SELECT word, array_to_string(string_split(word, ''), ' ') AS s, f
+       FROM wc)"""]
+    for i in range(1, n + 1):
+        prev = f"w{i - 1}"
+        parts.append(f"""
+p{i} AS (
+  SELECT l[j] AS pl, l[j + 1] AS pr, sum(f)::BIGINT AS cnt
+  FROM (SELECT string_split(s, ' ') AS l, f FROM {prev}),
+       LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS j) js
+  GROUP BY pl, pr
+),
+b{i} AS (SELECT pl, pr, cnt FROM p{i} ORDER BY cnt DESC, pl, pr LIMIT 1),
+w{i} AS (
+  SELECT word,
+         {_bpe_merge_sql_expr(f'{prev}.s', f'b{i}.pl', f'b{i}.pr')} AS s, f
+  FROM {prev}, b{i}
+)""")
+    return ",".join(parts)
+
+
+def _bpe_merges_sql() -> str:
+    n = BPE_N_MERGES
+    rows = "\nUNION ALL\n".join(
+        f'SELECT {i}::BIGINT AS rank, pl AS "left", pr AS "right", cnt '
+        f"FROM b{i}" for i in range(1, n + 1))
+    return f"WITH {_bpe_ctes(n)}\n{rows}\nORDER BY rank"
+
+
+def _bpe_token_counts_sql() -> str:
+    n = BPE_N_MERGES
+    return f"""
+WITH {_bpe_ctes(n)},
+seg AS (
+  SELECT word, len(string_split(s, ' '))::BIGINT AS n_sym FROM w{n}
+),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+SELECT doc_id, sum(n_sym)::BIGINT AS n_bpe_tokens
+FROM tok JOIN seg USING (word)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def _q_token_counts(sf_dir: str) -> pd.DataFrame:
     ds = x_text.token_counts(_read(sf_dir, "documents", ["doc_id", "text"]))
     return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
@@ -2933,6 +3026,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df_top100": _q_term_df_top100,
         "token_counts": _q_token_counts,
         "packed_sequences": _q_packed_sequences,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_token_counts": _q_bpe_token_counts,
         "exact_dedup": _q_exact_dedup,
         "span_dedup_docs": _q_span_dedup,
         "clean_corpus_stats": _q_clean_corpus_stats,
@@ -4623,6 +4718,8 @@ ORDER BY doc_id
 """,
         "span_dedup_docs": _span_dedup_sql(),
         "packed_sequences": _packed_sequences_sql(),
+        "bpe_merges": _bpe_merges_sql(),
+        "bpe_token_counts": _bpe_token_counts_sql(),
         "exact_dedup": """
 SELECT min(doc_id) AS doc_id, count(*) AS dup_count
 FROM documents GROUP BY text ORDER BY doc_id

@@ -2592,3 +2592,59 @@ class TestPackSequences:
         # doc1 fills seq0 exactly; doc2 sits inside seq1; doc3 straddles 1->2
         assert out["seq_first"].tolist() == [0, 1, 1]
         assert out["seq_last"].tolist() == [0, 1, 2]
+
+
+class TestBPE:
+    def _mk(self, texts, repart=3):
+        t = pa.table({
+            "doc_id": pa.array(np.arange(1, len(texts) + 1, dtype=np.int64)),
+            "text": pa.array(texts, type=pa.string())})
+        return ray.data.from_arrow(t).repartition(repart)
+
+    def test_learns_known_merges(self):
+        from colbert_ray.extras.bpe import bpe_train
+
+        # 'ab' dominates; then 'abc' (merged-symbol as LEFT side)
+        texts = ["abc abc abc abc", "abd abd", "xy"]
+        t = bpe_train(self._mk(texts), n_merges=3).to_pandas()
+        assert list(zip(t["left"], t["right"]))[:2] == [("a", "b"),
+                                                        ("ab", "c")]
+        assert t["cnt"].tolist()[0] == 6     # 4 abc + 2 abd
+        assert t["cnt"].tolist()[1] == 4
+
+    def test_greedy_nonoverlap_and_tie_break(self):
+        from colbert_ray.extras.bpe import bpe_train, segment_word
+
+        # run of a's: 'aaaa' counts (a,a) 3 times but merges to ['aa','aa']
+        t = bpe_train(self._mk(["aaaa aaaa"]), n_merges=2).to_pandas()
+        assert (t.loc[0, "left"], t.loc[0, "right"]) == ("a", "a")
+        assert t.loc[0, "cnt"] == 6
+        # second merge: pairs of 'aa aa' -> ('aa','aa')
+        assert (t.loc[1, "left"], t.loc[1, "right"]) == ("aa", "aa")
+        merges = list(zip(t["left"], t["right"]))
+        assert segment_word("aaaa", merges) == ["aaaa"]
+        assert segment_word("aaaaa", merges) == ["aaaa", "a"]
+        # tie between ('a','b') and ('a','c') at equal count -> lex smallest
+        t2 = bpe_train(self._mk(["ab ac"]), n_merges=1).to_pandas()
+        assert (t2.loc[0, "left"], t2.loc[0, "right"]) == ("a", "b")
+
+    def test_early_stop_and_apply_counts(self):
+        from colbert_ray.extras.bpe import bpe_token_counts, bpe_train
+
+        # single-char words: no pairs -> zero merges learned
+        t = bpe_train(self._mk(["a b c", "a b"]), n_merges=5)
+        assert t.num_rows == 0
+        # apply with empty merges == char counts per doc
+        out = (bpe_token_counts(self._mk(["ab cde", "x"]), t)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert out["n_bpe_tokens"].tolist() == [5, 1]
+
+    def test_parallelism_invariant(self):
+        from colbert_ray.extras.bpe import bpe_train
+
+        rng = np.random.default_rng(11)
+        texts = [" ".join(rng.choice(["foo", "food", "fool", "bar", "barn"],
+                                     size=20)) for _ in range(40)]
+        a = bpe_train(self._mk(texts, 1), n_merges=6).to_pandas()
+        b = bpe_train(self._mk(texts, 9), n_merges=6).to_pandas()
+        pd.testing.assert_frame_equal(a, b)
