@@ -739,6 +739,35 @@ def _q_bm25_top10_pfor(sf_dir: str) -> pd.DataFrame:
     return out[["qid", "docid", "rank", "score"]].rename(columns={"score": "score_r"})
 
 
+def _q_bm25_top10_ef(sf_dir: str) -> pd.DataFrame:
+    """Same ranking as bm25_top10 but over an index whose segments are
+    Elias-Fano-compressed (`segment_codec="ef"`, functions/codec.py — the
+    quasi-succinct representation, Vigna WSDM'13) — codec changes file
+    bytes only, so it shares bm25_top10's SQL oracle."""
+    import pyarrow as pa
+
+    from colbert_ray.config import EngineConfig
+    from colbert_ray.pipelines.build import build_index
+    from colbert_ray.pipelines.search import search_table
+
+    idx = _index_dir_for(sf_dir) + "_ef"
+    build_index(
+        _doc_path(sf_dir, "documents"), idx,
+        EngineConfig(segment_codec="ef"),
+        content_col="text", key_cols=(), meta_cols=("lang", "source"),
+        docid_col="doc_id",
+    )
+    qt = pa.table(
+        {
+            "qid": pa.array([q for q, _ in QUERY_SET], type=pa.int64()),
+            "query": pa.array([t for _, t in QUERY_SET], type=pa.string()),
+        }
+    )
+    res = search_table(qt, idx, k=50, with_sha=False).to_pandas()
+    out = _rerank_rounded(res, "score", "docid", 10)
+    return out[["qid", "docid", "rank", "score"]].rename(columns={"score": "score_r"})
+
+
 def _q_bm25_top10_sharded(sf_dir: str) -> pd.DataFrame:
     """Same ranking as bm25_top10 but served through docid-range-sharded
     actor pools + cross-shard merge (multi-node serving topology) — must be
@@ -3018,6 +3047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_explain": _q_bm25_explain,
         "bm25_top10_bmw": _q_bm25_top10_bmw,
         "bm25_top10_pfor": _q_bm25_top10_pfor,
+        "bm25_top10_ef": _q_bm25_top10_ef,
         "bm25_top10_sharded": _q_bm25_top10_sharded,
         "passage_bm25_top5": _q_passage_bm25_top5,
         "phrase_search_top10": _q_phrase_search,
@@ -4688,6 +4718,7 @@ ORDER BY bm.qid, d.lang, d.source
         "bm25_explain": _bm25_explain_sql(),
         "bm25_top10_bmw": _bm25_sql(),       # BMW pruning is exact
         "bm25_top10_pfor": _bm25_sql(),      # codec changes bytes, not content
+        "bm25_top10_ef": _bm25_sql(),        # codec changes bytes, not content
         "bm25_top10_sharded": _bm25_sql(),   # sharding must not change results
         "passage_bm25_top5": _passage_bm25_sql(),
         "phrase_search_top10": x_phrase.sql_phrase_search(

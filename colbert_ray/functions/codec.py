@@ -425,26 +425,213 @@ def pfor_decode(buf: bytes, count: int) -> np.ndarray:
 
 def encode_docids_run(docids: np.ndarray, codec: str = "varint") -> bytes:
     """Strictly-increasing docids -> (first, gaps) in the given codec."""
+    d = np.ascontiguousarray(docids, dtype=np.int64)
     if codec == "pfor":
-        d = np.ascontiguousarray(docids, dtype=np.int64)
         return pfor_encode(delta_gaps_segmented(d, np.zeros(1, dtype=np.int64))
                            if d.size else np.empty(0, dtype=np.uint64))
+    if codec == "ef":
+        return ef_encode(delta_gaps_segmented(d, np.zeros(1, dtype=np.int64))
+                         if d.size else np.empty(0, dtype=np.uint64))
     return delta_encode_docids(docids)
 
 
 def decode_docids_run(buf: bytes, count: int, codec: str = "varint") -> np.ndarray:
     if codec == "pfor":
         return np.cumsum(pfor_decode(buf, count).astype(np.int64))
+    if codec == "ef":
+        return np.cumsum(ef_decode(buf, count).astype(np.int64))
     return delta_decode_docids(buf, count)
 
 
 def encode_tfs_run(tfs: np.ndarray, codec: str = "varint") -> bytes:
     if codec == "pfor":
         return pfor_encode(np.ascontiguousarray(tfs, dtype=np.uint64))
+    if codec == "ef":
+        return ef_encode(np.ascontiguousarray(tfs, dtype=np.uint64))
     return encode_tfs(tfs)
 
 
 def decode_tfs_run(buf: bytes, count: int, codec: str = "varint") -> np.ndarray:
     if codec == "pfor":
         return pfor_decode(buf, count).astype(np.int64)
+    if codec == "ef":
+        return ef_decode(buf, count).astype(np.int64)
     return decode_tfs(buf, count)
+
+
+# --------------------------------------------------------------------------
+# Elias–Fano monotone codec (the third segment codec: "ef").
+#
+# The quasi-succinct posting representation (Elias 1974; Vigna, WSDM 2013
+# "Quasi-succinct indices"): a strictly-increasing sequence of n values
+# with top value ``last`` stores the low ``l = floor(log2(u/n))`` bits of
+# every value verbatim and the high bits unary-coded in a bitvector where
+# bit ``(v_j >> l) + j`` is set — ~2 + log2(u/n) bits per value, with the
+# decode a single scan for set bits.
+#
+# Interface parity with varint/pfor: the cell payloads are the SAME values
+# the other codecs see (delta gaps for docids, raw tfs). Internally the
+# codec encodes the per-run PREFIX SUMS (gaps -> absolute docids, tfs ->
+# cumulative freqs), which are strictly increasing by construction
+# (gaps > 0 after the first, tf >= 1), and diffs them back on decode.
+#
+# Cell layout (bitorder little throughout):
+#   [l: u8][lo: ceil(n*l/8) bytes][hi: ceil(((last >> l) + n)/8) bytes]
+# Empty runs encode as b"". Contract: values < 2^63 (same as varint).
+# --------------------------------------------------------------------------
+
+
+def _exclusive_cumsum(a: np.ndarray) -> np.ndarray:
+    out = np.zeros(len(a), dtype=np.int64)
+    np.cumsum(a[:-1], out=out[1:])
+    return out
+
+
+def ef_encode_segmented(values: np.ndarray,
+                        run_starts: np.ndarray) -> list[bytes]:
+    """Encode MANY runs (concatenated interface values, runs beginning at
+    ``run_starts``) -> one Elias–Fano cell per run. Fully vectorized: the
+    lo/hi bit arrays are built globally with <= 63 masked passes and packed
+    once; only the final per-run buffer slicing is a Python loop (the same
+    shape as varint_encode_segmented)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    rs = np.asarray(run_starts, dtype=np.int64)
+    n_runs = len(rs)
+    if n_runs == 0:
+        return []
+    if v.size and int(v.max()) >= (1 << 63):
+        raise ValueError("ef values must be < 2^63")
+    counts = np.diff(np.append(rs, len(v)))
+    ne = counts > 0
+    # per-run prefix sums -> strictly increasing sequences
+    cs = np.cumsum(v, dtype=np.uint64)
+    base = np.zeros(n_runs, dtype=np.uint64)
+    base[ne] = cs[rs[ne]] - v[rs[ne]]
+    mono = cs - np.repeat(base, counts)
+    # uint64 wrap guard: a run whose value SUM exceeds 2^64 breaks the
+    # monotone prefix sequence (engine payloads never do — absolute docids
+    # and run cfs are < 2^63 — but fail loudly rather than corrupt)
+    if len(mono) > 1:
+        bad = mono[1:] < mono[:-1]
+        bad[rs[1:] - 1] = False        # run boundaries may step down
+        if bad.any():
+            raise ValueError("ef run value sum overflows uint64")
+    run_ends = np.append(rs[1:], len(v))
+    last = np.zeros(n_runs, dtype=np.uint64)
+    last[ne] = mono[run_ends[ne] - 1]
+    u = last + np.uint64(1)
+    x = np.maximum(u // np.maximum(counts, 1).astype(np.uint64), np.uint64(1))
+    # floor(log2(x)) via frexp; off-by-one from float rounding only changes
+    # the split point (l is stored), never correctness
+    l_arr = np.clip(np.frexp(x.astype(np.float64))[1] - 1, 0, 63) \
+        .astype(np.int64)
+    l_arr[~ne] = 0
+    lo_bytes = (counts * l_arr + 7) // 8
+    hi_bits = (last >> l_arr.astype(np.uint64)).astype(np.int64) + counts
+    hi_bytes = np.where(ne, (hi_bits + 7) // 8, 0)
+
+    j_local = np.arange(len(v), dtype=np.int64) - np.repeat(rs, counts)
+    l_val = np.repeat(l_arr, counts)
+    # ---- lo planes ----
+    lo_bit_base = 8 * _exclusive_cumsum(lo_bytes)
+    total_lo = int(8 * lo_bytes.sum())
+    lob = b""
+    if total_lo:
+        lobits = np.zeros(total_lo, dtype=np.uint8)
+        dest = np.repeat(lo_bit_base, counts) + j_local * l_val
+        for k in range(int(l_arr.max())):
+            sel = l_val > k
+            lobits[dest[sel] + k] = (
+                (mono[sel] >> np.uint64(k)) & np.uint64(1)).astype(np.uint8)
+        lob = np.packbits(lobits, bitorder="little").tobytes()
+    # ---- hi unary bitvector ----
+    hi_bit_base = 8 * _exclusive_cumsum(hi_bytes)
+    total_hi = int(8 * hi_bytes.sum())
+    hib = b""
+    if total_hi:
+        hibits = np.zeros(total_hi, dtype=np.uint8)
+        pos = (np.repeat(hi_bit_base, counts)
+               + (mono >> l_val.astype(np.uint64)).astype(np.int64) + j_local)
+        hibits[pos] = 1
+        hib = np.packbits(hibits, bitorder="little").tobytes()
+    lo_off = np.append(_exclusive_cumsum(lo_bytes), int(lo_bytes.sum()))
+    hi_off = np.append(_exclusive_cumsum(hi_bytes), int(hi_bytes.sum()))
+    hdr = l_arr.astype(np.uint8)
+    return [
+        (hdr[r:r + 1].tobytes()
+         + lob[lo_off[r]:lo_off[r + 1]] + hib[hi_off[r]:hi_off[r + 1]])
+        if counts[r] else b""
+        for r in range(n_runs)
+    ]
+
+
+def ef_encode(values: np.ndarray) -> bytes:
+    """Single-run Elias–Fano encode (see ef_encode_segmented)."""
+    return ef_encode_segmented(values, np.zeros(1, dtype=np.int64))[0]
+
+
+def ef_decode_concat(buf: np.ndarray, cell_starts: np.ndarray,
+                     counts: np.ndarray,
+                     cell_ends: np.ndarray | None = None) -> np.ndarray:
+    """Decode MANY EF cells stored in ``buf`` (run r spans
+    ``[cell_starts[r], cell_ends[r])`` with ``counts[r]`` values) in one
+    vectorized pass -> the concatenated interface values (gaps / tfs)."""
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    cell_starts = np.asarray(cell_starts, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    n_runs = len(cell_starts)
+    if cell_ends is None:
+        cell_ends = np.append(cell_starts[1:], len(buf))
+    cell_ends = np.asarray(cell_ends, dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint64)
+    ne = counts > 0
+    l_arr = np.zeros(n_runs, dtype=np.int64)
+    l_arr[ne] = buf[cell_starts[ne]]
+    if int(l_arr.max(initial=0)) > 63:
+        raise ValueError("corrupt ef stream (l > 63)")
+    lo_bytes = np.where(ne, (counts * l_arr + 7) // 8, 0)
+    lo_start = cell_starts + 1
+    hi_start = lo_start + lo_bytes
+    if (ne & ((hi_start > cell_ends) | (cell_starts + 1 > cell_ends))).any():
+        raise ValueError("corrupt ef stream (truncated cell)")
+
+    bits = np.unpackbits(buf, bitorder="little")
+    j_local = np.arange(total, dtype=np.int64) - np.repeat(
+        _exclusive_cumsum(counts), counts)
+    l_val = np.repeat(l_arr, counts)
+    # ---- lo bits ----
+    lo = np.zeros(total, dtype=np.uint64)
+    src = np.repeat(8 * lo_start, counts) + j_local * l_val
+    for k in range(int(l_arr.max(initial=0))):
+        sel = l_val > k
+        lo[sel] |= bits[src[sel] + k].astype(np.uint64) << np.uint64(k)
+    # ---- hi unary: set-bit positions inside each cell's hi region ----
+    delta = np.zeros(len(bits) + 1, dtype=np.int32)
+    np.add.at(delta, 8 * hi_start[ne], 1)
+    np.add.at(delta, 8 * cell_ends[ne], -1)
+    region = np.cumsum(delta[:-1]) > 0
+    setpos = np.flatnonzero(bits.astype(bool) & region)
+    if len(setpos) != total:
+        raise ValueError(
+            f"corrupt ef stream ({len(setpos)} set bits, {total} values)")
+    highs = (setpos
+             - np.repeat(8 * hi_start, counts)
+             - j_local).astype(np.uint64)
+    mono = (highs << l_val.astype(np.uint64)) | lo
+    # back to interface form: per-run first value + diffs
+    out = np.empty(total, dtype=np.uint64)
+    out[0] = mono[0]
+    out[1:] = mono[1:] - mono[:-1]
+    rs = _exclusive_cumsum(counts)[ne]
+    out[rs] = mono[rs]
+    return out
+
+
+def ef_decode(buf: bytes, count: int) -> np.ndarray:
+    """Single-run Elias–Fano decode (see ef_decode_concat)."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    return ef_decode_concat(b, np.zeros(1, dtype=np.int64),
+                            np.asarray([count], dtype=np.int64),
+                            np.asarray([len(b)], dtype=np.int64))

@@ -27,6 +27,7 @@ from colbert_ray.config import EngineConfig
 from colbert_ray.functions.bm25 import tf_saturation
 from colbert_ray.functions.codec import (
     delta_gaps_segmented,
+    ef_encode_segmented,
     pfor_encode_segmented,
     varint_encode_segmented,
 )
@@ -212,6 +213,9 @@ def encode_runs(
     if cfg.segment_codec == "pfor":
         docids_bins = pfor_encode_segmented(gaps, starts)
         tfs_bins = pfor_encode_segmented(tf.astype(np.uint64), starts)
+    elif cfg.segment_codec == "ef":
+        docids_bins = ef_encode_segmented(gaps, starts)
+        tfs_bins = ef_encode_segmented(tf.astype(np.uint64), starts)
     else:
         docids_bins = varint_encode_segmented(gaps, starts)
         tfs_bins = varint_encode_segmented(tf.astype(np.uint64), starts)

@@ -84,7 +84,7 @@ def bulk_decode_runs(seg, codec: str = "varint"):
     the compressed streams are concatenated at the Arrow BUFFER level and
     decoded with the segment codec (varint LEB128 or PForDelta).
     """
-    from colbert_ray.functions.codec import pfor_decode_concat
+    from colbert_ray.functions.codec import ef_decode_concat, pfor_decode_concat
 
     tid = seg.column("term_id").to_numpy(zero_copy_only=False).astype(np.int64)
     salt = seg.column("salt").to_numpy(zero_copy_only=False)
@@ -94,13 +94,12 @@ def bulk_decode_runs(seg, codec: str = "varint"):
     db = seg.column("docids_bin").combine_chunks()
     tb = seg.column("tfs_bin").combine_chunks()
     total = int(nper.sum())
-    if codec == "pfor":
+    if codec in ("pfor", "ef"):
+        dec = pfor_decode_concat if codec == "pfor" else ef_decode_concat
         dbuf, doffs = _gather_binary(db, order, return_offsets=True)
         tbuf, toffs = _gather_binary(tb, order, return_offsets=True)
-        gaps = pfor_decode_concat(
-            dbuf, doffs[:-1], nper, doffs[1:]).astype(np.int64)
-        tfs = pfor_decode_concat(
-            tbuf, toffs[:-1], nper, toffs[1:]).astype(np.int32)
+        gaps = dec(dbuf, doffs[:-1], nper, doffs[1:]).astype(np.int64)
+        tfs = dec(tbuf, toffs[:-1], nper, toffs[1:]).astype(np.int32)
     else:
         dbuf = _gather_binary(db, order)
         tbuf = _gather_binary(tb, order)

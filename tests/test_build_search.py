@@ -211,16 +211,18 @@ def test_docid_join_strategy_equivalent(small_fixture, tmp_path_factory):
     pd.testing.assert_frame_equal(meta(db), meta(dj))
 
 
-def test_pfor_codec_build_search_identical(built, small_fixture,
-                                           tmp_path_factory):
-    """segment_codec='pfor' (PForDelta bit-plane blocks) changes segment
-    FILE bytes only: a pfor build must return frame-equal rankings to the
-    varint build on every query, through both the serve-artifact mmap path
-    and the segment-decode fallback, and must survive coalescing."""
+@pytest.mark.parametrize("codec", ["pfor", "ef"])
+def test_alt_codec_build_search_identical(built, small_fixture,
+                                          tmp_path_factory, codec):
+    """Alternative segment codecs (PForDelta bit-plane blocks; Elias-Fano
+    quasi-succinct) change segment FILE bytes only: the build must return
+    frame-equal rankings to the varint build on every query, through both
+    the serve-artifact mmap path and the segment-decode fallback, and must
+    survive coalescing."""
     corpus_dir, queries_path, varint_idx, _ = built
     cfg = EngineConfig(salt_max_run=20, num_term_partitions=8,
-                       segment_codec="pfor")
-    pfor_idx = str(tmp_path_factory.mktemp("idx_pfor"))
+                       segment_codec=codec)
+    pfor_idx = str(tmp_path_factory.mktemp(f"idx_{codec}"))
     build_index(corpus_dir, pfor_idx, cfg)
     queries = pq.read_table(queries_path)
     cols = ["qid", "docid", "rank", "score"]

@@ -435,3 +435,96 @@ def test_correct_terms_rules():
     assert got == [want]
     # no neighbor -> dropped
     assert correct_terms(vocab, dfs, ["zzzzz", "sort"]) == ["sort"]
+
+
+class TestEliasFanoCodec:
+    """Elias-Fano quasi-succinct codec (segment_codec='ef'). Interface
+    payloads are the varint/pfor ones (gaps / tfs); per-run value SUM must
+    stay < 2^64 (engine payloads always do)."""
+
+    @given(st.lists(st.integers(min_value=0, max_value=2**50), max_size=400))
+    @settings(max_examples=50, deadline=None)
+    def test_roundtrip(self, vals):
+        from colbert_ray.functions.codec import ef_decode, ef_encode
+
+        v = np.array(vals, dtype=np.uint64)
+        assert (ef_decode(ef_encode(v), len(v)) == v).all()
+
+    def test_engineered_distributions(self):
+        from colbert_ray.functions.codec import ef_decode, ef_encode
+
+        rng = np.random.default_rng(3)
+        for v in (
+            np.empty(0, dtype=np.uint64),
+            np.zeros(129, dtype=np.uint64),          # flat prefix sums
+            np.ones(1000, dtype=np.uint64),
+            np.array([2**62, 1, 1], dtype=np.uint64),
+            np.maximum(1, rng.poisson(7, 100_000)).astype(np.uint64),
+            rng.zipf(1.5, 50_000).astype(np.uint64) % (2**40),
+        ):
+            assert (ef_decode(ef_encode(v), len(v)) == v).all()
+
+    def test_segmented_matches_scalar_and_concat_decode(self):
+        from colbert_ray.functions.codec import (
+            ef_decode_concat,
+            ef_encode,
+            ef_encode_segmented,
+        )
+
+        rng = np.random.default_rng(11)
+        vals = rng.zipf(1.4, 30_000).astype(np.uint64) % (2**40)
+        starts = np.sort(rng.choice(len(vals), 200, replace=False))
+        starts[0] = 0
+        counts = np.diff(np.append(starts, len(vals)))
+        bufs = ef_encode_segmented(vals, starts)
+        for r in rng.integers(0, 200, 30):
+            s, c = starts[r], counts[r]
+            assert bufs[r] == ef_encode(vals[s:s + c])
+        cat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+        cell_starts = np.zeros(200, np.int64)
+        np.cumsum([len(b) for b in bufs[:-1]], out=cell_starts[1:])
+        out = ef_decode_concat(cat, cell_starts, counts)
+        assert (out == vals).all()
+
+    def test_run_dispatch_and_empty_runs(self):
+        from colbert_ray.functions.codec import (
+            decode_docids_run,
+            decode_tfs_run,
+            ef_encode_segmented,
+            encode_docids_run,
+            encode_tfs_run,
+        )
+
+        d = np.array([0, 9, 10, 5000, 70000], dtype=np.int64)  # docid 0 edge
+        t = np.array([1, 1, 60, 2, 7], dtype=np.int64)
+        assert (decode_docids_run(
+            encode_docids_run(d, "ef"), len(d), "ef") == d).all()
+        assert (decode_tfs_run(
+            encode_tfs_run(t, "ef"), len(t), "ef") == t).all()
+        # empty runs interleave as b""
+        vals = np.array([5, 3, 7], dtype=np.uint64)
+        bufs = ef_encode_segmented(vals, np.array([0, 2, 2], dtype=np.int64))
+        assert bufs[1] == b""
+        assert len(bufs) == 3
+
+    def test_corruption_rejected(self):
+        from colbert_ray.functions.codec import ef_decode, ef_encode
+
+        buf = ef_encode(np.arange(1, 300, dtype=np.uint64))
+        with pytest.raises(ValueError, match="ef"):
+            ef_decode(buf[:3], 299)
+        with pytest.raises(ValueError, match="ef"):
+            ef_decode(bytes([99]) + buf[1:], 299)   # absurd l header
+
+    def test_wrap_guard(self):
+        from colbert_ray.functions.codec import ef_encode
+
+        with pytest.raises(ValueError, match="overflow|< 2\\^63"):
+            ef_encode(np.array([2**62] * 5, dtype=np.uint64))
+
+    def test_beats_varint_on_dense_gaps(self):
+        from colbert_ray.functions.codec import ef_encode, varint_encode
+
+        rng = np.random.default_rng(5)
+        gaps = np.maximum(1, rng.poisson(7, 200_000)).astype(np.uint64)
+        assert len(ef_encode(gaps)) < 0.75 * len(varint_encode(gaps))

@@ -57,13 +57,14 @@ def test_add_then_search_finds_new_docs(built_index):
     assert int(new_ids[0]) in d2.tolist()
 
 
-def test_add_then_search_pfor_codec(small_fixture, tmp_path_factory):
+@pytest.mark.parametrize("codec", ["pfor", "ef"])
+def test_add_then_search_alt_codec(small_fixture, tmp_path_factory, codec):
     """Delta write + fold must round-trip through the index's segment codec
     (deltas are encoded by encode_runs with cfg.segment_codec)."""
     corpus_dir, _ = small_fixture
-    d = str(tmp_path_factory.mktemp("idx_upd_pfor"))
+    d = str(tmp_path_factory.mktemp(f"idx_upd_{codec}"))
     cfg = EngineConfig(salt_max_run=20, num_term_partitions=8,
-                       segment_codec="pfor")
+                       segment_codec=codec)
     build_index(corpus_dir, d, cfg)
     up = IndexUpdater(d)
     new_ids = up.add_documents(_added_docs())
