@@ -4,6 +4,7 @@
     python -m colbert_ray.cli search --index DIR --queries PATH [--k 10] [--out DIR]
     python -m colbert_ray.cli eval   --ranking DIR --qrels PATH
     python -m colbert_ray.cli compact --index DIR
+    python -m colbert_ray.cli merge  --indexes DIR1,DIR2[,...] --out DIR
     python -m colbert_ray.cli serve  --index DIR [--port 8893]
 
 On a cluster this module is the job driver:
@@ -113,6 +114,15 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact", help="coalesce segments into one file")
     c.add_argument("--index", required=True)
 
+    mg = sub.add_parser("merge", help="merge complete sub-indexes into one "
+                                      "(global stats refresh; == union build)")
+    mg.add_argument("--indexes", required=True,
+                    help="comma-separated sub-index dirs (>= 2)")
+    mg.add_argument("--out", required=True)
+    mg.add_argument("--config", default=None,
+                    help="JSON dict of EngineConfig overrides (tokenizer "
+                         "fields must match the sub-indexes)")
+
     st = sub.add_parser("stats", help="index introspection (no Ray session)")
     st.add_argument("--index", required=True)
 
@@ -210,6 +220,18 @@ def main(argv: list[str] | None = None) -> int:
 
         dest = coalesce_segments(args.index)
         print(json.dumps({"coalesced": dest}))
+    elif args.cmd == "merge":
+        from colbert_ray.pipelines.merge import merge_indexes
+
+        cfg = EngineConfig().merged(**json.loads(args.config)) if args.config \
+            else None
+        report = merge_indexes(
+            [d for d in args.indexes.split(",") if d], args.out, cfg)
+        print(json.dumps({"metadata": report["metadata"],
+                          "merged_from": report["merged_from"],
+                          "phases": {k: round(v, 2) for k, v in
+                                     report["phases"].items()
+                                     if isinstance(v, (int, float))}}))
     if started_ray:
         import ray
 

@@ -134,3 +134,34 @@ def test_cli_subprocess_job_driver(fix):
     ref_lines = [f"{r['qid']}\t{r['docid']}\t{r['rank']}\t{r['score']}"
                  for r in t.to_pylist()]
     assert sub_lines == ref_lines
+
+
+def test_cli_merge(fix, capsys, tmp_path_factory):
+    """`merge` subcommand: two half-corpus builds -> merged index whose
+    stats equal the full build from test_cli_build_search_eval_roundtrip."""
+    import glob
+
+    import pyarrow as pa
+
+    root, corpus_dir, _ = fix
+    mroot = str(tmp_path_factory.mktemp("cli_merge"))
+    files = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    ha, hb = os.path.join(mroot, "ha"), os.path.join(mroot, "hb")
+    os.makedirs(ha)
+    os.makedirs(hb)
+    pq.write_table(t.slice(0, 80), os.path.join(ha, "a.parquet"))
+    pq.write_table(t.slice(80), os.path.join(hb, "b.parquet"))
+    cfg = json.dumps({"salt_max_run": 30, "num_term_partitions": 8})
+    ia, ib = os.path.join(mroot, "ia"), os.path.join(mroot, "ib")
+    assert main(["build", "--corpus", ha, "--index", ia, "--config", cfg]) == 0
+    assert main(["build", "--corpus", hb, "--index", ib, "--config", cfg]) == 0
+    capsys.readouterr()
+    out = os.path.join(mroot, "merged")
+    assert main(["merge", "--indexes", f"{ia},{ib}", "--out", out,
+                 "--config", cfg]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["metadata"]["n_docs"] == 200
+    assert len(rep["merged_from"]) == 2
+    # the merged index serves like any index
+    assert main(["stats", "--index", out]) == 0
