@@ -768,6 +768,53 @@ def _q_bm25_top10_ef(sf_dir: str) -> pd.DataFrame:
     return out[["qid", "docid", "rank", "score"]].rename(columns={"score": "score_r"})
 
 
+DSL_QUERIES = [
+    (1, 'table AND window'),
+    (2, 'key OR vector'),
+    (3, '"fast table" AND NOT slow'),
+    (4, '(scan OR batch) AND filt*'),
+    (5, 'quer* AND NOT (window OR sort)'),
+    (6, '*ow AND table'),
+    (7, '*alu* AND NOT row'),
+    (8, 'customer "value table"'),
+]
+
+
+def _q_dsl_search(sf_dir: str) -> pd.DataFrame:
+    """Boolean query-language gate (pipelines/querylang — the Lucene
+    QueryParser analog composing term/phrase/wildcard atoms with
+    AND/OR/NOT over the index primitives): eight canned DSL queries
+    covering every construct; BM25 over positive literal terms restricted
+    to the boolean candidate set, constant-score wildcards, score 0 for
+    unscored candidates. Twin: per-query translated predicate + the shared
+    BM25 CTE, UNION ALL."""
+    import ray as _ray
+
+    from colbert_ray.pipelines.querylang import dsl_search
+
+    idx = _ensure_index(sf_dir)
+    corpus = _read(sf_dir, "documents", ["doc_id", "text"])
+    parts = []
+    for did, q in DSL_QUERIES:
+        t = dsl_search(idx, corpus, q, k=10, cfg=CFG).to_pandas()
+        t.insert(0, "dsl_id", np.int64(did))
+        parts.append(t)
+    out = pd.concat(parts, ignore_index=True)
+    out["score_r"] = out.pop("score").round(6)
+    return out[["dsl_id", "docid", "rank", "score_r"]]
+
+
+def _dsl_search_sql() -> str:
+    from colbert_ray.pipelines.querylang import sql_dsl_search
+
+    parts = [
+        f"SELECT {did}::BIGINT AS dsl_id, docid, rank, score_r FROM "
+        f"({sql_dsl_search('documents', q, k=10, cfg=CFG)})"
+        for did, q in DSL_QUERIES
+    ]
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY dsl_id, rank"
+
+
 def _q_bm25_top10_sharded(sf_dir: str) -> pd.DataFrame:
     """Same ranking as bm25_top10 but served through docid-range-sharded
     actor pools + cross-shard merge (multi-node serving topology) — must be
@@ -3048,6 +3095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_top10_bmw": _q_bm25_top10_bmw,
         "bm25_top10_pfor": _q_bm25_top10_pfor,
         "bm25_top10_ef": _q_bm25_top10_ef,
+        "dsl_search_top10": _q_dsl_search,
         "bm25_top10_sharded": _q_bm25_top10_sharded,
         "passage_bm25_top5": _q_passage_bm25_top5,
         "phrase_search_top10": _q_phrase_search,
@@ -4719,6 +4767,7 @@ ORDER BY bm.qid, d.lang, d.source
         "bm25_top10_bmw": _bm25_sql(),       # BMW pruning is exact
         "bm25_top10_pfor": _bm25_sql(),      # codec changes bytes, not content
         "bm25_top10_ef": _bm25_sql(),        # codec changes bytes, not content
+        "dsl_search_top10": _dsl_search_sql(),
         "bm25_top10_sharded": _bm25_sql(),   # sharding must not change results
         "passage_bm25_top5": _passage_bm25_sql(),
         "phrase_search_top10": x_phrase.sql_phrase_search(

@@ -1,0 +1,375 @@
+"""Boolean query language — the Lucene-QueryParser-style front end that
+composes this engine's retrieval primitives into one query string:
+
+    camelCase AND "exact phrase" AND (foo* OR *bar) AND NOT baz
+
+Grammar (explicit, small):
+
+    expr     := and_expr (OR and_expr)*
+    and_expr := unary (AND? unary)*        # adjacency = implicit AND
+    unary    := NOT unary | atom
+    atom     := '(' expr ')' | '"' words '"' | word[* forms]
+
+Word atoms go through the corpus tokenizer (camelCase splitting etc.; a
+multi-token word is an implicit AND of its tokens). Wildcard forms:
+``pre*``, ``*suf``, ``pre*suf``, ``*inf*``. ``AND``/``OR``/``NOT`` are
+uppercase keywords; lowercase they are ordinary terms.
+
+Semantics (documented, exactly SQL-twinnable):
+- every node evaluates to a docid SET over the built index (term ->
+  postings; phrase -> two-stage phrase_search; wildcards -> dictionary
+  range probe + rollup; AND/OR -> sorted set ops). NOT is only legal as a
+  direct child of an AND (``a AND NOT b``) — pure-negative queries are
+  rejected, as in Lucene.
+- ranking: BM25 over the query's positive LITERAL terms (term atoms +
+  phrase words outside any NOT), restricted to the candidate set;
+  candidates matching no scoring term rank with score 0.0 — the Lucene
+  constant-score rewrite for wildcard-only branches. Tie-break
+  (-round(score, 6), docid), the engine's float policy.
+
+Reference capability: query planning / candidate filtering
+(``colbert/search/index_storage.py:72-96``); everything else is classic
+public Lucene behavior re-expressed over this engine's primitives.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+from colbert_ray.config import EngineConfig
+from colbert_ray.functions.tokenizer import sql_tokenize_expr, tokenize_query
+
+PHRASE_ALL = 1 << 40          # phrase atoms need the full matching set
+
+
+@dataclass
+class Node:
+    kind: str                  # 'term' | 'phrase' | 'wild' | 'and' | 'or' | 'not'
+    terms: list[str] | None = None       # term: tokens; phrase: words
+    wild: tuple[str, str, str] | None = None   # (form, a, b)
+    children: list["Node"] | None = None
+
+
+class QuerySyntaxError(ValueError):
+    pass
+
+
+def _lex(q: str) -> list[str]:
+    out, i, n = [], 0, len(q)
+    while i < n:
+        c = q[i]
+        if c.isspace():
+            i += 1
+        elif c in "()":
+            out.append(c)
+            i += 1
+        elif c == '"':
+            j = q.find('"', i + 1)
+            if j < 0:
+                raise QuerySyntaxError("unterminated phrase quote")
+            out.append(q[i:j + 1])
+            i = j + 1
+        else:
+            j = i
+            while j < n and not q[j].isspace() and q[j] not in '()"':
+                j += 1
+            out.append(q[i:j])
+            i = j
+    return out
+
+
+def parse(q: str, cfg: EngineConfig | None = None) -> Node:
+    cfg = cfg or EngineConfig()
+    toks = _lex(q)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def parse_expr() -> Node:
+        kids = [parse_and()]
+        while peek() == "OR":
+            take()
+            kids.append(parse_and())
+        return kids[0] if len(kids) == 1 else Node("or", children=kids)
+
+    def parse_and() -> Node:
+        kids = [parse_unary()]
+        while True:
+            t = peek()
+            if t == "AND":
+                take()
+                kids.append(parse_unary())
+            elif t is not None and t not in (")", "OR"):
+                kids.append(parse_unary())       # adjacency = AND
+            else:
+                break
+        return kids[0] if len(kids) == 1 else Node("and", children=kids)
+
+    def parse_unary() -> Node:
+        if peek() == "NOT":
+            take()
+            return Node("not", children=[parse_unary()])
+        return parse_atom()
+
+    def parse_atom() -> Node:
+        t = peek()
+        if t is None:
+            raise QuerySyntaxError("unexpected end of query")
+        if t == "(":
+            take()
+            node = parse_expr()
+            if peek() != ")":
+                raise QuerySyntaxError("missing ')'")
+            take()
+            return node
+        if t == ")":
+            raise QuerySyntaxError("unexpected ')'")
+        take()
+        if t.startswith('"'):
+            # phrases need ORDERED tokens (tokenize_query dedups/sorts)
+            from colbert_ray.pipelines.phrase import phrase_tokens
+
+            words = phrase_tokens(t[1:-1], cfg)
+            if not words:
+                raise QuerySyntaxError(f"empty phrase {t}")
+            return Node("phrase", terms=words)
+        if "*" in t:
+            parts = t.split("*")
+            if t.count("*") == 1:
+                a, b = parts
+                if a and b:
+                    return Node("wild", wild=("both", a, b))
+                if a:
+                    return Node("wild", wild=("prefix", a, ""))
+                if b:
+                    return Node("wild", wild=("suffix", "", b))
+            elif (t.count("*") == 2 and t.startswith("*") and t.endswith("*")
+                  and parts[1]):
+                return Node("wild", wild=("infix", parts[1], ""))
+            raise QuerySyntaxError(f"unsupported wildcard form: {t}")
+        terms = tokenize_query(t, cfg)[0]
+        if not terms:
+            raise QuerySyntaxError(f"term tokenizes to nothing: {t!r}")
+        return Node("term", terms=sorted(terms))
+
+    node = parse_expr()
+    if pos != len(toks):
+        raise QuerySyntaxError(f"trailing tokens: {toks[pos:]}")
+    _validate_not(node, under_and=False)
+    return node
+
+
+def _validate_not(n: Node, under_and: bool) -> None:
+    if n.kind == "not":
+        if not under_and:
+            raise QuerySyntaxError(
+                "NOT is only allowed as a direct child of an AND "
+                "(pure-negative queries are rejected, as in Lucene)")
+        _validate_not(n.children[0], under_and=False)
+    elif n.children:
+        for c in n.children:
+            _validate_not(c, under_and=(n.kind == "and"))
+
+
+def scoring_terms(n: Node) -> list[str]:
+    """Positive literal terms (term atoms + phrase words outside NOT)."""
+    if n.kind == "not":
+        return []
+    if n.kind in ("term", "phrase"):
+        return sorted(set(n.terms))
+    if n.kind == "wild":
+        return []                      # constant-score rewrite
+    out: list[str] = []
+    for c in n.children or ():
+        out.extend(scoring_terms(c))
+    return sorted(set(out))
+
+
+def _eval_set(n: Node, index_dir: str, corpus, idx, cfg,
+              text_col: str, id_col: str) -> np.ndarray:
+    from colbert_ray.pipelines.phrase import (
+        conjunctive_candidates,
+        infix_search,
+        phrase_search,
+        prefix_search,
+        suffix_search,
+        wildcard_search,
+    )
+
+    if n.kind == "term":
+        return conjunctive_candidates(idx, n.terms)
+    if n.kind == "phrase":
+        t = phrase_search(index_dir, corpus, " ".join(n.terms),
+                          k=PHRASE_ALL, cfg=cfg,
+                          text_col=text_col, id_col=id_col)
+        return np.sort(t.column("doc_id").to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
+    if n.kind == "wild":
+        form, a, b = n.wild
+        t = {"prefix": lambda: prefix_search(index_dir, a),
+             "suffix": lambda: suffix_search(index_dir, b),
+             "both": lambda: wildcard_search(index_dir, a, b),
+             "infix": lambda: infix_search(index_dir, a)}[form]()
+        return t.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+    if n.kind == "or":
+        parts = [_eval_set(c, index_dir, corpus, idx, cfg, text_col, id_col)
+                 for c in n.children]
+        return np.union1d(parts[0], np.concatenate(parts[1:])) \
+            if len(parts) > 1 else parts[0]
+    if n.kind == "and":
+        pos = [c for c in n.children if c.kind != "not"]
+        neg = [c.children[0] for c in n.children if c.kind == "not"]
+        if not pos:
+            raise QuerySyntaxError("AND group with only NOT children")
+        cur = _eval_set(pos[0], index_dir, corpus, idx, cfg, text_col, id_col)
+        for c in pos[1:]:
+            if len(cur) == 0:
+                return cur
+            cur = np.intersect1d(
+                cur, _eval_set(c, index_dir, corpus, idx, cfg,
+                               text_col, id_col), assume_unique=False)
+        if neg and len(cur):
+            ex = np.concatenate([
+                _eval_set(c, index_dir, corpus, idx, cfg, text_col, id_col)
+                for c in neg])
+            cur = np.setdiff1d(cur, ex)
+        return cur
+    raise QuerySyntaxError(f"cannot evaluate node kind {n.kind}")
+
+
+def dsl_search(index_dir: str, corpus, q: str, k: int = 10,
+               cfg: EngineConfig | None = None, *,
+               text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Evaluate a boolean DSL query -> top-k (docid, rank, score), BM25
+    over the positive literal terms restricted to the boolean candidate
+    set (score 0.0 for candidates matching no scoring term); tie-break
+    (-round(score, 6), docid)."""
+    from colbert_ray.state.decoded import DecodedIndex
+    from colbert_ray.state.index import BM25Scorer
+
+    cfg = cfg or EngineConfig()
+    ast = parse(q, cfg)
+    idx = DecodedIndex.load_cached(index_dir, load_sha=False)
+    cand = _eval_set(ast, index_dir, corpus, idx, cfg, text_col, id_col)
+    empty = pa.table({"docid": pa.array([], type=pa.int64()),
+                      "rank": pa.array([], type=pa.int64()),
+                      "score": pa.array([], type=pa.float64())})
+    if len(cand) == 0:
+        return empty
+    terms = scoring_terms(ast)
+    scores = np.zeros(len(cand), dtype=np.float64)
+    if terms:
+        scorer = BM25Scorer(index_dir, k=max(k, 1), with_sha=False)
+        tids = scorer.idx.lookup_terms(terms)
+        if len(tids):
+            d, s = scorer._all_match_scores(tids, docid_filter=cand)
+            pos = np.searchsorted(cand, d)
+            scores[pos] = s
+    order = np.lexsort((cand, -np.round(scores, 6)))[:k]
+    return pa.table({
+        "docid": pa.array(cand[order], type=pa.int64()),
+        "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+        "score": pa.array(scores[order], type=pa.float64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# SQL twin: translate the SAME AST into a per-doc boolean predicate over the
+# tokenized corpus + the standard BM25 scoring CTE over the scoring terms.
+# ---------------------------------------------------------------------------
+
+
+def sql_predicate(n: Node, toks: str = "toks") -> str:
+    """DuckDB boolean expression over a per-doc token list column."""
+    if n.kind == "term":
+        return "(" + " AND ".join(
+            f"list_contains({toks}, '{t}')" for t in n.terms) + ")"
+    if n.kind == "phrase":
+        m = len(n.terms)
+        conds = " AND ".join(
+            f"{toks}[i + {j}] = '{w}'" for j, w in enumerate(n.terms))
+        return (f"(len({toks}) >= {m} AND len(list_filter("
+                f"generate_series(1, len({toks}) - {m - 1}), "
+                f"i -> {conds})) > 0)")
+    if n.kind == "wild":
+        form, a, b = n.wild
+        like = {"prefix": f"'{a}%'", "suffix": f"'%{b}'",
+                "both": f"'{a}%{b}'", "infix": f"'%{a}%'"}[form]
+        guard = (f" AND len(t) >= {len(a) + len(b)}" if form == "both" else "")
+        return (f"(len(list_filter({toks}, t -> t LIKE {like}{guard})) > 0)")
+    if n.kind == "or":
+        return "(" + " OR ".join(sql_predicate(c, toks)
+                                 for c in n.children) + ")"
+    if n.kind == "and":
+        parts = []
+        for c in n.children:
+            if c.kind == "not":
+                parts.append(f"(NOT {sql_predicate(c.children[0], toks)})")
+            else:
+                parts.append(sql_predicate(c, toks))
+        return "(" + " AND ".join(parts) + ")"
+    raise QuerySyntaxError(f"cannot translate node kind {n.kind}")
+
+
+def sql_dsl_search(table: str, q: str, k: int = 10,
+                   cfg: EngineConfig | None = None, *,
+                   text_col: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB twin of ``dsl_search`` (one query -> top-k docid/rank/score
+    with score rounded to 6, the shared float policy)."""
+    cfg = cfg or EngineConfig()
+    ast = parse(q, cfg)
+    terms = scoring_terms(ast)
+    k1, b = cfg.k1, cfg.b
+    values = ",\n      ".join(f"('{t}')" for t in terms) or "(NULL)"
+    score_join = f"""
+q(term) AS (VALUES {values}),
+sc AS (
+  SELECT tf.doc_id AS docid,
+         sum( ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * ( (tf.tf * ({k1} + 1.0))
+                  / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.dl / s.avgdl)) ) )
+           AS score
+  FROM q JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)""" if terms else """
+sc AS (SELECT NULL::BIGINT AS docid, NULL::DOUBLE AS score WHERE FALSE)"""
+    return f"""
+WITH d AS (
+  SELECT {id_col} AS doc_id, {sql_tokenize_expr(text_col, cfg)} AS toks
+  FROM {table}
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM d
+),
+tok AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d
+),
+tf AS (
+  SELECT doc_id, term, any_value(dl) AS dl, count(*) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+cand AS (SELECT doc_id FROM d WHERE {sql_predicate(ast)}),
+{score_join}
+SELECT cand.doc_id AS docid,
+       row_number() OVER (
+         ORDER BY round(coalesce(sc.score, 0.0), 6) DESC, cand.doc_id)
+         AS rank,
+       round(coalesce(sc.score, 0.0), 6) AS score_r
+FROM cand LEFT JOIN sc ON sc.docid = cand.doc_id
+QUALIFY rank <= {k}
+ORDER BY rank
+"""

@@ -1,0 +1,118 @@
+"""Boolean query-DSL tests: parser structure/errors, set semantics vs a
+naive scan oracle, constant-score wildcards, Lucene-style NOT placement."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray
+
+from colbert_ray.config import EngineConfig
+from colbert_ray.pipelines.build import build_index
+from colbert_ray.pipelines.querylang import (
+    QuerySyntaxError,
+    dsl_search,
+    parse,
+    scoring_terms,
+)
+
+CFG = EngineConfig(num_term_partitions=4)
+
+DOCS = [
+    (1, "alpha beta gamma"),
+    (2, "alpha beta beta delta"),
+    (3, "gamma delta epsilon"),
+    (4, "alphaBeta zeta"),          # camelCase -> alpha beta (adjacent)
+    (5, "beta alpha"),              # both words, wrong phrase order
+    (6, "prefixy suffixo middle"),
+]
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory):
+    root = tmp_path_factory.mktemp("dsl_fix")
+    t = pa.table({
+        "doc_id": pa.array([d for d, _ in DOCS], type=pa.int64()),
+        "text": pa.array([x for _, x in DOCS], type=pa.string()),
+    })
+    src = str(root / "docs.parquet")
+    pq.write_table(t, src)
+    idx = str(root / "idx")
+    build_index(src, idx, CFG, content_col="text", key_cols=(),
+                meta_cols=(), docid_col="doc_id")
+    corpus = ray.data.read_parquet(src)
+    return idx, corpus
+
+
+def _docids(idx, corpus, q):
+    return dsl_search(idx, corpus, q, k=100, cfg=CFG) \
+        .column("docid").to_pylist()
+
+
+def test_parse_structure_and_precedence():
+    ast = parse('a OR b AND NOT c', CFG)
+    assert ast.kind == "or"
+    assert ast.children[1].kind == "and"
+    assert ast.children[1].children[1].kind == "not"
+    # adjacency = implicit AND
+    ast2 = parse('a b', CFG)
+    assert ast2.kind == "and" and len(ast2.children) == 2
+    assert scoring_terms(parse('a AND (b* OR "c d") AND NOT e', CFG)) \
+        == ["a", "c", "d"]
+
+
+def test_parse_errors():
+    for bad in ('NOT alpha', '(a OR NOT b)', 'a AND (b', '"unterminated',
+                '', 'a**b', '*', 'a )'):
+        with pytest.raises(QuerySyntaxError):
+            parse(bad, CFG)
+
+
+def test_and_or_not_sets(built):
+    idx, corpus = built
+    assert sorted(_docids(idx, corpus, 'alpha AND beta')) == [1, 2, 4, 5]
+    assert sorted(_docids(idx, corpus, 'epsilon OR zeta')) == [3, 4]
+    assert sorted(_docids(idx, corpus, 'alpha AND NOT delta')) == [1, 4, 5]
+    assert sorted(_docids(idx, corpus, 'alpha beta NOT delta')) == [1, 4, 5]
+
+
+def test_phrase_order_sensitive(built):
+    idx, corpus = built
+    # phrase matches docs 1, 2 and the camelCase-split doc 4 — not doc 5
+    assert sorted(_docids(idx, corpus, '"alpha beta"')) == [1, 2, 4]
+    assert sorted(_docids(idx, corpus, '"beta alpha"')) == [5]
+
+
+def test_camelcase_term_is_conjunction(built):
+    idx, corpus = built
+    # the term atom alphaBeta tokenizes to {alpha, beta}: bag semantics
+    assert sorted(_docids(idx, corpus, 'alphaBeta')) == [1, 2, 4, 5]
+
+
+def test_wildcards_constant_score(built):
+    idx, corpus = built
+    t = dsl_search(idx, corpus, 'prefix* OR *ixo OR *iddl*', k=10, cfg=CFG)
+    assert t.column("docid").to_pylist() == [6]
+    assert t.column("score").to_pylist() == [0.0]   # no literal terms
+    # wildcard pre*suf with non-overlap: 'prefixy' matches p*y
+    assert _docids(idx, corpus, 'p*y') == [6]
+
+
+def test_scores_match_plain_bm25_when_pure_conjunction(built):
+    idx, corpus = built
+    from colbert_ray.state.index import BM25Scorer
+
+    t = dsl_search(idx, corpus, 'alpha AND beta', k=10, cfg=CFG)
+    sc = BM25Scorer(idx, k=10, with_sha=False)
+    d, s, _ = sc.score_query("alpha beta", k=10)
+    ref = dict(zip(d.tolist(), s.tolist()))
+    for did, got in zip(t.column("docid").to_pylist(),
+                        t.column("score").to_pylist()):
+        assert got == ref[did]
+
+
+def test_oov_and_empty_results(built):
+    idx, corpus = built
+    assert _docids(idx, corpus, 'nonexistentterm') == []
+    assert _docids(idx, corpus, 'alpha AND nonexistentterm') == []
+    assert _docids(idx, corpus, '"alpha gamma"') == []   # not adjacent
