@@ -60,6 +60,54 @@ def make_server(index_dir: str, port: int = 8893, k: int = 10,
         return sc
 
     @functools.lru_cache(maxsize=cache_size)   # the reference's query cache
+    def cached_dsl(query: str, kk: int):
+        """Boolean-DSL path (pipelines/querylang) — index-only atoms.
+        Phrase atoms need a corpus pass and 400 here; docid_range shards
+        would make wildcard/NOT sets shard-local, also 400."""
+        import numpy as np
+
+        from colbert_ray.pipelines.querylang import (
+            _eval_set,
+            parse,
+            scoring_terms,
+        )
+
+        if docid_range is not None:
+            raise ValueError("dsl=1 unsupported on a docid_range shard "
+                             "server (boolean sets would be shard-local)")
+        scorer = get_scorer("bm25")
+        ast = parse(query, scorer.idx.cfg)
+        if any(n == "phrase" for n in _node_kinds(ast)):
+            raise ValueError("phrase atoms need a corpus pass — use "
+                             "dsl_search() offline, not the HTTP endpoint")
+        cand = _eval_set(ast, index_dir, None, scorer.idx, scorer.idx.cfg,
+                         "text", "doc_id")
+        if len(cand) == 0:
+            return []
+        scores = np.zeros(len(cand), dtype=np.float64)
+        terms = scoring_terms(ast)
+        if terms:
+            tids = scorer.idx.lookup_terms(terms)
+            if len(tids):
+                d, s = scorer._all_match_scores(tids, docid_filter=cand)
+                scores[np.searchsorted(cand, d)] = s
+        order = np.lexsort((cand, -np.round(scores, 6)))[:kk]
+        rows = []
+        for r, i in enumerate(order, 1):
+            row = {"docid": int(cand[i]), "rank": r,
+                   "score": float(scores[i])}
+            if with_sha and scorer.idx.sha256 is not None:
+                row["content_sha256"] = scorer.idx.sha256[
+                    int(cand[i]) - scorer.idx.docid_base]
+            rows.append(row)
+        return rows
+
+    def _node_kinds(n):
+        yield n.kind
+        for c in n.children or ():
+            yield from _node_kinds(c)
+
+    @functools.lru_cache(maxsize=cache_size)   # the reference's query cache
     def cached_search(query: str, kk: int, ranker: str = "bm25"):
         scorer = get_scorer(ranker)
         docids, scores, ranks = scorer.score_query(query, k=kk)
@@ -103,14 +151,17 @@ def make_server(index_dir: str, port: int = 8893, k: int = 10,
             if ranker not in ("bm25", "ql"):
                 self._reply(400, {"error": "ranker must be bm25 or ql"})
                 return
+            dsl = (params.get("dsl") or ["0"])[0] in ("1", "true")
             t0 = time.time()
             try:
-                rows = cached_search(query, kk, ranker)
+                rows = cached_dsl(query, kk) if dsl \
+                    else cached_search(query, kk, ranker)
             except ValueError as e:
                 self._reply(400, {"error": str(e)})
                 return
             self._reply(200, {
-                "query": query, "k": kk, "ranker": ranker,
+                "query": query, "k": kk,
+                "ranker": "dsl" if dsl else ranker,
                 "latency_ms": round((time.time() - t0) * 1000, 3),
                 "topk": rows,
             })

@@ -735,3 +735,47 @@ def test_explain_excludes_tombstoned_docids(built, tmp_path_factory):
         text, docids).to_pandas()
     assert victim not in set(t["docid"])
     assert len(set(t["docid"])) == len(set(int(d) for d in docids)) - 1
+
+
+def test_http_server_dsl_mode(built):
+    import json as _json
+    import threading
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    from colbert_ray.server import make_server
+
+    _, queries_path, index_dir = built
+    httpd = make_server(index_dir, port=0, k=5, with_sha=False)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        def get(q, extra=""):
+            url = (f"http://127.0.0.1:{port}/api/search?"
+                   f"query={urllib.parse.quote(q)}&k=5&dsl=1{extra}")
+            with urllib.request.urlopen(url) as r:
+                return _json.loads(r.read())
+
+        # pull a real term from the served dictionary
+        idx = DecodedIndex.load_cached(index_dir, load_sha=False)
+        t1 = str(idx.dict_terms[len(idx.dict_terms) // 2])
+        res = get(f"{t1} OR zzzzqqq")
+        assert res["ranker"] == "dsl" and len(res["topk"]) > 0
+        # boolean NOT shrinks or holds the result set
+        res2 = get(f"{t1} AND NOT {t1}")
+        assert res2["topk"] == []
+        # phrase atoms 400 (need a corpus pass)
+        try:
+            get('"two words"')
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        # syntax error 400
+        try:
+            get("NOT lonely")
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()
