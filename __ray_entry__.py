@@ -3021,6 +3021,39 @@ def _q_event_gaps(sf_dir: str) -> pd.DataFrame:
     return ds.to_pandas().sort_values("event_id").reset_index(drop=True)
 
 
+def _q_bigram_nll(sf_dir: str) -> pd.DataFrame:
+    """Bigram-LM quality score (extras/textstats.bigram_nll): per-doc
+    conditional NLL under an add-1-smoothed order-2 count model trained on
+    the corpus itself (the CCNet perplexity-filter shape, order-2)."""
+    ds = x_text.bigram_nll(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return (ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+            [["doc_id", "n_tokens", "bigram_nll"]])
+
+
+def _bigram_nll_sql() -> str:
+    return f"""
+WITH d AS (SELECT doc_id, {_toks_expr()} AS toks FROM documents),
+pairs AS (
+  SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
+  FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) js
+),
+big AS (SELECT a, b, count(*)::DOUBLE AS c FROM pairs GROUP BY a, b),
+ctx AS (SELECT a, sum(c) AS ca FROM big GROUP BY a),
+v AS (SELECT count(DISTINCT t)::DOUBLE AS vs
+      FROM (SELECT unnest(toks) AS t FROM d)),
+sc AS (
+  SELECT p.doc_id,
+         -ln((big.c + 1.0) / (ctx.ca + 1.0 * v.vs)) AS nl
+  FROM pairs p JOIN big ON big.a = p.a AND big.b = p.b
+  JOIN ctx ON ctx.a = p.a CROSS JOIN v
+)
+SELECT doc_id,
+       (count(*) + 1)::BIGINT AS n_tokens,
+       round(sum(nl) / count(*), 6) AS bigram_nll
+FROM sc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def _q_unigram_nll(sf_dir: str) -> pd.DataFrame:
     """Unigram-LM quality score (extras/textstats.unigram_nll): per-doc
     average negative log-likelihood under the corpus-trained unigram LM
@@ -3193,6 +3226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_terms": _q_frequent_terms,
         "event_gaps": _q_event_gaps,
         "unigram_nll": _q_unigram_nll,
+        "bigram_nll": _q_bigram_nll,
         "corr_qty_price": _q_corr_qty_price,
         "fuzzy_term_pairs": _q_fuzzy_term_pairs,
         "ohlc_hourly": _q_ohlc_hourly,
@@ -4800,6 +4834,7 @@ ORDER BY doc_id
         "packed_sequences": _packed_sequences_sql(),
         "bpe_merges": _bpe_merges_sql(),
         "bpe_token_counts": _bpe_token_counts_sql(),
+        "bigram_nll": _bigram_nll_sql(),
         "exact_dedup": """
 SELECT min(doc_id) AS doc_id, count(*) AS dup_count
 FROM documents GROUP BY text ORDER BY doc_id

@@ -656,3 +656,100 @@ def regex_match_stats(ds: "ray.data.Dataset", pattern: str,
 
     return ds.select_columns([id_col, text_col]).map_batches(
         scan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bigram_nll(ds: "ray.data.Dataset", text_col: str = "text",
+               id_col: str = "doc_id",
+               add_k: float = 1.0) -> "ray.data.Dataset":
+    """Per-document bigram-LM negative log-likelihood — the conditional
+    upgrade of :func:`unigram_nll` (CCNet-style perplexity filtering,
+    Wenzek et al. 2020, with an order-2 count model instead of KenLM):
+    ``nll(doc) = -(1/(n-1)) * sum_i ln P(t_i | t_{i-1})`` with add-k
+    smoothing ``P(b|a) = (c(a,b)+k) / (c(a,.)+k*V)`` trained on the corpus
+    itself. Emits ``(doc_id, n_tokens, bigram_nll)`` (round-6); docs with
+    fewer than two tokens have no bigrams and are dropped.
+
+    Scale shape: pass 1 streams per-batch partial bigram counts into ONE
+    groupby (the bigram type space is corpus-bounded, the dictionary-build
+    pattern); context totals and V derive from the bounded tables on the
+    driver; the (a NUL b -> ln p) model is broadcast ONCE via ``ray.put``
+    (the KenLM-model-to-workers shape); pass 2 is a stateless vectorized
+    searchsorted + per-doc reduceat — no corpus shuffle.
+    """
+    import ray as _ray
+
+    cfg = _cfg()
+
+    def big_partial(b: pa.Table) -> pa.Table:
+        toks = tokenize_column(b.column(text_col), cfg)
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        flat = toks.flatten()
+        if len(flat) == 0:
+            return pa.table({"pair": pa.array([], type=pa.string()),
+                             "c_p": pa.array([], type=pa.int64())})
+        valid = np.ones(max(0, len(flat) - 1), dtype=bool)
+        bnd = offs[1:-1]
+        valid[bnd[bnd >= 1] - 1] = False       # no cross-doc bigrams
+        # (empty leading docs have boundary offset 0 — nothing to clear)
+        sep = pa.array(["\x00"] * (len(flat) - 1), type=pa.string())
+        pairs = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1), flat.slice(1), sep)
+        t = pa.table({"pair": pairs.filter(pa.array(valid))})
+        g = t.group_by("pair").aggregate([("pair", "count")])
+        return g.rename_columns(["pair", "c_p"])
+
+    from ray.data.aggregate import Sum as _Sum
+
+    big = (ds.map_batches(big_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("pair").aggregate(_Sum("c_p", alias_name="c"))
+           .to_pandas())
+    vocab_tbl = term_stats(ds.select_columns([text_col]),
+                           text_col).to_pandas()
+    n_vocab = len(vocab_tbl)
+    empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                      "n_tokens": pa.array([], type=pa.int64()),
+                      "bigram_nll": pa.array([], type=pa.float64())})
+    if big.empty:
+        return ray.data.from_arrow(empty)
+    big = big.sort_values("pair").reset_index(drop=True)
+    keys = big["pair"].to_numpy()
+    c_ab = big["c"].to_numpy(dtype=np.float64)
+    ctx_terms = np.array([p.split("\x00", 1)[0] for p in keys], dtype=object)
+    uniq_ctx, inv = np.unique(ctx_terms, return_inverse=True)
+    c_a = np.zeros(len(uniq_ctx))
+    np.add.at(c_a, inv, c_ab)
+    lnp = np.log((c_ab + add_k) / (c_a[inv] + add_k * n_vocab))
+    ref = _ray.put((keys, lnp))
+
+    def score(b: pa.Table) -> pa.Table:
+        kk, lp = _ray.get(ref)
+        toks = tokenize_column(b.column(text_col), cfg)
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        flat = toks.flatten()
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        dl = np.diff(offs)
+        keep = dl >= 2
+        if not keep.any() or len(flat) < 2:
+            return empty
+        valid = np.ones(len(flat) - 1, dtype=bool)
+        bnd = offs[1:-1]
+        valid[bnd[bnd >= 1] - 1] = False
+        sep = pa.array(["\x00"] * (len(flat) - 1), type=pa.string())
+        pairs = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1), flat.slice(1), sep)
+        pv = pairs.filter(pa.array(valid)).to_numpy(zero_copy_only=False)
+        tok_nll = -lp[np.searchsorted(kk, pv)]
+        # per-doc bigram segment starts in bigram index space
+        bstarts = (offs[:-1] - np.arange(len(dl)))[keep]
+        doc_nll = np.add.reduceat(tok_nll, bstarts)
+        return pa.table({
+            id_col: pa.array(np.asarray(ids)[keep]),
+            "n_tokens": pa.array(dl[keep].astype(np.int64)),
+            "bigram_nll": pa.array(
+                np.round(doc_nll / (dl[keep] - 1), 6)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

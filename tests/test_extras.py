@@ -2648,3 +2648,51 @@ class TestBPE:
         a = bpe_train(self._mk(texts, 1), n_merges=6).to_pandas()
         b = bpe_train(self._mk(texts, 9), n_merges=6).to_pandas()
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestBigramNLL:
+    def _mk(self, texts, repart=3):
+        t = pa.table({
+            "doc_id": pa.array(np.arange(1, len(texts) + 1, dtype=np.int64)),
+            "text": pa.array(texts, type=pa.string())})
+        return ray.data.from_arrow(t).repartition(repart)
+
+    def test_matches_naive_model_and_drops_short_docs(self):
+        from collections import Counter
+
+        from colbert_ray.extras.textstats import bigram_nll
+
+        texts = ["a b a b c", "b c b", "a", "", "c a a b"]
+        got = (bigram_nll(self._mk(texts)).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        assert got["doc_id"].tolist() == [1, 2, 5]     # <2 tokens dropped
+        toks = [t.split() for t in texts]
+        bc = Counter()
+        for ts in toks:
+            for a, b in zip(ts, ts[1:]):
+                bc[(a, b)] += 1
+        ctx = Counter()
+        for (a, _), c in bc.items():
+            ctx[a] += c
+        V = len({w for ts in toks for w in ts})
+        for row, ts in zip(got.itertuples(), [toks[0], toks[1], toks[4]]):
+            nll = -sum(np.log((bc[(a, b)] + 1.0) / (ctx[a] + V))
+                       for a, b in zip(ts, ts[1:])) / (len(ts) - 1)
+            assert abs(row.bigram_nll - round(nll, 6)) < 1e-9, (row, nll)
+            assert row.n_tokens == len(ts)
+
+    def test_parallelism_invariant_and_ranks_garbled_higher(self):
+        from colbert_ray.extras.textstats import bigram_nll
+
+        rng = np.random.default_rng(5)
+        fluent = ["the cat sat on the mat " * 4] * 20
+        garbled = [" ".join(rng.choice(
+            ["qx", "zx", "wq", "jv", "kz"], size=24)) for _ in range(3)]
+        texts = fluent + garbled
+        a = (bigram_nll(self._mk(texts, 1)).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        b = (bigram_nll(self._mk(texts, 7)).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+        assert a["bigram_nll"].iloc[:20].max() < \
+            a["bigram_nll"].iloc[20:].min()
