@@ -1188,6 +1188,45 @@ def _q_jaccard_dup_pairs(sf_dir: str) -> pd.DataFrame:
     return ds.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+CONTAIN_MAX_ID = 60
+CONTAIN_NUM, CONTAIN_DEN = 9, 10
+
+
+def _q_containment_pairs(sf_dir: str) -> pd.DataFrame:
+    """Directional trigram-containment pairs (extras/dedup.
+    containment_pairs) — the asymmetric quote/boilerplate near-dup signal;
+    integer-exact threshold, bounded verify tier like jaccard_dup_pairs."""
+    ds = x_dedup.containment_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        threshold_num=CONTAIN_NUM, threshold_den=CONTAIN_DEN,
+        max_id=CONTAIN_MAX_ID)
+    return (ds.to_pandas().sort_values(["id_src", "id_dst"])
+            .reset_index(drop=True))
+
+
+def _containment_sql() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < {CONTAIN_MAX_ID}
+),
+g AS (
+  SELECT doc_id, list(DISTINCT substr(text, n.n::int, 3)) AS grams
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(text) - 2)) AS n) n
+  GROUP BY doc_id
+),
+p AS (
+  SELECT a.doc_id AS id_src, b.doc_id AS id_dst,
+         len(list_intersect(a.grams, b.grams)) AS n_common,
+         len(a.grams) AS n_src
+  FROM g a JOIN g b ON a.doc_id <> b.doc_id
+)
+SELECT id_src, id_dst, n_common, n_src
+FROM p
+WHERE n_common * {CONTAIN_DEN} >= {CONTAIN_NUM} * n_src
+ORDER BY id_src, id_dst
+"""
+
+
 def _q_jaccard_prefix_pairs(sf_dir: str) -> pd.DataFrame:
     """Prefix-filtered similarity join (extras/dedup.
     prefix_filter_jaccard_pairs — AllPairs/PPJoin): identical output
@@ -3145,6 +3184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality_scores,
         "lang_doc_counts": _q_lang_doc_counts,
         "jaccard_dup_pairs": _q_jaccard_dup_pairs,
+        "containment_pairs": _q_containment_pairs,
         "jaccard_prefix_pairs": _q_jaccard_prefix_pairs,
         "dup_clusters": _q_dup_clusters,
         "dup_spans": _q_dup_spans,
@@ -4895,6 +4935,7 @@ SELECT doc_id, n_tokens,
 FROM b ORDER BY doc_id
 """,
         "jaccard_dup_pairs": _jaccard_sql(),
+        "containment_pairs": _containment_sql(),
         "jaccard_prefix_pairs": _jaccard_prefix_sql(),
         "dup_clusters": f"""
 WITH RECURSIVE p AS ({_jaccard_sql()}),

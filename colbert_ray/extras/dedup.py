@@ -119,6 +119,60 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    ds: "ray.data.Dataset",
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_id: int | None = None,
+) -> "ray.data.Dataset":
+    """DIRECTIONAL near-dup: character-trigram containment
+    ``C(src -> dst) = |S(src) ∩ S(dst)| / |S(src)| >= num/den`` — the
+    asymmetric complement of ``jaccard_pairs`` that catches quotes /
+    boilerplate / subset documents Jaccard misses (a short doc inside a
+    long one has tiny Jaccard but containment ~1; the Dolma/RefinedWeb
+    inclusion-dedup signal). Integer-exact (n_common, n_src); both
+    directions emitted independently; src == dst excluded.
+
+    Like ``jaccard_pairs`` this is the bounded O(n^2) VERIFY tier
+    (``max_id``-bounded broadcast side); at corpus scale run it after LSH
+    blocking — the prefix-filter trick also applies (only the probe side
+    prefixes; the indexed side must keep all shingles).
+    """
+    if max_id is not None:
+        ds = ds.filter(expr=f"{id_col} < {max_id}")
+    ref = ds.select_columns([id_col, text_col]).to_pandas()
+    ref = ref.sort_values(id_col).reset_index(drop=True)
+    ids = ref[id_col].to_numpy(dtype=np.int64)
+    shingles = _char_ngrams(ref[text_col].tolist())
+    ref_obj = ray.put((ids, shingles))
+
+    def pairs_for(batch: pa.Table) -> pa.Table:
+        r_ids, r_sh = ray.get(ref_obj)
+        b_ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        b_sh = _char_ngrams(batch.column(text_col).to_pylist())
+        src, dst, com, ns = [], [], [], []
+        for bid, s in zip(b_ids, b_sh):          # batch rows are the SRC side
+            if not s:
+                continue
+            for rid, rs in zip(r_ids, r_sh):
+                if rid == bid or not rs:
+                    continue
+                inter = len(s & rs)
+                if inter * threshold_den >= threshold_num * len(s):
+                    src.append(int(bid)); dst.append(int(rid))
+                    com.append(inter); ns.append(len(s))
+        return pa.table({"id_src": pa.array(src, type=pa.int64()),
+                         "id_dst": pa.array(dst, type=pa.int64()),
+                         "n_common": pa.array(com, type=pa.int64()),
+                         "n_src": pa.array(ns, type=pa.int64())})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        pairs_for, batch_format="pyarrow"
+    )
+
+
 def prefix_filter_jaccard_pairs(
     ds: "ray.data.Dataset",
     threshold_num: int = 4,

@@ -2696,3 +2696,26 @@ class TestBigramNLL:
         pd.testing.assert_frame_equal(a, b)
         assert a["bigram_nll"].iloc[:20].max() < \
             a["bigram_nll"].iloc[20:].min()
+
+
+class TestContainmentPairs:
+    def test_subset_doc_detected_directionally(self):
+        from colbert_ray.extras.dedup import containment_pairs
+
+        long = "the quick brown fox jumps over the lazy dog repeatedly"
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array([long,
+                              "quick brown fox",       # contained in doc 1
+                              "entirely different words here"]),
+        })
+        out = (containment_pairs(ray.data.from_arrow(t).repartition(2),
+                                 threshold_num=9, threshold_den=10)
+               .to_pandas().sort_values(["id_src", "id_dst"])
+               .reset_index(drop=True))
+        pairs = set(zip(out["id_src"], out["id_dst"]))
+        assert (2, 1) in pairs          # short doc contained in long
+        assert (1, 2) not in pairs      # NOT symmetric (long not in short)
+        assert not any(s == 3 or d == 3 for s, d in pairs)
+        row = out[(out["id_src"] == 2) & (out["id_dst"] == 1)].iloc[0]
+        assert row["n_common"] * 10 >= 9 * row["n_src"]
