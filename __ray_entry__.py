@@ -1458,6 +1458,43 @@ def _q_mmr_knn_top5(sf_dir: str) -> pd.DataFrame:
                                k=5, lam=MMR_LAM)
 
 
+MUTUAL_KNN_K = 3
+MUTUAL_KNN_MAX_ID = 200
+
+
+def _q_mutual_knn_pairs(sf_dir: str) -> pd.DataFrame:
+    """Reciprocal-nearest-neighbor pairs (extras/simsearch.mutual_knn_pairs)
+    — b in a's top-k AND a in b's (rounded cosine, ties by id): the
+    high-precision embedding-dedup / bitext-mining criterion."""
+    t = x_sim.mutual_knn_pairs(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        k=MUTUAL_KNN_K, max_id=MUTUAL_KNN_MAX_ID)
+    return t.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _mutual_knn_sql() -> str:
+    return f"""
+WITH t AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < {MUTUAL_KNN_MAX_ID}
+),
+s AS (
+  SELECT a.vec_id AS src, b.vec_id AS nbr,
+         round(list_cosine_similarity(a.v, b.v), 6) AS c
+  FROM t a JOIN t b ON a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT src, nbr, c,
+         row_number() OVER (PARTITION BY src ORDER BY c DESC, nbr) AS rk
+  FROM s
+)
+SELECT x.src AS id_a, x.nbr AS id_b, x.c AS cosine_r
+FROM r x JOIN r y ON y.src = x.nbr AND y.nbr = x.src
+WHERE x.rk <= {MUTUAL_KNN_K} AND y.rk <= {MUTUAL_KNN_K} AND x.src < x.nbr
+ORDER BY id_a, id_b
+"""
+
+
 def _q_embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
     ds = x_sim.embedding_dup_pairs(
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
@@ -3195,6 +3232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_knn_top5": _q_mmr_knn_top5,
         "rplsh_dup_pairs": _q_rplsh_dup_pairs,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
+        "mutual_knn_pairs": _q_mutual_knn_pairs,
         "embedding_covariance": _q_embedding_covariance,
         "embedding_int8": _q_embedding_int8,
         "knn_q8_top5": _q_knn_q8_top5,
@@ -4955,6 +4993,7 @@ GROUP BY n ORDER BY doc_id
         "hybrid_mlt_top5": _hybrid_mlt_sql(),
         "mmr_knn_top5": _mmr_sql(),
         "rplsh_dup_pairs": _rplsh_sql(),
+        "mutual_knn_pairs": _mutual_knn_sql(),
         "embedding_dup_pairs": f"""
 WITH t AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -1071,3 +1071,63 @@ def label_centroids(ds: "ray.data.Dataset", vec_col: str = "embedding",
     agg["n"] = agg["n"].astype(np.int64)
     return (agg[["label", "dim", "mean_r", "n"]]
             .sort_values(["label", "dim"]).reset_index(drop=True))
+
+
+def mutual_knn_pairs(
+    ds: "ray.data.Dataset",
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_id: int | None = None,
+) -> pa.Table:
+    """Reciprocal-nearest-neighbor pairs: (id_a < id_b) such that b is in
+    a's top-k cosine neighbors AND a is in b's — the mutual-kNN criterion
+    used for high-precision embedding dedup / bitext mining (stricter than
+    a one-sided threshold; breaks the hub problem). Neighbor ranking on the
+    ROUNDED cosine (float policy), ties by neighbor id ascending; self
+    excluded.
+
+    Bounded verify tier (broadcast reference matrix, per-batch partial
+    top-k like knn_cosine); at corpus scale the candidate step is IVF/LSH
+    blocking and this runs per block. The mutual join happens on the
+    driver over <= n*k candidate rows."""
+    if max_id is not None:
+        ds = ds.filter(expr=f"{id_col} < {max_id}")
+    ref_tbl = ds.select_columns([id_col, vec_col]).to_pandas()
+    r_ids = ref_tbl[id_col].to_numpy(dtype=np.int64)
+    mat = _normalize(np.stack(ref_tbl[vec_col].to_numpy()).astype(np.float64))
+    ref = ray.put((r_ids, mat))
+
+    def topk(batch: pa.Table) -> pa.Table:
+        ids_r, m_r = ray.get(ref)
+        m = _normalize(_stack(batch, vec_col))
+        b_ids = batch.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sims = np.round(m @ m_r.T, 6)
+        sims[b_ids[:, None] == ids_r[None, :]] = -np.inf   # exclude self
+        # rank by (-cosine, neighbor id): lexsort per row
+        order = np.lexsort((np.broadcast_to(ids_r, sims.shape), -sims),
+                           axis=1)[:, :k]
+        src = np.repeat(b_ids, min(k, sims.shape[1]))
+        nbr = ids_r[order].ravel()
+        cos = np.take_along_axis(sims, order, axis=1).ravel()
+        keep = np.isfinite(cos)
+        return pa.table({"src": pa.array(src[keep]),
+                         "nbr": pa.array(nbr[keep]),
+                         "cosine": pa.array(cos[keep])})
+
+    cand = (ds.select_columns([id_col, vec_col])
+            .map_batches(topk, batch_format="pyarrow", zero_copy_batch=True)
+            .to_pandas())
+    edges = set(zip(cand["src"], cand["nbr"]))
+    cos_of = {(s, n): c for s, n, c in
+              zip(cand["src"], cand["nbr"], cand["cosine"])}
+    out_a, out_b, out_c = [], [], []
+    for (s, n) in sorted(edges):
+        if s < n and (n, s) in edges:
+            out_a.append(int(s))
+            out_b.append(int(n))
+            out_c.append(float(cos_of[(s, n)]))
+    return pa.table({"id_a": pa.array(out_a, type=pa.int64()),
+                     "id_b": pa.array(out_b, type=pa.int64()),
+                     "cosine_r": pa.array(out_c, type=pa.float64())})

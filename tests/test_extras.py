@@ -2719,3 +2719,35 @@ class TestContainmentPairs:
         assert not any(s == 3 or d == 3 for s, d in pairs)
         row = out[(out["id_src"] == 2) & (out["id_dst"] == 1)].iloc[0]
         assert row["n_common"] * 10 >= 9 * row["n_src"]
+
+
+class TestMutualKnn:
+    def test_reciprocity_required(self):
+        from colbert_ray.extras.simsearch import mutual_knn_pairs
+
+        # 0 and 1 are near-identical (mutual top-1); 2..5 form a cluster
+        # whose members all prefer each other over the hub-ish 6; 6 points
+        # at the cluster but nothing points back within k=1
+        vecs = np.array([
+            [1.0, 0.0, 0.0],
+            [0.999, 0.01, 0.0],
+            [0.0, 1.0, 0.0],
+            [0.0, 0.999, 0.02],
+            [0.0, 0.7, 0.7],
+            [0.0, 0.69, 0.71],
+            [0.5, 0.5, 0.5],
+        ])
+        t = pa.table({
+            "vec_id": pa.array(np.arange(7, dtype=np.int64)),
+            "embedding": pa.array(list(vecs), type=pa.list_(pa.float64())),
+        })
+        out = (mutual_knn_pairs(ray.data.from_arrow(t).repartition(3), k=1)
+               .to_pandas())
+        pairs = set(zip(out["id_a"], out["id_b"]))
+        assert (0, 1) in pairs
+        assert (2, 3) in pairs and (4, 5) in pairs
+        assert not any(6 in p for p in pairs)   # hub never reciprocated
+        # parallelism invariance
+        out2 = (mutual_knn_pairs(ray.data.from_arrow(t).repartition(1), k=1)
+                .to_pandas())
+        pd.testing.assert_frame_equal(out, out2)
