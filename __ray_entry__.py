@@ -3130,6 +3130,42 @@ FROM sc GROUP BY doc_id ORDER BY doc_id
 """
 
 
+OOV_VOCAB_SIZE = 25
+
+
+def _q_oov_rate(sf_dir: str) -> pd.DataFrame:
+    """Truncated-vocabulary OOV rate (extras/textstats.oov_rate): per-doc
+    token count, OOV token count and fraction under the top-25-by-cf vocab
+    (ties term ASC) — the tokenizer-coverage planning signal."""
+    ds = x_text.oov_rate(_read(sf_dir, "documents", ["doc_id", "text"]),
+                         vocab_size=OOV_VOCAB_SIZE)
+    return (ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+            [["doc_id", "n_tokens", "n_oov", "oov_frac"]])
+
+
+def _oov_rate_sql() -> str:
+    V = OOV_VOCAB_SIZE
+    return f"""
+WITH d AS (SELECT doc_id, {_toks_expr()} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+cf AS (SELECT term, count(*) AS cf FROM tok GROUP BY term),
+v AS (SELECT term FROM cf ORDER BY cf DESC, term LIMIT {V}),
+agg AS (
+  SELECT tok.doc_id,
+         count(*) AS n_tokens,
+         count(*) FILTER (WHERE v.term IS NULL) AS n_oov
+  FROM tok LEFT JOIN v ON v.term = tok.term
+  GROUP BY tok.doc_id
+)
+SELECT d.doc_id,
+       coalesce(agg.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(agg.n_oov, 0)::BIGINT AS n_oov,
+       round(coalesce(agg.n_oov / agg.n_tokens::DOUBLE, 0.0), 6) AS oov_frac
+FROM d LEFT JOIN agg ON agg.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def _q_unigram_nll(sf_dir: str) -> pd.DataFrame:
     """Unigram-LM quality score (extras/textstats.unigram_nll): per-doc
     average negative log-likelihood under the corpus-trained unigram LM
@@ -3305,6 +3341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": _q_event_gaps,
         "unigram_nll": _q_unigram_nll,
         "bigram_nll": _q_bigram_nll,
+        "oov_rate": _q_oov_rate,
         "corr_qty_price": _q_corr_qty_price,
         "fuzzy_term_pairs": _q_fuzzy_term_pairs,
         "ohlc_hourly": _q_ohlc_hourly,
@@ -4913,6 +4950,7 @@ ORDER BY doc_id
         "bpe_merges": _bpe_merges_sql(),
         "bpe_token_counts": _bpe_token_counts_sql(),
         "bigram_nll": _bigram_nll_sql(),
+        "oov_rate": _oov_rate_sql(),
         "exact_dedup": """
 SELECT min(doc_id) AS doc_id, count(*) AS dup_count
 FROM documents GROUP BY text ORDER BY doc_id

@@ -753,3 +753,64 @@ def bigram_nll(ds: "ray.data.Dataset", text_col: str = "text",
         })
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def oov_rate(ds: "ray.data.Dataset", vocab_size: int = 1000,
+             text_col: str = "text",
+             id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Per-document out-of-vocabulary rate under a TRUNCATED top-k
+    vocabulary — the tokenizer-coverage signal an LLM pipeline checks
+    before committing to a vocab size (docs with high OOV under the
+    planned vocab are garbled or off-domain). Vocabulary = the
+    ``vocab_size`` terms with highest corpus cf, ties broken term ASC (a
+    deterministic total order, so the cut is twin-reproducible). Emits
+    ``(doc_id, n_tokens, n_oov, oov_frac)`` (frac round-6; empty docs
+    emit 0/0/0.0).
+
+    Scale shape: pass 1 = :func:`term_stats` (vocab-bounded groupby);
+    the truncated vocab is broadcast ONCE sorted; pass 2 is a stateless
+    vectorized searchsorted membership test per batch — no corpus shuffle.
+    """
+    import ray as _ray
+
+    cfg = _cfg()
+    ts = term_stats(ds.select_columns([text_col]), text_col).to_pandas()
+    if ts.empty:
+        vocab = np.array([], dtype=object)
+    else:
+        ts = ts.sort_values(["cf", "term"],
+                            ascending=[False, True]).head(vocab_size)
+        vocab = np.sort(ts["term"].to_numpy())
+    ref = _ray.put(vocab)
+
+    def score(b: pa.Table) -> pa.Table:
+        v = _ray.get(ref)
+        dl, terms, tfs = doc_term_frequencies(b.column(text_col), cfg)
+        offs = terms.offsets.to_numpy(zero_copy_only=False)
+        offs = (offs - offs[0]).astype(np.int64)
+        flat_t = terms.flatten().to_numpy(zero_copy_only=False)
+        flat_tf = tfs.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if len(v) and len(flat_t):
+            pos = np.clip(np.searchsorted(v, flat_t), 0, len(v) - 1)
+            in_v = v[pos] == flat_t
+        else:
+            in_v = np.zeros(len(flat_t), dtype=bool)
+        oov_tf = np.where(in_v, 0, flat_tf)
+        if len(oov_tf):
+            # clip: an EMPTY TRAILING doc has start offset == len(flat),
+            # which reduceat rejects; the dl>0 mask zeroes those rows
+            idx = np.minimum(offs[:-1], len(oov_tf) - 1)
+            n_oov = np.add.reduceat(oov_tf, idx)
+        else:
+            n_oov = np.zeros(max(0, len(offs) - 1), dtype=np.int64)
+        n_oov = np.where(dl > 0, n_oov, 0)     # reduceat copy on empty docs
+        frac = np.divide(n_oov, dl, out=np.zeros(len(dl)), where=dl > 0)
+        return pa.table({
+            id_col: b.column(id_col),
+            "n_tokens": pa.array(dl.astype(np.int64)),
+            "n_oov": pa.array(n_oov.astype(np.int64)),
+            "oov_frac": pa.array(np.round(frac, 6)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -2751,3 +2751,23 @@ class TestMutualKnn:
         out2 = (mutual_knn_pairs(ray.data.from_arrow(t).repartition(1), k=1)
                 .to_pandas())
         pd.testing.assert_frame_equal(out, out2)
+
+
+class TestOOVRate:
+    def test_naive_and_edges(self):
+        from colbert_ray.extras.textstats import oov_rate
+
+        texts = ["a a a b", "b c", "", "z z q"]
+        t = pa.table({
+            "doc_id": pa.array(np.arange(1, 5, dtype=np.int64)),
+            "text": pa.array(texts, type=pa.string())})
+        # corpus cf: a=3, z=2, b=2, c=1, q=1; top-2 vocab (cf desc, term
+        # asc) = {a, b}
+        out = (oov_rate(ray.data.from_arrow(t).repartition(3), vocab_size=2)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert out["n_tokens"].tolist() == [4, 2, 0, 3]
+        assert out["n_oov"].tolist() == [0, 1, 0, 3]
+        assert out["oov_frac"].tolist() == [0.0, 0.5, 0.0, 1.0]
+        out2 = (oov_rate(ray.data.from_arrow(t).repartition(1), vocab_size=2)
+                .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(out, out2)
