@@ -1227,6 +1227,40 @@ ORDER BY id_src, id_dst
 """
 
 
+def _q_containment_prefix_pairs(sf_dir: str) -> pd.DataFrame:
+    """Unbounded directional containment join (extras/dedup.
+    prefix_filter_containment_pairs — probe-side-only prefix filter):
+    identical contract to containment_pairs but over the ENTIRE documents
+    table, no O(n^2) stage, no corpus broadcast."""
+    ds = x_dedup.prefix_filter_containment_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        threshold_num=CONTAIN_NUM, threshold_den=CONTAIN_DEN)
+    return (ds.to_pandas().sort_values(["id_src", "id_dst"])
+            .reset_index(drop=True))
+
+
+def _containment_prefix_sql() -> str:
+    """Unbounded twin of ``_containment_sql`` (no doc_id cut)."""
+    return f"""
+WITH g AS (
+  SELECT doc_id, list(DISTINCT substr(text, n.n::int, 3)) AS grams
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, len(text) - 2)) AS n) n
+  GROUP BY doc_id
+),
+p AS (
+  SELECT a.doc_id AS id_src, b.doc_id AS id_dst,
+         len(list_intersect(a.grams, b.grams)) AS n_common,
+         len(a.grams) AS n_src
+  FROM g a JOIN g b ON a.doc_id <> b.doc_id
+)
+SELECT id_src, id_dst, n_common, n_src
+FROM p
+WHERE n_common * {CONTAIN_DEN} >= {CONTAIN_NUM} * n_src
+ORDER BY id_src, id_dst
+"""
+
+
 def _q_jaccard_prefix_pairs(sf_dir: str) -> pd.DataFrame:
     """Prefix-filtered similarity join (extras/dedup.
     prefix_filter_jaccard_pairs — AllPairs/PPJoin): identical output
@@ -3258,6 +3292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_doc_counts": _q_lang_doc_counts,
         "jaccard_dup_pairs": _q_jaccard_dup_pairs,
         "containment_pairs": _q_containment_pairs,
+        "containment_prefix_pairs": _q_containment_prefix_pairs,
         "jaccard_prefix_pairs": _q_jaccard_prefix_pairs,
         "dup_clusters": _q_dup_clusters,
         "dup_spans": _q_dup_spans,
@@ -5012,6 +5047,7 @@ FROM b ORDER BY doc_id
 """,
         "jaccard_dup_pairs": _jaccard_sql(),
         "containment_pairs": _containment_sql(),
+        "containment_prefix_pairs": _containment_prefix_sql(),
         "jaccard_prefix_pairs": _jaccard_prefix_sql(),
         "dup_clusters": f"""
 WITH RECURSIVE p AS ({_jaccard_sql()}),

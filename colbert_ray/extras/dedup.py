@@ -317,6 +317,143 @@ def prefix_filter_jaccard_pairs(
                                                   batch_format="pandas"))
 
 
+def prefix_filter_containment_pairs(
+    ds: "ray.data.Dataset",
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """UNBOUNDED directional containment join via the probe-side prefix
+    filter — same output contract as :func:`containment_pairs`
+    (``C(src->dst) = |∩|/|S(src)| >= num/den``, integer-exact, both
+    directions) over the ENTIRE table, no O(n^2) pass, no corpus
+    broadcast.
+
+    The asymmetric filter (the containment variant of AllPairs/PPJoin):
+    only the PROBE (src) side prefixes — src keeps its
+    ``s - ceil(t*s) + 1`` globally-rarest shingles; the indexed (dst) side
+    must emit ALL its distinct shingles (a qualifying pair shares
+    >= ceil(t*s_src) shingles, so at least one lands in src's prefix, but
+    it may be ANY of dst's shingles). Each doc therefore ships ~s rows
+    (vs ~(1-t)s for the symmetric join) — the published cost of exact
+    containment joins; rows carry the packed code array, never text.
+
+    Stages: global (df ASC, code ASC) shingle ranks broadcast once ->
+    per-batch row emission with an ``is_prefix`` flag -> ``groupby(code)``
+    directional verify (size prefilter ``den*s_dst >= num*s_src`` since
+    ``|∩| <= s_dst``) -> pair-distinct groupby."""
+    base = ds.select_columns([id_col, text_col])
+    empty_df = pa.table({"code": pa.array([], type=pa.int64()),
+                         "df_part": pa.array([], type=pa.int64())})
+
+    def df_partials(batch: pa.Table) -> pa.Table:
+        codes = _trigram_codes(batch.column(text_col).to_pylist())
+        nonempty = [c for c in codes if len(c)]
+        if not nonempty:
+            return empty_df
+        uniq, cnt = np.unique(np.concatenate(nonempty), return_counts=True)
+        return pa.table({"code": pa.array(uniq.astype(np.int64)),
+                         "df_part": pa.array(cnt.astype(np.int64))})
+
+    df_pd = (base.map_batches(df_partials, batch_format="pyarrow",
+                              zero_copy_batch=True)
+             .groupby("code").sum("df_part").to_pandas())
+    codes_by_code = np.sort(df_pd["code"].to_numpy(dtype=np.int64))
+    dfs_aligned = df_pd.sort_values("code")["sum(df_part)"].to_numpy(
+        dtype=np.int64)
+    order = np.lexsort((codes_by_code, dfs_aligned))
+    rank_aligned = np.empty(len(order), dtype=np.int64)
+    rank_aligned[order] = np.arange(len(order), dtype=np.int64)
+    rank_ref = ray.put((codes_by_code, rank_aligned))
+
+    empty_rows = pa.table({
+        "code": pa.array([], type=pa.int64()),
+        id_col: pa.array([], type=pa.int64()),
+        "n_codes": pa.array([], type=pa.int64()),
+        "is_prefix": pa.array([], type=pa.bool_()),
+        "codes_bin": pa.array([], type=pa.binary())})
+
+    def all_rows(batch: pa.Table) -> pa.Table:
+        by_code, rank = ray.get(rank_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        codes = _trigram_codes(batch.column(text_col).to_pylist())
+        o_code, o_id, o_n, o_pf, o_bin = [], [], [], [], []
+        for did, cs in zip(ids, codes):
+            s = len(cs)
+            if s == 0:
+                continue
+            cs_i = cs.astype(np.int64)
+            r = rank[np.searchsorted(by_code, cs_i)]
+            p = s - (threshold_num * s + threshold_den - 1) // threshold_den + 1
+            pref_pos = np.argsort(r, kind="stable")[:p]
+            is_pf = np.zeros(s, dtype=bool)
+            is_pf[pref_pos] = True
+            packed = cs.tobytes()
+            o_code.extend(int(c) for c in cs_i)
+            o_id.extend([int(did)] * s)
+            o_n.extend([s] * s)
+            o_pf.extend(is_pf.tolist())
+            o_bin.extend([packed] * s)
+        if not o_code:
+            return empty_rows
+        return pa.table({"code": pa.array(o_code, type=pa.int64()),
+                         id_col: pa.array(o_id, type=pa.int64()),
+                         "n_codes": pa.array(o_n, type=pa.int64()),
+                         "is_prefix": pa.array(o_pf, type=pa.bool_()),
+                         "codes_bin": pa.array(o_bin, type=pa.binary())})
+
+    empty_pairs = pd.DataFrame({"id_src": pd.Series(dtype=np.int64),
+                                "id_dst": pd.Series(dtype=np.int64),
+                                "n_common": pd.Series(dtype=np.int64),
+                                "n_src": pd.Series(dtype=np.int64)})
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # one row per doc, prefix flag OR-ed (a doc hits a group once per
+        # distinct shingle by construction, but keep this defensive)
+        g = (g.sort_values([id_col, "is_prefix"],
+                           ascending=[True, False])
+             .drop_duplicates(subset=[id_col]))
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        sizes = g["n_codes"].to_numpy(dtype=np.int64)
+        pf = g["is_prefix"].to_numpy(dtype=bool)
+        bins = g["codes_bin"].tolist()
+        srcs = np.flatnonzero(pf)
+        if not len(srcs) or len(ids) < 2:
+            return empty_pairs
+        out = []
+        for i in srcs:
+            si = sizes[i]
+            # |∩| <= s_dst, so containment needs den*s_dst >= num*s_src
+            cand = np.flatnonzero(
+                (threshold_den * sizes >= threshold_num * si)
+                & (ids != ids[i]))
+            if not len(cand):
+                continue
+            ci = np.frombuffer(bins[i], dtype=np.uint64)
+            for j in cand:
+                cj = np.frombuffer(bins[j], dtype=np.uint64)
+                inter = len(np.intersect1d(ci, cj, assume_unique=True))
+                if inter * threshold_den >= threshold_num * si:
+                    out.append((int(ids[i]), int(ids[j]), inter, int(si)))
+        if not out:
+            return empty_pairs
+        a, b, n_c, n_s = map(np.array, zip(*out))
+        return pd.DataFrame({"id_src": a.astype(np.int64),
+                             "id_dst": b.astype(np.int64),
+                             "n_common": n_c.astype(np.int64),
+                             "n_src": n_s.astype(np.int64)})
+
+    def pair_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[:1][["id_src", "id_dst", "n_common", "n_src"]]
+
+    return (base.map_batches(all_rows, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("code").map_groups(group_pairs, batch_format="pandas")
+            .groupby(["id_src", "id_dst"]).map_groups(
+                pair_first, batch_format="pandas"))
+
+
 _MINHASH_K = 64
 # 8 bands x 8 rows: band-collision prob = j^8, so merely-similar docs
 # (j~0.6-0.7) rarely collide and buckets stay small on look-alike corpora.

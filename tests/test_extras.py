@@ -2771,3 +2771,39 @@ class TestOOVRate:
         out2 = (oov_rate(ray.data.from_arrow(t).repartition(1), vocab_size=2)
                 .to_pandas().sort_values("doc_id").reset_index(drop=True))
         pd.testing.assert_frame_equal(out, out2)
+
+
+class TestContainmentPrefixFilter:
+    def test_matches_all_pairs_at_two_thresholds_and_parallelisms(self):
+        from colbert_ray.extras.dedup import (
+            containment_pairs,
+            prefix_filter_containment_pairs,
+        )
+
+        base = ["the quick brown fox jumps", "lorem ipsum dolor sit amet",
+                "pack my box with five dozen jugs",
+                "sphinx of black quartz judge my vow"]
+        texts = []
+        for i in range(40):
+            t = base[i % 4]
+            if i % 5 == 0:
+                t = t[:len(t) // 2]
+            if i % 7 == 0:
+                t = t + " extra tail words"
+            texts.append(t + ("" if i % 3 else " zz"))
+        tbl = pa.table({
+            "doc_id": pa.array(np.arange(40, dtype=np.int64)),
+            "text": pa.array(texts, type=pa.string())})
+        for num, den in ((9, 10), (7, 10)):
+            want = (containment_pairs(
+                        ray.data.from_arrow(tbl).repartition(3),
+                        threshold_num=num, threshold_den=den)
+                    .to_pandas().sort_values(["id_src", "id_dst"])
+                    .reset_index(drop=True))
+            for parts in (1, 5):
+                got = (prefix_filter_containment_pairs(
+                           ray.data.from_arrow(tbl).repartition(parts),
+                           threshold_num=num, threshold_den=den)
+                       .to_pandas().sort_values(["id_src", "id_dst"])
+                       .reset_index(drop=True))
+                pd.testing.assert_frame_equal(got, want)
