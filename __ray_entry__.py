@@ -3200,6 +3200,64 @@ ORDER BY d.doc_id
 """
 
 
+def _q_lang_kl(sf_dir: str) -> pd.DataFrame:
+    """KL(P_lang || P_corpus) over unigram distributions
+    (extras/textstats.group_kl_divergence) — the mixture-weighting /
+    domain-balance signal; groups x vocab bounded shuffle, driver fold."""
+    t = x_text.group_kl_divergence(
+        _read(sf_dir, "documents", ["lang", "text"]), group_col="lang")
+    return (t.to_pandas().sort_values("lang").reset_index(drop=True)
+            [["lang", "n_terms", "n_tokens", "kl"]])
+
+
+def _lang_kl_sql() -> str:
+    return f"""
+WITH d AS (SELECT lang, {_toks_expr()} AS toks FROM documents),
+tok AS (SELECT lang, unnest(toks) AS term FROM d),
+lt AS (SELECT lang, term, count(*)::DOUBLE AS c FROM tok GROUP BY lang, term),
+lsum AS (SELECT lang, sum(c) AS nl FROM lt GROUP BY lang),
+ct AS (SELECT term, sum(c) AS cc FROM lt GROUP BY term),
+tot AS (SELECT sum(c) AS n FROM lt)
+SELECT lt.lang,
+       count(*)::BIGINT AS n_terms,
+       any_value(lsum.nl)::BIGINT AS n_tokens,
+       round(sum((lt.c / lsum.nl)
+                 * ln((lt.c / lsum.nl) / (ct.cc / tot.n))), 6) AS kl
+FROM lt JOIN lsum USING (lang) JOIN ct USING (term) CROSS JOIN tot
+GROUP BY lt.lang
+ORDER BY lt.lang
+"""
+
+
+def _q_char_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-doc Shannon character entropy (extras/textstats.char_entropy) —
+    the low-entropy junk filter; one bincount per batch, no per-row loop."""
+    ds = x_text.char_entropy(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return (ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+            [["doc_id", "n_chars", "entropy"]])
+
+
+def _char_entropy_sql() -> str:
+    return """
+WITH ch AS (
+  SELECT doc_id, substr(text, i, 1) AS c
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, len(text))) AS i) js
+),
+f AS (SELECT doc_id, c, count(*)::DOUBLE AS n FROM ch GROUP BY doc_id, c),
+tot AS (SELECT doc_id, sum(n) AS nc FROM f GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(tot.nc, 0)::BIGINT AS n_chars,
+       round(coalesce(-sum((f.n / tot.nc) * ln(f.n / tot.nc)), 0.0), 6)
+         AS entropy
+FROM documents d
+LEFT JOIN tot ON tot.doc_id = d.doc_id
+LEFT JOIN f ON f.doc_id = d.doc_id
+GROUP BY d.doc_id, tot.nc
+ORDER BY d.doc_id
+"""
+
+
 def _q_unigram_nll(sf_dir: str) -> pd.DataFrame:
     """Unigram-LM quality score (extras/textstats.unigram_nll): per-doc
     average negative log-likelihood under the corpus-trained unigram LM
@@ -3377,6 +3435,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_nll": _q_unigram_nll,
         "bigram_nll": _q_bigram_nll,
         "oov_rate": _q_oov_rate,
+        "char_entropy": _q_char_entropy,
+        "lang_kl": _q_lang_kl,
         "corr_qty_price": _q_corr_qty_price,
         "fuzzy_term_pairs": _q_fuzzy_term_pairs,
         "ohlc_hourly": _q_ohlc_hourly,
@@ -4986,6 +5046,8 @@ ORDER BY doc_id
         "bpe_token_counts": _bpe_token_counts_sql(),
         "bigram_nll": _bigram_nll_sql(),
         "oov_rate": _oov_rate_sql(),
+        "char_entropy": _char_entropy_sql(),
+        "lang_kl": _lang_kl_sql(),
         "exact_dedup": """
 SELECT min(doc_id) AS doc_id, count(*) AS dup_count
 FROM documents GROUP BY text ORDER BY doc_id

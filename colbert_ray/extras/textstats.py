@@ -814,3 +814,109 @@ def oov_rate(ds: "ray.data.Dataset", vocab_size: int = 1000,
         })
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def char_entropy(ds: "ray.data.Dataset", text_col: str = "text",
+                 id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Per-document Shannon character entropy (nats) — the classic
+    low-entropy junk filter (repeated-char runs, binary-ish blobs score
+    near 0; natural text ~3). Emits ``(doc_id, n_chars, entropy)``
+    (round-6; empty docs emit entropy 0.0).
+
+    Vectorized: ONE bincount over (row_index * 256 + byte) per batch — no
+    per-row loop. Byte-level (documents are ASCII; multi-byte UTF-8 would
+    count bytes, the usual approximation)."""
+
+    def score(b: pa.Table) -> pa.Table:
+        texts = b.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.cast(texts, pa.large_string())
+        bufs = texts.buffers()
+        off = np.frombuffer(bufs[1], dtype=np.int64)[
+            texts.offset: texts.offset + len(texts) + 1]
+        data = np.frombuffer(bufs[2], dtype=np.uint8) \
+            if bufs[2] is not None else np.empty(0, dtype=np.uint8)
+        n = len(texts)
+        lens = np.diff(off)
+        if data[off[0]:off[-1]].size:
+            row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+            key = row_of * 256 + data[off[0]:off[-1]].astype(np.int64)
+            hist = np.bincount(key, minlength=n * 256).reshape(n, 256)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                p = hist / np.maximum(lens, 1)[:, None]
+                ent = -np.where(p > 0, p * np.log(p), 0.0).sum(axis=1)
+        else:
+            ent = np.zeros(n)
+        return pa.table({
+            id_col: b.column(id_col),
+            "n_chars": pa.array(lens.astype(np.int64)),
+            "entropy": pa.array(np.round(ent, 6)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def group_kl_divergence(ds: "ray.data.Dataset", group_col: str = "lang",
+                        text_col: str = "text") -> pa.Table:
+    """KL(P_group || P_corpus) over unigram term distributions — the
+    domain-shift / language-balance signal a mixture-weighting pipeline
+    reads before setting sampling temperatures (groups far from the
+    corpus mean are over- or under-represented). Emits
+    ``(group, n_terms, n_tokens, kl)`` (round-6), one row per group.
+
+    Scale shape: per-batch (group, term, partial cf) rows -> ONE
+    groups x vocab bounded groupby; the KL fold runs vectorized on the
+    driver over that bounded table (P_corpus = the groups' pooled counts,
+    so q > 0 wherever p > 0 and the divergence is always finite)."""
+    cfg = _cfg()
+
+    def partial(b: pa.Table) -> pa.Table:
+        groups = b.column(group_col).to_numpy(zero_copy_only=False)
+        _, terms, tfs = doc_term_frequencies(b.column(text_col), cfg)
+        offs = terms.offsets.to_numpy(zero_copy_only=False)
+        offs = offs - offs[0]
+        parents = np.repeat(np.arange(len(groups)), np.diff(offs))
+        t = pa.table({
+            group_col: pa.array(groups[parents]),
+            "term": terms.flatten(),
+            "tf": tfs.flatten(),
+        })
+        g = t.group_by([group_col, "term"]).aggregate([("tf", "sum")])
+        return g.rename_columns([group_col, "term", "c_p"])
+
+    from ray.data.aggregate import Sum as _Sum
+
+    lt = (ds.select_columns([group_col, text_col])
+          .map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+          .groupby([group_col, "term"])
+          .aggregate(_Sum("c_p", alias_name="c"))
+          .to_pandas())
+    if lt.empty:
+        return pa.table({group_col: pa.array([], type=pa.string()),
+                         "n_terms": pa.array([], type=pa.int64()),
+                         "n_tokens": pa.array([], type=pa.int64()),
+                         "kl": pa.array([], type=pa.float64())})
+    c = lt["c"].to_numpy(dtype=np.float64)
+    terms = lt["term"].to_numpy()
+    grp = lt[group_col].to_numpy()
+    total = c.sum()
+    uniq_t, t_inv = np.unique(terms, return_inverse=True)
+    corpus_c = np.zeros(len(uniq_t))
+    np.add.at(corpus_c, t_inv, c)
+    uniq_g, g_inv = np.unique(grp, return_inverse=True)
+    g_tot = np.zeros(len(uniq_g))
+    np.add.at(g_tot, g_inv, c)
+    p = c / g_tot[g_inv]
+    q = corpus_c[t_inv] / total
+    contrib = p * np.log(p / q)
+    kl = np.zeros(len(uniq_g))
+    np.add.at(kl, g_inv, contrib)
+    n_terms = np.bincount(g_inv, minlength=len(uniq_g))
+    return pa.table({
+        group_col: pa.array([str(x) for x in uniq_g], type=pa.string()),
+        "n_terms": pa.array(n_terms.astype(np.int64)),
+        "n_tokens": pa.array(g_tot.astype(np.int64)),
+        "kl": pa.array(np.round(kl, 6)),
+    })

@@ -2807,3 +2807,60 @@ class TestContainmentPrefixFilter:
                        .to_pandas().sort_values(["id_src", "id_dst"])
                        .reset_index(drop=True))
                 pd.testing.assert_frame_equal(got, want)
+
+
+class TestCharEntropy:
+    def test_known_values_and_ordering(self):
+        import math
+
+        from colbert_ray.extras.textstats import char_entropy
+
+        texts = ["aaaa",                 # entropy 0
+                 "abab",                 # 2 symbols equal -> ln 2
+                 "abcd",                 # 4 symbols equal -> ln 4
+                 ""]                     # empty -> 0
+        t = pa.table({
+            "doc_id": pa.array(np.arange(1, 5, dtype=np.int64)),
+            "text": pa.array(texts, type=pa.string())})
+        out = (char_entropy(ray.data.from_arrow(t).repartition(2))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert out["n_chars"].tolist() == [4, 4, 4, 0]
+        assert out["entropy"].tolist() == [
+            0.0, round(math.log(2), 6), round(math.log(4), 6), 0.0]
+
+
+class TestGroupKL:
+    def test_identical_groups_zero_and_skew_positive(self):
+        from colbert_ray.extras.textstats import group_kl_divergence
+
+        # two groups with IDENTICAL term distributions -> KL 0 for both;
+        # one skewed group -> strictly positive
+        texts = (["alpha beta"] * 4 + ["alpha beta"] * 4
+                 + ["gamma gamma gamma"] * 4)
+        langs = ["a"] * 4 + ["b"] * 4 + ["c"] * 4
+        t = pa.table({
+            "doc_id": pa.array(np.arange(12, dtype=np.int64)),
+            "lang": pa.array(langs, type=pa.string()),
+            "text": pa.array(texts, type=pa.string())})
+        out = (group_kl_divergence(ray.data.from_arrow(t).repartition(3))
+               .to_pandas().sort_values("lang").reset_index(drop=True))
+        # a and b share the corpus mixture exactly only if c were absent;
+        # compute the naive reference instead
+        from collections import Counter
+        corpus = Counter()
+        per = {}
+        for lg, tx in zip(langs, texts):
+            cnt = per.setdefault(lg, Counter())
+            for w in tx.split():
+                cnt[w] += 1
+                corpus[w] += 1
+        n = sum(corpus.values())
+        for row in out.itertuples():
+            cnt = per[row.lang]
+            nl = sum(cnt.values())
+            kl = sum((v / nl) * np.log((v / nl) / (corpus[w] / n))
+                     for w, v in cnt.items())
+            assert abs(row.kl - round(kl, 6)) < 1e-9
+            assert row.n_tokens == nl and row.n_terms == len(cnt)
+        # the skewed group diverges most
+        assert out.set_index("lang").loc["c", "kl"] == out["kl"].max() > 0
