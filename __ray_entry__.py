@@ -3200,6 +3200,30 @@ ORDER BY d.doc_id
 """
 
 
+def _q_lang_mixture_weights(sf_dir: str) -> pd.DataFrame:
+    """Temperature (alpha=1/2) mixture reweighting per lang
+    (extras/sampling.temperature_mixture_weights — the mC4/XLM-R
+    alpha-sampling rule): weight = c^alpha / sum, boost vs natural mix."""
+    from colbert_ray.extras import sampling as x_samp
+
+    t = x_samp.temperature_mixture_weights(
+        _read(sf_dir, "documents", ["lang"]), group_col="lang",
+        alpha_num=1, alpha_den=2)
+    return (t.to_pandas().sort_values("lang").reset_index(drop=True)
+            [["lang", "n_docs", "weight", "boost"]])
+
+
+def _lang_mixture_sql() -> str:
+    return """
+WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang),
+s AS (SELECT sum(pow(n, 0.5)) AS sp, sum(n) AS sn FROM c)
+SELECT lang, n::BIGINT AS n_docs,
+       round(pow(n, 0.5) / s.sp, 6) AS weight,
+       round((pow(n, 0.5) / s.sp) / (n / s.sn), 6) AS boost
+FROM c CROSS JOIN s ORDER BY lang
+"""
+
+
 def _q_lang_kl(sf_dir: str) -> pd.DataFrame:
     """KL(P_lang || P_corpus) over unigram distributions
     (extras/textstats.group_kl_divergence) — the mixture-weighting /
@@ -3437,6 +3461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate": _q_oov_rate,
         "char_entropy": _q_char_entropy,
         "lang_kl": _q_lang_kl,
+        "lang_mixture_weights": _q_lang_mixture_weights,
         "corr_qty_price": _q_corr_qty_price,
         "fuzzy_term_pairs": _q_fuzzy_term_pairs,
         "ohlc_hourly": _q_ohlc_hourly,
@@ -5048,6 +5073,7 @@ ORDER BY doc_id
         "oov_rate": _oov_rate_sql(),
         "char_entropy": _char_entropy_sql(),
         "lang_kl": _lang_kl_sql(),
+        "lang_mixture_weights": _lang_mixture_sql(),
         "exact_dedup": """
 SELECT min(doc_id) AS doc_id, count(*) AS dup_count
 FROM documents GROUP BY text ORDER BY doc_id

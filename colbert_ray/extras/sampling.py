@@ -215,3 +215,41 @@ SELECT {select} FROM (
   SELECT * FROM pr ORDER BY priority, {tie} LIMIT {n}
 ) ORDER BY {order_by}
 """
+
+
+def temperature_mixture_weights(
+    ds: "ray.data.Dataset", group_col: str = "lang",
+    alpha_num: int = 1, alpha_den: int = 2,
+) -> pa.Table:
+    """Temperature-based mixture reweighting (the mC4/XLM-R alpha-sampling
+    rule, Conneau et al. 2020): given per-group doc counts ``c_g``, the
+    training mixture weight is ``w_g = c_g^alpha / sum_h c_h^alpha`` with
+    ``alpha = alpha_num/alpha_den`` (< 1 upsamples the tail). Emits one
+    row per group: ``(group, n_docs, weight, boost)`` where ``boost =
+    w_g / (c_g / N)`` is the up/down-sampling factor vs natural mixing
+    (round-6 floats; alpha as a ratio so both sides compute pow on the
+    same rationals).
+
+    Scale shape: ONE group-bounded count groupby; the fold is driver
+    arithmetic over the groups table."""
+    from ray.data.aggregate import Count as _Count
+
+    cnt = (ds.select_columns([group_col])
+           .groupby(group_col).aggregate(_Count(alias_name="n_docs"))
+           .to_pandas().sort_values(group_col).reset_index(drop=True))
+    if cnt.empty:
+        return pa.table({group_col: pa.array([], type=pa.string()),
+                         "n_docs": pa.array([], type=pa.int64()),
+                         "weight": pa.array([], type=pa.float64()),
+                         "boost": pa.array([], type=pa.float64())})
+    c = cnt["n_docs"].to_numpy(dtype=np.float64)
+    alpha = alpha_num / alpha_den
+    pw = c ** alpha
+    w = pw / pw.sum()
+    nat = c / c.sum()
+    return pa.table({
+        group_col: pa.array(cnt[group_col].astype(str), type=pa.string()),
+        "n_docs": pa.array(cnt["n_docs"].to_numpy(dtype=np.int64)),
+        "weight": pa.array(np.round(w, 6)),
+        "boost": pa.array(np.round(w / nat, 6)),
+    })

@@ -2864,3 +2864,25 @@ class TestGroupKL:
             assert row.n_tokens == nl and row.n_terms == len(cnt)
         # the skewed group diverges most
         assert out.set_index("lang").loc["c", "kl"] == out["kl"].max() > 0
+
+
+class TestMixtureWeights:
+    def test_alpha_half_upsamples_tail(self):
+        from colbert_ray.extras.sampling import temperature_mixture_weights
+
+        langs = ["big"] * 90 + ["small"] * 10
+        t = pa.table({"lang": pa.array(langs, type=pa.string())})
+        out = (temperature_mixture_weights(
+                   ray.data.from_arrow(t).repartition(3), "lang", 1, 2)
+               .to_pandas().set_index("lang"))
+        pw = {"big": 90 ** 0.5, "small": 10 ** 0.5}
+        tot = sum(pw.values())
+        for lg in ("big", "small"):
+            assert out.loc[lg, "weight"] == round(pw[lg] / tot, 6)
+        assert out.loc["small", "boost"] > 1.0 > out.loc["big", "boost"]
+        # alpha=1 reproduces the natural mixture exactly
+        nat = (temperature_mixture_weights(
+                   ray.data.from_arrow(t), "lang", 1, 1)
+               .to_pandas().set_index("lang"))
+        assert nat.loc["big", "weight"] == 0.9
+        assert (nat["boost"] == 1.0).all()
