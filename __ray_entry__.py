@@ -3224,6 +3224,40 @@ FROM c CROSS JOIN s ORDER BY lang
 """
 
 
+def _q_quality_percentiles(sf_dir: str) -> pd.DataFrame:
+    """Global percentile rank of the unigram-LM quality score
+    (extras/textstats.quality_percentile_rank) — exact distributed
+    sort-rank (the engine's docid/term_id machinery) over (nll, doc_id)."""
+    ds = x_text.quality_percentile_rank(
+        _read(sf_dir, "documents", ["doc_id", "text"]))
+    return (ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+            [["doc_id", "nll", "rank", "pct"]])
+
+
+def _quality_percentiles_sql() -> str:
+    return f"""
+WITH d AS (SELECT doc_id, {_toks_expr()} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+cf AS (SELECT term, count(*)::DOUBLE AS c FROM tok GROUP BY term),
+tot AS (SELECT sum(c) AS n FROM cf),
+sc AS (
+  SELECT tok.doc_id,
+         round(sum(-ln(cf.c / tot.n)) / count(*), 6) AS nll
+  FROM tok JOIN cf USING (term) CROSS JOIN tot
+  GROUP BY tok.doc_id
+),
+r AS (
+  SELECT doc_id, nll,
+         (row_number() OVER (ORDER BY nll, doc_id) - 1)::BIGINT AS rank,
+         count(*) OVER ()::BIGINT AS n
+  FROM sc
+)
+SELECT doc_id, nll, rank,
+       round(CASE WHEN n > 1 THEN rank / (n - 1.0) ELSE 0.0 END, 6) AS pct
+FROM r ORDER BY doc_id
+"""
+
+
 def _q_lang_kl(sf_dir: str) -> pd.DataFrame:
     """KL(P_lang || P_corpus) over unigram distributions
     (extras/textstats.group_kl_divergence) — the mixture-weighting /
@@ -3461,6 +3495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate": _q_oov_rate,
         "char_entropy": _q_char_entropy,
         "lang_kl": _q_lang_kl,
+        "quality_percentiles": _q_quality_percentiles,
         "lang_mixture_weights": _q_lang_mixture_weights,
         "corr_qty_price": _q_corr_qty_price,
         "fuzzy_term_pairs": _q_fuzzy_term_pairs,
@@ -5073,6 +5108,7 @@ ORDER BY doc_id
         "oov_rate": _oov_rate_sql(),
         "char_entropy": _char_entropy_sql(),
         "lang_kl": _lang_kl_sql(),
+        "quality_percentiles": _quality_percentiles_sql(),
         "lang_mixture_weights": _lang_mixture_sql(),
         "exact_dedup": """
 SELECT min(doc_id) AS doc_id, count(*) AS dup_count

@@ -920,3 +920,36 @@ def group_kl_divergence(ds: "ray.data.Dataset", group_col: str = "lang",
         "n_tokens": pa.array(g_tot.astype(np.int64)),
         "kl": pa.array(np.round(kl, 6)),
     })
+
+
+def quality_percentile_rank(ds: "ray.data.Dataset",
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Global percentile rank of every document's unigram-LM quality score
+    — the corpus-wide normalization a threshold-free quality cut uses
+    ("drop the worst 10%" instead of an absolute nll bound). Emits
+    ``(doc_id, nll, rank, pct)``: rank = dense 0-based position under
+    (nll ASC, doc_id ASC) — fluent docs first — and
+    ``pct = round(rank / (n - 1), 6)`` (0.0 when n == 1).
+
+    Scale shape: the score pass is :func:`unigram_nll` (broadcast model,
+    no shuffle); the EXACT global rank reuses the engine's distributed
+    sort-rank (`stages/docids.sorted_rank_dataset` — range-partitioned
+    sample sort above the driver threshold), the same machinery that
+    assigns docids and term_ids. Keys (nll, doc_id) are unique, so ranks
+    are deterministic at any parallelism."""
+    from colbert_ray.stages.docids import sorted_rank_dataset
+
+    scored = unigram_nll(ds.select_columns([id_col, text_col]),
+                         text_col=text_col, id_col=id_col) \
+        .select_columns([id_col, "nll"])
+    ranked = sorted_rank_dataset(scored, ["nll", id_col], "rank")
+    n = ranked.count()
+
+    def pct(b: pa.Table) -> pa.Table:
+        r = b.column("rank").to_numpy(zero_copy_only=False)
+        p = r / (n - 1) if n > 1 else np.zeros(len(r))
+        return b.append_column("pct", pa.array(np.round(p, 6)))
+
+    return ranked.map_batches(pct, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -2886,3 +2886,25 @@ class TestMixtureWeights:
                .to_pandas().set_index("lang"))
         assert nat.loc["big", "weight"] == 0.9
         assert (nat["boost"] == 1.0).all()
+
+
+class TestQualityPercentileRank:
+    def test_rank_dense_and_parallelism_invariant(self):
+        from colbert_ray.extras.textstats import quality_percentile_rank
+
+        rng = np.random.default_rng(2)
+        texts = [" ".join(rng.choice(["common", "word", "here", "rare%d" % i],
+                                     size=12)) for i in range(30)]
+        t = pa.table({
+            "doc_id": pa.array(np.arange(1, 31, dtype=np.int64)),
+            "text": pa.array(texts, type=pa.string())})
+        a = (quality_percentile_rank(ray.data.from_arrow(t).repartition(1))
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        b = (quality_percentile_rank(ray.data.from_arrow(t).repartition(7))
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+        assert sorted(a["rank"]) == list(range(30))    # dense 0..n-1
+        assert a["pct"].min() == 0.0 and a["pct"].max() == 1.0
+        # rank order agrees with (nll, doc_id) order
+        s = a.sort_values(["nll", "doc_id"]).reset_index(drop=True)
+        assert s["rank"].tolist() == list(range(30))
