@@ -1074,6 +1074,40 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def _q_packed_seq_text(sf_dir: str) -> pd.DataFrame:
+    """Materialized packed sequences (extras/packing.materialize_sequences):
+    the actual fixed-512-token training rows — docs split at boundaries,
+    fragments reassembled per sequence in global-offset order."""
+    from colbert_ray.extras.packing import materialize_sequences
+
+    ds = materialize_sequences(_read(sf_dir, "documents", ["doc_id", "text"]),
+                               seq_len=PACK_SEQ_LEN)
+    return (ds.to_pandas().sort_values("seq_id").reset_index(drop=True)
+            [["seq_id", "n_tokens", "n_docs", "text"]])
+
+
+def _packed_seq_text_sql() -> str:
+    L = PACK_SEQ_LEN
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+c AS (
+  SELECT doc_id, l,
+         (sum(len(l)) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+          - len(l))::BIGINT AS st
+  FROM t
+),
+tok AS (
+  SELECT doc_id, st + i - 1 AS gpos, l[i] AS w
+  FROM c, LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) js
+)
+SELECT (gpos // {L})::BIGINT AS seq_id,
+       count(*)::BIGINT AS n_tokens,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       string_agg(w, ' ' ORDER BY gpos) AS text
+FROM tok GROUP BY seq_id ORDER BY seq_id
+"""
+
+
 def _q_token_counts(sf_dir: str) -> pd.DataFrame:
     ds = x_text.token_counts(_read(sf_dir, "documents", ["doc_id", "text"]))
     return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
@@ -3399,6 +3433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df_top100": _q_term_df_top100,
         "token_counts": _q_token_counts,
         "packed_sequences": _q_packed_sequences,
+        "packed_seq_text": _q_packed_seq_text,
         "bpe_merges": _q_bpe_merges,
         "bpe_token_counts": _q_bpe_token_counts,
         "exact_dedup": _q_exact_dedup,
@@ -5102,6 +5137,7 @@ ORDER BY doc_id
 """,
         "span_dedup_docs": _span_dedup_sql(),
         "packed_sequences": _packed_sequences_sql(),
+        "packed_seq_text": _packed_seq_text_sql(),
         "bpe_merges": _bpe_merges_sql(),
         "bpe_token_counts": _bpe_token_counts_sql(),
         "bigram_nll": _bigram_nll_sql(),

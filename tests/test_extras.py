@@ -2908,3 +2908,37 @@ class TestQualityPercentileRank:
         # rank order agrees with (nll, doc_id) order
         s = a.sort_values(["nll", "doc_id"]).reset_index(drop=True)
         assert s["rank"].tolist() == list(range(30))
+
+
+class TestMaterializeSequences:
+    def test_exact_layout_and_straddling(self):
+        from colbert_ray.extras.packing import materialize_sequences
+
+        texts = ["a b c d", "e f", "g h i j k", "l"]
+        t = pa.table({"doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                      "text": pa.array(texts, type=pa.string())})
+        out = (materialize_sequences(
+                   ray.data.from_arrow(t).repartition(3), seq_len=4)
+               .to_pandas().sort_values("seq_id").reset_index(drop=True))
+        assert out["text"].tolist() == ["a b c d", "e f g h", "i j k l"]
+        assert out["n_tokens"].tolist() == [4, 4, 4]
+        assert out["n_docs"].tolist() == [1, 2, 2]
+        out2 = (materialize_sequences(
+                    ray.data.from_arrow(t).repartition(1), seq_len=4)
+                .to_pandas().sort_values("seq_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(out, out2)
+
+    def test_roundtrip_concatenation_is_lossless(self):
+        from colbert_ray.extras.packing import materialize_sequences
+
+        rng = np.random.default_rng(4)
+        texts = [" ".join(f"w{i}_{j}" for j in range(int(k)))
+                 for i, k in enumerate(rng.integers(1, 25, size=25))]
+        t = pa.table({
+            "doc_id": pa.array(np.arange(25, dtype=np.int64)),
+            "text": pa.array(texts, type=pa.string())})
+        out = (materialize_sequences(
+                   ray.data.from_arrow(t).repartition(4), seq_len=16)
+               .to_pandas().sort_values("seq_id"))
+        assert " ".join(out["text"]) == " ".join(texts)
+        assert (out["n_tokens"].iloc[:-1] == 16).all()
