@@ -777,6 +777,8 @@ DSL_QUERIES = [
     (6, '*ow AND table'),
     (7, '*alu* AND NOT row'),
     (8, 'customer "value table"'),
+    (9, 'table AND lang:fr'),
+    (10, 'lang:zh OR (source:src7 AND NOT slow)'),
 ]
 
 
@@ -809,7 +811,7 @@ def _dsl_search_sql() -> str:
 
     parts = [
         f"SELECT {did}::BIGINT AS dsl_id, docid, rank, score_r FROM "
-        f"({sql_dsl_search('documents', q, k=10, cfg=CFG)})"
+        f"({sql_dsl_search('documents', q, k=10, cfg=CFG, fields=('lang', 'source'))})"
         for did, q in DSL_QUERIES
     ]
     return "\nUNION ALL\n".join(parts) + "\nORDER BY dsl_id, rank"

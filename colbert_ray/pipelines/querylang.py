@@ -143,6 +143,10 @@ def parse(q: str, cfg: EngineConfig | None = None) -> Node:
             if not words:
                 raise QuerySyntaxError(f"empty phrase {t}")
             return Node("phrase", terms=words)
+        if ":" in t and not t.startswith(":") and not t.endswith(":") \
+                and "*" not in t:
+            field, val = t.split(":", 1)
+            return Node("field", terms=[field, val])
         if "*" in t:
             parts = t.split("*")
             if t.count("*") == 1:
@@ -187,7 +191,7 @@ def scoring_terms(n: Node) -> list[str]:
         return []
     if n.kind in ("term", "phrase"):
         return sorted(set(n.terms))
-    if n.kind == "wild":
+    if n.kind in ("wild", "field"):
         return []                      # constant-score rewrite
     out: list[str] = []
     for c in n.children or ():
@@ -222,6 +226,30 @@ def _eval_set(n: Node, index_dir: str, corpus, idx, cfg,
              "infix": lambda: infix_search(index_dir, a)}[form]()
         return t.column("doc_id").to_numpy(zero_copy_only=False) \
             .astype(np.int64)
+    if n.kind == "field":
+        import glob
+        import os
+
+        import pyarrow.dataset as pads
+
+        field, val = n.terms
+        files = sorted(glob.glob(os.path.join(index_dir, "docmeta",
+                                              "*.parquet")))
+        if not files:
+            raise QuerySyntaxError("index has no docmeta/ — field atoms "
+                                   "need an index built with meta_cols")
+        dset = pads.dataset(files)
+        if field not in dset.schema.names:
+            raise QuerySyntaxError(
+                f"unknown field {field!r}; docmeta has "
+                f"{sorted(set(dset.schema.names) - {'docid'})}")
+        t = dset.to_table(columns=["docid"],
+                          filter=pads.field(field) == val)
+        d = np.sort(t.column("docid").to_numpy(zero_copy_only=False)
+                    .astype(np.int64))
+        if len(idx.tombstones):
+            d = np.setdiff1d(d, idx.tombstones)
+        return d
     if n.kind == "or":
         parts = [_eval_set(c, index_dir, corpus, idx, cfg, text_col, id_col)
                  for c in n.children]
@@ -308,6 +336,9 @@ def sql_predicate(n: Node, toks: str = "toks") -> str:
                 "both": f"'{a}%{b}'", "infix": f"'%{a}%'"}[form]
         guard = (f" AND len(t) >= {len(a) + len(b)}" if form == "both" else "")
         return (f"(len(list_filter({toks}, t -> t LIKE {like}{guard})) > 0)")
+    if n.kind == "field":
+        field, val = n.terms
+        return f"({field} = '{val}')"
     if n.kind == "or":
         return "(" + " OR ".join(sql_predicate(c, toks)
                                  for c in n.children) + ")"
@@ -324,12 +355,14 @@ def sql_predicate(n: Node, toks: str = "toks") -> str:
 
 def sql_dsl_search(table: str, q: str, k: int = 10,
                    cfg: EngineConfig | None = None, *,
-                   text_col: str = "text", id_col: str = "doc_id") -> str:
+                   text_col: str = "text", id_col: str = "doc_id",
+                   fields: tuple[str, ...] = ()) -> str:
     """DuckDB twin of ``dsl_search`` (one query -> top-k docid/rank/score
     with score rounded to 6, the shared float policy)."""
     cfg = cfg or EngineConfig()
     ast = parse(q, cfg)
     terms = scoring_terms(ast)
+    field_sel = "".join(f", {f}" for f in fields)
     k1, b = cfg.k1, cfg.b
     values = ",\n      ".join(f"('{t}')" for t in terms) or "(NULL)"
     score_join = f"""
@@ -348,7 +381,8 @@ sc AS (
 sc AS (SELECT NULL::BIGINT AS docid, NULL::DOUBLE AS score WHERE FALSE)"""
     return f"""
 WITH d AS (
-  SELECT {id_col} AS doc_id, {sql_tokenize_expr(text_col, cfg)} AS toks
+  SELECT {id_col} AS doc_id{field_sel},
+         {sql_tokenize_expr(text_col, cfg)} AS toks
   FROM {table}
 ),
 stats AS (

@@ -116,3 +116,36 @@ def test_oov_and_empty_results(built):
     assert _docids(idx, corpus, 'nonexistentterm') == []
     assert _docids(idx, corpus, 'alpha AND nonexistentterm') == []
     assert _docids(idx, corpus, '"alpha gamma"') == []   # not adjacent
+
+
+def test_field_atoms(tmp_path_factory):
+    """lang:value metadata filters: constant-score, composable, and
+    validated against the index's docmeta columns."""
+    root = tmp_path_factory.mktemp("dsl_field")
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array(["alpha beta", "alpha gamma",
+                          "alpha beta", "delta"]),
+        "lang": pa.array(["en", "fr", "fr", "en"]),
+    })
+    src = str(root / "docs.parquet")
+    pq.write_table(t, src)
+    idx = str(root / "idx")
+    build_index(src, idx, CFG, content_col="text", key_cols=(),
+                meta_cols=("lang",), docid_col="doc_id")
+    corpus = ray.data.read_parquet(src)
+
+    def ids(q):
+        return sorted(dsl_search(idx, corpus, q, k=10, cfg=CFG)
+                      .column("docid").to_pylist())
+
+    assert ids("lang:fr") == [2, 3]
+    assert ids("alpha AND lang:fr") == [2, 3]
+    assert ids("alpha AND lang:fr AND NOT gamma") == [3]
+    assert ids("lang:en OR lang:fr") == [1, 2, 3, 4]
+    # pure field query is constant-score
+    out = dsl_search(idx, corpus, "lang:en", k=10, cfg=CFG)
+    assert out.column("score").to_pylist() == [0.0, 0.0]
+    # unknown field -> syntax error
+    with pytest.raises(QuerySyntaxError, match="unknown field"):
+        dsl_search(idx, corpus, "nosuch:x", k=10, cfg=CFG)
