@@ -779,6 +779,7 @@ DSL_QUERIES = [
     (8, 'customer "value table"'),
     (9, 'table AND lang:fr'),
     (10, 'lang:zh OR (source:src7 AND NOT slow)'),
+    (11, 'window AND doclen>=40 AND doclen<70'),
 ]
 
 

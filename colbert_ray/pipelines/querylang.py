@@ -143,6 +143,16 @@ def parse(q: str, cfg: EngineConfig | None = None) -> Node:
             if not words:
                 raise QuerySyntaxError(f"empty phrase {t}")
             return Node("phrase", terms=words)
+        for op in (">=", "<=", ">", "<"):
+            if op in t and "*" not in t:
+                field, val = t.split(op, 1)
+                if field and val:
+                    try:
+                        int(val)
+                    except ValueError:
+                        raise QuerySyntaxError(
+                            f"range atom needs an integer bound: {t!r}")
+                    return Node("range", terms=[field, op, val])
         if ":" in t and not t.startswith(":") and not t.endswith(":") \
                 and "*" not in t:
             field, val = t.split(":", 1)
@@ -191,7 +201,7 @@ def scoring_terms(n: Node) -> list[str]:
         return []
     if n.kind in ("term", "phrase"):
         return sorted(set(n.terms))
-    if n.kind in ("wild", "field"):
+    if n.kind in ("wild", "field", "range"):
         return []                      # constant-score rewrite
     out: list[str] = []
     for c in n.children or ():
@@ -226,13 +236,17 @@ def _eval_set(n: Node, index_dir: str, corpus, idx, cfg,
              "infix": lambda: infix_search(index_dir, a)}[form]()
         return t.column("doc_id").to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-    if n.kind == "field":
+    if n.kind in ("field", "range"):
         import glob
         import os
+        import operator
 
         import pyarrow.dataset as pads
 
-        field, val = n.terms
+        if n.kind == "range":
+            field, op, val = n.terms
+        else:
+            field, op, val = n.terms[0], "==", n.terms[1]
         files = sorted(glob.glob(os.path.join(index_dir, "docmeta",
                                               "*.parquet")))
         if not files:
@@ -243,8 +257,11 @@ def _eval_set(n: Node, index_dir: str, corpus, idx, cfg,
             raise QuerySyntaxError(
                 f"unknown field {field!r}; docmeta has "
                 f"{sorted(set(dset.schema.names) - {'docid'})}")
+        cmp = {"==": operator.eq, ">": operator.gt, "<": operator.lt,
+               ">=": operator.ge, "<=": operator.le}[op]
+        rhs = int(val) if op != "==" else val
         t = dset.to_table(columns=["docid"],
-                          filter=pads.field(field) == val)
+                          filter=cmp(pads.field(field), rhs))
         d = np.sort(t.column("docid").to_numpy(zero_copy_only=False)
                     .astype(np.int64))
         if len(idx.tombstones):
@@ -339,6 +356,12 @@ def sql_predicate(n: Node, toks: str = "toks") -> str:
     if n.kind == "field":
         field, val = n.terms
         return f"({field} = '{val}')"
+    if n.kind == "range":
+        field, op, val = n.terms
+        # doclen lives in docmeta engine-side; its SQL twin is the
+        # tokenized length of the same row
+        lhs = f"len({toks})" if field == "doclen" else field
+        return f"({lhs} {op} {val})"
     if n.kind == "or":
         return "(" + " OR ".join(sql_predicate(c, toks)
                                  for c in n.children) + ")"

@@ -149,3 +149,19 @@ def test_field_atoms(tmp_path_factory):
     # unknown field -> syntax error
     with pytest.raises(QuerySyntaxError, match="unknown field"):
         dsl_search(idx, corpus, "nosuch:x", k=10, cfg=CFG)
+
+
+def test_range_atoms(built):
+    """doclen>n numeric range filters over docmeta, composable."""
+    idx, corpus = built
+    # every fixture doc has doclen >= 2; absurd bound gives empty
+    assert _docids(idx, corpus, 'alpha AND doclen>100000') == []
+    full = _docids(idx, corpus, 'alpha')
+    assert sorted(_docids(idx, corpus, 'alpha AND doclen>=1')) == \
+        sorted(full)
+    # exclusive vs inclusive boundary semantics
+    lo = _docids(idx, corpus, 'alpha AND doclen>2')
+    hi = _docids(idx, corpus, 'alpha AND doclen>=2')
+    assert set(lo) <= set(hi)
+    with pytest.raises(QuerySyntaxError, match="integer bound"):
+        parse('doclen>abc', CFG)
