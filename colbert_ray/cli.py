@@ -106,6 +106,13 @@ def main(argv: list[str] | None = None) -> int:
                         "query likelihood; plain search paths only)")
     s.add_argument("--strategy", choices=("maxscore", "bmw"), default=None,
                    help="exact pruning algorithm (default: index config)")
+    s.add_argument("--dsl", action="store_true",
+                   help="treat each query as a boolean-DSL expression "
+                        "(AND/OR/NOT, \"phrases\", wildcards, field: and "
+                        "range atoms; see pipelines/querylang)")
+    s.add_argument("--corpus", default=None,
+                   help="corpus parquet dir (needed only for DSL phrase "
+                        "atoms, which re-verify against the text)")
 
     e = sub.add_parser("eval", help="MRR/recall/success of a ranking vs qrels")
     e.add_argument("--ranking", required=True)
@@ -186,6 +193,23 @@ def main(argv: list[str] | None = None) -> int:
             p.error("--ranker ql is only supported on the plain search "
                     "paths (docid-range shards would make cf shard-local)")
         queries = read_queries(args.queries)
+        if args.dsl:
+            import ray as _ray
+
+            from colbert_ray.pipelines.querylang import dsl_search
+
+            corpus = (_ray.data.read_parquet(args.corpus)
+                      if args.corpus else None)
+            for row in queries.take_all():
+                t = dsl_search(args.index, corpus, row["query"], k=args.k)
+                for r in t.to_pylist():
+                    print(f"{row['qid']}\t{r['docid']}\t{r['rank']}"
+                          f"\t{r['score']}")
+            if started_ray:
+                import ray
+
+                ray.shutdown()
+            return 0
         if args.out and args.job_shards:
             from colbert_ray.pipelines.search import search_job
 

@@ -165,3 +165,32 @@ def test_cli_merge(fix, capsys, tmp_path_factory):
     assert len(rep["merged_from"]) == 2
     # the merged index serves like any index
     assert main(["stats", "--index", out]) == 0
+
+
+def test_cli_dsl_search(fix, capsys):
+    root, corpus_dir, _ = fix
+    idx = os.path.join(root, "index")      # built by the roundtrip test
+    if not os.path.exists(os.path.join(idx, "metadata.json")):
+        cfg = json.dumps({"salt_max_run": 30, "num_term_partitions": 8})
+        assert main(["build", "--corpus", corpus_dir, "--index", idx,
+                     "--config", cfg]) == 0
+        capsys.readouterr()
+    # pull a real term from the dictionary
+    import glob
+
+    import pyarrow.dataset as pads
+
+    d = pads.dataset(sorted(glob.glob(
+        os.path.join(idx, "dictionary", "*.parquet")))).to_table()
+    term = d.column("term")[len(d) // 2].as_py()
+    qp = os.path.join(root, "dsl_queries.parquet")
+    import pyarrow as pa
+
+    pq.write_table(pa.table({
+        "qid": pa.array([1], type=pa.int64()),
+        "query": pa.array([f"{term} OR doclen>=1"], type=pa.string()),
+    }), qp)
+    assert main(["search", "--index", idx, "--queries", qp,
+                 "--k", "3", "--dsl"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 3 and all(ln.startswith("1\t") for ln in out)
