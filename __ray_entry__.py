@@ -780,6 +780,7 @@ DSL_QUERIES = [
     (9, 'table AND lang:fr'),
     (10, 'lang:zh OR (source:src7 AND NOT slow)'),
     (11, 'window AND doclen>=40 AND doclen<70'),
+    (12, '"key scan"~4 AND lang:en'),
 ]
 
 

@@ -142,6 +142,17 @@ def parse(q: str, cfg: EngineConfig | None = None) -> Node:
             words = phrase_tokens(t[1:-1], cfg)
             if not words:
                 raise QuerySyntaxError(f"empty phrase {t}")
+            nxt = peek()
+            if nxt is not None and nxt.startswith("~"):
+                take()
+                try:
+                    slop = int(nxt[1:])
+                except ValueError:
+                    raise QuerySyntaxError(f"bad slop: {nxt!r}")
+                if slop < 0:
+                    raise QuerySyntaxError("slop must be >= 0")
+                return Node("near", terms=words,
+                            wild=("slop", str(slop), ""))
             return Node("phrase", terms=words)
         for op in (">=", "<=", ">", "<"):
             if op in t and "*" not in t:
@@ -199,7 +210,7 @@ def scoring_terms(n: Node) -> list[str]:
     """Positive literal terms (term atoms + phrase words outside NOT)."""
     if n.kind == "not":
         return []
-    if n.kind in ("term", "phrase"):
+    if n.kind in ("term", "phrase", "near"):
         return sorted(set(n.terms))
     if n.kind in ("wild", "field", "range"):
         return []                      # constant-score rewrite
@@ -228,6 +239,17 @@ def _eval_set(n: Node, index_dir: str, corpus, idx, cfg,
                           text_col=text_col, id_col=id_col)
         return np.sort(t.column("doc_id").to_numpy(zero_copy_only=False)
                        .astype(np.int64))
+    if n.kind == "near":
+        from colbert_ray.pipelines.phrase import proximity_search
+
+        slop = int(n.wild[1])
+        w = len(set(n.terms)) + slop      # max window = distinct words + slop
+        t = proximity_search(index_dir, corpus, " ".join(n.terms),
+                             k=PHRASE_ALL, cfg=cfg,
+                             text_col=text_col, id_col=id_col)
+        span = t.column("span").to_numpy(zero_copy_only=False)
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return np.sort(d[span <= w].astype(np.int64))
     if n.kind == "wild":
         form, a, b = n.wild
         t = {"prefix": lambda: prefix_search(index_dir, a),
@@ -347,6 +369,18 @@ def sql_predicate(n: Node, toks: str = "toks") -> str:
         return (f"(len({toks}) >= {m} AND len(list_filter("
                 f"generate_series(1, len({toks}) - {m - 1}), "
                 f"i -> {conds})) > 0)")
+    if n.kind == "near":
+        # exists a width-W window containing every distinct word
+        # (W = distinct words + slop — the standard slop simplification)
+        uniq = sorted(set(n.terms))
+        w = len(uniq) + int(n.wild[1])
+        conds = " AND ".join(
+            f"len(list_filter(generate_series(s, "
+            f"least(s + {w - 1}, len({toks}))), "
+            f"i -> {toks}[i] = '{word}')) > 0"
+            for word in uniq)
+        return (f"(len(list_filter(generate_series(1, len({toks})), "
+                f"s -> {conds})) > 0)")
     if n.kind == "wild":
         form, a, b = n.wild
         like = {"prefix": f"'{a}%'", "suffix": f"'%{b}'",

@@ -77,8 +77,8 @@ def make_server(index_dir: str, port: int = 8893, k: int = 10,
                              "server (boolean sets would be shard-local)")
         scorer = get_scorer("bm25")
         ast = parse(query, scorer.idx.cfg)
-        if any(n == "phrase" for n in _node_kinds(ast)):
-            raise ValueError("phrase atoms need a corpus pass — use "
+        if any(n in ("phrase", "near") for n in _node_kinds(ast)):
+            raise ValueError("phrase/NEAR atoms need a corpus pass — use "
                              "dsl_search() offline, not the HTTP endpoint")
         cand = _eval_set(ast, index_dir, None, scorer.idx, scorer.idx.cfg,
                          "text", "doc_id")

@@ -165,3 +165,20 @@ def test_range_atoms(built):
     assert set(lo) <= set(hi)
     with pytest.raises(QuerySyntaxError, match="integer bound"):
         parse('doclen>abc', CFG)
+
+
+def test_near_slop_atoms(built):
+    """"a b"~N proximity: min distinct-word window <= words + slop."""
+    idx, corpus = built
+    # doc 1 "alpha beta gamma": window(alpha, gamma) = 3 -> slop >= 1
+    assert sorted(_docids(idx, corpus, '"alpha gamma"~1')) == [1]
+    assert _docids(idx, corpus, '"alpha gamma"~0') == []
+    # order-insensitive (distinct-word window): doc 5 "beta alpha"
+    assert sorted(_docids(idx, corpus, '"alpha beta"~0')) == [1, 2, 4, 5]
+    # composable + scoring terms come from the near atom
+    got = dsl_search(idx, corpus, '"alpha gamma"~1 AND NOT zeta',
+                     k=5, cfg=CFG)
+    assert got.column("docid").to_pylist() == [1]
+    assert got.column("score").to_pylist()[0] > 0.0
+    with pytest.raises(QuerySyntaxError, match="slop"):
+        parse('"a b"~x', CFG)
