@@ -2,18 +2,23 @@
 composes this engine's retrieval primitives into one query string:
 
     camelCase AND "exact phrase" AND (foo* OR *bar) AND NOT baz
+    "key scan"~4 AND lang:en AND doclen>=40
 
 Grammar (explicit, small):
 
     expr     := and_expr (OR and_expr)*
     and_expr := unary (AND? unary)*        # adjacency = implicit AND
     unary    := NOT unary | atom
-    atom     := '(' expr ')' | '"' words '"' | word[* forms]
+    atom     := '(' expr ')' | '"' words '"' ['~' slop]
+              | field ':' value | field (>|>=|<|<=) int | word[* forms]
 
 Word atoms go through the corpus tokenizer (camelCase splitting etc.; a
 multi-token word is an implicit AND of its tokens). Wildcard forms:
-``pre*``, ``*suf``, ``pre*suf``, ``*inf*``. ``AND``/``OR``/``NOT`` are
-uppercase keywords; lowercase they are ordinary terms.
+``pre*``, ``*suf``, ``pre*suf``, ``*inf*``. Field (``lang:fr``) and
+numeric range (``doclen>=40``) atoms filter on the index's docmeta
+columns; ``"a b"~N`` is a sloppy phrase (min distinct-word window
+<= words + N). ``AND``/``OR``/``NOT`` are uppercase keywords; lowercase
+they are ordinary terms.
 
 Semantics (documented, exactly SQL-twinnable):
 - every node evaluates to a docid SET over the built index (term ->
