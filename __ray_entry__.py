@@ -787,13 +787,12 @@ DSL_QUERIES = [
 def _q_dsl_search(sf_dir: str) -> pd.DataFrame:
     """Boolean query-language gate (pipelines/querylang — the Lucene
     QueryParser analog composing term/phrase/wildcard atoms with
-    AND/OR/NOT over the index primitives): eight canned DSL queries
-    covering every construct; BM25 over positive literal terms restricted
+    AND/OR/NOT over the index primitives): the DSL_QUERIES list covers
+    every construct (boolean ops, phrase, slop, wildcard forms, field and
+    range atoms); BM25 over positive literal terms restricted
     to the boolean candidate set, constant-score wildcards, score 0 for
     unscored candidates. Twin: per-query translated predicate + the shared
     BM25 CTE, UNION ALL."""
-    import ray as _ray
-
     from colbert_ray.pipelines.querylang import dsl_search
 
     idx = _ensure_index(sf_dir)

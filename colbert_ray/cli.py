@@ -193,6 +193,10 @@ def main(argv: list[str] | None = None) -> int:
             p.error("--ranker ql is only supported on the plain search "
                     "paths (docid-range shards would make cf shard-local)")
         queries = read_queries(args.queries)
+        if args.dsl and (args.out or args.job_shards or args.shards > 1
+                         or args.ranker != "bm25"):
+            p.error("--dsl prints TSV to stdout only; it does not combine "
+                    "with --out/--job-shards/--shards/--ranker")
         if args.dsl:
             import ray as _ray
 

@@ -23,22 +23,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def pack_sequences(
-    docs: "ray.data.Dataset",
-    seq_len: int = 512,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    bucket_width: int = 100_000,
-) -> "ray.data.Dataset":
-    """One row per doc: (doc_id, n_tokens, tok_start, seq_first, seq_last)
-    under concatenate-in-ascending-``id_col``-order + cut-every-``seq_len``
-    packing. Token count = whitespace word count (the corpus packer's
-    unit; swap in a tokenizer column upstream for BPE units).
-    """
+def _bucket_prefix(base, text_col: str, id_col: str, bucket_width: int):
+    """Shared stage-1 of both packers: per-batch (bucket, token partial)
+    rows -> ONE groupby -> driver exclusive prefix -> broadcast
+    {bucket -> start offset} dict (None when the corpus is empty)."""
     import ray as _ray
     from ray.data.aggregate import Sum as _Sum
-
-    base = docs.select_columns([id_col, text_col])
 
     def bucket_partial(b: pa.Table) -> pa.Table:
         ids = b.column(id_col).to_numpy(zero_copy_only=False)
@@ -56,6 +46,30 @@ def pack_sequences(
             .groupby("bucket").aggregate(_Sum("n_part", alias_name="n_tok"))
             .to_pandas())
     if bsum.empty:
+        return None
+    bsum = bsum.sort_values("bucket")
+    sums = bsum["n_tok"].to_numpy(dtype=np.int64)
+    excl = np.concatenate([[0], np.cumsum(sums)[:-1]])
+    return _ray.put({int(b): int(p) for b, p in zip(bsum["bucket"], excl)})
+
+
+def pack_sequences(
+    docs: "ray.data.Dataset",
+    seq_len: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_width: int = 100_000,
+) -> "ray.data.Dataset":
+    """One row per doc: (doc_id, n_tokens, tok_start, seq_first, seq_last)
+    under concatenate-in-ascending-``id_col``-order + cut-every-``seq_len``
+    packing. Token count = whitespace word count (the corpus packer's
+    unit; swap in a tokenizer column upstream for BPE units).
+    """
+    import ray as _ray
+
+    base = docs.select_columns([id_col, text_col])
+    prefix_ref = _bucket_prefix(base, text_col, id_col, bucket_width)
+    if prefix_ref is None:
         empty = pa.schema([(id_col, pa.int64()), ("n_tokens", pa.int64()),
                            ("tok_start", pa.int64()),
                            ("seq_first", pa.int64()),
@@ -63,11 +77,6 @@ def pack_sequences(
         import ray.data as _rd
 
         return _rd.from_arrow(empty.empty_table())
-    bsum = bsum.sort_values("bucket")
-    buckets = bsum["bucket"].to_numpy(dtype=np.int64)
-    sums = bsum["n_tok"].to_numpy(dtype=np.int64)
-    excl = np.concatenate([[0], np.cumsum(sums)[:-1]])
-    prefix_ref = _ray.put({int(b): int(p) for b, p in zip(buckets, excl)})
 
     def seeded_scan(g: pd.DataFrame) -> pd.DataFrame:
         pref = _ray.get(prefix_ref)
@@ -119,38 +128,17 @@ def materialize_sequences(
     rides exactly two exchanges (offset co-group, sequence assembly) —
     the minimum for a layout that re-groups text by output sequence."""
     import ray as _ray
-    from ray.data.aggregate import Sum as _Sum
 
     base = docs.select_columns([id_col, text_col])
-
-    def bucket_partial(b: pa.Table) -> pa.Table:
-        ids = b.column(id_col).to_numpy(zero_copy_only=False)
-        n = pc.add(pc.count_substring(b.column(text_col), " "), 1) \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        bk = ids // bucket_width
-        ub, inv = np.unique(bk, return_inverse=True)
-        tot = np.zeros(len(ub), dtype=np.int64)
-        np.add.at(tot, inv, n)
-        return pa.table({"bucket": pa.array(ub, type=pa.int64()),
-                         "n_part": pa.array(tot)})
-
-    bsum = (base.map_batches(bucket_partial, batch_format="pyarrow",
-                             zero_copy_batch=True)
-            .groupby("bucket").aggregate(_Sum("n_part", alias_name="n_tok"))
-            .to_pandas())
+    prefix_ref = _bucket_prefix(base, text_col, id_col, bucket_width)
     empty = pa.table({"seq_id": pa.array([], type=pa.int64()),
                       "n_tokens": pa.array([], type=pa.int64()),
                       "n_docs": pa.array([], type=pa.int64()),
                       "text": pa.array([], type=pa.string())})
-    if bsum.empty:
+    if prefix_ref is None:
         import ray.data as _rd
 
         return _rd.from_arrow(empty)
-    bsum = bsum.sort_values("bucket")
-    sums = bsum["n_tok"].to_numpy(dtype=np.int64)
-    excl = np.concatenate([[0], np.cumsum(sums)[:-1]])
-    prefix_ref = _ray.put({int(b): int(p) for b, p in
-                           zip(bsum["bucket"], excl)})
 
     def fragments(g: pd.DataFrame) -> pd.DataFrame:
         pref = _ray.get(prefix_ref)

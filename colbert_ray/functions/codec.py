@@ -425,13 +425,11 @@ def pfor_decode(buf: bytes, count: int) -> np.ndarray:
 
 def encode_docids_run(docids: np.ndarray, codec: str = "varint") -> bytes:
     """Strictly-increasing docids -> (first, gaps) in the given codec."""
-    d = np.ascontiguousarray(docids, dtype=np.int64)
-    if codec == "pfor":
-        return pfor_encode(delta_gaps_segmented(d, np.zeros(1, dtype=np.int64))
-                           if d.size else np.empty(0, dtype=np.uint64))
-    if codec == "ef":
-        return ef_encode(delta_gaps_segmented(d, np.zeros(1, dtype=np.int64))
-                         if d.size else np.empty(0, dtype=np.uint64))
+    if codec in ("pfor", "ef"):
+        d = np.ascontiguousarray(docids, dtype=np.int64)
+        gaps = (delta_gaps_segmented(d, np.zeros(1, dtype=np.int64))
+                if d.size else np.empty(0, dtype=np.uint64))
+        return pfor_encode(gaps) if codec == "pfor" else ef_encode(gaps)
     return delta_encode_docids(docids)
 
 

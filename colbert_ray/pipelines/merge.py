@@ -107,21 +107,32 @@ def merge_indexes(
     os.makedirs(out_dir, exist_ok=True)
     tok_dir = os.path.join(out_dir, TOKENIZED)
     os.makedirs(tok_dir, exist_ok=True)
-    merged_files: list[str] = []
+    # plan the adopted file names FIRST, then drop any previously adopted
+    # file not in the plan — re-merging a different (or reordered)
+    # sub-index list into the same out_dir must not leave stale runs for
+    # phase B+'s glob to pick up (they would silently fuse corpora)
+    plan: list[tuple[str, str]] = []
     for i, d in enumerate(index_dirs):
         srcs = sorted(glob.glob(os.path.join(d, TOKENIZED, "*.parquet")))
         if not srcs:
             raise ValueError(f"{d}: tokenized/ holds no parquet files")
         for s in srcs:
-            dst = os.path.join(tok_dir, f"sub{i:03d}_{os.path.basename(s)}")
-            if not os.path.exists(dst):
-                tmp = dst + ".tmp"
-                try:
-                    os.link(s, tmp)
-                except OSError:
-                    shutil.copyfile(s, tmp)
-                os.replace(tmp, dst)
-            merged_files.append(dst)
+            plan.append((s, os.path.join(
+                tok_dir, f"sub{i:03d}_{os.path.basename(s)}")))
+    planned = {dst for _, dst in plan}
+    for f in glob.glob(os.path.join(tok_dir, "*.parquet")):
+        if f not in planned:
+            os.remove(f)
+    merged_files: list[str] = []
+    for s, dst in plan:
+        if not os.path.exists(dst):
+            tmp = dst + ".tmp"
+            try:
+                os.link(s, tmp)
+            except OSError:
+                shutil.copyfile(s, tmp)
+            os.replace(tmp, dst)
+        merged_files.append(dst)
 
     # the merged build's input lineage IS the adopted tokenized files —
     # mark tokenize complete for that fingerprint, then run the normal
@@ -150,16 +161,18 @@ def _assert_disjoint_docids(index_dirs: list[str]) -> None:
             md = pq.read_metadata(f)
             sch = md.schema.to_arrow_schema()
             ci = sch.get_field_index("docid")
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(ci).statistics
-                if st is None or not st.has_min_max:      # fall back: read
-                    t = pq.read_table(f, columns=["docid"])
-                    import pyarrow.compute as pc
+            stats = [md.row_group(rg).column(ci).statistics
+                     for rg in range(md.num_row_groups)]
+            if any(st is None or not st.has_min_max for st in stats):
+                # footer stats missing: ONE full-column read for the file
+                import pyarrow.compute as pc
 
-                    mm = pc.min_max(t.column("docid"))
-                    lo_v, hi_v = mm["min"].as_py(), mm["max"].as_py()
-                else:
-                    lo_v, hi_v = st.min, st.max
+                mm = pc.min_max(pq.read_table(f, columns=["docid"])
+                                .column("docid"))
+                spans_f = [(mm["min"].as_py(), mm["max"].as_py())]
+            else:
+                spans_f = [(st.min, st.max) for st in stats]
+            for lo_v, hi_v in spans_f:
                 lo = lo_v if lo is None else min(lo, lo_v)
                 hi = hi_v if hi is None else max(hi, hi_v)
         if lo is None:

@@ -286,7 +286,20 @@ def _eval_set(n: Node, index_dir: str, corpus, idx, cfg,
                 f"{sorted(set(dset.schema.names) - {'docid'})}")
         cmp = {"==": operator.eq, ">": operator.gt, "<": operator.lt,
                ">=": operator.ge, "<=": operator.le}[op]
-        rhs = int(val) if op != "==" else val
+        ftype = dset.schema.field(field).type
+        rhs: object = val
+        if op != "==" or pa.types.is_integer(ftype):
+            try:
+                rhs = int(val)
+            except ValueError:
+                raise QuerySyntaxError(
+                    f"field {field!r} is {ftype}; {val!r} is not an "
+                    f"integer")
+        elif not (pa.types.is_string(ftype)
+                  or pa.types.is_large_string(ftype)):
+            raise QuerySyntaxError(
+                f"field {field!r} has unsupported type {ftype} for "
+                f"equality atoms")
         t = dset.to_table(columns=["docid"],
                           filter=cmp(pads.field(field), rhs))
         d = np.sort(t.column("docid").to_numpy(zero_copy_only=False)
@@ -330,9 +343,12 @@ def dsl_search(index_dir: str, corpus, q: str, k: int = 10,
     from colbert_ray.state.decoded import DecodedIndex
     from colbert_ray.state.index import BM25Scorer
 
-    cfg = cfg or EngineConfig()
-    ast = parse(q, cfg)
     idx = DecodedIndex.load_cached(index_dir, load_sha=False)
+    # default to the INDEX's tokenizer config — parsing DSL atoms with a
+    # different tokenizer than the dictionary was built with silently
+    # misses terms (e.g. camelCase handling)
+    cfg = cfg or idx.cfg
+    ast = parse(q, cfg)
     cand = _eval_set(ast, index_dir, corpus, idx, cfg, text_col, id_col)
     empty = pa.table({"docid": pa.array([], type=pa.int64()),
                       "rank": pa.array([], type=pa.int64()),

@@ -108,3 +108,36 @@ def test_merge_rejects_overlapping_docid_ranges(tmp_path):
                 meta_cols=(), docid_col="doc_id")
     with pytest.raises(ValueError, match="docid ranges overlap"):
         merge_indexes([ia, ib], str(tmp_path / "m"), cfg)
+
+
+def test_remerge_with_different_sublist_drops_stale_runs(tmp_path):
+    """Re-merging a DIFFERENT sub-index list into the same out_dir must not
+    adopt the previous merge's tokenized runs (review finding: stale
+    sub-files would silently fuse corpora)."""
+    import numpy as np
+
+    cfg = EngineConfig(num_term_partitions=2)
+
+    def mk(name, ids):
+        t = pa.table({
+            "doc_id": pa.array(np.asarray(ids, dtype=np.int64)),
+            "text": pa.array([f"tok{i} filler words" for i in ids]),
+        })
+        p = str(tmp_path / f"{name}.parquet")
+        pq.write_table(t, p)
+        idx = str(tmp_path / f"idx_{name}")
+        build_index(p, idx, cfg, content_col="text", key_cols=(),
+                    meta_cols=(), docid_col="doc_id")
+        return idx
+
+    ia = mk("a", [1, 2, 3])
+    ib = mk("b", [10, 11])
+    ic = mk("c", [20, 21, 22, 23])
+    out = str(tmp_path / "merged")
+    r1 = merge_indexes([ia, ib], out, cfg)
+    assert r1["metadata"]["n_docs"] == 5
+    r2 = merge_indexes([ia, ic], out, cfg)
+    assert r2["metadata"]["n_docs"] == 7          # 3 + 4, ib gone
+    # reordering is also safe (no doubled docs)
+    r3 = merge_indexes([ic, ia], out, cfg)
+    assert r3["metadata"]["n_docs"] == 7
