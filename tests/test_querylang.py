@@ -182,3 +182,109 @@ def test_near_slop_atoms(built):
     assert got.column("score").to_pylist()[0] > 0.0
     with pytest.raises(QuerySyntaxError, match="slop"):
         parse('"a b"~x', CFG)
+
+
+def test_random_queries_match_naive_evaluator(built):
+    """Property test: random DSL queries over the fixture vocab must match
+    a from-scratch Python set evaluator + brute-force BM25 on every doc."""
+    import math
+    import random
+
+    idx, corpus = built
+    docs = {d: t.split() for d, t in
+            [(1, "alpha beta gamma"), (2, "alpha beta beta delta"),
+             (3, "gamma delta epsilon"), (4, "alpha beta zeta"),
+             (5, "beta alpha"), (6, "prefixy suffixo middle")]}
+    # doc 4 text is 'alphaBeta zeta' -> tokens alpha beta zeta
+    vocab = sorted({w for ws in docs.values() for w in ws})
+    rng = random.Random(17)
+
+    def naive_atom():
+        r = rng.random()
+        if r < 0.5:
+            return ("term", rng.choice(vocab))
+        if r < 0.7:
+            w = rng.choice(vocab)
+            return ("wild", w[:2] + "*")
+        return ("phrase", [rng.choice(vocab), rng.choice(vocab)])
+
+    def gen(depth):
+        if depth == 0:
+            return naive_atom()
+        op = rng.choice(["and", "or", "andnot"])
+        a, b = gen(depth - 1), gen(depth - 1)
+        return (op, a, b)
+
+    def to_str(n):
+        k = n[0]
+        if k == "term":
+            return n[1]
+        if k == "wild":
+            return n[1]
+        if k == "phrase":
+            return '"' + " ".join(n[1]) + '"'
+        a, b = to_str(n[1]), to_str(n[2])
+        if k == "and":
+            return f"({a} AND {b})"
+        if k == "or":
+            return f"({a} OR {b})"
+        return f"({a} AND NOT {b})"
+
+    def ev(n):
+        k = n[0]
+        if k == "term":
+            return {d for d, ws in docs.items() if n[1] in ws}
+        if k == "wild":
+            pre = n[1][:-1]
+            return {d for d, ws in docs.items()
+                    if any(w.startswith(pre) for w in ws)}
+        if k == "phrase":
+            p = n[1]
+            return {d for d, ws in docs.items()
+                    if any(ws[i:i + len(p)] == p
+                           for i in range(len(ws) - len(p) + 1))}
+        a, b = ev(n[1]), ev(n[2])
+        return {"and": a & b, "or": a | b, "andnot": a - b}[k]
+
+    def pos_terms(n):
+        k = n[0]
+        if k == "term":
+            return {n[1]}
+        if k == "phrase":
+            return set(n[1])
+        if k == "wild":
+            return set()
+        if k == "andnot":
+            return pos_terms(n[1])
+        return pos_terms(n[1]) | pos_terms(n[2])
+
+    n_docs = len(docs)
+    avgdl = sum(len(ws) for ws in docs.values()) / n_docs
+    k1, b = CFG.k1, CFG.b
+
+    def bm25(d, terms):
+        ws = docs[d]
+        s = 0.0
+        for t in sorted(terms):
+            tf = ws.count(t)
+            if tf == 0:
+                continue
+            df = sum(1 for x in docs.values() if t in x)
+            idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+            s += idf * (tf * (k1 + 1.0)
+                        / (tf + k1 * (1.0 - b + b * len(ws) / avgdl)))
+        return s
+
+    checked = 0
+    for _ in range(40):
+        ast = gen(rng.choice([1, 1, 2]))
+        q = to_str(ast)
+        want = ev(ast)
+        got = dsl_search(idx, corpus, q, k=100, cfg=CFG).to_pandas()
+        assert set(got["docid"]) == want, (q, set(got["docid"]), want)
+        terms = pos_terms(ast)
+        for row in got.itertuples():
+            assert abs(row.score - bm25(row.docid, terms)) < 1e-9, \
+                (q, row.docid)
+        checked += len(got)
+    assert checked > 40      # the generator actually produced matches
