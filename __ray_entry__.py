@@ -614,6 +614,103 @@ BM25F_W_TITLE, BM25F_B_TITLE = 2.5, 0.6
 BM25F_W_BODY, BM25F_B_BODY = 1.0, 0.75
 
 
+def _q_ltr_features(sf_dir: str) -> pd.DataFrame:
+    """Learning-to-rank feature export: per (qid, docid in the bm25 top-10)
+    the classical LTR feature vector — rounded BM25, rounded Dirichlet-QL
+    (same index, functions/ql.py), doc length, matched-term count and
+    summed tf. The extraction reuses BM25Scorer.explain and the QL
+    accumulator restricted to the candidate set — the reference's
+    feature/extraction stage re-expressed classically."""
+    from colbert_ray.state.index import BM25Scorer
+
+    top = _q_bm25_top10(sf_dir)
+    idx_dir = _ensure_index(sf_dir)
+    bm = BM25Scorer(idx_dir, k=10, with_sha=False)
+    ql = BM25Scorer(idx_dir, k=10, with_sha=False, ranker="ql")
+    parts = []
+    for qid, text in QUERY_SET:
+        sub = top[top["qid"] == qid]
+        docids = np.sort(sub["docid"].to_numpy(dtype=np.int64))
+        if not len(docids):
+            continue
+        ex = bm.explain(text, docids).to_pandas()
+        agg = (ex.groupby("docid")
+               .agg(n_match=("term", "size"), sum_tf=("tf", "sum"))
+               .reset_index())
+        tids = ql.idx.lookup_terms(tokenize_query(text, CFG)[0])
+        d, s = ql._ql_all_match_scores(tids, docid_filter=docids)
+        qls = dict(zip(d.tolist(), s.tolist()))
+        agg["qid"] = np.int64(qid)
+        agg["ql_r"] = agg["docid"].map(qls).round(6)
+        agg["dl"] = np.asarray(ql.idx.doclens)[
+            agg["docid"].to_numpy() - ql.idx.docid_base].astype(np.int64)
+        parts.append(agg)
+    out = pd.concat(parts, ignore_index=True)
+    out = out.merge(top[["qid", "docid", "score_r"]], on=["qid", "docid"])
+    out = out.rename(columns={"score_r": "bm25_r"})
+    out["n_match"] = out["n_match"].astype(np.int64)
+    out["sum_tf"] = out["sum_tf"].astype(np.int64)
+    return (out[["qid", "docid", "bm25_r", "ql_r", "dl",
+                 "n_match", "sum_tf"]]
+            .sort_values(["qid", "docid"]).reset_index(drop=True))
+
+
+def _ltr_features_sql() -> str:
+    values = ",\n      ".join(
+        f"({qid}, '{term}')"
+        for qid, text in QUERY_SET
+        for term in tokenize_query(text, CFG)[0]
+    )
+    mu = QL_MU
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {_toks_expr()} AS toks FROM documents
+),
+coll AS (
+  SELECT sum(len(toks)) AS n_tokens FROM docs
+),
+tok AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM docs
+),
+tf AS (
+  SELECT doc_id, term, any_value(dl) AS dl, count(*) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+cf AS (
+  SELECT term, sum(tf) AS cf FROM tf GROUP BY term
+),
+q(qid, term) AS (
+  VALUES {values}
+),
+qn AS (
+  SELECT q.qid, count(*) AS nq FROM q JOIN cf ON cf.term = q.term
+  GROUP BY q.qid
+),
+top AS (
+  SELECT qid, docid, score_r FROM ({_bm25_sql()})
+),
+agg AS (
+  SELECT q.qid, tf.doc_id AS docid,
+         count(*)::BIGINT AS n_match,
+         sum(tf.tf)::BIGINT AS sum_tf,
+         any_value(tf.dl)::BIGINT AS dl,
+         sum( ln(1.0 + tf.tf * c.n_tokens / ({mu} * cf.cf)) ) AS mscore
+  FROM q
+  JOIN cf ON cf.term = q.term
+  JOIN tf ON tf.term = q.term
+  CROSS JOIN coll c
+  GROUP BY q.qid, tf.doc_id
+)
+SELECT t.qid, t.docid, t.score_r AS bm25_r,
+       round(a.mscore + qn.nq * ln({mu} / (a.dl + {mu})), 6) AS ql_r,
+       a.dl, a.n_match, a.sum_tf
+FROM top t
+JOIN agg a ON a.qid = t.qid AND a.docid = t.docid
+JOIN qn ON qn.qid = t.qid
+ORDER BY t.qid, t.docid
+"""
+
+
 def _q_bm25f_top10(sf_dir: str) -> pd.DataFrame:
     """Field-weighted BM25F top-10 (extras/fields.bm25f_rank): per-field
     length-normalized tfs combined with field weights BEFORE saturation,
@@ -3424,6 +3521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proximity_top10": _q_proximity_top10,
         "bm25f_top10": _q_bm25f_top10,
         "bm25_explain": _q_bm25_explain,
+        "ltr_features": _q_ltr_features,
         "bm25_top10_bmw": _q_bm25_top10_bmw,
         "bm25_top10_pfor": _q_bm25_top10_pfor,
         "bm25_top10_ef": _q_bm25_top10_ef,
@@ -5106,6 +5204,7 @@ ORDER BY bm.qid, d.lang, d.source
 """,
         "bm25f_top10": _bm25f_sql(),
         "bm25_explain": _bm25_explain_sql(),
+        "ltr_features": _ltr_features_sql(),
         "bm25_top10_bmw": _bm25_sql(),       # BMW pruning is exact
         "bm25_top10_pfor": _bm25_sql(),      # codec changes bytes, not content
         "bm25_top10_ef": _bm25_sql(),        # codec changes bytes, not content
