@@ -3120,6 +3120,100 @@ def _q_media_features(sf_dir: str) -> pd.DataFrame:
     )
 
 
+AHASH_N_ITEMS = 256
+AHASH_MAX_HAMMING = 8
+
+
+def _payloads_ds(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from colbert_ray.extras.multimodal import make_payload_table
+
+    t = pq.read_table(_doc_path(sf_dir, "documents"),
+                      columns=["doc_id", "text"])
+    order = np.argsort(
+        t.column("doc_id").to_numpy(zero_copy_only=False))[:AHASH_N_ITEMS]
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)[order]
+    blobs = [t.column("text")[int(i)].as_py().encode() for i in order]
+    return ray.data.from_arrow(make_payload_table(ids, blobs))
+
+
+def _q_image_ahash(sf_dir: str) -> pd.DataFrame:
+    """Perceptual average-hash per payload (extras/multimodal.image_ahash):
+    64-bit aHash over the stub decode — all-integer bit rule
+    (64*pixel_sum >= total), so the twin recomputes the identical hash."""
+    from colbert_ray.extras.multimodal import image_ahash
+
+    return (image_ahash(_payloads_ds(sf_dir)).to_pandas()
+            .sort_values("item_id").reset_index(drop=True))
+
+
+def _q_ahash_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    """Perceptual near-dup pairs: Hamming(aHash) <= 8 (the multimodal
+    simhash analog; integer-exact)."""
+    from colbert_ray.extras.multimodal import ahash_dup_pairs
+
+    return (ahash_dup_pairs(_payloads_ds(sf_dir),
+                            max_hamming=AHASH_MAX_HAMMING)
+            .to_pandas().sort_values(["id_a", "id_b"])
+            .reset_index(drop=True))
+
+
+def _ahash_cte() -> str:
+    """Shared aHash CTE chain (ASCII-guarded: the engine hashes the
+    utf-8 BYTES of text; codepoints match only for ASCII)."""
+    return f"""
+t AS (
+  SELECT doc_id AS item_id,
+         CASE WHEN length(text) <> octet_length(encode(text))
+              THEN error('non-ascii input to ahash oracle')
+              ELSE text END AS text
+  FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id
+                   LIMIT {AHASH_N_ITEMS})
+),
+ps AS (
+  SELECT item_id, j,
+         (ord(substr(text, ((3 * j + 0) % length(text)) + 1, 1))
+        + ord(substr(text, ((3 * j + 1) % length(text)) + 1, 1))
+        + ord(substr(text, ((3 * j + 2) % length(text)) + 1, 1)))::BIGINT
+           AS ps
+  FROM t, LATERAL (SELECT unnest(generate_series(0, 63)) AS j) js
+),
+tot AS (SELECT item_id, sum(ps) AS total FROM ps GROUP BY item_id),
+bits AS (
+  SELECT ps.item_id, ps.j,
+         CASE WHEN 64 * ps.ps >= tot.total THEN 1 ELSE 0 END AS b
+  FROM ps JOIN tot USING (item_id)
+),
+h AS (
+  SELECT item_id, sum(b::HUGEINT * (1::HUGEINT << j)) AS hu
+  FROM bits GROUP BY item_id
+),
+ah AS (
+  SELECT item_id,
+         (CASE WHEN hu < 9223372036854775808::HUGEINT THEN hu
+               ELSE hu - 18446744073709551616::HUGEINT END)::BIGINT AS ahash
+  FROM h
+)"""
+
+
+def _image_ahash_sql() -> str:
+    return f"WITH {_ahash_cte()}\nSELECT item_id, ahash FROM ah ORDER BY item_id"
+
+
+def _ahash_pairs_sql() -> str:
+    return f"""
+WITH {_ahash_cte()}
+SELECT a.item_id AS id_a, b.item_id AS id_b,
+       bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
+FROM ah a JOIN ah b ON a.item_id < b.item_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= {AHASH_MAX_HAMMING}
+ORDER BY id_a, id_b
+"""
+
+
 def _q_video_frame_sample(sf_dir: str) -> pd.DataFrame:
     """Multimodal frame-sampling plumbing (decode stubbed per brief):
     documents' bytes as opaque 'video' payloads -> one row per sampled
@@ -3646,6 +3740,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # media queries have full SQL oracles (arithmetic-deterministic
         # stubs) plus the media pytest suite
         "media_features": _q_media_features,
+        "image_ahash": _q_image_ahash,
+        "ahash_dup_pairs": _q_ahash_dup_pairs,
         "media_dedup": _q_media_dedup,
         "video_frame_sample": _q_video_frame_sample,
         # rows-only: gated by the in-process oracle self-check inside the
@@ -5330,6 +5426,8 @@ GROUP BY n ORDER BY doc_id
         "mmr_knn_top5": _mmr_sql(),
         "rplsh_dup_pairs": _rplsh_sql(),
         "mutual_knn_pairs": _mutual_knn_sql(),
+        "image_ahash": _image_ahash_sql(),
+        "ahash_dup_pairs": _ahash_pairs_sql(),
         "embedding_dup_pairs": f"""
 WITH t AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -262,3 +262,77 @@ def dedup_payloads(payloads: "ray.data.Dataset",
         "item_id": pa.array(out["survivor"].astype(np.int64)),
         "n_copies": pa.array(out["n_copies"].astype(np.int64)),
     })
+
+
+class AHashExtractor:
+    """Actor-pool stage: decode + 64-bit AVERAGE HASH (aHash) per payload —
+    the classic perceptual image fingerprint (8x8 grayscale, bit = pixel
+    >= image mean). All-INTEGER decision (``64 * pixel_sum >= total_sum``
+    over per-pixel channel sums), so the stub decode keeps the hash
+    oracle-checkable. Emitted as the signed-wrapped int64 of the uint64
+    bit pattern (bit i = pixel i, row-major)."""
+
+    def __init__(self):
+        self.decoder = FakeImageDecoder()
+        self._pow = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("item_id").to_numpy(zero_copy_only=False)
+        mts = batch.column("media_type").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_id, out_h = [], []
+        for i, (mt, p) in enumerate(zip(mts, payloads)):
+            try:
+                dec = self.decoder.decode(p, mt)
+            except NotImplementedError:
+                continue
+            ps = dec.reshape(64, 3).astype(np.int64).sum(axis=1)
+            bits = (64 * ps >= ps.sum())
+            h = np.uint64(0)
+            h = (self._pow[bits]).sum(dtype=np.uint64)
+            out_id.append(int(ids[i]))
+            out_h.append(np.int64(np.uint64(h).astype(np.int64)))
+        return pa.table({
+            "item_id": pa.array(out_id, type=pa.int64()),
+            "ahash": pa.array(np.asarray(out_h, dtype=np.int64)
+                              if out_h else
+                              np.empty(0, dtype=np.int64)),
+        })
+
+
+def image_ahash(payloads: "ray.data.Dataset",
+                concurrency: int = 2) -> "ray.data.Dataset":
+    """(item_id, ahash) via the actor-pool AHashExtractor."""
+    return payloads.map_batches(AHashExtractor, batch_format="pyarrow",
+                                concurrency=concurrency)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (unpackbits on the byte view
+    — portable across numpy versions without bitwise_count)."""
+    b = x.astype(np.uint64).view(np.uint8).reshape(len(x), 8)
+    return np.unpackbits(b, axis=1).sum(axis=1).astype(np.int64)
+
+
+def ahash_dup_pairs(payloads: "ray.data.Dataset",
+                    max_hamming: int = 8) -> pa.Table:
+    """Perceptual near-duplicate pairs: Hamming(aHash_a, aHash_b) <=
+    ``max_hamming`` (id_a < id_b) — the multimodal analog of simhash
+    near-dup. Integer-exact. Bounded all-pairs verify tier (hashes are 8
+    bytes/item, collected once); at corpus scale block by hash bands
+    first (the simhash/LSH pattern)."""
+    hs = image_ahash(payloads).to_pandas().sort_values("item_id")
+    ids = hs["item_id"].to_numpy(dtype=np.int64)
+    h = hs["ahash"].to_numpy(dtype=np.int64).astype(np.uint64)
+    out_a, out_b, out_d = [], [], []
+    for i in range(len(ids) - 1):
+        d = _popcount64(h[i] ^ h[i + 1:])
+        sel = np.flatnonzero(d <= max_hamming)
+        out_a.extend([int(ids[i])] * len(sel))
+        out_b.extend(ids[i + 1 + sel].tolist())
+        out_d.extend(d[sel].tolist())
+    return pa.table({
+        "id_a": pa.array(out_a, type=pa.int64()),
+        "id_b": pa.array(out_b, type=pa.int64()),
+        "hamming": pa.array(out_d, type=pa.int64()),
+    })

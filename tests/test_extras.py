@@ -2942,3 +2942,35 @@ class TestMaterializeSequences:
                .to_pandas().sort_values("seq_id"))
         assert " ".join(out["text"]) == " ".join(texts)
         assert (out["n_tokens"].iloc[:-1] == 16).all()
+
+
+class TestAHash:
+    def test_known_bits_and_near_dup(self):
+        from colbert_ray.extras.multimodal import (
+            ahash_dup_pairs,
+            image_ahash,
+            make_payload_table,
+        )
+
+        # payload of 192 identical bytes -> all pixel sums equal -> all 64
+        # bits set -> hash == -1 (signed wrap of 2^64 - 1)
+        flat = bytes([7] * 192)
+        # one hot pixel: byte 0..2 large, rest zero -> only bit 0 set
+        hot = bytes([255, 255, 255] + [0] * 189)
+        near = bytes([255, 255, 255] + [0] * 186 + [255, 255, 255])
+        ds = make_payload_table(
+            np.array([1, 2, 3, 4], dtype=np.int64),
+            [flat, hot, near, flat])
+        import ray as _ray
+
+        payloads = _ray.data.from_arrow(ds)
+        hs = (image_ahash(payloads).to_pandas()
+              .sort_values("item_id").reset_index(drop=True))
+        assert hs.loc[0, "ahash"] == -1            # all bits
+        assert hs.loc[1, "ahash"] == 1             # bit 0 only
+        assert hs.loc[3, "ahash"] == -1
+        # near has bits 0 and 63 -> hamming(hot, near) == 1
+        pairs = ahash_dup_pairs(payloads, max_hamming=1).to_pandas()
+        got = set(zip(pairs["id_a"], pairs["id_b"]))
+        assert (2, 3) in got and (1, 4) in got     # exact dup at hamming 0
+        assert (1, 2) not in got
