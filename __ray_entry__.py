@@ -3214,6 +3214,71 @@ ORDER BY id_a, id_b
 """
 
 
+VIDEO_DUP_MIN_SHARED = 2
+
+
+def _q_video_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    """Frame-fingerprint video dedup (extras/multimodal.video_dup_pairs):
+    videos sharing >= 2 distinct sampled-frame aHashes; fingerprints join
+    by hash — payloads never shuffle, no all-pairs stage."""
+    from colbert_ray.extras.multimodal import video_dup_pairs
+
+    df = video_dup_pairs(_payloads_ds(sf_dir),
+                         min_shared=VIDEO_DUP_MIN_SHARED).to_pandas()
+    # Ray's to_pandas drops the schema of an all-empty dataset — pin it
+    df = df.reindex(columns=["id_a", "id_b", "n_shared"])
+    for c in df.columns:
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _video_dup_sql() -> str:
+    """Twin: frames fi in {0,4,...,28} ∩ [0, 4 + L%28) (FrameSampler's
+    range(0, n_frames, 4)[:8]); frame byte k = text[(37*fi + k) mod L];
+    the same all-integer aHash rule; DISTINCT per-item hashes; self-join
+    on hash + pair count."""
+    return f"""
+WITH t AS (
+  SELECT doc_id AS item_id,
+         CASE WHEN length(text) <> octet_length(encode(text))
+              THEN error('non-ascii input to video-ahash oracle')
+              ELSE text END AS text
+  FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id
+                   LIMIT {AHASH_N_ITEMS})
+),
+fr AS (
+  SELECT item_id, text, fi
+  FROM t, LATERAL (SELECT unnest(generate_series(
+       0, least(3 + length(text) % 28, 28), 4)) AS fi) fs
+),
+ps AS (
+  SELECT item_id, fi, j,
+         (ord(substr(text, ((37 * fi + 3 * j + 0) % length(text)) + 1, 1))
+        + ord(substr(text, ((37 * fi + 3 * j + 1) % length(text)) + 1, 1))
+        + ord(substr(text, ((37 * fi + 3 * j + 2) % length(text)) + 1, 1))
+         )::BIGINT AS ps
+  FROM fr, LATERAL (SELECT unnest(generate_series(0, 63)) AS j) js
+),
+tot AS (SELECT item_id, fi, sum(ps) AS total FROM ps GROUP BY item_id, fi),
+bits AS (
+  SELECT ps.item_id, ps.fi, ps.j,
+         CASE WHEN 64 * ps.ps >= tot.total THEN 1 ELSE 0 END AS b
+  FROM ps JOIN tot USING (item_id, fi)
+),
+h AS (
+  SELECT DISTINCT item_id,
+         sum(b::HUGEINT * (1::HUGEINT << j)) AS hu
+  FROM bits GROUP BY item_id, fi
+)
+SELECT a.item_id AS id_a, b.item_id AS id_b, count(*)::BIGINT AS n_shared
+FROM h a JOIN h b ON a.hu = b.hu AND a.item_id < b.item_id
+GROUP BY 1, 2
+HAVING count(*) >= {VIDEO_DUP_MIN_SHARED}
+ORDER BY id_a, id_b
+"""
+
+
 def _q_video_frame_sample(sf_dir: str) -> pd.DataFrame:
     """Multimodal frame-sampling plumbing (decode stubbed per brief):
     documents' bytes as opaque 'video' payloads -> one row per sampled
@@ -3741,6 +3806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stubs) plus the media pytest suite
         "media_features": _q_media_features,
         "image_ahash": _q_image_ahash,
+        "video_dup_pairs": _q_video_dup_pairs,
         "ahash_dup_pairs": _q_ahash_dup_pairs,
         "media_dedup": _q_media_dedup,
         "video_frame_sample": _q_video_frame_sample,
@@ -5427,6 +5493,7 @@ GROUP BY n ORDER BY doc_id
         "rplsh_dup_pairs": _rplsh_sql(),
         "mutual_knn_pairs": _mutual_knn_sql(),
         "image_ahash": _image_ahash_sql(),
+        "video_dup_pairs": _video_dup_sql(),
         "ahash_dup_pairs": _ahash_pairs_sql(),
         "embedding_dup_pairs": f"""
 WITH t AS (

@@ -336,3 +336,93 @@ def ahash_dup_pairs(payloads: "ray.data.Dataset",
         "id_b": pa.array(out_b, type=pa.int64()),
         "hamming": pa.array(out_d, type=pa.int64()),
     })
+
+
+class FrameHashSampler(FrameSampler):
+    """Sampled frames -> 64-bit per-frame aHash rows (one row per DISTINCT
+    (item, frame hash) — a video repeating a frame contributes it once).
+    Same all-integer bit rule as AHashExtractor, so the stub decode keeps
+    the fingerprints oracle-checkable."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        pow2 = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        ids = batch.column("item_id").to_numpy(zero_copy_only=False)
+        payloads = batch.column("payload").to_pylist()
+        out_id, out_h = [], []
+        for item, p in zip(ids, payloads):
+            total = self.decoder.n_frames(p)
+            picks = list(range(0, total, self.stride))[: self.max_frames]
+            seen = set()
+            for fi in picks:
+                px = self.decoder.decode_frame(p, fi)
+                ps = px.reshape(64, 3).astype(np.int64).sum(axis=1)
+                bits = (64 * ps >= ps.sum())
+                h = int(pow2[bits].sum(dtype=np.uint64))
+                if h not in seen:
+                    seen.add(h)
+                    out_id.append(int(item))
+                    out_h.append(np.uint64(h).astype(np.int64))
+        return pa.table({
+            "item_id": pa.array(out_id, type=pa.int64()),
+            "fhash": pa.array(np.asarray(out_h, dtype=np.int64)
+                              if out_h else np.empty(0, dtype=np.int64)),
+        })
+
+
+def video_dup_pairs(
+    ds: "ray.data.Dataset", min_shared: int = 4,
+    stride: int = 4, max_frames: int = 8,
+    concurrency: int = 2,
+) -> "ray.data.Dataset":
+    """Frame-fingerprint video dedup: pairs of videos sharing >=
+    ``min_shared`` distinct sampled-frame aHashes — the standard
+    near-dup-video signal (per-frame perceptual hash + hash-join), with
+    NO all-pairs stage: fingerprint rows groupby(fhash), in-group pair
+    expansion (bounded by the hash's duplication count), then ONE
+    (id_a, id_b) count groupby. Videos never re-decode and payloads never
+    shuffle — only 8-byte fingerprints move."""
+    import pandas as pd
+
+    fh = ds.map_batches(
+        FrameHashSampler,
+        fn_constructor_kwargs={"stride": stride, "max_frames": max_frames},
+        batch_format="pyarrow", concurrency=concurrency,
+        zero_copy_batch=True)
+
+    empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                          "id_b": pd.Series(dtype=np.int64)})
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["item_id"].to_numpy(dtype=np.int64))
+        if len(ids) < 2:
+            return empty
+        ai, bi = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bi]})
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if n < min_shared:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64),
+                                 "n_shared": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"id_a": [int(g["id_a"].iloc[0])],
+                             "id_b": [int(g["id_b"].iloc[0])],
+                             "n_shared": [n]})
+
+    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    out_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                            ("n_shared", pa.int64())])
+
+    def stable(schema):
+        # empty map_groups partitions emit zero-column blocks that break
+        # the downstream groupby's key resolution — pin the schema
+        def fix(t: pa.Table) -> pa.Table:
+            return schema.empty_table() if t.num_rows == 0                 else t.cast(schema)
+        return fix
+
+    return (fh.groupby("fhash").map_groups(group_pairs,
+                                           batch_format="pandas")
+            .map_batches(stable(pair_schema), batch_format="pyarrow")
+            .groupby(["id_a", "id_b"]).map_groups(finish,
+                                                  batch_format="pandas")
+            .map_batches(stable(out_schema), batch_format="pyarrow"))

@@ -2974,3 +2974,28 @@ class TestAHash:
         got = set(zip(pairs["id_a"], pairs["id_b"]))
         assert (2, 3) in got and (1, 4) in got     # exact dup at hamming 0
         assert (1, 2) not in got
+
+
+class TestVideoDupPairs:
+    def test_identical_and_disjoint_payloads(self):
+        from colbert_ray.extras.multimodal import (
+            make_payload_table,
+            video_dup_pairs,
+        )
+
+        dup = bytes(range(64, 255)) * 2       # long, non-repetitive
+        other = bytes(reversed(range(10, 200))) * 2
+        t = make_payload_table(
+            np.array([1, 2, 3], dtype=np.int64),
+            [dup, dup, other], media_type="video")
+        out = (video_dup_pairs(ray.data.from_arrow(t).repartition(2),
+                               min_shared=4)
+               .to_pandas())
+        assert list(zip(out["id_a"], out["id_b"])) == [(1, 2)]
+        assert int(out["n_shared"].iloc[0]) >= 4   # identical frames
+        # empty result keeps working (no crash on no-pairs corpora)
+        t2 = make_payload_table(np.array([1, 2], dtype=np.int64),
+                                [dup, other], media_type="video")
+        out2 = video_dup_pairs(ray.data.from_arrow(t2),
+                               min_shared=4).to_pandas()
+        assert len(out2) == 0
