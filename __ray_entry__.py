@@ -3279,6 +3279,68 @@ ORDER BY id_a, id_b
 """
 
 
+def _q_audio_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """31-bit audio energy-trend fingerprints
+    (extras/multimodal.audio_fingerprints): bit w = window w+1 louder than
+    w over 32 equal windows — ALL-integer (window sum-of-squares compare),
+    twin recomputes identical bits from the int16-LE sample view."""
+    from colbert_ray.extras.multimodal import audio_fingerprints
+
+    return (audio_fingerprints(_payloads_ds(sf_dir)).to_pandas()
+            .sort_values("item_id").reset_index(drop=True))
+
+
+def _audio_fp_sql() -> str:
+    W = 32
+    return f"""
+WITH t AS (
+  SELECT doc_id AS item_id,
+         CASE WHEN length(text) <> octet_length(encode(text))
+              THEN error('non-ascii input to audio-fp oracle')
+              ELSE text END AS text
+  FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id
+                   LIMIT {AHASH_N_ITEMS})
+),
+par AS (
+  SELECT item_id, text,
+         (length(text) - length(text) % 2) // 2 AS n,
+         greatest((length(text) - length(text) % 2) // 2, 1) AS n1
+  FROM t
+),
+wl AS (
+  SELECT item_id, text, n, n1,
+         (n1 + ((-n1) % {W} + {W}) % {W}) // {W} AS wlen
+  FROM par
+),
+samp AS (
+  SELECT item_id, wlen, k,
+         -- bound by the TRUE sample count n (n1 only sizes the windows);
+         -- an odd/empty tail pads with zeros exactly like the engine
+         CASE WHEN k < n THEN
+           (CASE WHEN ord(substr(text, 2 * k + 1, 1))
+                      + 256 * ord(substr(text, 2 * k + 2, 1)) >= 32768
+                 THEN ord(substr(text, 2 * k + 1, 1))
+                      + 256 * ord(substr(text, 2 * k + 2, 1)) - 65536
+                 ELSE ord(substr(text, 2 * k + 1, 1))
+                      + 256 * ord(substr(text, 2 * k + 2, 1)) END)
+         ELSE 0 END AS x
+  FROM wl, LATERAL (SELECT unnest(generate_series(0, wlen * {W} - 1)) AS k) ks
+),
+ss AS (
+  SELECT item_id, k // wlen AS w, sum(x * x)::HUGEINT AS ss
+  FROM samp GROUP BY item_id, k // wlen
+),
+bits AS (
+  SELECT a.item_id, a.w - 1 AS wb,
+         CASE WHEN a.ss > b.ss THEN 1 ELSE 0 END AS b
+  FROM ss a JOIN ss b ON b.item_id = a.item_id AND b.w = a.w - 1
+)
+SELECT item_id, sum(b::BIGINT * (1::BIGINT << wb))::BIGINT AS afp
+FROM bits GROUP BY item_id ORDER BY item_id
+"""
+
+
 def _q_video_frame_sample(sf_dir: str) -> pd.DataFrame:
     """Multimodal frame-sampling plumbing (decode stubbed per brief):
     documents' bytes as opaque 'video' payloads -> one row per sampled
@@ -3807,6 +3869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "image_ahash": _q_image_ahash,
         "video_dup_pairs": _q_video_dup_pairs,
+        "audio_fingerprints": _q_audio_fingerprints,
         "ahash_dup_pairs": _q_ahash_dup_pairs,
         "media_dedup": _q_media_dedup,
         "video_frame_sample": _q_video_frame_sample,
@@ -5494,6 +5557,7 @@ GROUP BY n ORDER BY doc_id
         "mutual_knn_pairs": _mutual_knn_sql(),
         "image_ahash": _image_ahash_sql(),
         "video_dup_pairs": _video_dup_sql(),
+        "audio_fingerprints": _audio_fp_sql(),
         "ahash_dup_pairs": _ahash_pairs_sql(),
         "embedding_dup_pairs": f"""
 WITH t AS (

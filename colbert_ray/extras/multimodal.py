@@ -426,3 +426,68 @@ def video_dup_pairs(
             .groupby(["id_a", "id_b"]).map_groups(finish,
                                                   batch_format="pandas")
             .map_batches(stable(out_schema), batch_format="pyarrow"))
+
+
+AUDIO_FP_WINDOWS = 32
+
+
+class AudioFingerprinter:
+    """Actor-pool stage: 31-bit audio fingerprint — the energy-TREND
+    descriptor (bit w = window w+1 louder than window w over
+    ``AUDIO_FP_WINDOWS`` equal windows; the echoprint/chromaprint family's
+    sign-of-difference rule). The comparison is on window SUM OF SQUARES
+    (equal window lengths after zero-pad), so it is ALL-integer and the
+    stub codec keeps it oracle-checkable."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        W = AUDIO_FP_WINDOWS
+        ids = batch.column("item_id").to_numpy(zero_copy_only=False)
+        payloads = batch.column("payload").to_pylist()
+        out = np.empty(len(payloads), dtype=np.int64)
+        for i, p in enumerate(payloads):
+            buf = p[: len(p) - len(p) % 2]
+            x = (np.frombuffer(buf, dtype="<i2").astype(np.int64)
+                 if buf else np.zeros(1, dtype=np.int64))
+            pad = (-len(x)) % W
+            ss = (np.pad(x, (0, pad)) ** 2).reshape(W, -1).sum(axis=1)
+            bits = ss[1:] > ss[:-1]
+            out[i] = int((bits.astype(np.int64)
+                          << np.arange(W - 1, dtype=np.int64)).sum())
+        return pa.table({
+            "item_id": pa.array(ids.astype(np.int64)),
+            "afp": pa.array(out),
+        })
+
+
+def audio_fingerprints(ds: "ray.data.Dataset",
+                       concurrency: int = 2) -> "ray.data.Dataset":
+    """(item_id, afp) 31-bit energy-trend fingerprints."""
+    return ds.map_batches(AudioFingerprinter, batch_format="pyarrow",
+                          concurrency=concurrency, zero_copy_batch=True)
+
+
+def audio_dup_groups(ds: "ray.data.Dataset",
+                     concurrency: int = 2) -> "ray.data.Dataset":
+    """Exact-fingerprint audio dedup: (afp, n_items, rep_id = min item) for
+    fingerprints shared by >= 2 items — ONE groupby over 8-byte rows (the
+    exact-dedup shape; payloads never shuffle)."""
+    import pandas as pd
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"afp": pd.Series(dtype=np.int64),
+                                 "n_items": pd.Series(dtype=np.int64),
+                                 "rep_id": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"afp": [int(g["afp"].iloc[0])],
+                             "n_items": [len(g)],
+                             "rep_id": [int(g["item_id"].min())]})
+
+    schema = pa.schema([("afp", pa.int64()), ("n_items", pa.int64()),
+                        ("rep_id", pa.int64())])
+
+    def stable(t: pa.Table) -> pa.Table:
+        return schema.empty_table() if t.num_rows == 0 else t.cast(schema)
+
+    return (audio_fingerprints(ds, concurrency=concurrency)
+            .groupby("afp").map_groups(fold, batch_format="pandas")
+            .map_batches(stable, batch_format="pyarrow"))

@@ -2999,3 +2999,27 @@ class TestVideoDupPairs:
         out2 = video_dup_pairs(ray.data.from_arrow(t2),
                                min_shared=4).to_pandas()
         assert len(out2) == 0
+
+
+class TestAudioFingerprint:
+    def test_trend_bits_and_dup_groups(self):
+        from colbert_ray.extras.multimodal import (
+            audio_dup_groups,
+            audio_fingerprints,
+            make_payload_table,
+        )
+
+        # ramp up: every window louder than the last -> all 31 bits set
+        up = np.linspace(0, 3000, 32 * 4).astype("<i2").tobytes()
+        down = np.linspace(3000, 0, 32 * 4).astype("<i2").tobytes()
+        t = make_payload_table(np.array([1, 2, 3], dtype=np.int64),
+                               [up, down, up], media_type="audio")
+        ds = ray.data.from_arrow(t)
+        fp = (audio_fingerprints(ds).to_pandas()
+              .sort_values("item_id").reset_index(drop=True))
+        assert fp.loc[0, "afp"] == (1 << 31) - 1
+        assert fp.loc[1, "afp"] == 0
+        assert fp.loc[2, "afp"] == fp.loc[0, "afp"]
+        g = audio_dup_groups(ds).to_pandas()
+        assert len(g) == 1
+        assert (int(g["rep_id"].iloc[0]), int(g["n_items"].iloc[0])) == (1, 2)
