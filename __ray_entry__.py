@@ -711,6 +711,35 @@ ORDER BY t.qid, t.docid
 """
 
 
+SUGGEST_PREFIX = "s"
+SUGGEST_K = 10
+
+
+def _q_suggest_terms(sf_dir: str) -> pd.DataFrame:
+    """Query autocompletion (pipelines/phrase.suggest_terms): top-10
+    dictionary terms for a prefix by (df DESC, term ASC) over the mmap'd
+    dictionary range probe."""
+    from colbert_ray.pipelines.phrase import suggest_terms
+
+    return suggest_terms(_ensure_index(sf_dir), SUGGEST_PREFIX,
+                         k=SUGGEST_K).to_pandas()
+
+
+def _suggest_terms_sql() -> str:
+    return f"""
+WITH d AS (SELECT doc_id, {_toks_expr()} AS toks FROM documents),
+tf AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+  WHERE term LIKE '{SUGGEST_PREFIX}%'
+  GROUP BY term
+)
+SELECT term, df::BIGINT AS df,
+       row_number() OVER (ORDER BY df DESC, term) AS rank
+FROM tf QUALIFY rank <= {SUGGEST_K} ORDER BY rank
+"""
+
+
 def _q_bm25f_top10(sf_dir: str) -> pd.DataFrame:
     """Field-weighted BM25F top-10 (extras/fields.bm25f_rank): per-field
     length-normalized tfs combined with field weights BEFORE saturation,
@@ -3743,6 +3772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25f_top10": _q_bm25f_top10,
         "bm25_explain": _q_bm25_explain,
         "ltr_features": _q_ltr_features,
+        "suggest_terms": _q_suggest_terms,
         "bm25_top10_bmw": _q_bm25_top10_bmw,
         "bm25_top10_pfor": _q_bm25_top10_pfor,
         "bm25_top10_ef": _q_bm25_top10_ef,
@@ -5430,6 +5460,7 @@ ORDER BY bm.qid, d.lang, d.source
         "bm25f_top10": _bm25f_sql(),
         "bm25_explain": _bm25_explain_sql(),
         "ltr_features": _ltr_features_sql(),
+        "suggest_terms": _suggest_terms_sql(),
         "bm25_top10_bmw": _bm25_sql(),       # BMW pruning is exact
         "bm25_top10_pfor": _bm25_sql(),      # codec changes bytes, not content
         "bm25_top10_ef": _bm25_sql(),        # codec changes bytes, not content

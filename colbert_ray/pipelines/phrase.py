@@ -710,3 +710,45 @@ SELECT doc_id, n_match FROM m
 {not_clause}
 ORDER BY doc_id
 """
+
+
+def suggest_terms(index_dir: str, prefix: str, k: int = 10) -> pa.Table:
+    """Query autocompletion: top-k dictionary terms starting with
+    ``prefix``, ranked by (live df DESC, term ASC) — the
+    suggest-as-you-type surface over the SAME mmap'd dictionary (one
+    binary-search range probe; only the matched range pages in). Live df
+    subtracts tombstoned docs per term via the posting slices, so
+    suggestions never surface vocabulary that only deleted docs used."""
+    from colbert_ray.state.decoded import DecodedIndex
+
+    idx = DecodedIndex.load_cached(index_dir, load_sha=False)
+    empty = pa.table({"term": pa.array([], type=pa.string()),
+                      "df": pa.array([], type=pa.int64()),
+                      "rank": pa.array([], type=pa.int64())})
+    if not prefix or not len(idx.dict_terms):
+        return empty
+    lo = np.searchsorted(idx.dict_terms, prefix)
+    hi = np.searchsorted(idx.dict_terms, prefix + "￿")
+    if hi <= lo:
+        return empty
+    terms = idx.dict_terms[lo:hi]
+    tids = idx.dict_term_ids[lo:hi]
+    if len(idx.tombstones):
+        dfs = np.empty(len(tids), dtype=np.int64)
+        for i, t in enumerate(tids):
+            s, e = idx.posting_offsets[t], idx.posting_offsets[t + 1]
+            d = np.asarray(idx.posting_docids[s:e])
+            pos = np.clip(np.searchsorted(idx.tombstones, d), 0,
+                          len(idx.tombstones) - 1)
+            dfs[i] = int((idx.tombstones[pos] != d).sum())
+    else:
+        dfs = (idx.posting_offsets[tids + 1]
+               - idx.posting_offsets[tids]).astype(np.int64)
+    keep = dfs > 0
+    terms, dfs = terms[keep], dfs[keep]
+    order = np.lexsort((terms, -dfs))[:k]
+    return pa.table({
+        "term": pa.array(terms[order], type=pa.string()),
+        "df": pa.array(dfs[order]),
+        "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+    })

@@ -320,3 +320,39 @@ def test_reversed_dict_cache_rebuilds_on_vocab_growth():
     assert list(rev2) == sorted(t[::-1] for t in idx.dict_terms)
     np.testing.assert_array_equal(idx.dict_terms[perm2], [
         t[::-1] for t in rev2])
+
+
+def test_suggest_terms_live_df_and_order(tmp_path):
+    """Autocomplete ranks by live df (tombstones excluded) with term
+    tie-break; empty prefix and no-match prefixes return empty."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from colbert_ray.pipelines.build import build_index
+    from colbert_ray.pipelines.phrase import suggest_terms
+    from colbert_ray.state.updates import IndexUpdater
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["apple apricot", "apple banana", "apple apex"]),
+    })
+    src = str(tmp_path / "d.parquet")
+    pq.write_table(t, src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, EngineConfig(num_term_partitions=2),
+                content_col="text", key_cols=(), meta_cols=(),
+                docid_col="doc_id")
+    out = suggest_terms(idx, "ap", k=10).to_pandas()
+    assert out["term"].tolist() == ["apple", "apex", "apricot"]
+    assert out["df"].tolist() == [3, 1, 1]
+    assert suggest_terms(idx, "", 5).num_rows == 0
+    assert suggest_terms(idx, "zzz", 5).num_rows == 0
+    # tombstone doc 1: apricot's live df drops to 0 and it disappears
+    IndexUpdater(idx).remove_docids([1])
+    import os
+
+    os.utime(os.path.join(idx, "metadata.json"))
+    out2 = suggest_terms(idx, "ap", k=10).to_pandas()
+    assert out2["term"].tolist() == ["apple", "apex"]
+    assert out2["df"].tolist() == [2, 1]
