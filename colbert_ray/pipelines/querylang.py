@@ -485,3 +485,92 @@ FROM cand LEFT JOIN sc ON sc.docid = cand.doc_id
 QUALIFY rank <= {k}
 ORDER BY rank
 """
+
+
+class DSLScorer:
+    """Actor-pool stage for BATCH DSL search: the index opens once per
+    actor (mmap serve artifact), each batch of (qid, query) rows is
+    evaluated per query — boolean set eval is inherently per-query index
+    probing, the same per-row loop shape as the BM25 scorer actors.
+    Index-only atoms (phrase/NEAR need a corpus pass and are rejected,
+    matching the HTTP endpoint's contract)."""
+
+    def __init__(self, index_dir: str, k: int, cfg_dict: dict | None = None):
+        from colbert_ray.state.index import BM25Scorer
+
+        self.index_dir = index_dir
+        self.k = k
+        self.scorer = BM25Scorer(index_dir, k=max(1, k), with_sha=False)
+        self.cfg = (EngineConfig.from_dict(cfg_dict) if cfg_dict
+                    else self.scorer.idx.cfg)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch.column("qid").to_numpy(zero_copy_only=False)
+        queries = batch.column("query").to_pylist()
+        out_q, out_d, out_r, out_s = [], [], [], []
+        for qid, q in zip(qids, queries):
+            ast = parse(q, self.cfg)
+            kinds = set()
+
+            def walk(n):
+                kinds.add(n.kind)
+                for c in n.children or ():
+                    walk(c)
+            walk(ast)
+            if kinds & {"phrase", "near"}:
+                raise QuerySyntaxError(
+                    f"qid={qid}: phrase/NEAR atoms need a corpus pass — "
+                    f"use dsl_search() for those queries")
+            cand = _eval_set(ast, self.index_dir, None, self.scorer.idx,
+                             self.cfg, "text", "doc_id")
+            if len(cand) == 0:
+                continue
+            scores = np.zeros(len(cand), dtype=np.float64)
+            terms = scoring_terms(ast)
+            if terms:
+                tids = self.scorer.idx.lookup_terms(terms)
+                if len(tids):
+                    d, s = self.scorer._all_match_scores(
+                        tids, docid_filter=cand)
+                    scores[np.searchsorted(cand, d)] = s
+            order = np.lexsort((cand, -np.round(scores, 6)))[: self.k]
+            out_q.extend([int(qid)] * len(order))
+            out_d.extend(cand[order].tolist())
+            out_r.extend(range(1, len(order) + 1))
+            out_s.extend(scores[order].tolist())
+        return pa.table({
+            "qid": pa.array(out_q, type=pa.int64()),
+            "docid": pa.array(out_d, type=pa.int64()),
+            "rank": pa.array(out_r, type=pa.int64()),
+            "score": pa.array(out_s, type=pa.float64()),
+        })
+
+
+def dsl_search_table(queries, index_dir: str, k: int = 10,
+                     cfg: EngineConfig | None = None,
+                     concurrency: int = 2,
+                     batch_size: int = 64) -> pa.Table:
+    """Batch DSL search over a (qid, query) table/Dataset via the
+    DSLScorer actor pool — the search_table analog for boolean queries
+    (index-only atoms). Returns (qid, docid, rank, score) sorted by
+    (qid, rank)."""
+    import ray.data as _rd
+
+    ds = _rd.from_arrow(queries) if isinstance(queries, pa.Table) else queries
+    out = ds.map_batches(
+        DSLScorer,
+        fn_constructor_kwargs={"index_dir": index_dir, "k": k,
+                               "cfg_dict": cfg.to_dict() if cfg else None},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, zero_copy_batch=True)
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    if "qid" not in t.column_names:
+        return pa.table({"qid": pa.array([], type=pa.int64()),
+                         "docid": pa.array([], type=pa.int64()),
+                         "rank": pa.array([], type=pa.int64()),
+                         "score": pa.array([], type=pa.float64())})
+    import pyarrow.compute as pc2
+
+    order = pc2.sort_indices(t, sort_keys=[("qid", "ascending"),
+                                           ("rank", "ascending")])
+    return t.take(order)

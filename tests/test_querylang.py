@@ -288,3 +288,36 @@ def test_random_queries_match_naive_evaluator(built):
                 (q, row.docid)
         checked += len(got)
     assert checked > 40      # the generator actually produced matches
+
+
+def test_dsl_search_table_matches_per_query(built):
+    """The actor-pool batch path must equal per-query dsl_search on
+    index-only queries, at multiple concurrencies."""
+    from colbert_ray.pipelines.querylang import dsl_search_table
+
+    idx, corpus = built
+    qs = pa.table({
+        "qid": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "query": pa.array(["alpha AND beta", "epsilon OR zeta",
+                           "alpha AND NOT delta", "p*y OR alphaBeta"]),
+    })
+    want = []
+    for qid, q in zip(qs.column("qid").to_pylist(),
+                      qs.column("query").to_pylist()):
+        t = dsl_search(idx, corpus, q, k=10, cfg=CFG).to_pandas()
+        t.insert(0, "qid", np.int64(qid))
+        want.append(t)
+    import pandas as pd
+
+    want = (pd.concat(want, ignore_index=True)
+            .sort_values(["qid", "rank"]).reset_index(drop=True))
+    for conc in (1, 2):
+        got = (dsl_search_table(qs, idx, k=10, cfg=CFG, concurrency=conc,
+                                batch_size=2).to_pandas()
+               .sort_values(["qid", "rank"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want)
+    # phrase atoms rejected on the batch path
+    bad = pa.table({"qid": pa.array([1], type=pa.int64()),
+                    "query": pa.array(['"alpha beta"'])})
+    with pytest.raises(Exception, match="corpus pass"):
+        dsl_search_table(bad, idx, k=5, cfg=CFG)
