@@ -5,6 +5,7 @@
     python -m colbert_ray.cli eval   --ranking DIR --qrels PATH
     python -m colbert_ray.cli compact --index DIR
     python -m colbert_ray.cli merge  --indexes DIR1,DIR2[,...] --out DIR
+    python -m colbert_ray.cli suggest --index DIR --prefix PRE [--k 10]
     python -m colbert_ray.cli serve  --index DIR [--port 8893]
 
 On a cluster this module is the job driver:
@@ -133,6 +134,12 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("stats", help="index introspection (no Ray session)")
     st.add_argument("--index", required=True)
 
+    sg = sub.add_parser("suggest", help="prefix autocompletion over the "
+                                        "dictionary (no Ray session)")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--prefix", required=True)
+    sg.add_argument("--k", type=int, default=10)
+
     v = sub.add_parser("serve", help="HTTP search endpoint (see colbert_ray.server)")
     v.add_argument("--index", default=None)
     v.add_argument("--fanout", default=None,
@@ -160,6 +167,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "stats":
         # pure filesystem introspection — no Ray session
         print(json.dumps(_index_stats(args.index), indent=1, sort_keys=True))
+        return 0
+    if args.cmd == "suggest":
+        # mmap dictionary probe — no Ray session
+        from colbert_ray.pipelines.phrase import suggest_terms
+
+        for row in suggest_terms(args.index, args.prefix,
+                                 k=args.k).to_pylist():
+            print(f"{row['rank']}\t{row['term']}\t{row['df']}")
         return 0
     started_ray = _ensure_ray()
 

@@ -134,8 +134,30 @@ def make_server(index_dir: str, port: int = 8893, k: int = 10,
 
         def do_GET(self):   # noqa: N802  (stdlib handler naming)
             parsed = urllib.parse.urlparse(self.path)
+            if parsed.path == "/api/suggest":
+                params = urllib.parse.parse_qs(parsed.query)
+                prefix = (params.get("prefix") or [""])[0]
+                try:
+                    kk = int((params.get("k") or [str(k)])[0])
+                except ValueError:
+                    self._reply(400, {"error": "k must be an integer"})
+                    return
+                if not prefix:
+                    self._reply(400, {"error": "missing prefix parameter"})
+                    return
+                from colbert_ray.pipelines.phrase import suggest_terms
+
+                t0 = time.time()
+                t = suggest_terms(index_dir, prefix, k=kk)
+                self._reply(200, {
+                    "prefix": prefix, "k": kk,
+                    "latency_ms": round((time.time() - t0) * 1000, 3),
+                    "suggestions": t.to_pylist(),
+                })
+                return
             if parsed.path != "/api/search":
-                self._reply(404, {"error": "unknown path; use /api/search"})
+                self._reply(404, {"error": "unknown path; use /api/search "
+                                           "or /api/suggest"})
                 return
             params = urllib.parse.parse_qs(parsed.query)
             query = (params.get("query") or [""])[0]

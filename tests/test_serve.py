@@ -779,3 +779,30 @@ def test_http_server_dsl_mode(built):
             assert e.code == 400
     finally:
         httpd.shutdown()
+
+
+def test_http_suggest_endpoint(built):
+    import json as _json
+    import threading
+    import urllib.parse
+    import urllib.request
+
+    from colbert_ray.server import make_server
+
+    _, _, index_dir = built
+    httpd = make_server(index_dir, port=0, k=5, with_sha=False)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        idx = DecodedIndex.load_cached(index_dir, load_sha=False)
+        prefix = str(idx.dict_terms[0])[:2]
+        url = (f"http://127.0.0.1:{port}/api/suggest?"
+               f"prefix={urllib.parse.quote(prefix)}&k=5")
+        with urllib.request.urlopen(url) as r:
+            res = _json.loads(r.read())
+        assert res["suggestions"]
+        assert all(s["term"].startswith(prefix) for s in res["suggestions"])
+        dfs = [s["df"] for s in res["suggestions"]]
+        assert dfs == sorted(dfs, reverse=True) or len(set(dfs)) < len(dfs)
+    finally:
+        httpd.shutdown()
