@@ -255,6 +255,18 @@ def make_fanout(shard_urls: list[str], port: int = 8893, k: int = 10,
             if not query:
                 self._reply(400, {"error": "missing query parameter"})
                 return
+            # dsl/ranker switches must not be silently dropped: forwarding
+            # a DSL string to shards as a plain query would return wrong
+            # results without any error
+            if (params.get("dsl") or ["0"])[0] in ("1", "true"):
+                self._reply(400, {"error": "dsl is not supported on the "
+                                           "fan-out front end (boolean "
+                                           "sets would be shard-local)"})
+                return
+            if (params.get("ranker") or ["bm25"])[0] != "bm25":
+                self._reply(400, {"error": "only ranker=bm25 is supported "
+                                           "on the fan-out front end"})
+                return
             t0 = time.time()
             try:
                 rows = cached_search(query, kk)

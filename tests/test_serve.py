@@ -806,3 +806,39 @@ def test_http_suggest_endpoint(built):
         assert dfs == sorted(dfs, reverse=True) or len(set(dfs)) < len(dfs)
     finally:
         httpd.shutdown()
+
+
+def test_fanout_rejects_unsupported_modes(built):
+    """The fan-out front end must 400 on dsl=1 / ranker=ql instead of
+    silently forwarding them to shards as plain BM25 queries."""
+    import json as _json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from colbert_ray.server import make_fanout, make_server
+
+    _, _, index_dir = built
+    shard = make_server(index_dir, port=0, k=5, with_sha=False)
+    threading.Thread(target=shard.serve_forever, daemon=True).start()
+    front = make_fanout(
+        [f"http://127.0.0.1:{shard.server_address[1]}"], port=0, k=5)
+    threading.Thread(target=front.serve_forever, daemon=True).start()
+    fport = front.server_address[1]
+    try:
+        def get(extra):
+            url = (f"http://127.0.0.1:{fport}/api/search?"
+                   f"query=def+main&k=3{extra}")
+            with urllib.request.urlopen(url, timeout=30) as r:
+                return _json.loads(r.read())
+
+        assert len(get("")["topk"]) > 0            # plain path still works
+        for extra in ("&dsl=1", "&ranker=ql"):
+            try:
+                get(extra)
+                raise AssertionError(f"expected HTTP 400 for {extra}")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+    finally:
+        front.shutdown()
+        shard.shutdown()
