@@ -3370,6 +3370,70 @@ FROM bits GROUP BY item_id ORDER BY item_id
 """
 
 
+def _q_audio_dup_groups(sf_dir: str) -> pd.DataFrame:
+    """Exact-fingerprint audio dedup groups
+    (extras/multimodal.audio_dup_groups): fingerprints shared by >= 2
+    items, with group size and min-id representative — ONE groupby over
+    8-byte rows."""
+    from colbert_ray.extras.multimodal import audio_dup_groups
+
+    df = audio_dup_groups(_payloads_ds(sf_dir)).to_pandas()
+    df = df.reindex(columns=["afp", "n_items", "rep_id"])
+    for c in df.columns:
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values("afp").reset_index(drop=True)
+
+
+def _audio_dup_groups_sql() -> str:
+    return f"""
+WITH fp AS ({_audio_fp_sql()})
+SELECT afp, count(*)::BIGINT AS n_items, min(item_id) AS rep_id
+FROM fp GROUP BY afp HAVING count(*) >= 2 ORDER BY afp
+"""
+
+
+def _q_video_dup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Connected components over the video near-dup pair graph
+    (extras/graph.connected_components over video_dup_pairs): one row per
+    clustered video with its min-id cluster representative."""
+    import pyarrow as pa
+
+    from colbert_ray.extras.multimodal import video_dup_pairs
+
+    pairs = video_dup_pairs(_payloads_ds(sf_dir),
+                            min_shared=VIDEO_DUP_MIN_SHARED).to_pandas()
+    pairs = pairs.reindex(columns=["id_a", "id_b", "n_shared"])
+    if pairs.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                             "cluster_id": pd.Series(dtype=np.int64)})
+    import ray.data
+
+    edges = ray.data.from_arrow(pa.table({
+        "id_a": pa.array(pairs["id_a"].to_numpy(dtype=np.int64)),
+        "id_b": pa.array(pairs["id_b"].to_numpy(dtype=np.int64)),
+    }))
+    cc = x_dedup.connected_components(edges, node_col="doc_id",
+                                      cluster_col="cluster_id")
+    out = cc.to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _video_dup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE p AS ({_video_dup_sql()}),
+e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+reach(n, m) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT e.u, r.m FROM e JOIN reach r ON e.v = r.n
+)
+SELECT n AS doc_id, min(m) AS cluster_id FROM reach
+GROUP BY n ORDER BY doc_id
+"""
+
+
 def _q_video_frame_sample(sf_dir: str) -> pd.DataFrame:
     """Multimodal frame-sampling plumbing (decode stubbed per brief):
     documents' bytes as opaque 'video' payloads -> one row per sampled
@@ -3900,6 +3964,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_ahash": _q_image_ahash,
         "video_dup_pairs": _q_video_dup_pairs,
         "audio_fingerprints": _q_audio_fingerprints,
+        "audio_dup_groups": _q_audio_dup_groups,
+        "video_dup_clusters": _q_video_dup_clusters,
         "ahash_dup_pairs": _q_ahash_dup_pairs,
         "media_dedup": _q_media_dedup,
         "video_frame_sample": _q_video_frame_sample,
@@ -5589,6 +5655,8 @@ GROUP BY n ORDER BY doc_id
         "image_ahash": _image_ahash_sql(),
         "video_dup_pairs": _video_dup_sql(),
         "audio_fingerprints": _audio_fp_sql(),
+        "audio_dup_groups": _audio_dup_groups_sql(),
+        "video_dup_clusters": _video_dup_clusters_sql(),
         "ahash_dup_pairs": _ahash_pairs_sql(),
         "embedding_dup_pairs": f"""
 WITH t AS (
