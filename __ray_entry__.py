@@ -3735,6 +3735,68 @@ ORDER BY lt.lang
 """
 
 
+CUR2_MIN_ENTROPY = 2.8
+CUR2_MAX_OOV = 0.16
+CUR2_MAX_NLL = 3.39
+
+
+def _q_curation_v2_stats(sf_dir: str) -> pd.DataFrame:
+    """Composite quality gate over the round-4 signals: keep docs with
+    char entropy >= 2.8 AND oov_frac <= 0.16 (top-25 vocab) AND
+    bigram_nll <= 3.39 — one summary row with per-reason reject counts
+    (non-exclusive) and the kept docs' mean bigram NLL. The three per-doc
+    signal streams (each its own broadcast-model map) meet in a driver
+    merge over doc_id — at corpus scale the same signals fuse into one
+    map pass (the extras/curate composite pattern)."""
+    ent = _q_char_entropy(sf_dir)[["doc_id", "entropy"]]
+    oov = _q_oov_rate(sf_dir)[["doc_id", "oov_frac"]]
+    nll = _q_bigram_nll(sf_dir)[["doc_id", "bigram_nll"]]
+    df = ent.merge(oov, on="doc_id").merge(nll, on="doc_id", how="left")
+    # docs with < 2 tokens have no bigram NLL: treat as rejected by NLL
+    bad_ent = df["entropy"] < CUR2_MIN_ENTROPY
+    bad_oov = df["oov_frac"] > CUR2_MAX_OOV
+    bad_nll = df["bigram_nll"].isna() | (df["bigram_nll"] > CUR2_MAX_NLL)
+    keep = ~(bad_ent | bad_oov | bad_nll)
+    return pd.DataFrame({
+        "n_total": [np.int64(len(ent))],
+        "n_kept": [np.int64(int(keep.sum()))],
+        "n_low_entropy": [np.int64(int(bad_ent.sum()))],
+        "n_high_oov": [np.int64(int(bad_oov.sum()))],
+        "n_high_nll": [np.int64(int(bad_nll.sum()))],
+        "kept_nll_mean": [round(float(df.loc[keep, "bigram_nll"].mean()), 6)
+                          if keep.any() else 0.0],
+    })
+
+
+def _curation_v2_sql() -> str:
+    return f"""
+WITH e AS ({_char_entropy_sql()}),
+o AS ({_oov_rate_sql()}),
+b AS ({_bigram_nll_sql()}),
+j AS (
+  SELECT e.doc_id, e.entropy, o.oov_frac, b.bigram_nll
+  FROM e JOIN o USING (doc_id) LEFT JOIN b USING (doc_id)
+),
+f AS (
+  SELECT *,
+         (entropy < {CUR2_MIN_ENTROPY}) AS bad_ent,
+         (oov_frac > {CUR2_MAX_OOV}) AS bad_oov,
+         (bigram_nll IS NULL OR bigram_nll > {CUR2_MAX_NLL}) AS bad_nll
+  FROM j
+)
+SELECT count(*)::BIGINT AS n_total,
+       (count(*) FILTER (WHERE NOT (bad_ent OR bad_oov OR bad_nll)))::BIGINT
+         AS n_kept,
+       (count(*) FILTER (WHERE bad_ent))::BIGINT AS n_low_entropy,
+       (count(*) FILTER (WHERE bad_oov))::BIGINT AS n_high_oov,
+       (count(*) FILTER (WHERE bad_nll))::BIGINT AS n_high_nll,
+       round(coalesce(avg(bigram_nll) FILTER (
+         WHERE NOT (bad_ent OR bad_oov OR bad_nll)), 0.0), 6)
+         AS kept_nll_mean
+FROM f
+"""
+
+
 def _q_char_entropy(sf_dir: str) -> pd.DataFrame:
     """Per-doc Shannon character entropy (extras/textstats.char_entropy) —
     the low-entropy junk filter; one bincount per batch, no per-row loop."""
@@ -3948,6 +4010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_kl": _q_lang_kl,
         "quality_percentiles": _q_quality_percentiles,
         "lang_mixture_weights": _q_lang_mixture_weights,
+        "curation_v2_stats": _q_curation_v2_stats,
         "corr_qty_price": _q_corr_qty_price,
         "fuzzy_term_pairs": _q_fuzzy_term_pairs,
         "ohlc_hourly": _q_ohlc_hourly,
@@ -5570,6 +5633,7 @@ ORDER BY doc_id
         "lang_kl": _lang_kl_sql(),
         "quality_percentiles": _quality_percentiles_sql(),
         "lang_mixture_weights": _lang_mixture_sql(),
+        "curation_v2_stats": _curation_v2_sql(),
         "exact_dedup": """
 SELECT min(doc_id) AS doc_id, count(*) AS dup_count
 FROM documents GROUP BY text ORDER BY doc_id
