@@ -141,3 +141,39 @@ def test_remerge_with_different_sublist_drops_stale_runs(tmp_path):
     # reordering is also safe (no doubled docs)
     r3 = merge_indexes([ic, ia], out, cfg)
     assert r3["metadata"]["n_docs"] == 7
+
+
+def test_merge_interrupted_segment_resumes_partition_only(merged_setup):
+    """north_rule resumability through merge: killing one posting segment
+    (+ the phase manifests that gate it) must rebuild ONLY that partition
+    on re-merge, and the merged rankings stay byte-identical."""
+    _, ia, ib, _, merged, queries_path = merged_setup
+    q = pq.read_table(queries_path).slice(0, 8)
+    before = (search_table(q, merged, k=10).to_pandas()
+              .sort_values(["qid", "rank"]).reset_index(drop=True))
+
+    seg_dir = os.path.join(merged, "segments")
+    victims = sorted(glob.glob(os.path.join(seg_dir, "part_*.parquet")))
+    victim = victims[1]
+    os.remove(victim)
+    os.remove(os.path.join(
+        seg_dir, f"_manifest_{os.path.basename(victim).split('.')[0]}.json"))
+    for m in ("_manifest_segments.json", "_manifest_finalize.json",
+              "_manifest_serve.json"):
+        os.remove(os.path.join(merged, m))
+    survivor_mtimes = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(seg_dir, "part_*.parquet"))}
+
+    rep = merge_indexes([ia, ib], merged, CFG)
+    assert "segments" in rep["phases"]           # the phase re-ran
+    assert "tokenize" not in rep["phases"]       # adoption untouched
+    assert "dictionary" not in rep["phases"]
+    # untouched partitions were NOT rewritten
+    for f, mt in survivor_mtimes.items():
+        assert os.path.getmtime(f) == mt, f
+    assert os.path.exists(victim)                # the victim came back
+    os.utime(os.path.join(merged, "metadata.json"))
+    after = (search_table(q, merged, k=10).to_pandas()
+             .sort_values(["qid", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(before, after)
