@@ -712,16 +712,16 @@ ORDER BY doc_id
 """
 
 
-def suggest_terms(index_dir: str, prefix: str, k: int = 10) -> pa.Table:
+def suggest_terms_idx(idx, prefix: str, k: int = 10) -> pa.Table:
     """Query autocompletion: top-k dictionary terms starting with
     ``prefix``, ranked by (live df DESC, term ASC) — the
     suggest-as-you-type surface over the SAME mmap'd dictionary (one
     binary-search range probe; only the matched range pages in). Live df
     subtracts tombstoned docs per term via the posting slices, so
-    suggestions never surface vocabulary that only deleted docs used."""
-    from colbert_ray.state.decoded import DecodedIndex
-
-    idx = DecodedIndex.load_cached(index_dir, load_sha=False)
+    suggestions never surface vocabulary that only deleted docs used.
+    Operates on an already-loaded (possibly docid-range-restricted)
+    DecodedIndex — a shard's dfs count ITS postings, so shard suggestions
+    SUM to the exact global df in a fan-out merge."""
     empty = pa.table({"term": pa.array([], type=pa.string()),
                       "df": pa.array([], type=pa.int64()),
                       "rank": pa.array([], type=pa.int64())})
@@ -752,3 +752,11 @@ def suggest_terms(index_dir: str, prefix: str, k: int = 10) -> pa.Table:
         "df": pa.array(dfs[order]),
         "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
     })
+
+
+def suggest_terms(index_dir: str, prefix: str, k: int = 10) -> pa.Table:
+    """Autocompletion over an index DIRECTORY (full, unsharded view)."""
+    from colbert_ray.state.decoded import DecodedIndex
+
+    return suggest_terms_idx(
+        DecodedIndex.load_cached(index_dir, load_sha=False), prefix, k=k)

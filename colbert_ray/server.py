@@ -145,10 +145,15 @@ def make_server(index_dir: str, port: int = 8893, k: int = 10,
                 if not prefix:
                     self._reply(400, {"error": "missing prefix parameter"})
                     return
-                from colbert_ray.pipelines.phrase import suggest_terms
+                from colbert_ray.pipelines.phrase import (
+                    suggest_terms_idx,
+                )
 
                 t0 = time.time()
-                t = suggest_terms(index_dir, prefix, k=kk)
+                # the scorer's idx honors this server's docid_range, so a
+                # SHARD's suggestions carry shard-local dfs (they sum to
+                # the global df in the fan-out merge)
+                t = suggest_terms_idx(get_scorer("bm25").idx, prefix, k=kk)
                 self._reply(200, {
                     "prefix": prefix, "k": kk,
                     "latency_ms": round((time.time() - t0) * 1000, 3),
@@ -216,6 +221,29 @@ def make_fanout(shard_urls: list[str], port: int = 8893, k: int = 10,
         with urllib.request.urlopen(url, timeout=timeout_s) as r:
             return json.loads(r.read())["topk"]
 
+    def _ask_suggest(base: str, prefix: str) -> list[dict]:
+        # ask each shard UNCAPPED-ish (shards cap at their k; pass a large
+        # k so the global merge sees every matching term's partial df)
+        url = (f"{base}/api/suggest?"
+               f"prefix={urllib.parse.quote(prefix)}&k=1000000")
+        with urllib.request.urlopen(url, timeout=timeout_s) as r:
+            return json.loads(r.read())["suggestions"]
+
+    @functools.lru_cache(maxsize=cache_size)
+    def cached_suggest(prefix: str, kk: int):
+        # a docid-range shard's df counts ITS postings, so per-shard dfs
+        # SUM to the exact global df — merge is an exact distributed
+        # aggregation, then the same (df DESC, term ASC) cut
+        parts = list(pool.map(lambda b: _ask_suggest(b, prefix),
+                              shard_urls))
+        total: dict = {}
+        for p in parts:
+            for row in p:
+                total[row["term"]] = total.get(row["term"], 0) + row["df"]
+        rows = sorted(total.items(), key=lambda kv: (-kv[1], kv[0]))[:kk]
+        return [{"term": t, "df": df, "rank": i + 1}
+                for i, (t, df) in enumerate(rows)]
+
     @functools.lru_cache(maxsize=cache_size)
     def cached_search(query: str, kk: int):
         # global top-k is a subset of the union of per-shard top-k, so each
@@ -242,8 +270,34 @@ def make_fanout(shard_urls: list[str], port: int = 8893, k: int = 10,
 
         def do_GET(self):   # noqa: N802
             parsed = urllib.parse.urlparse(self.path)
+            if parsed.path == "/api/suggest":
+                params = urllib.parse.parse_qs(parsed.query)
+                prefix = (params.get("prefix") or [""])[0]
+                try:
+                    kk = int((params.get("k") or [str(k)])[0])
+                except ValueError:
+                    self._reply(400, {"error": "k must be an integer"})
+                    return
+                if not prefix:
+                    self._reply(400, {"error": "missing prefix parameter"})
+                    return
+                t0 = time.time()
+                try:
+                    rows = cached_suggest(prefix, kk)
+                except Exception as e:
+                    self._reply(502,
+                                {"error": f"shard fan-out failed: {e}"})
+                    return
+                self._reply(200, {
+                    "prefix": prefix, "k": kk,
+                    "n_shards": len(shard_urls),
+                    "latency_ms": round((time.time() - t0) * 1000, 3),
+                    "suggestions": rows,
+                })
+                return
             if parsed.path != "/api/search":
-                self._reply(404, {"error": "unknown path; use /api/search"})
+                self._reply(404, {"error": "unknown path; use /api/search "
+                                           "or /api/suggest"})
                 return
             params = urllib.parse.parse_qs(parsed.query)
             query = (params.get("query") or [""])[0]

@@ -842,3 +842,42 @@ def test_fanout_rejects_unsupported_modes(built):
     finally:
         front.shutdown()
         shard.shutdown()
+
+
+def test_fanout_suggest_exact_global_df(built):
+    """Fan-out /api/suggest: per-shard dfs (docid-range postings) SUM to
+    the exact global df, so the merged suggestions equal the unsharded
+    suggest_terms output."""
+    import json as _json
+    import threading
+    import urllib.parse
+    import urllib.request
+
+    from colbert_ray.pipelines.phrase import suggest_terms
+    from colbert_ray.server import make_fanout, make_server
+
+    _, _, index_dir = built
+    idx = DecodedIndex.load_cached(index_dir, load_sha=False)
+    n = len(idx.doclens)
+    prefix = str(idx.dict_terms[0])[:1]
+    servers = []
+    try:
+        for rng_ in ((0, n // 2), (n // 2, 2 ** 62)):
+            h = make_server(index_dir, port=0, k=5, with_sha=False,
+                            docid_range=rng_)
+            threading.Thread(target=h.serve_forever, daemon=True).start()
+            servers.append(h)
+        front = make_fanout(
+            [f"http://127.0.0.1:{h.server_address[1]}" for h in servers],
+            port=0, k=5)
+        threading.Thread(target=front.serve_forever, daemon=True).start()
+        servers.append(front)
+        url = (f"http://127.0.0.1:{front.server_address[1]}/api/suggest?"
+               f"prefix={urllib.parse.quote(prefix)}&k=7")
+        with urllib.request.urlopen(url, timeout=30) as r:
+            got = _json.loads(r.read())["suggestions"]
+        want = suggest_terms(index_dir, prefix, k=7).to_pylist()
+        assert got == want
+    finally:
+        for h in servers:
+            h.shutdown()
