@@ -944,6 +944,29 @@ def _dsl_search_sql() -> str:
     return "\nUNION ALL\n".join(parts) + "\nORDER BY dsl_id, rank"
 
 
+def _q_percolate_matches(sf_dir: str) -> pd.DataFrame:
+    """Percolator / reverse search (pipelines/percolate): the DSL_QUERIES
+    set is STORED (parsed once per actor, required-term prefilter), the
+    documents table STREAMS through one embarrassingly parallel
+    map_batches pass — every (query_id, doc_id) boolean match, no index,
+    no shuffle. Twin: sql_predicate per stored query over the shared
+    tokenize CTE, UNION ALL."""
+    from colbert_ray.pipelines.percolate import percolate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    out = percolate(docs, DSL_QUERIES, CFG,
+                    fields=("lang", "source")).to_pandas()
+    return (out.sort_values(["query_id", "doc_id"])
+               .reset_index(drop=True))
+
+
+def _percolate_sql() -> str:
+    from colbert_ray.pipelines.percolate import sql_percolate
+
+    return sql_percolate("documents", DSL_QUERIES, CFG,
+                         fields=("lang", "source"))
+
+
 def _q_bm25_top10_sharded(sf_dir: str) -> pd.DataFrame:
     """Same ranking as bm25_top10 but served through docid-range-sharded
     actor pools + cross-shard merge (multi-node serving topology) — must be
@@ -3903,6 +3926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_top10_pfor": _q_bm25_top10_pfor,
         "bm25_top10_ef": _q_bm25_top10_ef,
         "dsl_search_top10": _q_dsl_search,
+        "percolate_matches": _q_percolate_matches,
         "bm25_top10_sharded": _q_bm25_top10_sharded,
         "passage_bm25_top5": _q_passage_bm25_top5,
         "phrase_search_top10": _q_phrase_search,
@@ -5594,6 +5618,7 @@ ORDER BY bm.qid, d.lang, d.source
         "bm25_top10_pfor": _bm25_sql(),      # codec changes bytes, not content
         "bm25_top10_ef": _bm25_sql(),        # codec changes bytes, not content
         "dsl_search_top10": _dsl_search_sql(),
+        "percolate_matches": _percolate_sql(),
         "bm25_top10_sharded": _bm25_sql(),   # sharding must not change results
         "passage_bm25_top5": _passage_bm25_sql(),
         "phrase_search_top10": x_phrase.sql_phrase_search(
