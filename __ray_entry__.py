@@ -907,6 +907,8 @@ DSL_QUERIES = [
     (10, 'lang:zh OR (source:src7 AND NOT slow)'),
     (11, 'window AND doclen>=40 AND doclen<70'),
     (12, '"key scan"~4 AND lang:en'),
+    (13, 'tabl~1 AND window'),
+    (14, 'windwo~ AND NOT key'),
 ]
 
 

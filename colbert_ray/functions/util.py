@@ -62,3 +62,50 @@ def broadcast_semi_join(ds: "object", ids, id_col: str) -> "object":
         return b.filter(pa.array(np.isin(d, allowed)))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def levenshtein_leq_mask(cands, q: str, d: int) -> np.ndarray:
+    """Vectorized edit-distance filter: bool mask over ``cands`` (a
+    sequence/array of strings) marking terms with Levenshtein(c, q) <= d.
+
+    One dynamic-programming sweep vectorized over ALL candidates at once
+    (dp shape (N, Lmax+1); the two short loops run over the QUERY and
+    candidate CHARACTER positions, never over candidates), after a cheap
+    length-band prefilter |len(c) - len(q)| <= d. Cost O(|q| * Lmax)
+    vector ops of width N — the fuzzy-atom expansion path is dictionary-
+    bounded (vocab, not corpus), the same budget class as the wildcard
+    dictionary scans in pipelines/phrase.py.
+    """
+    cands = np.asarray(cands, dtype=object)
+    n = len(cands)
+    out = np.zeros(n, dtype=bool)
+    if n == 0:
+        return out
+    lens = np.fromiter((len(c) for c in cands), count=n, dtype=np.int64)
+    m = len(q)
+    band = np.abs(lens - m) <= d
+    idx = np.flatnonzero(band)
+    if len(idx) == 0:
+        return out
+    sub = cands[idx]
+    sl = lens[idx]
+    lmax = int(sl.max())
+    # padded codepoint matrix (pad 0 never equals a real char)
+    mat = np.zeros((len(sub), lmax), dtype=np.uint32)
+    for i, c in enumerate(sub):
+        mat[i, : len(c)] = np.frombuffer(c.encode("utf-32-le"),
+                                         dtype=np.uint32)
+    qv = np.frombuffer(q.encode("utf-32-le"), dtype=np.uint32)
+    dp = np.broadcast_to(np.arange(lmax + 1, dtype=np.int64),
+                         (len(sub), lmax + 1)).copy()
+    for i in range(1, m + 1):
+        ndp = np.empty_like(dp)
+        ndp[:, 0] = i
+        neq = (mat != qv[i - 1]).astype(np.int64)
+        for j in range(1, lmax + 1):
+            ndp[:, j] = np.minimum(
+                np.minimum(dp[:, j] + 1, ndp[:, j - 1] + 1),
+                dp[:, j - 1] + neq[:, j - 1])
+        dp = ndp
+    out[idx] = dp[np.arange(len(sub)), sl] <= d
+    return out

@@ -51,7 +51,7 @@ def required_terms(n: Node) -> frozenset[str]:
 
     term/phrase/NEAR atoms require their tokens; AND requires the union of
     its positive children; OR requires only what EVERY branch requires;
-    NOT / wildcard / field / range atoms can require nothing.
+    NOT / wildcard / fuzzy / field / range atoms can require nothing.
     """
     if n.kind in ("term", "phrase", "near"):
         return frozenset(n.terms)
@@ -144,6 +144,20 @@ class _BatchEval:
                     break
         return out
 
+    def _fuzzy_mask(self, term: str, d: int) -> np.ndarray:
+        from colbert_ray.functions.util import levenshtein_leq_mask
+
+        vocab = sorted(self.vocab)
+        hit = levenshtein_leq_mask(vocab, term, d)
+        matched = [v for v, h in zip(vocab, hit) if h]
+        if not matched:
+            return np.zeros(self.n, dtype=bool)
+        isin = pc.fill_null(
+            pc.is_in(self.flat, value_set=pa.array(matched)), False)
+        isin = np.asarray(isin.to_numpy(zero_copy_only=False), dtype=bool)
+        return np.bincount(self.parents[isin],
+                           minlength=self.n).astype(bool)
+
     def _wild_mask(self, form: str, a: str, b: str) -> np.ndarray:
         if form == "prefix":
             hit = pc.starts_with(self.flat, a)
@@ -196,6 +210,8 @@ class _BatchEval:
             return self._near_mask(n.terms, int(n.wild[1]))
         if n.kind == "wild":
             return self._wild_mask(*n.wild)
+        if n.kind == "fuzzy":
+            return self._fuzzy_mask(n.terms[0], int(n.wild[1]))
         if n.kind == "field":
             return self._field_mask(n.terms[0], n.terms[1])
         if n.kind == "range":

@@ -760,3 +760,42 @@ def suggest_terms(index_dir: str, prefix: str, k: int = 10) -> pa.Table:
 
     return suggest_terms_idx(
         DecodedIndex.load_cached(index_dir, load_sha=False), prefix, k=k)
+
+
+def fuzzy_search(index_dir: str, term: str, max_edits: int = 2) -> pa.Table:
+    """Fuzzy-term expansion over the BUILT index (Lucene FuzzyQuery
+    analog, the DSL's ``word~d`` atom): dictionary terms within
+    Levenshtein distance <= ``max_edits`` of ``term`` (one vectorized DP
+    sweep over the length-banded vocab slice —
+    functions/util.levenshtein_leq_mask; vocab-bounded, the same budget
+    class as the wildcard dictionary scans), then the shared per-doc
+    posting rollup. Returns (doc_id, n_terms, sum_tf) ordered by doc_id,
+    tombstone-aware."""
+    from colbert_ray.functions.util import levenshtein_leq_mask
+    from colbert_ray.state.decoded import DecodedIndex
+
+    idx = DecodedIndex.load_cached(index_dir, load_sha=False)
+    if not term or not len(idx.dict_terms):
+        return _rollup_term_ids(idx, np.empty(0, dtype=np.int64))
+    hit = levenshtein_leq_mask(idx.dict_terms, term, max_edits)
+    return _rollup_term_ids(idx, idx.dict_term_ids[np.flatnonzero(hit)])
+
+
+def sql_fuzzy_search(table: str, term: str, max_edits: int = 2,
+                     cfg: EngineConfig | None = None, *,
+                     text_col: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB twin of ``fuzzy_search`` — per-doc rollup over terms with
+    levenshtein(term, q) <= d."""
+    cfg = cfg or EngineConfig()
+    return f"""
+WITH d AS (
+  SELECT {id_col} AS doc_id, {sql_tokenize_expr(text_col, cfg)} AS toks
+  FROM {table}
+),
+t AS (SELECT doc_id, unnest(toks) AS term FROM d),
+m AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t
+      WHERE levenshtein(term, '{term}') <= {int(max_edits)}
+      GROUP BY doc_id, term)
+SELECT doc_id, count(*)::BIGINT AS n_terms, sum(tf)::BIGINT AS sum_tf
+FROM m GROUP BY doc_id ORDER BY doc_id
+"""

@@ -11,11 +11,14 @@ Grammar (explicit, small):
     unary    := NOT unary | atom
     atom     := '(' expr ')' | '"' words '"' ['~' slop]
               | field ':' value | field (>|>=|<|<=) int | word[* forms]
+              | word '~' [0|1|2]            # fuzzy (Lucene FuzzyQuery)
 
 Word atoms go through the corpus tokenizer (camelCase splitting etc.; a
 multi-token word is an implicit AND of its tokens). Wildcard forms:
-``pre*``, ``*suf``, ``pre*suf``, ``*inf*``. Field (``lang:fr``) and
-numeric range (``doclen>=40``) atoms filter on the index's docmeta
+``pre*``, ``*suf``, ``pre*suf``, ``*inf*``. ``word~d`` is a fuzzy atom
+(dictionary terms within Levenshtein distance d, d in 0..2, bare ``~``
+= 2 as in Lucene; constant-score like wildcards). Field (``lang:fr``)
+and numeric range (``doclen>=40``) atoms filter on the index's docmeta
 columns; ``"a b"~N`` is a sloppy phrase (min distinct-word window
 <= words + N). ``AND``/``OR``/``NOT`` are uppercase keywords; lowercase
 they are ordinary terms.
@@ -173,6 +176,26 @@ def parse(q: str, cfg: EngineConfig | None = None) -> Node:
                 and "*" not in t:
             field, val = t.split(":", 1)
             return Node("field", terms=[field, val])
+        if "~" in t and not t.startswith("~") and "*" not in t:
+            base, _, dd = t.rpartition("~")
+            if dd == "":
+                d = 2                      # bare ``word~`` = Lucene default
+            else:
+                try:
+                    d = int(dd)
+                except ValueError:
+                    raise QuerySyntaxError(f"bad fuzzy distance: {t!r}")
+            if not 0 <= d <= 2:
+                raise QuerySyntaxError(
+                    f"fuzzy distance must be 0..2, got {d} in {t!r}")
+            words = tokenize_query(base, cfg)[0]
+            if len(words) != 1:
+                raise QuerySyntaxError(
+                    f"fuzzy atom needs a single token, {base!r} "
+                    f"tokenizes to {words}")
+            if d == 0:                     # ~0 = exact term
+                return Node("term", terms=words)
+            return Node("fuzzy", terms=words, wild=("fuzzy", str(d), ""))
         if "*" in t:
             parts = t.split("*")
             if t.count("*") == 1:
@@ -217,7 +240,7 @@ def scoring_terms(n: Node) -> list[str]:
         return []
     if n.kind in ("term", "phrase", "near"):
         return sorted(set(n.terms))
-    if n.kind in ("wild", "field", "range"):
+    if n.kind in ("wild", "fuzzy", "field", "range"):
         return []                      # constant-score rewrite
     out: list[str] = []
     for c in n.children or ():
@@ -261,6 +284,12 @@ def _eval_set(n: Node, index_dir: str, corpus, idx, cfg,
              "suffix": lambda: suffix_search(index_dir, b),
              "both": lambda: wildcard_search(index_dir, a, b),
              "infix": lambda: infix_search(index_dir, a)}[form]()
+        return t.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+    if n.kind == "fuzzy":
+        from colbert_ray.pipelines.phrase import fuzzy_search
+
+        t = fuzzy_search(index_dir, n.terms[0], int(n.wild[1]))
         return t.column("doc_id").to_numpy(zero_copy_only=False) \
             .astype(np.int64)
     if n.kind in ("field", "range"):
@@ -408,6 +437,9 @@ def sql_predicate(n: Node, toks: str = "toks") -> str:
                 "both": f"'{a}%{b}'", "infix": f"'%{a}%'"}[form]
         guard = (f" AND len(t) >= {len(a) + len(b)}" if form == "both" else "")
         return (f"(len(list_filter({toks}, t -> t LIKE {like}{guard})) > 0)")
+    if n.kind == "fuzzy":
+        return (f"(len(list_filter({toks}, t -> "
+                f"levenshtein(t, '{n.terms[0]}') <= {int(n.wild[1])})) > 0)")
     if n.kind == "field":
         field, val = n.terms
         return f"({field} = '{val}')"

@@ -114,3 +114,16 @@ def test_empty_and_no_match():
     out = p(DOCS)
     assert out.num_rows == 0
     assert out.schema.names == ["query_id", "doc_id"]
+
+
+def test_fuzzy_atom_percolates():
+    """word~d over the batch vocabulary mirrors the levenshtein() twin."""
+    qs = [(1, "alpah~2"), (2, "gamm~1 AND NOT zeta"), (3, "solo~1")]
+    p = Percolator(qs, CFG.to_dict())
+    eng = (p(DOCS).to_pandas().sort_values(["query_id", "doc_id"])
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", DOCS)
+    ora = con.execute(sql_percolate("documents", qs, CFG)).df()
+    pd.testing.assert_frame_equal(eng, ora)
+    assert 1 in set(eng["query_id"])      # alpah~2 reaches 'alpha'

@@ -321,3 +321,27 @@ def test_dsl_search_table_matches_per_query(built):
                     "query": pa.array(['"alpha beta"'])})
     with pytest.raises(Exception, match="corpus pass"):
         dsl_search_table(bad, idx, k=5, cfg=CFG)
+
+
+def test_fuzzy_atoms(built):
+    idx, corpus = built
+    # alpha~1 expands to dictionary terms within ED 1 of 'alpha'
+    assert sorted(_docids(idx, corpus, 'alpha~1')) == [1, 2, 4, 5]
+    # gamm~1 -> gamma (docs 1, 3); zet~1 -> zeta (doc 4 only)
+    assert sorted(_docids(idx, corpus, 'gamm~1')) == [1, 3]
+    assert sorted(_docids(idx, corpus, 'zet~1')) == [4]
+    # bare ~ = distance 2 (Lucene default): 'alhpa~' still finds alpha docs
+    assert set(_docids(idx, corpus, 'alhpa~')) >= {1, 2, 5}
+    # ~0 is exactly the term atom
+    assert _docids(idx, corpus, 'alpha~0') == _docids(idx, corpus, 'alpha')
+    # fuzzy atoms are constant-score (no literal scoring terms)
+    t = dsl_search(idx, corpus, 'zet~1', k=10, cfg=CFG)
+    assert t.column("score").to_pylist() == [0.0]
+    assert scoring_terms(parse('zet~1 AND beta', CFG)) == ["beta"]
+
+
+def test_fuzzy_parse_errors():
+    # (a leading '~' is not a fuzzy atom: '~1' tokenizes as the term '1')
+    for bad in ('alpha~3', 'alpha~x', 'alphaBeta~1'):
+        with pytest.raises(QuerySyntaxError):
+            parse(bad, CFG)
