@@ -946,6 +946,37 @@ def _dsl_search_sql() -> str:
     return "\nUNION ALL\n".join(parts) + "\nORDER BY dsl_id, rank"
 
 
+SYN_MAP = {
+    "join": ["merge"],
+    "stream": ["batch", "data"],
+    "scan": ["filter"],
+    "zzznotaterm": ["value"],      # OOV primary rescued by its synonym
+}
+
+
+def _q_synonym_bm25_top10(sf_dir: str) -> pd.DataFrame:
+    """Query-time synonym expansion (pipelines/synonyms — Lucene
+    SynonymQuery analog): each query token + its SYN_MAP synonyms score
+    as ONE term with blended stats (df = max over members, tf = summed,
+    integer-exact), empty map degenerates to plain BM25 bit-exactly
+    (pytest). Twin: per-(qid, group) max-df / sum-tf CTEs + the shared
+    BM25 expression."""
+    from colbert_ray.pipelines.synonyms import synonym_search
+
+    idx = _ensure_index(sf_dir)
+    res = synonym_search(QUERY_SET, idx, SYN_MAP, k=50, cfg=CFG).to_pandas()
+    out = _rerank_rounded(res, "score", "docid", 10)
+    return out[["qid", "docid", "rank", "score"]].rename(
+        columns={"score": "score_r"})
+
+
+def _synonym_bm25_sql() -> str:
+    from colbert_ray.pipelines.synonyms import sql_synonym_search
+
+    return sql_synonym_search("documents", QUERY_SET, SYN_MAP, k=10,
+                              cfg=CFG)
+
+
 def _q_percolate_matches(sf_dir: str) -> pd.DataFrame:
     """Percolator / reverse search (pipelines/percolate): the DSL_QUERIES
     set is STORED (parsed once per actor, required-term prefilter), the
@@ -3929,6 +3960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_top10_ef": _q_bm25_top10_ef,
         "dsl_search_top10": _q_dsl_search,
         "percolate_matches": _q_percolate_matches,
+        "synonym_bm25_top10": _q_synonym_bm25_top10,
         "bm25_top10_sharded": _q_bm25_top10_sharded,
         "passage_bm25_top5": _q_passage_bm25_top5,
         "phrase_search_top10": _q_phrase_search,
@@ -5621,6 +5653,7 @@ ORDER BY bm.qid, d.lang, d.source
         "bm25_top10_ef": _bm25_sql(),        # codec changes bytes, not content
         "dsl_search_top10": _dsl_search_sql(),
         "percolate_matches": _percolate_sql(),
+        "synonym_bm25_top10": _synonym_bm25_sql(),
         "bm25_top10_sharded": _bm25_sql(),   # sharding must not change results
         "passage_bm25_top5": _passage_bm25_sql(),
         "phrase_search_top10": x_phrase.sql_phrase_search(
