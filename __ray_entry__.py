@@ -946,6 +946,44 @@ def _dsl_search_sql() -> str:
     return "\nUNION ALL\n".join(parts) + "\nORDER BY dsl_id, rank"
 
 
+PAGE_SIZE = 3
+
+
+def _q_paged_bm25(sf_dir: str) -> pd.DataFrame:
+    """Cursor pagination (pipelines/search.search_after — the stateless
+    Elasticsearch search_after analog): pages 2 and 3 (size 3) of every
+    standard query, fetched strictly via the cursor returned by the
+    previous page; global rank = 3 * (page - 1) + page rank. Twin: the
+    full BM25 ranking's rows 4..9 under the shared rounded ordering."""
+    from colbert_ray.pipelines.search import search_after
+    from colbert_ray.state.index import BM25Scorer
+
+    idx = _ensure_index(sf_dir)
+    scorer = BM25Scorer(idx, k=PAGE_SIZE, with_sha=False)
+    rows = []
+    for qid, q in QUERY_SET:
+        _, cursor = search_after(idx, q, k=PAGE_SIZE, cfg=CFG,
+                                 scorer=scorer)
+        for page_no in (2, 3):
+            if cursor is None:
+                break
+            page, cursor = search_after(idx, q, k=PAGE_SIZE, after=cursor,
+                                        cfg=CFG, scorer=scorer)
+            t = page.to_pandas()
+            t.insert(0, "qid", np.int64(qid))
+            t["rank"] = t["rank"] + PAGE_SIZE * (page_no - 1)
+            rows.append(t)
+    out = pd.concat(rows, ignore_index=True)
+    return out[["qid", "docid", "rank", "score_r"]]
+
+
+def _paged_bm25_sql() -> str:
+    base = _bm25_sql().replace("QUALIFY rank <= 10",
+                               f"QUALIFY rank BETWEEN {PAGE_SIZE + 1} "
+                               f"AND {3 * PAGE_SIZE}")
+    return base
+
+
 SYN_MAP = {
     "join": ["merge"],
     "stream": ["batch", "data"],
@@ -3961,6 +3999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsl_search_top10": _q_dsl_search,
         "percolate_matches": _q_percolate_matches,
         "synonym_bm25_top10": _q_synonym_bm25_top10,
+        "paged_bm25_pages23": _q_paged_bm25,
         "bm25_top10_sharded": _q_bm25_top10_sharded,
         "passage_bm25_top5": _q_passage_bm25_top5,
         "phrase_search_top10": _q_phrase_search,
@@ -5654,6 +5693,7 @@ ORDER BY bm.qid, d.lang, d.source
         "dsl_search_top10": _dsl_search_sql(),
         "percolate_matches": _percolate_sql(),
         "synonym_bm25_top10": _synonym_bm25_sql(),
+        "paged_bm25_pages23": _paged_bm25_sql(),
         "bm25_top10_sharded": _bm25_sql(),   # sharding must not change results
         "passage_bm25_top5": _passage_bm25_sql(),
         "phrase_search_top10": x_phrase.sql_phrase_search(

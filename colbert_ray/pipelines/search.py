@@ -444,3 +444,52 @@ def search_sharded(
         return g
 
     return ds.groupby("qid").map_groups(merge_topk, batch_format="pandas")
+
+
+def search_after(index_dir: str, query: str, k: int = 10,
+                 after: tuple[float, int] | None = None,
+                 cfg: "EngineConfig | None" = None,
+                 scorer=None) -> tuple[pa.Table, tuple[float, int] | None]:
+    """Cursor pagination — the Elasticsearch ``search_after`` analog.
+
+    Results are ordered by the engine's ROUNDED float policy
+    (-round(score, 6), docid); ``after`` is the (score_r, docid) of the
+    last row of the previous page and the next page contains the k rows
+    STRICTLY after it in that total order. Returns (page, next_cursor)
+    where next_cursor is the last row's key (None when the page is
+    empty). Stateless and deterministic: any page can be re-fetched from
+    its cursor alone — no server-side scroll context, which is what makes
+    this safe on a multi-node serving tier (any replica can serve any
+    page).
+
+    Cost note (same trade ES makes): every page scores all matching docs
+    and skips by sort key; the win is never re-materializing or shipping
+    earlier pages. Pass ``scorer`` to amortize the index open across
+    pages (one BM25Scorer per actor/session).
+    """
+    import numpy as np
+
+    from colbert_ray.functions.bm25 import topk_with_ties
+    from colbert_ray.functions.tokenizer import tokenize_query
+
+    scorer = scorer or BM25Scorer(index_dir, k=max(1, k), with_sha=False)
+    cfg = cfg or scorer.idx.cfg
+    empty = pa.table({"docid": pa.array([], type=pa.int64()),
+                      "rank": pa.array([], type=pa.int64()),
+                      "score_r": pa.array([], type=pa.float64())})
+    tids = scorer.idx.lookup_terms(tokenize_query(query, cfg)[0])
+    if not len(tids):
+        return empty, None
+    d, s = scorer._all_match_scores(tids, docid_filter=None)
+    sr = np.round(s, 6)
+    if after is not None:
+        a_s, a_d = float(after[0]), int(after[1])
+        keep = (sr < a_s) | ((sr == a_s) & (d > a_d))
+        d, sr = d[keep], sr[keep]
+    dd, ss, rr = topk_with_ties(sr, d, k)
+    if not len(dd):
+        return empty, None
+    page = pa.table({"docid": pa.array(dd, type=pa.int64()),
+                     "rank": pa.array(rr, type=pa.int64()),
+                     "score_r": pa.array(ss, type=pa.float64())})
+    return page, (float(ss[-1]), int(dd[-1]))
