@@ -9,6 +9,11 @@ not in the container):
     -> {"query": ..., "k": ..., "latency_ms": ..., "topk":
         [{"docid": ..., "rank": ..., "score": ..., "content_sha256": ...}]}
 
+``after=score_r,docid`` (bm25 only) switches the endpoint to stateless
+cursor pagination (``pipelines.search.search_after``): the reply carries
+``next_after``, and because the cursor is pure sort-key state any
+replica can serve any page — no scroll context to pin.
+
 The scorer holds the mmap-opened serve artifact (DecodedIndex fast path),
 so startup is milliseconds and concurrent handler threads share one
 page-cache copy. On a serving cluster, run one server per docid shard
@@ -179,8 +184,36 @@ def make_server(index_dir: str, port: int = 8893, k: int = 10,
                 self._reply(400, {"error": "ranker must be bm25 or ql"})
                 return
             dsl = (params.get("dsl") or ["0"])[0] in ("1", "true")
+            after_raw = (params.get("after") or [""])[0]
+            after = None
+            if after_raw:
+                if dsl or ranker != "bm25":
+                    self._reply(400, {"error": "after= pagination is "
+                                               "bm25-only"})
+                    return
+                try:
+                    a_s, a_d = after_raw.split(",")
+                    after = (float(a_s), int(a_d))
+                except ValueError:
+                    self._reply(400, {"error": "after must be "
+                                               "'score_r,docid'"})
+                    return
             t0 = time.time()
             try:
+                if after is not None:
+                    from colbert_ray.pipelines.search import search_after
+
+                    page, cursor = search_after(
+                        index_dir, query, k=kk, after=after,
+                        scorer=get_scorer("bm25"))
+                    self._reply(200, {
+                        "query": query, "k": kk, "ranker": "bm25",
+                        "latency_ms": round((time.time() - t0) * 1000, 3),
+                        "topk": page.to_pylist(),
+                        "next_after": (None if cursor is None
+                                       else f"{cursor[0]},{cursor[1]}"),
+                    })
+                    return
                 rows = cached_dsl(query, kk) if dsl \
                     else cached_search(query, kk, ranker)
             except ValueError as e:

@@ -881,3 +881,45 @@ def test_fanout_suggest_exact_global_df(built):
     finally:
         for h in servers:
             h.shutdown()
+
+
+def test_http_search_after_pagination(built):
+    """after= cursor pagination on the HTTP surface: pages chain via
+    next_after, never overlap, and bad cursors 400."""
+    import json as _json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from colbert_ray.server import make_server
+
+    _, queries_path, index_dir = built
+    httpd = make_server(index_dir, port=0, k=10)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        query = pq.read_table(queries_path).column("query").to_pylist()[0]
+        base = (f"http://127.0.0.1:{port}/api/search?"
+                f"query={urllib.request.quote(query)}&k=3")
+        with urllib.request.urlopen(base, timeout=30) as r:
+            p1 = _json.loads(r.read())
+        # page 1 via the plain endpoint; cursor = its last row's key
+        last = p1["topk"][-1]
+        after = f"{round(last['score'], 6)},{last['docid']}"
+        with urllib.request.urlopen(base + "&after=" + after,
+                                    timeout=30) as r:
+            p2 = _json.loads(r.read())
+        ids1 = {row["docid"] for row in p1["topk"]}
+        ids2 = {row["docid"] for row in p2["topk"]}
+        assert ids2 and not ids1 & ids2
+        assert p2["next_after"] is None or "," in p2["next_after"]
+        # malformed cursor / dsl combination -> 400
+        for bad in ("&after=zzz", "&after=1.0,2&dsl=1"):
+            try:
+                urllib.request.urlopen(base + bad, timeout=30)
+                raise AssertionError("expected HTTP 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+    finally:
+        httpd.shutdown()
