@@ -90,6 +90,11 @@ class _BatchEval:
         self.fields = fields
         self._term_mask: dict[str, np.ndarray] = {}
         self._term_eq: dict[str, np.ndarray] = {}
+        self._fuzzy: dict[tuple[str, int], np.ndarray] = {}
+        # sorted once: fuzzy atoms always evaluate (they contribute no
+        # required terms, so the prefilter never skips them) and the
+        # Levenshtein DP is memoised per (term, d) across queries
+        self.vocab_sorted = sorted(self.vocab)
         # per-row flat spans for the candidate-only phrase/NEAR verify
         self._starts = np.concatenate([[0], np.cumsum(self.counts)])
 
@@ -147,16 +152,22 @@ class _BatchEval:
     def _fuzzy_mask(self, term: str, d: int) -> np.ndarray:
         from colbert_ray.functions.util import levenshtein_leq_mask
 
-        vocab = sorted(self.vocab)
-        hit = levenshtein_leq_mask(vocab, term, d)
-        matched = [v for v, h in zip(vocab, hit) if h]
+        m = self._fuzzy.get((term, d))
+        if m is not None:
+            return m
+        hit = levenshtein_leq_mask(self.vocab_sorted, term, d)
+        matched = [v for v, h in zip(self.vocab_sorted, hit) if h]
         if not matched:
-            return np.zeros(self.n, dtype=bool)
-        isin = pc.fill_null(
-            pc.is_in(self.flat, value_set=pa.array(matched)), False)
-        isin = np.asarray(isin.to_numpy(zero_copy_only=False), dtype=bool)
-        return np.bincount(self.parents[isin],
-                           minlength=self.n).astype(bool)
+            m = np.zeros(self.n, dtype=bool)
+        else:
+            isin = pc.fill_null(
+                pc.is_in(self.flat, value_set=pa.array(matched)), False)
+            isin = np.asarray(isin.to_numpy(zero_copy_only=False),
+                              dtype=bool)
+            m = np.bincount(self.parents[isin],
+                            minlength=self.n).astype(bool)
+        self._fuzzy[(term, d)] = m
+        return m
 
     def _wild_mask(self, form: str, a: str, b: str) -> np.ndarray:
         if form == "prefix":
@@ -179,7 +190,24 @@ class _BatchEval:
             raise QuerySyntaxError(
                 f"field atom {field!r} not in percolated columns "
                 f"{self.fields}")
-        eq = pc.equal(self.batch.column(field), val)
+        col = self.batch.column(field)
+        # same coercion rule as querylang._eval_set: integer columns
+        # compare against int(val), string columns against the raw string
+        # (pc.equal(int64, string) has no kernel and would kill the task)
+        rhs: object = val
+        if pa.types.is_integer(col.type):
+            try:
+                rhs = int(val)
+            except ValueError:
+                raise QuerySyntaxError(
+                    f"field {field!r} is {col.type}; {val!r} is not an "
+                    f"integer")
+        elif not (pa.types.is_string(col.type)
+                  or pa.types.is_large_string(col.type)):
+            raise QuerySyntaxError(
+                f"field {field!r} has unsupported type {col.type} for "
+                f"equality atoms")
+        eq = pc.equal(col, rhs)
         return np.asarray(
             pc.fill_null(eq, False).to_numpy(zero_copy_only=False),
             dtype=bool)

@@ -725,7 +725,11 @@ def suggest_terms_idx(idx, prefix: str, k: int = 10) -> pa.Table:
     empty = pa.table({"term": pa.array([], type=pa.string()),
                       "df": pa.array([], type=pa.int64()),
                       "rank": pa.array([], type=pa.int64())})
-    if not prefix or not len(idx.dict_terms):
+    # the dictionary is lowercase (tokenizer lowers before splitting), so
+    # match the search surface: 'Tab' must suggest what 'tab' suggests
+    # rather than landing before every lowercase term in the range probe
+    prefix = prefix.lower()
+    if not prefix or k <= 0 or not len(idx.dict_terms):
         return empty
     lo = np.searchsorted(idx.dict_terms, prefix)
     hi = np.searchsorted(idx.dict_terms, prefix + "￿")

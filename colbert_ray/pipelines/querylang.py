@@ -362,6 +362,34 @@ def _eval_set(n: Node, index_dir: str, corpus, idx, cfg,
     raise QuerySyntaxError(f"cannot evaluate node kind {n.kind}")
 
 
+def node_kinds(n: Node):
+    """All node kinds in an AST (used to reject corpus-pass atoms on
+    index-only surfaces)."""
+    yield n.kind
+    for c in n.children or ():
+        yield from node_kinds(c)
+
+
+def score_candidates(scorer, ast: Node,
+                     cand: np.ndarray, k: int) -> tuple[np.ndarray,
+                                                        np.ndarray]:
+    """THE ranking kernel for boolean-DSL results, shared by dsl_search,
+    DSLScorer and the HTTP server's cached_dsl: BM25 over the positive
+    literal terms restricted to the sorted candidate docid set (score 0.0
+    for candidates matching no scoring term), cut to k by the engine
+    tie-break (-round(score, 6), docid). Returns the top-k (docids,
+    scores)."""
+    scores = np.zeros(len(cand), dtype=np.float64)
+    terms = scoring_terms(ast)
+    if terms:
+        tids = scorer.idx.lookup_terms(terms)
+        if len(tids):
+            d, s = scorer._all_match_scores(tids, docid_filter=cand)
+            scores[np.searchsorted(cand, d)] = s
+    order = np.lexsort((cand, -np.round(scores, 6)))[:max(k, 0)]
+    return cand[order], scores[order]
+
+
 def dsl_search(index_dir: str, corpus, q: str, k: int = 10,
                cfg: EngineConfig | None = None, *,
                text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
@@ -384,20 +412,12 @@ def dsl_search(index_dir: str, corpus, q: str, k: int = 10,
                       "score": pa.array([], type=pa.float64())})
     if len(cand) == 0:
         return empty
-    terms = scoring_terms(ast)
-    scores = np.zeros(len(cand), dtype=np.float64)
-    if terms:
-        scorer = BM25Scorer(index_dir, k=max(k, 1), with_sha=False)
-        tids = scorer.idx.lookup_terms(terms)
-        if len(tids):
-            d, s = scorer._all_match_scores(tids, docid_filter=cand)
-            pos = np.searchsorted(cand, d)
-            scores[pos] = s
-    order = np.lexsort((cand, -np.round(scores, 6)))[:k]
+    scorer = BM25Scorer(index_dir, k=max(k, 1), with_sha=False)
+    docids, scores = score_candidates(scorer, ast, cand, k)
     return pa.table({
-        "docid": pa.array(cand[order], type=pa.int64()),
-        "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
-        "score": pa.array(scores[order], type=pa.float64()),
+        "docid": pa.array(docids, type=pa.int64()),
+        "rank": pa.array(np.arange(1, len(docids) + 1, dtype=np.int64)),
+        "score": pa.array(scores, type=pa.float64()),
     })
 
 
@@ -542,14 +562,7 @@ class DSLScorer:
         out_q, out_d, out_r, out_s = [], [], [], []
         for qid, q in zip(qids, queries):
             ast = parse(q, self.cfg)
-            kinds = set()
-
-            def walk(n):
-                kinds.add(n.kind)
-                for c in n.children or ():
-                    walk(c)
-            walk(ast)
-            if kinds & {"phrase", "near"}:
+            if set(node_kinds(ast)) & {"phrase", "near"}:
                 raise QuerySyntaxError(
                     f"qid={qid}: phrase/NEAR atoms need a corpus pass — "
                     f"use dsl_search() for those queries")
@@ -557,19 +570,12 @@ class DSLScorer:
                              self.cfg, "text", "doc_id")
             if len(cand) == 0:
                 continue
-            scores = np.zeros(len(cand), dtype=np.float64)
-            terms = scoring_terms(ast)
-            if terms:
-                tids = self.scorer.idx.lookup_terms(terms)
-                if len(tids):
-                    d, s = self.scorer._all_match_scores(
-                        tids, docid_filter=cand)
-                    scores[np.searchsorted(cand, d)] = s
-            order = np.lexsort((cand, -np.round(scores, 6)))[: self.k]
-            out_q.extend([int(qid)] * len(order))
-            out_d.extend(cand[order].tolist())
-            out_r.extend(range(1, len(order) + 1))
-            out_s.extend(scores[order].tolist())
+            docids, scores = score_candidates(self.scorer, ast, cand,
+                                              self.k)
+            out_q.extend([int(qid)] * len(docids))
+            out_d.extend(docids.tolist())
+            out_r.extend(range(1, len(docids) + 1))
+            out_s.extend(scores.tolist())
         return pa.table({
             "qid": pa.array(out_q, type=pa.int64()),
             "docid": pa.array(out_d, type=pa.int64()),

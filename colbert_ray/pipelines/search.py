@@ -465,7 +465,11 @@ def search_after(index_dir: str, query: str, k: int = 10,
     Cost note (same trade ES makes): every page scores all matching docs
     and skips by sort key; the win is never re-materializing or shipping
     earlier pages. Pass ``scorer`` to amortize the index open across
-    pages (one BM25Scorer per actor/session).
+    pages (one BM25Scorer per actor/session); its ``docid_filter`` is
+    honored. NOTE: page 1 must come from this function too
+    (``after=None``) — the plain ``search_table`` path orders by RAW
+    float64 score, so a cursor built from its last row can drop or
+    duplicate a rounded-score tie that straddles the page boundary.
     """
     import numpy as np
 
@@ -473,6 +477,8 @@ def search_after(index_dir: str, query: str, k: int = 10,
     from colbert_ray.functions.tokenizer import tokenize_query
 
     scorer = scorer or BM25Scorer(index_dir, k=max(1, k), with_sha=False)
+    if scorer.ranker != "bm25":
+        raise ValueError("search_after supports ranker='bm25' only")
     cfg = cfg or scorer.idx.cfg
     empty = pa.table({"docid": pa.array([], type=pa.int64()),
                       "rank": pa.array([], type=pa.int64()),
@@ -480,7 +486,7 @@ def search_after(index_dir: str, query: str, k: int = 10,
     tids = scorer.idx.lookup_terms(tokenize_query(query, cfg)[0])
     if not len(tids):
         return empty, None
-    d, s = scorer._all_match_scores(tids, docid_filter=None)
+    d, s = scorer._all_match_scores(tids, docid_filter=scorer.docid_filter)
     sr = np.round(s, 6)
     if after is not None:
         a_s, a_d = float(after[0]), int(after[1])

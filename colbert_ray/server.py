@@ -9,10 +9,15 @@ not in the container):
     -> {"query": ..., "k": ..., "latency_ms": ..., "topk":
         [{"docid": ..., "rank": ..., "score": ..., "content_sha256": ...}]}
 
-``after=score_r,docid`` (bm25 only) switches the endpoint to stateless
-cursor pagination (``pipelines.search.search_after``): the reply carries
-``next_after``, and because the cursor is pure sort-key state any
-replica can serve any page — no scroll context to pin.
+``after=`` (bm25 only; empty value = page 1, ``score_r,docid`` for later
+pages) switches the endpoint to stateless cursor pagination
+(``pipelines.search.search_after``): the reply carries ``next_after``,
+and because the cursor is pure sort-key state any replica can serve any
+page — no scroll context to pin. Paginating clients must fetch page 1
+with ``after=`` too: pagination orders by the ROUNDED (score_r, docid)
+key, while the plain response orders by raw score, so a cursor built
+from the plain page 1 can drop or duplicate a rounded tie. The fan-out
+front end rejects ``after=`` (cross-shard pagination is not wired).
 
 The scorer holds the mmap-opened serve artifact (DecodedIndex fast path),
 so startup is milliseconds and concurrent handler threads share one
@@ -69,12 +74,11 @@ def make_server(index_dir: str, port: int = 8893, k: int = 10,
         """Boolean-DSL path (pipelines/querylang) — index-only atoms.
         Phrase atoms need a corpus pass and 400 here; docid_range shards
         would make wildcard/NOT sets shard-local, also 400."""
-        import numpy as np
-
         from colbert_ray.pipelines.querylang import (
             _eval_set,
+            node_kinds,
             parse,
-            scoring_terms,
+            score_candidates,
         )
 
         if docid_range is not None:
@@ -82,35 +86,23 @@ def make_server(index_dir: str, port: int = 8893, k: int = 10,
                              "server (boolean sets would be shard-local)")
         scorer = get_scorer("bm25")
         ast = parse(query, scorer.idx.cfg)
-        if any(n in ("phrase", "near") for n in _node_kinds(ast)):
+        if set(node_kinds(ast)) & {"phrase", "near"}:
             raise ValueError("phrase/NEAR atoms need a corpus pass — use "
                              "dsl_search() offline, not the HTTP endpoint")
         cand = _eval_set(ast, index_dir, None, scorer.idx, scorer.idx.cfg,
                          "text", "doc_id")
         if len(cand) == 0:
             return []
-        scores = np.zeros(len(cand), dtype=np.float64)
-        terms = scoring_terms(ast)
-        if terms:
-            tids = scorer.idx.lookup_terms(terms)
-            if len(tids):
-                d, s = scorer._all_match_scores(tids, docid_filter=cand)
-                scores[np.searchsorted(cand, d)] = s
-        order = np.lexsort((cand, -np.round(scores, 6)))[:kk]
+        docids, scores = score_candidates(scorer, ast, cand, kk)
         rows = []
-        for r, i in enumerate(order, 1):
-            row = {"docid": int(cand[i]), "rank": r,
-                   "score": float(scores[i])}
+        for r, (d, s) in enumerate(zip(docids.tolist(), scores.tolist()),
+                                   1):
+            row = {"docid": d, "rank": r, "score": s}
             if with_sha and scorer.idx.sha256 is not None:
                 row["content_sha256"] = scorer.idx.sha256[
-                    int(cand[i]) - scorer.idx.docid_base]
+                    d - scorer.idx.docid_base]
             rows.append(row)
         return rows
-
-    def _node_kinds(n):
-        yield n.kind
-        for c in n.children or ():
-            yield from _node_kinds(c)
 
     @functools.lru_cache(maxsize=cache_size)   # the reference's query cache
     def cached_search(query: str, kk: int, ranker: str = "bm25"):
@@ -140,12 +132,16 @@ def make_server(index_dir: str, port: int = 8893, k: int = 10,
         def do_GET(self):   # noqa: N802  (stdlib handler naming)
             parsed = urllib.parse.urlparse(self.path)
             if parsed.path == "/api/suggest":
-                params = urllib.parse.parse_qs(parsed.query)
+                params = urllib.parse.parse_qs(parsed.query,
+                                               keep_blank_values=True)
                 prefix = (params.get("prefix") or [""])[0]
                 try:
                     kk = int((params.get("k") or [str(k)])[0])
                 except ValueError:
                     self._reply(400, {"error": "k must be an integer"})
+                    return
+                if kk <= 0:
+                    self._reply(400, {"error": "k must be positive"})
                     return
                 if not prefix:
                     self._reply(400, {"error": "missing prefix parameter"})
@@ -169,12 +165,16 @@ def make_server(index_dir: str, port: int = 8893, k: int = 10,
                 self._reply(404, {"error": "unknown path; use /api/search "
                                            "or /api/suggest"})
                 return
-            params = urllib.parse.parse_qs(parsed.query)
+            params = urllib.parse.parse_qs(parsed.query,
+                                               keep_blank_values=True)
             query = (params.get("query") or [""])[0]
             try:
                 kk = int((params.get("k") or [str(k)])[0])
             except ValueError:
                 self._reply(400, {"error": "k must be an integer"})
+                return
+            if kk <= 0:
+                self._reply(400, {"error": "k must be positive"})
                 return
             if not query:
                 self._reply(400, {"error": "missing query parameter"})
@@ -184,23 +184,31 @@ def make_server(index_dir: str, port: int = 8893, k: int = 10,
                 self._reply(400, {"error": "ranker must be bm25 or ql"})
                 return
             dsl = (params.get("dsl") or ["0"])[0] in ("1", "true")
-            after_raw = (params.get("after") or [""])[0]
+            # pagination mode is keyed on the PRESENCE of after= (an empty
+            # value serves page 1) so page 1 and later pages share the
+            # rounded (score_r, docid) total order — bootstrapping a
+            # cursor from the raw-score plain response can drop/duplicate
+            # a rounded tie that straddles the page boundary
+            after_vals = params.get("after")
+            paginate = after_vals is not None
             after = None
-            if after_raw:
+            if paginate:
                 if dsl or ranker != "bm25":
                     self._reply(400, {"error": "after= pagination is "
                                                "bm25-only"})
                     return
-                try:
-                    a_s, a_d = after_raw.split(",")
-                    after = (float(a_s), int(a_d))
-                except ValueError:
-                    self._reply(400, {"error": "after must be "
-                                               "'score_r,docid'"})
-                    return
+                if after_vals[0]:
+                    try:
+                        a_s, a_d = after_vals[0].split(",")
+                        after = (float(a_s), int(a_d))
+                    except ValueError:
+                        self._reply(400, {"error": "after must be "
+                                                   "'score_r,docid' (or "
+                                                   "empty for page 1)"})
+                        return
             t0 = time.time()
             try:
-                if after is not None:
+                if paginate:
                     from colbert_ray.pipelines.search import search_after
 
                     page, cursor = search_after(
@@ -304,12 +312,16 @@ def make_fanout(shard_urls: list[str], port: int = 8893, k: int = 10,
         def do_GET(self):   # noqa: N802
             parsed = urllib.parse.urlparse(self.path)
             if parsed.path == "/api/suggest":
-                params = urllib.parse.parse_qs(parsed.query)
+                params = urllib.parse.parse_qs(parsed.query,
+                                               keep_blank_values=True)
                 prefix = (params.get("prefix") or [""])[0]
                 try:
                     kk = int((params.get("k") or [str(k)])[0])
                 except ValueError:
                     self._reply(400, {"error": "k must be an integer"})
+                    return
+                if kk <= 0:
+                    self._reply(400, {"error": "k must be positive"})
                     return
                 if not prefix:
                     self._reply(400, {"error": "missing prefix parameter"})
@@ -332,12 +344,16 @@ def make_fanout(shard_urls: list[str], port: int = 8893, k: int = 10,
                 self._reply(404, {"error": "unknown path; use /api/search "
                                            "or /api/suggest"})
                 return
-            params = urllib.parse.parse_qs(parsed.query)
+            params = urllib.parse.parse_qs(parsed.query,
+                                               keep_blank_values=True)
             query = (params.get("query") or [""])[0]
             try:
                 kk = int((params.get("k") or [str(k)])[0])
             except ValueError:
                 self._reply(400, {"error": "k must be an integer"})
+                return
+            if kk <= 0:
+                self._reply(400, {"error": "k must be positive"})
                 return
             if not query:
                 self._reply(400, {"error": "missing query parameter"})
@@ -353,6 +369,12 @@ def make_fanout(shard_urls: list[str], port: int = 8893, k: int = 10,
             if (params.get("ranker") or ["bm25"])[0] != "bm25":
                 self._reply(400, {"error": "only ranker=bm25 is supported "
                                            "on the fan-out front end"})
+                return
+            if params.get("after") is not None:
+                self._reply(400, {"error": "after= pagination is not "
+                                           "supported on the fan-out front "
+                                           "end (per-shard cursors would "
+                                           "need a composite cursor)"})
                 return
             t0 = time.time()
             try:

@@ -73,6 +73,18 @@ def test_cursor_is_stateless_refetch(ray_session, built):
         & set(p2a.column("docid").to_pylist())
 
 
+def test_scorer_filter_honored_and_ql_rejected(ray_session, built):
+    from colbert_ray.state.index import BM25Scorer
+    allowed = np.array([1, 2, 3, 4, 5], dtype=np.int64)
+    sc = BM25Scorer(built, with_sha=False, docid_filter=allowed)
+    page, _ = search_after(built, "alpha beta", k=20, cfg=CFG, scorer=sc)
+    assert page.num_rows > 0
+    assert set(page.column("docid").to_pylist()) <= set(allowed.tolist())
+    with pytest.raises(ValueError, match="bm25"):
+        search_after(built, "alpha", k=5, cfg=CFG,
+                     scorer=BM25Scorer(built, with_sha=False, ranker="ql"))
+
+
 def test_oov_and_exhausted(ray_session, built):
     page, cur = search_after(built, "zzznope", k=5, cfg=CFG)
     assert page.num_rows == 0 and cur is None

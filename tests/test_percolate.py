@@ -116,6 +116,28 @@ def test_empty_and_no_match():
     assert out.schema.names == ["query_id", "doc_id"]
 
 
+def test_int_field_atom_coerces():
+    """field:val against an int64 column compares as int (querylang's
+    coercion rule) — pc.equal(int64, string) has no Arrow kernel and
+    would otherwise kill the stream mid-batch."""
+    docs = DOCS.append_column(
+        "year", pa.array([2023 + (i % 2) for i in range(12)],
+                         type=pa.int64()))
+    qs = [(1, "year:2024 AND alpha"), (2, "year:2023")]
+    p = Percolator(qs, CFG.to_dict(), fields=("year",))
+    eng = (p(docs).to_pandas().sort_values(["query_id", "doc_id"])
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", docs)
+    ora = con.execute(
+        sql_percolate("documents", qs, CFG, fields=("year",))).df()
+    pd.testing.assert_frame_equal(eng, ora)
+    assert set(eng["query_id"]) == {1, 2}
+    with pytest.raises(QuerySyntaxError, match="not an integer"):
+        Percolator([(1, "year:twenty")], CFG.to_dict(),
+                   fields=("year",))(docs)
+
+
 def test_fuzzy_atom_percolates():
     """word~d over the batch vocabulary mirrors the levenshtein() twin."""
     qs = [(1, "alpah~2"), (2, "gamm~1 AND NOT zeta"), (3, "solo~1")]

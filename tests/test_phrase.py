@@ -348,6 +348,12 @@ def test_suggest_terms_live_df_and_order(tmp_path):
     assert out["df"].tolist() == [3, 1, 1]
     assert suggest_terms(idx, "", 5).num_rows == 0
     assert suggest_terms(idx, "zzz", 5).num_rows == 0
+    # uppercase prefix is lowered (the dictionary is lowercase) and
+    # non-positive k returns empty instead of a negative-slice dump
+    assert suggest_terms(idx, "AP", k=10).equals(suggest_terms(idx, "ap",
+                                                               k=10))
+    assert suggest_terms(idx, "ap", k=0).num_rows == 0
+    assert suggest_terms(idx, "ap", k=-1).num_rows == 0
     # tombstone doc 1: apricot's live df drops to 0 and it disappears
     IndexUpdater(idx).remove_docids([1])
     import os

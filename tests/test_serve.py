@@ -804,6 +804,23 @@ def test_http_suggest_endpoint(built):
         assert all(s["term"].startswith(prefix) for s in res["suggestions"])
         dfs = [s["df"] for s in res["suggestions"]]
         assert dfs == sorted(dfs, reverse=True) or len(set(dfs)) < len(dfs)
+        # an uppercase prefix must suggest what its lowercase form does
+        # (the dictionary is lowercase; /api/search lowers the same input)
+        up = (f"http://127.0.0.1:{port}/api/suggest?"
+              f"prefix={urllib.parse.quote(prefix.upper())}&k=5")
+        with urllib.request.urlopen(up) as r:
+            res_up = _json.loads(r.read())
+        assert res_up["suggestions"] == res["suggestions"]
+        # non-positive k -> 400, not a near-full dictionary dump
+        import urllib.error
+        for bad_k in ("0", "-1"):
+            try:
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/api/suggest?"
+                    f"prefix={urllib.parse.quote(prefix)}&k={bad_k}")
+                raise AssertionError("expected HTTP 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
     finally:
         httpd.shutdown()
 
@@ -833,7 +850,7 @@ def test_fanout_rejects_unsupported_modes(built):
                 return _json.loads(r.read())
 
         assert len(get("")["topk"]) > 0            # plain path still works
-        for extra in ("&dsl=1", "&ranker=ql"):
+        for extra in ("&dsl=1", "&ranker=ql", "&after=", "&after=1.0,2"):
             try:
                 get(extra)
                 raise AssertionError(f"expected HTTP 400 for {extra}")
@@ -884,8 +901,10 @@ def test_fanout_suggest_exact_global_df(built):
 
 
 def test_http_search_after_pagination(built):
-    """after= cursor pagination on the HTTP surface: pages chain via
-    next_after, never overlap, and bad cursors 400."""
+    """after= cursor pagination on the HTTP surface: page 1 via an EMPTY
+    after= (same rounded sort key as later pages — a cursor built from the
+    raw-score plain response can drop/duplicate rounded ties), pages chain
+    via next_after without overlap, and bad cursors 400."""
     import json as _json
     import threading
     import urllib.error
@@ -902,18 +921,27 @@ def test_http_search_after_pagination(built):
         query = pq.read_table(queries_path).column("query").to_pylist()[0]
         base = (f"http://127.0.0.1:{port}/api/search?"
                 f"query={urllib.request.quote(query)}&k=3")
-        with urllib.request.urlopen(base, timeout=30) as r:
+        with urllib.request.urlopen(base + "&after=", timeout=30) as r:
             p1 = _json.loads(r.read())
-        # page 1 via the plain endpoint; cursor = its last row's key
-        last = p1["topk"][-1]
-        after = f"{round(last['score'], 6)},{last['docid']}"
-        with urllib.request.urlopen(base + "&after=" + after,
+        assert p1["next_after"] and "," in p1["next_after"]
+        assert all("score_r" in row for row in p1["topk"])
+        with urllib.request.urlopen(base + "&after=" + p1["next_after"],
                                     timeout=30) as r:
             p2 = _json.loads(r.read())
         ids1 = {row["docid"] for row in p1["topk"]}
         ids2 = {row["docid"] for row in p2["topk"]}
         assert ids2 and not ids1 & ids2
         assert p2["next_after"] is None or "," in p2["next_after"]
+        # page 1 + page 2 == the first 6 of one big page (same total order)
+        with urllib.request.urlopen(
+                base.replace("k=3", "k=6") + "&after=", timeout=30) as r:
+            big = _json.loads(r.read())
+        assert ([row["docid"] for row in p1["topk"] + p2["topk"]]
+                == [row["docid"] for row in big["topk"]])
+        # the plain (raw-score) response carries no cursor
+        with urllib.request.urlopen(base, timeout=30) as r:
+            plain = _json.loads(r.read())
+        assert "next_after" not in plain
         # malformed cursor / dsl combination -> 400
         for bad in ("&after=zzz", "&after=1.0,2&dsl=1"):
             try:
