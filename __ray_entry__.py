@@ -3297,11 +3297,14 @@ t AS (
                    LIMIT {AHASH_N_ITEMS})
 ),
 ps AS (
+  -- empty text guard: the engine's stub decodes b'' to zeros (ahash -1);
+  -- ps = 0 reproduces that, and keeps % length(text) off a 0 modulus
   SELECT item_id, j,
-         (ord(substr(text, ((3 * j + 0) % length(text)) + 1, 1))
+         (CASE WHEN length(text) = 0 THEN 0 ELSE
+          ord(substr(text, ((3 * j + 0) % length(text)) + 1, 1))
         + ord(substr(text, ((3 * j + 1) % length(text)) + 1, 1))
-        + ord(substr(text, ((3 * j + 2) % length(text)) + 1, 1)))::BIGINT
-           AS ps
+        + ord(substr(text, ((3 * j + 2) % length(text)) + 1, 1))
+          END)::BIGINT AS ps
   FROM t, LATERAL (SELECT unnest(generate_series(0, 63)) AS j) js
 ),
 tot AS (SELECT item_id, sum(ps) AS total FROM ps GROUP BY item_id),
@@ -3376,11 +3379,14 @@ fr AS (
        0, least(3 + length(text) % 28, 28), 4)) AS fi) fs
 ),
 ps AS (
+  -- empty text guard: decode_frame(b'') is all-zero pixels (see the
+  -- image twin's note) — ps = 0, and no 0 modulus
   SELECT item_id, fi, j,
-         (ord(substr(text, ((37 * fi + 3 * j + 0) % length(text)) + 1, 1))
+         (CASE WHEN length(text) = 0 THEN 0 ELSE
+          ord(substr(text, ((37 * fi + 3 * j + 0) % length(text)) + 1, 1))
         + ord(substr(text, ((37 * fi + 3 * j + 1) % length(text)) + 1, 1))
         + ord(substr(text, ((37 * fi + 3 * j + 2) % length(text)) + 1, 1))
-         )::BIGINT AS ps
+          END)::BIGINT AS ps
   FROM fr, LATERAL (SELECT unnest(generate_series(0, 63)) AS j) js
 ),
 tot AS (SELECT item_id, fi, sum(ps) AS total FROM ps GROUP BY item_id, fi),

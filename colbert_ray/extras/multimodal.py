@@ -264,17 +264,36 @@ def dedup_payloads(payloads: "ray.data.Dataset",
     })
 
 
+_POW64 = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+
+def ahash64(pixels: np.ndarray) -> np.int64:
+    """THE 64-bit average-hash bit rule, shared by AHashExtractor (images)
+    and FrameHashSampler (video frames) and pinned bit-for-bit by their
+    SQL twins: channel-sum the 64 pixels, set bit j iff
+    ``64 * pixel_sum[j] >= total_sum`` (all-integer, so the stub decode
+    stays oracle-checkable), fold to the signed-wrapped int64 of the
+    uint64 bit pattern (bit j = pixel j, row-major)."""
+    ps = pixels.reshape(64, 3).astype(np.int64).sum(axis=1)
+    bits = 64 * ps >= ps.sum()
+    return np.int64(_POW64[bits].sum(dtype=np.uint64).astype(np.int64))
+
+
+def pin_schema(schema: pa.Schema):
+    """Empty map_groups partitions emit zero-column blocks that break a
+    downstream groupby's key resolution — pin every block to ``schema``."""
+    def fix(t: pa.Table) -> pa.Table:
+        return schema.empty_table() if t.num_rows == 0 else t.cast(schema)
+    return fix
+
+
 class AHashExtractor:
     """Actor-pool stage: decode + 64-bit AVERAGE HASH (aHash) per payload —
     the classic perceptual image fingerprint (8x8 grayscale, bit = pixel
-    >= image mean). All-INTEGER decision (``64 * pixel_sum >= total_sum``
-    over per-pixel channel sums), so the stub decode keeps the hash
-    oracle-checkable. Emitted as the signed-wrapped int64 of the uint64
-    bit pattern (bit i = pixel i, row-major)."""
+    >= image mean); the bit rule lives in ``ahash64``."""
 
     def __init__(self):
         self.decoder = FakeImageDecoder()
-        self._pow = (np.uint64(1) << np.arange(64, dtype=np.uint64))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("item_id").to_numpy(zero_copy_only=False)
@@ -286,12 +305,8 @@ class AHashExtractor:
                 dec = self.decoder.decode(p, mt)
             except NotImplementedError:
                 continue
-            ps = dec.reshape(64, 3).astype(np.int64).sum(axis=1)
-            bits = (64 * ps >= ps.sum())
-            h = np.uint64(0)
-            h = (self._pow[bits]).sum(dtype=np.uint64)
             out_id.append(int(ids[i]))
-            out_h.append(np.int64(np.uint64(h).astype(np.int64)))
+            out_h.append(ahash64(dec))
         return pa.table({
             "item_id": pa.array(out_id, type=pa.int64()),
             "ahash": pa.array(np.asarray(out_h, dtype=np.int64)
@@ -345,7 +360,6 @@ class FrameHashSampler(FrameSampler):
     the fingerprints oracle-checkable."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
-        pow2 = np.uint64(1) << np.arange(64, dtype=np.uint64)
         ids = batch.column("item_id").to_numpy(zero_copy_only=False)
         payloads = batch.column("payload").to_pylist()
         out_id, out_h = [], []
@@ -354,14 +368,11 @@ class FrameHashSampler(FrameSampler):
             picks = list(range(0, total, self.stride))[: self.max_frames]
             seen = set()
             for fi in picks:
-                px = self.decoder.decode_frame(p, fi)
-                ps = px.reshape(64, 3).astype(np.int64).sum(axis=1)
-                bits = (64 * ps >= ps.sum())
-                h = int(pow2[bits].sum(dtype=np.uint64))
+                h = ahash64(self.decoder.decode_frame(p, fi))
                 if h not in seen:
                     seen.add(h)
                     out_id.append(int(item))
-                    out_h.append(np.uint64(h).astype(np.int64))
+                    out_h.append(h)
         return pa.table({
             "item_id": pa.array(out_id, type=pa.int64()),
             "fhash": pa.array(np.asarray(out_h, dtype=np.int64)
@@ -413,19 +424,12 @@ def video_dup_pairs(
     out_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
                             ("n_shared", pa.int64())])
 
-    def stable(schema):
-        # empty map_groups partitions emit zero-column blocks that break
-        # the downstream groupby's key resolution — pin the schema
-        def fix(t: pa.Table) -> pa.Table:
-            return schema.empty_table() if t.num_rows == 0                 else t.cast(schema)
-        return fix
-
     return (fh.groupby("fhash").map_groups(group_pairs,
                                            batch_format="pandas")
-            .map_batches(stable(pair_schema), batch_format="pyarrow")
+            .map_batches(pin_schema(pair_schema), batch_format="pyarrow")
             .groupby(["id_a", "id_b"]).map_groups(finish,
                                                   batch_format="pandas")
-            .map_batches(stable(out_schema), batch_format="pyarrow"))
+            .map_batches(pin_schema(out_schema), batch_format="pyarrow"))
 
 
 AUDIO_FP_WINDOWS = 32
@@ -485,9 +489,6 @@ def audio_dup_groups(ds: "ray.data.Dataset",
     schema = pa.schema([("afp", pa.int64()), ("n_items", pa.int64()),
                         ("rep_id", pa.int64())])
 
-    def stable(t: pa.Table) -> pa.Table:
-        return schema.empty_table() if t.num_rows == 0 else t.cast(schema)
-
     return (audio_fingerprints(ds, concurrency=concurrency)
             .groupby("afp").map_groups(fold, batch_format="pandas")
-            .map_batches(stable, batch_format="pyarrow"))
+            .map_batches(pin_schema(schema), batch_format="pyarrow"))
