@@ -984,6 +984,53 @@ def _paged_bm25_sql() -> str:
     return base
 
 
+COLLAPSE_K = 5
+
+
+def _q_collapsed_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Field collapsing (pipelines/search.collapse_search — the
+    Elasticsearch `collapse` analog): per query, the top-5 hits with at
+    most one doc per lang; each hit carries its lang group's total match
+    count. Group representative/order under the shared rounded policy.
+    (testdata lang is non-null, so the engine's NULL-singleton rule and
+    the SQL PARTITION BY never diverge here.)"""
+    from colbert_ray.pipelines.search import collapse_search
+    from colbert_ray.state.index import BM25Scorer
+
+    idx = _ensure_index(sf_dir)
+    scorer = BM25Scorer(idx, k=COLLAPSE_K, with_sha=False)
+    rows = []
+    for qid, q in QUERY_SET:
+        t = collapse_search(idx, q, "lang", k=COLLAPSE_K, cfg=CFG,
+                            scorer=scorer).to_pandas()
+        t.insert(0, "qid", np.int64(qid))
+        rows.append(t)
+    out = pd.concat(rows, ignore_index=True)
+    return out[["qid", "docid", "rank", "score_r", "lang", "group_count"]]
+
+
+def _collapsed_sql() -> str:
+    base = _bm25_sql()
+    head, _ = base.rsplit("SELECT qid::BIGINT AS qid", 1)
+    return head + f"""
+, g AS (
+  SELECT s.qid, s.docid, round(s.score, 6) AS score_r, d.lang,
+         row_number() OVER (PARTITION BY s.qid, d.lang
+                            ORDER BY round(s.score, 6) DESC, s.docid)
+           AS rn,
+         count(*) OVER (PARTITION BY s.qid, d.lang) AS group_count
+  FROM scores s JOIN documents d ON d.doc_id = s.docid
+)
+SELECT qid::BIGINT AS qid, docid,
+       row_number() OVER (PARTITION BY qid
+                          ORDER BY score_r DESC, docid) AS rank,
+       score_r, lang, group_count::BIGINT AS group_count
+FROM g WHERE rn = 1
+QUALIFY rank <= {COLLAPSE_K}
+ORDER BY qid, rank
+"""
+
+
 SYN_MAP = {
     "join": ["merge"],
     "stream": ["batch", "data"],
@@ -4006,6 +4053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate_matches": _q_percolate_matches,
         "synonym_bm25_top10": _q_synonym_bm25_top10,
         "paged_bm25_pages23": _q_paged_bm25,
+        "collapsed_by_lang_top5": _q_collapsed_by_lang,
         "bm25_top10_sharded": _q_bm25_top10_sharded,
         "passage_bm25_top5": _q_passage_bm25_top5,
         "phrase_search_top10": _q_phrase_search,
@@ -5700,6 +5748,7 @@ ORDER BY bm.qid, d.lang, d.source
         "percolate_matches": _percolate_sql(),
         "synonym_bm25_top10": _synonym_bm25_sql(),
         "paged_bm25_pages23": _paged_bm25_sql(),
+        "collapsed_by_lang_top5": _collapsed_sql(),
         "bm25_top10_sharded": _bm25_sql(),   # sharding must not change results
         "passage_bm25_top5": _passage_bm25_sql(),
         "phrase_search_top10": x_phrase.sql_phrase_search(

@@ -499,3 +499,85 @@ def search_after(index_dir: str, query: str, k: int = 10,
                      "rank": pa.array(rr, type=pa.int64()),
                      "score_r": pa.array(ss, type=pa.float64())})
     return page, (float(ss[-1]), int(dd[-1]))
+
+
+def collapse_search(index_dir: str, query: str, field: str, k: int = 10,
+                    cfg: "EngineConfig | None" = None,
+                    scorer=None) -> pa.Table:
+    """Field collapsing — the Elasticsearch ``collapse`` analog: the top-k
+    matching docs with at most ONE hit per distinct value of a docmeta
+    ``field``; each hit carries its group's total match count.
+
+    Semantics (the engine's rounded float policy throughout): a group's
+    representative is its best doc by (-round(score, 6), docid); groups
+    rank by their representative's key. Docs with a NULL field value do
+    not collapse (each is its own group — ES's missing-value behavior).
+
+    Scale shape: scoring is posting-driven (no corpus scan) and the
+    docmeta read is predicate-pushed to only the MATCHING docids (an
+    ``isin`` filter over the docid-partitioned docmeta files, so only row
+    groups holding matches page in). Per-docid-shard collapse merges
+    exactly: group representative = best of the shard representatives,
+    group_count = sum of shard counts.
+    """
+    import glob
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from colbert_ray.functions.tokenizer import tokenize_query
+
+    scorer = scorer or BM25Scorer(index_dir, k=max(1, k), with_sha=False)
+    if scorer.ranker != "bm25":
+        raise ValueError("collapse_search supports ranker='bm25' only")
+    cfg = cfg or scorer.idx.cfg
+    files = sorted(glob.glob(os.path.join(index_dir, "docmeta",
+                                          "*.parquet")))
+    if not files:
+        raise ValueError("index has no docmeta/ — collapse needs an index "
+                         "built with meta_cols")
+    dset = pads.dataset(files)
+    if field not in dset.schema.names:
+        raise ValueError(f"unknown collapse field {field!r}; docmeta has "
+                         f"{sorted(set(dset.schema.names) - {'docid'})}")
+    empty = pa.table({"docid": pa.array([], type=pa.int64()),
+                      "rank": pa.array([], type=pa.int64()),
+                      "score_r": pa.array([], type=pa.float64()),
+                      field: pa.array([], type=dset.schema.field(field)
+                                      .type),
+                      "group_count": pa.array([], type=pa.int64())})
+    tids = scorer.idx.lookup_terms(tokenize_query(query, cfg)[0])
+    if not len(tids) or k <= 0:
+        return empty
+    d, s = scorer._all_match_scores(tids, docid_filter=scorer.docid_filter)
+    if not len(d):
+        return empty
+    sr = np.round(s, 6)
+    meta = dset.to_table(columns=["docid", field],
+                         filter=pads.field("docid").isin(pa.array(d)))
+    md = meta.column("docid").to_numpy(zero_copy_only=False)
+    morder = np.argsort(md)
+    vals = meta.column(field).combine_chunks().take(
+        pa.array(morder[np.searchsorted(md[morder], d)]))
+    # group codes: dictionary-encode the field values; NULLs become
+    # singleton groups (unique codes past the dictionary)
+    enc = pc.dictionary_encode(vals)
+    null_mask = np.asarray(pc.is_null(vals).to_numpy(
+        zero_copy_only=False), dtype=bool)
+    codes = np.asarray(enc.indices.fill_null(0)
+                       .to_numpy(zero_copy_only=False), dtype=np.int64)
+    if null_mask.any():
+        codes[null_mask] = len(enc.dictionary) + np.arange(
+            int(null_mask.sum()), dtype=np.int64)
+    counts = np.bincount(codes)
+    rorder = np.lexsort((d, -sr))            # the engine ranking order
+    first_pos = np.unique(codes[rorder], return_index=True)[1]
+    sel = rorder[np.sort(first_pos)[:k]]     # reps, in rank order, cut k
+    return pa.table({
+        "docid": pa.array(d[sel], type=pa.int64()),
+        "rank": pa.array(np.arange(1, len(sel) + 1, dtype=np.int64)),
+        "score_r": pa.array(sr[sel], type=pa.float64()),
+        field: vals.take(pa.array(sel)),
+        "group_count": pa.array(counts[codes[sel]].astype(np.int64)),
+    })

@@ -1,0 +1,87 @@
+"""Field collapsing (collapse_search): representative/count semantics vs
+a pandas brute force over the full ranking, NULL singleton groups,
+unknown-field errors, k cut."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from colbert_ray.config import EngineConfig
+from colbert_ray.pipelines.build import build_index
+from colbert_ray.pipelines.search import collapse_search, search_table
+
+CFG = EngineConfig(num_term_partitions=4)
+
+LANGS = ["en", "fr", "en", None, "de", "fr", "en", None, "de", "en",
+         "fr", "de"]
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory):
+    root = tmp_path_factory.mktemp("collapse_fix")
+    texts = (["alpha beta gamma"] * 4
+             + ["alpha beta", "alpha gamma", "beta gamma delta",
+                "alpha", "beta", "gamma delta", "delta", "epsilon"])
+    t = pa.table({
+        "doc_id": pa.array(list(range(1, len(texts) + 1)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+        "lang": pa.array(LANGS, type=pa.string()),
+    })
+    src = str(root / "docs.parquet")
+    pq.write_table(t, src)
+    idx = str(root / "idx")
+    build_index(src, idx, CFG, content_col="text", key_cols=(),
+                meta_cols=("lang",), docid_col="doc_id")
+    return idx
+
+
+def _expected(idx, q, k):
+    """Brute force: full ranking via search_table, lang from the fixture,
+    first-per-group in rounded rank order + group sizes."""
+    qt = pa.table({"qid": pa.array([0], type=pa.int64()),
+                   "query": pa.array([q])})
+    full = search_table(qt, idx, k=1000, with_sha=False).to_pandas()
+    if full.empty:
+        return full
+    full["score_r"] = full["score"].round(6)
+    full = full.sort_values(["score_r", "docid"],
+                            ascending=[False, True]).reset_index(drop=True)
+    full["lang"] = [LANGS[d - 1] for d in full["docid"]]
+    # NULL langs never collapse: give each its own key (pandas may have
+    # turned None into NaN, so test identity via isinstance)
+    full["grp"] = [lg if isinstance(lg, str) else f"__null__{d}"
+                   for d, lg in zip(full["docid"], full["lang"])]
+    counts = full.groupby("grp")["docid"].transform("size")
+    full["group_count"] = counts.astype(np.int64)
+    reps = full[~full["grp"].duplicated()].head(k).reset_index(drop=True)
+    reps["rank"] = np.arange(1, len(reps) + 1, dtype=np.int64)
+    return reps[["docid", "rank", "score_r", "lang", "group_count"]]
+
+
+@pytest.mark.parametrize("q,k", [("alpha beta gamma", 3),
+                                 ("alpha beta gamma", 100),
+                                 ("delta", 5), ("epsilon", 2)])
+def test_collapse_matches_brute_force(ray_session, built, q, k):
+    got = collapse_search(built, q, "lang", k=k).to_pandas()
+    want = _expected(built, q, k)
+    pd.testing.assert_frame_equal(got, want, check_dtype=True)
+    # at most one hit per non-null lang
+    nn = got[got["lang"].notna()]
+    assert nn["lang"].is_unique
+
+
+def test_null_field_values_do_not_collapse(ray_session, built):
+    # docs 4 and 8 (lang NULL) both match 'alpha' -> both may appear
+    got = collapse_search(built, "alpha", "lang", k=100).to_pandas()
+    null_rows = got[got["lang"].isna()]
+    assert set(null_rows["docid"]) == {4, 8}
+    assert (null_rows["group_count"] == 1).all()
+
+
+def test_errors_and_empty(ray_session, built):
+    with pytest.raises(ValueError, match="unknown collapse field"):
+        collapse_search(built, "alpha", "nosuchfield")
+    assert collapse_search(built, "zzznope", "lang").num_rows == 0
+    assert collapse_search(built, "alpha", "lang", k=0).num_rows == 0
