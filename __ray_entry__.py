@@ -1009,6 +1009,96 @@ def _q_collapsed_by_lang(sf_dir: str) -> pd.DataFrame:
     return out[["qid", "docid", "rank", "score_r", "lang", "group_count"]]
 
 
+RESCORE_WINDOW = 20
+RESCORE_WEIGHT = 2.0
+
+
+def _q_rescored_bm25(sf_dir: str) -> pd.DataFrame:
+    """Two-stage rescoring (pipelines/rescore.py — ES rescore analog):
+    BM25 top-20 window, then a proximity bonus weight/min_span for window
+    docs containing every query term, final order by the rounded blend."""
+    from colbert_ray.pipelines.rescore import rescore_search
+    from colbert_ray.state.index import BM25Scorer
+
+    idx = _ensure_index(sf_dir)
+    scorer = BM25Scorer(idx, k=10, with_sha=False)
+    corpus = _read(sf_dir, "documents", ["doc_id", "text"])
+    rows = []
+    for qid, q in QUERY_SET:
+        t = rescore_search(idx, corpus, q, k=10, window=RESCORE_WINDOW,
+                           weight=RESCORE_WEIGHT, cfg=CFG,
+                           scorer=scorer).to_pandas()
+        t.insert(0, "qid", np.int64(qid))
+        rows.append(t)
+    out = pd.concat(rows, ignore_index=True)
+    return out[["qid", "docid", "rank", "score_r", "base_r", "span"]]
+
+
+def _rescored_sql() -> str:
+    """Twin: the bm25 CTE chain + exact min covering span per (qid, window
+    doc). Min-span formulation: the optimal window starts at some query-
+    term occurrence s; its tightest cover ends at max over terms of the
+    first occurrence >= s — min over s of that cover length equals the
+    two-pointer sweep's result."""
+    base = _bm25_sql()
+    head, _ = base.rsplit("SELECT qid::BIGINT AS qid", 1)
+    return head + f"""
+, win AS (
+  SELECT qid, docid, round(score, 6) AS base_r,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, docid) AS rn
+  FROM scores QUALIFY rn <= {RESCORE_WINDOW}
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) AS p
+  FROM docs
+),
+per AS (
+  SELECT q.qid, w.docid, q.term, pos.p
+  FROM (SELECT DISTINCT qid, term FROM q) q
+  JOIN win w USING (qid)
+  JOIN pos ON pos.doc_id = w.docid AND pos.term = q.term
+),
+nterms AS (
+  SELECT qid, count(DISTINCT term) AS nt FROM q GROUP BY qid
+),
+starts AS (SELECT DISTINCT qid, docid, p AS s FROM per),
+c2 AS (
+  SELECT st.qid, st.docid, st.s, per.term, min(per.p) AS minp
+  FROM starts st
+  JOIN per ON per.qid = st.qid AND per.docid = st.docid
+          AND per.p >= st.s
+  GROUP BY st.qid, st.docid, st.s, per.term
+),
+covers AS (
+  SELECT qid, docid, s, max(minp) - s + 1 AS cover, count(*) AS np
+  FROM c2 GROUP BY qid, docid, s
+),
+spans AS (
+  SELECT covers.qid, covers.docid, min(cover) AS span
+  FROM covers JOIN nterms USING (qid)
+  WHERE np = nt GROUP BY covers.qid, covers.docid
+),
+fin AS (
+  SELECT w.qid, w.docid,
+         round(w.base_r + CASE WHEN sp.span IS NOT NULL
+               THEN {RESCORE_WEIGHT!r} / sp.span ELSE 0.0 END, 6)
+           AS score_r,
+         w.base_r,
+         coalesce(sp.span, 0)::BIGINT AS span
+  FROM win w
+  LEFT JOIN spans sp ON sp.qid = w.qid AND sp.docid = w.docid
+)
+SELECT qid::BIGINT AS qid, docid,
+       row_number() OVER (PARTITION BY qid
+                          ORDER BY score_r DESC, docid) AS rank,
+       score_r, base_r, span
+FROM fin QUALIFY rank <= 10
+ORDER BY qid, rank
+"""
+
+
 def _collapsed_sql() -> str:
     base = _bm25_sql()
     head, _ = base.rsplit("SELECT qid::BIGINT AS qid", 1)
@@ -4054,6 +4144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "synonym_bm25_top10": _q_synonym_bm25_top10,
         "paged_bm25_pages23": _q_paged_bm25,
         "collapsed_by_lang_top5": _q_collapsed_by_lang,
+        "rescored_bm25_top10": _q_rescored_bm25,
         "bm25_top10_sharded": _q_bm25_top10_sharded,
         "passage_bm25_top5": _q_passage_bm25_top5,
         "phrase_search_top10": _q_phrase_search,
@@ -5749,6 +5840,7 @@ ORDER BY bm.qid, d.lang, d.source
         "synonym_bm25_top10": _synonym_bm25_sql(),
         "paged_bm25_pages23": _paged_bm25_sql(),
         "collapsed_by_lang_top5": _collapsed_sql(),
+        "rescored_bm25_top10": _rescored_sql(),
         "bm25_top10_sharded": _bm25_sql(),   # sharding must not change results
         "passage_bm25_top5": _passage_bm25_sql(),
         "phrase_search_top10": x_phrase.sql_phrase_search(
