@@ -1009,6 +1009,69 @@ def _q_collapsed_by_lang(sf_dir: str) -> pd.DataFrame:
     return out[["qid", "docid", "rank", "score_r", "lang", "group_count"]]
 
 
+SIGTERMS_K = 10
+
+
+def _q_significant_terms(sf_dir: str) -> pd.DataFrame:
+    """Significant-terms aggregation (pipelines/sigterms.py — ES
+    significant_terms analog, JLH score): per query, top-10 terms
+    overrepresented in the matching set vs the corpus background."""
+    from colbert_ray.pipelines.sigterms import significant_terms
+    from colbert_ray.state.index import BM25Scorer
+
+    idx = _ensure_index(sf_dir)
+    scorer = BM25Scorer(idx, k=SIGTERMS_K, with_sha=False)
+    corpus = _read(sf_dir, "documents", ["doc_id", "text"])
+    rows = []
+    for qid, q in QUERY_SET:
+        t = significant_terms(idx, corpus, q, k=SIGTERMS_K, cfg=CFG,
+                              scorer=scorer).to_pandas()
+        t.insert(0, "qid", np.int64(qid))
+        rows.append(t)
+    return pd.concat(rows, ignore_index=True)[
+        ["qid", "term", "fg_df", "bg_df", "score_r"]]
+
+
+def _sigterms_sql() -> str:
+    values = ",\n      ".join(
+        f"({qid}, '{term}')"
+        for qid, text in QUERY_SET
+        for term in tokenize_query(text, CFG)[0]
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {_toks_expr()} AS toks FROM documents
+),
+dt AS (
+  SELECT DISTINCT doc_id, unnest(toks) AS term FROM docs
+),
+bg AS (SELECT term, count(*) AS bg_df FROM dt GROUP BY term),
+q(qid, term) AS (
+  VALUES {values}
+),
+fgdocs AS (
+  SELECT DISTINCT q.qid, dt.doc_id FROM q JOIN dt USING (term)
+),
+nfg AS (SELECT qid, count(*) AS n_fg FROM fgdocs GROUP BY qid),
+nd AS (SELECT count(*) AS n_docs FROM docs),
+fg AS (
+  SELECT f.qid, dt.term, count(*) AS fg_df
+  FROM fgdocs f JOIN dt ON dt.doc_id = f.doc_id
+  GROUP BY f.qid, dt.term
+)
+SELECT fg.qid::BIGINT AS qid, fg.term,
+       fg.fg_df::BIGINT AS fg_df, bg.bg_df::BIGINT AS bg_df,
+       round((fg.fg_df::DOUBLE / nfg.n_fg - bg.bg_df::DOUBLE / nd.n_docs)
+             * (fg.fg_df::DOUBLE / nfg.n_fg)
+             / (bg.bg_df::DOUBLE / nd.n_docs), 6) AS score_r
+FROM fg JOIN bg USING (term) JOIN nfg USING (qid) CROSS JOIN nd
+QUALIFY row_number() OVER (PARTITION BY fg.qid
+                           ORDER BY score_r DESC, fg.term)
+        <= {SIGTERMS_K}
+ORDER BY qid, score_r DESC, term
+"""
+
+
 RESCORE_WINDOW = 20
 RESCORE_WEIGHT = 2.0
 
@@ -4145,6 +4208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paged_bm25_pages23": _q_paged_bm25,
         "collapsed_by_lang_top5": _q_collapsed_by_lang,
         "rescored_bm25_top10": _q_rescored_bm25,
+        "significant_terms_top10": _q_significant_terms,
         "bm25_top10_sharded": _q_bm25_top10_sharded,
         "passage_bm25_top5": _q_passage_bm25_top5,
         "phrase_search_top10": _q_phrase_search,
@@ -5841,6 +5905,7 @@ ORDER BY bm.qid, d.lang, d.source
         "paged_bm25_pages23": _paged_bm25_sql(),
         "collapsed_by_lang_top5": _collapsed_sql(),
         "rescored_bm25_top10": _rescored_sql(),
+        "significant_terms_top10": _sigterms_sql(),
         "bm25_top10_sharded": _bm25_sql(),   # sharding must not change results
         "passage_bm25_top5": _passage_bm25_sql(),
         "phrase_search_top10": x_phrase.sql_phrase_search(
