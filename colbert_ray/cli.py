@@ -140,6 +140,20 @@ def main(argv: list[str] | None = None) -> int:
     sg.add_argument("--prefix", required=True)
     sg.add_argument("--k", type=int, default=10)
 
+    sn = sub.add_parser("snapshot", help="snapshot a quiesced index "
+                                         "(hardlink + sha256 manifest; "
+                                         "no Ray session)")
+    sn.add_argument("--index", required=True)
+    sn.add_argument("--out", required=True, help="snapshot directory "
+                                                 "(must not exist)")
+
+    rs = sub.add_parser("restore", help="restore an index from a snapshot "
+                                        "(verifies sha256; no Ray session)")
+    rs.add_argument("--snapshot", required=True)
+    rs.add_argument("--out", required=True, help="restore directory "
+                                                 "(must not exist)")
+    rs.add_argument("--no-verify", action="store_true")
+
     v = sub.add_parser("serve", help="HTTP search endpoint (see colbert_ray.server)")
     v.add_argument("--index", default=None)
     v.add_argument("--fanout", default=None,
@@ -167,6 +181,22 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "stats":
         # pure filesystem introspection — no Ray session
         print(json.dumps(_index_stats(args.index), indent=1, sort_keys=True))
+        return 0
+    if args.cmd == "snapshot":
+        # pure filesystem operation — no Ray session
+        from colbert_ray.state.snapshot import snapshot_index
+
+        m = snapshot_index(args.index, args.out)
+        print(json.dumps({"snapshot": args.out,
+                          "n_files": m["n_files"]}))
+        return 0
+    if args.cmd == "restore":
+        from colbert_ray.state.snapshot import restore_index
+
+        m = restore_index(args.snapshot, args.out,
+                          verify=not args.no_verify)
+        print(json.dumps({"restored": args.out, "n_files": m["n_files"],
+                          "verified": not args.no_verify}))
         return 0
     if args.cmd == "suggest":
         # mmap dictionary probe — no Ray session

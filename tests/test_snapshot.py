@@ -1,0 +1,122 @@
+"""Snapshot/restore lifecycle: restored index serves identical rankings,
+verification catches corruption, guards on targets and non-indexes."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from colbert_ray.config import EngineConfig
+from colbert_ray.pipelines.build import build_index
+from colbert_ray.pipelines.search import search_table
+from colbert_ray.state.snapshot import (
+    restore_index,
+    snapshot_index,
+    verify_snapshot,
+)
+
+CFG = EngineConfig(num_term_partitions=4)
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory):
+    root = tmp_path_factory.mktemp("snap_fix")
+    texts = [f"alpha beta doc{i} gamma common" for i in range(30)]
+    t = pa.table({
+        "doc_id": pa.array(list(range(1, 31)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    src = str(root / "docs.parquet")
+    pq.write_table(t, src)
+    idx = str(root / "idx")
+    build_index(src, idx, CFG, content_col="text", key_cols=(),
+                meta_cols=(), docid_col="doc_id")
+    return str(root), idx
+
+
+def _rank(idx):
+    qt = pa.table({"qid": pa.array([0], type=pa.int64()),
+                   "query": pa.array(["alpha gamma"])})
+    return search_table(qt, idx, k=10, with_sha=False).to_pandas()
+
+
+def test_snapshot_restore_roundtrip(ray_session, built, tmp_path):
+    root, idx = built
+    want = _rank(idx)
+    snap = str(tmp_path / "snap")
+    m = snapshot_index(idx, snap)
+    assert m["n_files"] > 0 and verify_snapshot(snap)["n_files"] == m["n_files"]
+    dest = str(tmp_path / "restored")
+    restore_index(snap, dest)
+    import pandas as pd
+    pd.testing.assert_frame_equal(_rank(dest), want)
+
+
+def test_snapshot_verify_catches_corruption(ray_session, built, tmp_path):
+    _, idx = built
+    snap = str(tmp_path / "snap_c")
+    snapshot_index(idx, snap)
+    # flip one byte in some data file (break the hardlink first so the
+    # live index is untouched)
+    victim = None
+    for base, _, names in os.walk(snap):
+        for n in names:
+            if n != "snapshot.json" and os.path.getsize(
+                    os.path.join(base, n)) > 8:
+                victim = os.path.join(base, n)
+                break
+        if victim:
+            break
+    data = open(victim, "rb").read()
+    os.unlink(victim)
+    with open(victim, "wb") as f:
+        f.write(data[:-1] + bytes([data[-1] ^ 0xFF]))
+    with pytest.raises(ValueError, match="corrupt"):
+        verify_snapshot(snap)
+    with pytest.raises(ValueError, match="corrupt"):
+        restore_index(snap, str(tmp_path / "nope"))
+    assert not os.path.exists(str(tmp_path / "nope"))
+    # a deleted file is caught as a set mismatch
+    os.unlink(victim)
+    with pytest.raises(ValueError, match="missing"):
+        verify_snapshot(snap)
+
+
+def test_snapshot_guards(ray_session, built, tmp_path):
+    _, idx = built
+    snap = str(tmp_path / "snap_g")
+    snapshot_index(idx, snap)
+    with pytest.raises(FileExistsError):
+        snapshot_index(idx, snap)
+    with pytest.raises(FileExistsError):
+        restore_index(snap, idx)
+    with pytest.raises(ValueError, match="not a built index"):
+        snapshot_index(str(tmp_path), str(tmp_path / "x"))
+    # no tmp turds left behind on failures
+    parent = os.path.dirname(snap)
+    assert not [n for n in os.listdir(parent) if ".tmp-" in n]
+
+
+def test_snapshot_cli_subcommands(ray_session, built, tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    _, idx = built
+    snap = str(tmp_path / "cli_snap")
+    dest = str(tmp_path / "cli_restored")
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    r1 = subprocess.run(
+        [sys.executable, "-m", "colbert_ray.cli", "snapshot",
+         "--index", idx, "--out", snap],
+        capture_output=True, text=True, env=env, timeout=120)
+    assert r1.returncode == 0, r1.stderr
+    assert json.loads(r1.stdout.strip().splitlines()[-1])["n_files"] > 0
+    r2 = subprocess.run(
+        [sys.executable, "-m", "colbert_ray.cli", "restore",
+         "--snapshot", snap, "--out", dest],
+        capture_output=True, text=True, env=env, timeout=120)
+    assert r2.returncode == 0, r2.stderr
+    assert json.loads(r2.stdout.strip().splitlines()[-1])["verified"]
+    assert os.path.isfile(os.path.join(dest, "metadata.json"))
