@@ -1009,6 +1009,50 @@ def _q_collapsed_by_lang(sf_dir: str) -> pd.DataFrame:
     return out[["qid", "docid", "rank", "score_r", "lang", "group_count"]]
 
 
+FUNCSCORE_FACTOR = 1.5
+
+
+def _q_funcscore_bm25(sf_dir: str) -> pd.DataFrame:
+    """Function-score query (pipelines/search.function_score_search — ES
+    field_value_factor, modifier ln1p, boost_mode multiply): every match
+    rescored as round(base_r * 1.5 * ln(1 + doclen), 6), top-10."""
+    from colbert_ray.pipelines.search import function_score_search
+    from colbert_ray.state.index import BM25Scorer
+
+    idx = _ensure_index(sf_dir)
+    scorer = BM25Scorer(idx, k=10, with_sha=False)
+    rows = []
+    for qid, q in QUERY_SET:
+        t = function_score_search(idx, q, field="doclen",
+                                  factor=FUNCSCORE_FACTOR, k=10, cfg=CFG,
+                                  scorer=scorer).to_pandas()
+        t.insert(0, "qid", np.int64(qid))
+        rows.append(t)
+    return pd.concat(rows, ignore_index=True)[
+        ["qid", "docid", "rank", "score_r", "base_r", "doclen"]]
+
+
+def _funcscore_sql() -> str:
+    base = _bm25_sql()
+    head, _ = base.rsplit("SELECT qid::BIGINT AS qid", 1)
+    f = FUNCSCORE_FACTOR
+    return head + f"""
+, fin AS (
+  SELECT s.qid, s.docid, round(s.score, 6) AS base_r,
+         len(d.toks)::DOUBLE AS doclen
+  FROM scores s JOIN docs d ON d.doc_id = s.docid
+)
+SELECT qid::BIGINT AS qid, docid,
+       row_number() OVER (PARTITION BY qid
+         ORDER BY round(base_r * {f!r} * ln(1 + doclen), 6) DESC, docid)
+         AS rank,
+       round(base_r * {f!r} * ln(1 + doclen), 6) AS score_r,
+       base_r, doclen
+FROM fin QUALIFY rank <= 10
+ORDER BY qid, rank
+"""
+
+
 SIGTERMS_K = 10
 
 
@@ -4209,6 +4253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collapsed_by_lang_top5": _q_collapsed_by_lang,
         "rescored_bm25_top10": _q_rescored_bm25,
         "significant_terms_top10": _q_significant_terms,
+        "funcscore_bm25_top10": _q_funcscore_bm25,
         "bm25_top10_sharded": _q_bm25_top10_sharded,
         "passage_bm25_top5": _q_passage_bm25_top5,
         "phrase_search_top10": _q_phrase_search,
@@ -5906,6 +5951,7 @@ ORDER BY bm.qid, d.lang, d.source
         "collapsed_by_lang_top5": _collapsed_sql(),
         "rescored_bm25_top10": _rescored_sql(),
         "significant_terms_top10": _sigterms_sql(),
+        "funcscore_bm25_top10": _funcscore_sql(),
         "bm25_top10_sharded": _bm25_sql(),   # sharding must not change results
         "passage_bm25_top5": _passage_bm25_sql(),
         "phrase_search_top10": x_phrase.sql_phrase_search(

@@ -501,6 +501,35 @@ def search_after(index_dir: str, query: str, k: int = 10,
     return page, (float(ss[-1]), int(dd[-1]))
 
 
+def _docmeta_lookup(index_dir: str, field: str, docids) -> pa.Array:
+    """Values of a docmeta ``field`` aligned to ``docids`` — a
+    predicate-pushed read (``isin`` filter over the docid-partitioned
+    docmeta files: only row groups holding the requested docids page in).
+    Shared by collapse_search and function_score_search."""
+    import glob
+
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    files = sorted(glob.glob(os.path.join(index_dir, "docmeta",
+                                          "*.parquet")))
+    if not files:
+        raise ValueError("index has no docmeta/ — this operation needs an "
+                         "index built with meta_cols")
+    dset = pads.dataset(files)
+    if field not in dset.schema.names:
+        raise ValueError(f"unknown field {field!r}; docmeta has "
+                         f"{sorted(set(dset.schema.names) - {'docid'})}")
+    if not len(docids):
+        return pa.array([], type=dset.schema.field(field).type)
+    meta = dset.to_table(columns=["docid", field],
+                         filter=pads.field("docid").isin(pa.array(docids)))
+    md = meta.column("docid").to_numpy(zero_copy_only=False)
+    morder = np.argsort(md)
+    return meta.column(field).combine_chunks().take(
+        pa.array(morder[np.searchsorted(md[morder], docids)]))
+
+
 def collapse_search(index_dir: str, query: str, field: str, k: int = 10,
                     cfg: "EngineConfig | None" = None,
                     scorer=None) -> pa.Table:
@@ -520,11 +549,8 @@ def collapse_search(index_dir: str, query: str, field: str, k: int = 10,
     exactly: group representative = best of the shard representatives,
     group_count = sum of shard counts.
     """
-    import glob
-
     import numpy as np
     import pyarrow.compute as pc
-    import pyarrow.dataset as pads
 
     from colbert_ray.functions.tokenizer import tokenize_query
 
@@ -532,20 +558,11 @@ def collapse_search(index_dir: str, query: str, field: str, k: int = 10,
     if scorer.ranker != "bm25":
         raise ValueError("collapse_search supports ranker='bm25' only")
     cfg = cfg or scorer.idx.cfg
-    files = sorted(glob.glob(os.path.join(index_dir, "docmeta",
-                                          "*.parquet")))
-    if not files:
-        raise ValueError("index has no docmeta/ — collapse needs an index "
-                         "built with meta_cols")
-    dset = pads.dataset(files)
-    if field not in dset.schema.names:
-        raise ValueError(f"unknown collapse field {field!r}; docmeta has "
-                         f"{sorted(set(dset.schema.names) - {'docid'})}")
+    empty_vals = _docmeta_lookup(index_dir, field, np.array([], np.int64))
     empty = pa.table({"docid": pa.array([], type=pa.int64()),
                       "rank": pa.array([], type=pa.int64()),
                       "score_r": pa.array([], type=pa.float64()),
-                      field: pa.array([], type=dset.schema.field(field)
-                                      .type),
+                      field: empty_vals,
                       "group_count": pa.array([], type=pa.int64())})
     tids = scorer.idx.lookup_terms(tokenize_query(query, cfg)[0])
     if not len(tids) or k <= 0:
@@ -554,12 +571,7 @@ def collapse_search(index_dir: str, query: str, field: str, k: int = 10,
     if not len(d):
         return empty
     sr = np.round(s, 6)
-    meta = dset.to_table(columns=["docid", field],
-                         filter=pads.field("docid").isin(pa.array(d)))
-    md = meta.column("docid").to_numpy(zero_copy_only=False)
-    morder = np.argsort(md)
-    vals = meta.column(field).combine_chunks().take(
-        pa.array(morder[np.searchsorted(md[morder], d)]))
+    vals = _docmeta_lookup(index_dir, field, d)
     # group codes: dictionary-encode the field values; NULLs become
     # singleton groups (unique codes past the dictionary)
     enc = pc.dictionary_encode(vals)
@@ -580,4 +592,61 @@ def collapse_search(index_dir: str, query: str, field: str, k: int = 10,
         "score_r": pa.array(sr[sel], type=pa.float64()),
         field: vals.take(pa.array(sel)),
         "group_count": pa.array(counts[codes[sel]].astype(np.int64)),
+    })
+
+
+def function_score_search(index_dir: str, query: str,
+                          field: str = "doclen",
+                          factor: float = 1.0, k: int = 10,
+                          cfg: "EngineConfig | None" = None,
+                          scorer=None) -> pa.Table:
+    """Function-score query — the Elasticsearch ``field_value_factor``
+    analog (modifier ``ln1p``, boost_mode ``multiply``): every matching
+    doc is rescored as ``round(base_r * factor * ln(1 + field), 6)``
+    where ``field`` is a NUMERIC docmeta column, then top-k by
+    (-score_r, docid).
+
+    Scale shape: identical to collapse_search — posting-driven scoring,
+    predicate-pushed docmeta read of only the matching docids. NULL
+    field values contribute factor 0 (the doc keeps score 0.0), mirroring
+    a ``missing: 0`` setting.
+    """
+    import numpy as np
+
+    from colbert_ray.functions.tokenizer import tokenize_query
+
+    scorer = scorer or BM25Scorer(index_dir, k=max(1, k), with_sha=False)
+    if scorer.ranker != "bm25":
+        raise ValueError("function_score_search supports ranker='bm25' "
+                         "only")
+    cfg = cfg or scorer.idx.cfg
+    empty = pa.table({"docid": pa.array([], type=pa.int64()),
+                      "rank": pa.array([], type=pa.int64()),
+                      "score_r": pa.array([], type=pa.float64()),
+                      "base_r": pa.array([], type=pa.float64()),
+                      field: pa.array([], type=pa.float64())})
+    tids = scorer.idx.lookup_terms(tokenize_query(query, cfg)[0])
+    if not len(tids) or k <= 0:
+        return empty
+    d, s = scorer._all_match_scores(tids, docid_filter=scorer.docid_filter)
+    if not len(d):
+        return empty
+    base_r = np.round(s, 6)
+    vals = _docmeta_lookup(index_dir, field, d)
+    if not (pa.types.is_integer(vals.type)
+            or pa.types.is_floating(vals.type)):
+        raise ValueError(f"field {field!r} is {vals.type}; "
+                         f"function_score needs a numeric docmeta column")
+    v = np.asarray(vals.fill_null(0).to_numpy(zero_copy_only=False),
+                   dtype=np.float64)
+    # ln(1 + v), NOT log1p: the SQL twin computes ln(1 + field) and the
+    # two can differ in the last ulp — keep the IEEE op sequence identical
+    score_r = np.round(base_r * factor * np.log(1.0 + v), 6)
+    order = np.lexsort((d, -score_r))[:k]
+    return pa.table({
+        "docid": pa.array(d[order], type=pa.int64()),
+        "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+        "score_r": pa.array(score_r[order], type=pa.float64()),
+        "base_r": pa.array(base_r[order], type=pa.float64()),
+        field: pa.array(v[order], type=pa.float64()),
     })

@@ -81,7 +81,44 @@ def test_null_field_values_do_not_collapse(ray_session, built):
 
 
 def test_errors_and_empty(ray_session, built):
-    with pytest.raises(ValueError, match="unknown collapse field"):
+    with pytest.raises(ValueError, match="unknown field"):
         collapse_search(built, "alpha", "nosuchfield")
     assert collapse_search(built, "zzznope", "lang").num_rows == 0
     assert collapse_search(built, "alpha", "lang", k=0).num_rows == 0
+
+
+def test_function_score_matches_brute_force(ray_session, built):
+    from colbert_ray.pipelines.search import function_score_search
+
+    factor = 1.5
+    got = function_score_search(built, "alpha beta gamma",
+                                field="doclen", factor=factor,
+                                k=100).to_pandas()
+    qt = pa.table({"qid": pa.array([0], type=pa.int64()),
+                   "query": pa.array(["alpha beta gamma"])})
+    full = search_table(qt, built, k=1000, with_sha=False).to_pandas()
+    full["base_r"] = full["score"].round(6)
+    texts = ["alpha beta gamma"] * 4 + [
+        "alpha beta", "alpha gamma", "beta gamma delta", "alpha",
+        "beta", "gamma delta", "delta", "epsilon"]
+    full["doclen"] = [float(len(texts[d - 1].split()))
+                      for d in full["docid"]]
+    full["score_r"] = (full["base_r"] * factor
+                       * np.log(1.0 + full["doclen"])).round(6)
+    full = full.sort_values(["score_r", "docid"],
+                            ascending=[False, True]).reset_index(drop=True)
+    full["rank"] = np.arange(1, len(full) + 1, dtype=np.int64)
+    want = full[["docid", "rank", "score_r", "base_r", "doclen"]]
+    pd.testing.assert_frame_equal(got, want, check_dtype=True)
+    # longer docs outrank equal-base shorter docs under the ln(1+dl) boost
+    assert (got["score_r"] >= got["score_r"].shift(-1).fillna(-1)).all()
+
+
+def test_function_score_guards(ray_session, built):
+    from colbert_ray.pipelines.search import function_score_search
+
+    with pytest.raises(ValueError, match="numeric"):
+        function_score_search(built, "alpha", field="lang")
+    with pytest.raises(ValueError, match="unknown field"):
+        function_score_search(built, "alpha", field="nope")
+    assert function_score_search(built, "zzznope").num_rows == 0
