@@ -16,8 +16,16 @@ and because the cursor is pure sort-key state any replica can serve any
 page — no scroll context to pin. Paginating clients must fetch page 1
 with ``after=`` too: pagination orders by the ROUNDED (score_r, docid)
 key, while the plain response orders by raw score, so a cursor built
-from the plain page 1 can drop or duplicate a rounded tie. The fan-out
-front end rejects ``after=`` (cross-shard pagination is not wired).
+from the plain page 1 can drop or duplicate a rounded tie.
+
+``collapse=<docmeta field>`` serves field-collapsed results (one hit per
+field value + group_count; ``pipelines.search.collapse_search``) and
+``boost_field=<numeric docmeta field>`` [+ ``boost_factor=``] serves
+function-score results (``function_score_search``) — both index+docmeta
+only, so they belong on the serving tier (rescore/significant-terms need
+a corpus pass and stay offline). The result-shaping modes (dsl, after,
+collapse, boost_field) are mutually exclusive; the fan-out front end
+rejects all of them except plain bm25 (cross-shard merges not wired).
 
 The scorer holds the mmap-opened serve artifact (DecodedIndex fast path),
 so startup is milliseconds and concurrent handler threads share one
@@ -117,6 +125,21 @@ def make_server(index_dir: str, port: int = 8893, k: int = 10,
             rows.append(row)
         return rows
 
+    @functools.lru_cache(maxsize=cache_size)
+    def cached_collapse(query: str, field: str, kk: int):
+        from colbert_ray.pipelines.search import collapse_search
+
+        return collapse_search(index_dir, query, field, k=kk,
+                               scorer=get_scorer("bm25")).to_pylist()
+
+    @functools.lru_cache(maxsize=cache_size)
+    def cached_funcscore(query: str, field: str, factor: float, kk: int):
+        from colbert_ray.pipelines.search import function_score_search
+
+        return function_score_search(index_dir, query, field=field,
+                                     factor=factor, k=kk,
+                                     scorer=get_scorer("bm25")).to_pylist()
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):   # quiet by default
             pass
@@ -206,6 +229,27 @@ def make_server(index_dir: str, port: int = 8893, k: int = 10,
                                                    "'score_r,docid' (or "
                                                    "empty for page 1)"})
                         return
+            collapse = (params.get("collapse") or [""])[0]
+            boost_field = (params.get("boost_field") or [""])[0]
+            try:
+                boost_factor = float(
+                    (params.get("boost_factor") or ["1.0"])[0])
+            except ValueError:
+                self._reply(400, {"error": "boost_factor must be a "
+                                           "number"})
+                return
+            # each result-shaping mode changes the response contract;
+            # combining them silently would pick one arbitrarily
+            if sum([dsl, paginate, bool(collapse),
+                    bool(boost_field)]) > 1:
+                self._reply(400, {"error": "dsl/after/collapse/"
+                                           "boost_field are mutually "
+                                           "exclusive"})
+                return
+            if (collapse or boost_field) and ranker != "bm25":
+                self._reply(400, {"error": "collapse/boost_field are "
+                                           "bm25-only"})
+                return
             t0 = time.time()
             try:
                 if paginate:
@@ -222,14 +266,23 @@ def make_server(index_dir: str, port: int = 8893, k: int = 10,
                                        else f"{cursor[0]},{cursor[1]}"),
                     })
                     return
-                rows = cached_dsl(query, kk) if dsl \
-                    else cached_search(query, kk, ranker)
+                if collapse:
+                    rows = cached_collapse(query, collapse, kk)
+                elif boost_field:
+                    rows = cached_funcscore(query, boost_field,
+                                            boost_factor, kk)
+                elif dsl:
+                    rows = cached_dsl(query, kk)
+                else:
+                    rows = cached_search(query, kk, ranker)
             except ValueError as e:
                 self._reply(400, {"error": str(e)})
                 return
+            mode = ("collapse" if collapse else
+                    "function_score" if boost_field else
+                    "dsl" if dsl else ranker)
             self._reply(200, {
-                "query": query, "k": kk,
-                "ranker": "dsl" if dsl else ranker,
+                "query": query, "k": kk, "ranker": mode,
                 "latency_ms": round((time.time() - t0) * 1000, 3),
                 "topk": rows,
             })
@@ -375,6 +428,12 @@ def make_fanout(shard_urls: list[str], port: int = 8893, k: int = 10,
                                            "supported on the fan-out front "
                                            "end (per-shard cursors would "
                                            "need a composite cursor)"})
+                return
+            if params.get("collapse") or params.get("boost_field"):
+                self._reply(400, {"error": "collapse/boost_field are not "
+                                           "wired on the fan-out front "
+                                           "end (the shard group merge is "
+                                           "not implemented)"})
                 return
             t0 = time.time()
             try:

@@ -951,3 +951,58 @@ def test_http_search_after_pagination(built):
                 assert e.code == 400
     finally:
         httpd.shutdown()
+
+
+def test_http_collapse_and_function_score(built):
+    """collapse= and boost_field= on /api/search: results match the
+    library calls exactly; mode combinations and bad fields 400."""
+    import json as _json
+    import threading
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    from colbert_ray.pipelines.search import (
+        collapse_search,
+        function_score_search,
+    )
+    from colbert_ray.server import make_server
+
+    _, queries_path, index_dir = built
+    httpd = make_server(index_dir, port=0, k=10)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        query = pq.read_table(queries_path).column("query").to_pylist()[0]
+        base = (f"http://127.0.0.1:{port}/api/search?"
+                f"query={urllib.parse.quote(query)}&k=5")
+        with urllib.request.urlopen(base + "&collapse=lang",
+                                    timeout=30) as r:
+            col = _json.loads(r.read())
+        assert col["ranker"] == "collapse"
+        want = collapse_search(index_dir, query, "lang", k=5).to_pylist()
+        assert col["topk"] == want
+        langs = [row["lang"] for row in col["topk"]]
+        assert len(langs) == len(set(langs))
+        with urllib.request.urlopen(
+                base + "&boost_field=doclen&boost_factor=2.0",
+                timeout=30) as r:
+            fs = _json.loads(r.read())
+        assert fs["ranker"] == "function_score"
+        want = function_score_search(index_dir, query, field="doclen",
+                                     factor=2.0, k=5).to_pylist()
+        assert fs["topk"] == want
+        for bad in ("&collapse=nosuchfield",
+                    "&boost_field=lang",              # non-numeric
+                    "&collapse=lang&boost_field=doclen",
+                    "&collapse=lang&dsl=1",
+                    "&boost_field=doclen&after=",
+                    "&collapse=lang&ranker=ql",
+                    "&boost_field=doclen&boost_factor=zz"):
+            try:
+                urllib.request.urlopen(base + bad, timeout=30)
+                raise AssertionError(f"expected HTTP 400 for {bad}")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+    finally:
+        httpd.shutdown()
