@@ -24,8 +24,11 @@ field value + group_count; ``pipelines.search.collapse_search``) and
 function-score results (``function_score_search``) — both index+docmeta
 only, so they belong on the serving tier (rescore/significant-terms need
 a corpus pass and stay offline). The result-shaping modes (dsl, after,
-collapse, boost_field) are mutually exclusive; the fan-out front end
-rejects all of them except plain bm25 (cross-shard merges not wired).
+collapse, boost_field) are mutually exclusive. The fan-out front end
+serves plain bm25 AND ``after=`` pagination (the cursor is a global sort
+key, so one cursor is valid on every shard and the merged page equals
+the unsharded page exactly); it rejects dsl/ql/collapse/boost_field
+(those cross-shard merges are not wired).
 
 The scorer holds the mmap-opened serve artifact (DecodedIndex fast path),
 so startup is milliseconds and concurrent handler threads share one
@@ -350,6 +353,32 @@ def make_fanout(shard_urls: list[str], port: int = 8893, k: int = 10,
             r["rank"] = i + 1
         return rows
 
+    def _ask_after(base: str, query: str, kk: int, after: str) -> list[dict]:
+        url = (f"{base}/api/search?"
+               f"query={urllib.parse.quote(query)}&k={kk}"
+               f"&after={urllib.parse.quote(after)}")
+        with urllib.request.urlopen(url, timeout=timeout_s) as r:
+            return json.loads(r.read())["topk"]
+
+    @functools.lru_cache(maxsize=cache_size)
+    def cached_search_after(query: str, kk: int, after: str):
+        # the cursor is a GLOBAL sort key (per-shard scores use global
+        # statistics and pagination orders by the rounded (score_r, docid)
+        # total order), so the SAME cursor is valid on every shard: each
+        # shard returns its k rows strictly after the cursor, and the
+        # merged cut is exactly the unsharded page — no composite cursor
+        # or scroll state needed
+        parts = list(pool.map(
+            lambda b: _ask_after(b, query, kk, after), shard_urls))
+        rows = [row for p in parts for row in p]
+        rows.sort(key=lambda r: (-r["score_r"], r["docid"]))
+        rows = rows[:kk]
+        for i, r in enumerate(rows):
+            r["rank"] = i + 1
+        nxt = (f"{rows[-1]['score_r']},{rows[-1]['docid']}" if rows
+               else None)
+        return rows, nxt
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):
             pass
@@ -423,29 +452,42 @@ def make_fanout(shard_urls: list[str], port: int = 8893, k: int = 10,
                 self._reply(400, {"error": "only ranker=bm25 is supported "
                                            "on the fan-out front end"})
                 return
-            if params.get("after") is not None:
-                self._reply(400, {"error": "after= pagination is not "
-                                           "supported on the fan-out front "
-                                           "end (per-shard cursors would "
-                                           "need a composite cursor)"})
-                return
             if params.get("collapse") or params.get("boost_field"):
                 self._reply(400, {"error": "collapse/boost_field are not "
                                            "wired on the fan-out front "
                                            "end (the shard group merge is "
                                            "not implemented)"})
                 return
+            after_vals = params.get("after")
+            if after_vals is not None and after_vals[0]:
+                # validate here so a malformed cursor is a clean 400, not
+                # a 502 wrapping every shard's 400
+                try:
+                    a_s, a_d = after_vals[0].split(",")
+                    float(a_s), int(a_d)
+                except ValueError:
+                    self._reply(400, {"error": "after must be "
+                                               "'score_r,docid' (or empty "
+                                               "for page 1)"})
+                    return
             t0 = time.time()
             try:
-                rows = cached_search(query, kk)
+                if after_vals is not None:
+                    rows, nxt = cached_search_after(query, kk,
+                                                    after_vals[0])
+                else:
+                    rows = cached_search(query, kk)
             except Exception as e:   # a shard down => 502, not a hang
                 self._reply(502, {"error": f"shard fan-out failed: {e}"})
                 return
-            self._reply(200, {
+            body = {
                 "query": query, "k": kk, "n_shards": len(shard_urls),
                 "latency_ms": round((time.time() - t0) * 1000, 3),
                 "topk": rows,
-            })
+            }
+            if after_vals is not None:
+                body["next_after"] = nxt
+            self._reply(200, body)
 
     httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
     httpd.cached_search = cached_search

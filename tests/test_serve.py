@@ -850,7 +850,8 @@ def test_fanout_rejects_unsupported_modes(built):
                 return _json.loads(r.read())
 
         assert len(get("")["topk"]) > 0            # plain path still works
-        for extra in ("&dsl=1", "&ranker=ql", "&after=", "&after=1.0,2"):
+        for extra in ("&dsl=1", "&ranker=ql", "&collapse=lang",
+                      "&boost_field=doclen", "&after=zzz"):
             try:
                 get(extra)
                 raise AssertionError(f"expected HTTP 400 for {extra}")
@@ -1006,3 +1007,59 @@ def test_http_collapse_and_function_score(built):
                 assert e.code == 400
     finally:
         httpd.shutdown()
+
+
+def test_fanout_search_after_exact(built):
+    """Fan-out after= pagination: one GLOBAL cursor drives every shard
+    (global stats => global rounded sort key), so merged pages equal the
+    unsharded pager's pages exactly, and chaining covers the full
+    ranking without gaps or duplicates."""
+    import json as _json
+    import threading
+    import urllib.parse
+    import urllib.request
+
+    from colbert_ray.pipelines.search import search_after
+    from colbert_ray.server import make_fanout, make_server
+
+    _, queries_path, index_dir = built
+    idx = DecodedIndex.load_cached(index_dir, load_sha=False)
+    n = len(idx.doclens)
+    query = pq.read_table(queries_path).column("query").to_pylist()[0]
+    servers = []
+    try:
+        for rng_ in ((0, n // 3), (n // 3, 2 * n // 3),
+                     (2 * n // 3, 2 ** 62)):
+            h = make_server(index_dir, port=0, k=4, with_sha=False,
+                            docid_range=rng_)
+            threading.Thread(target=h.serve_forever, daemon=True).start()
+            servers.append(h)
+        front = make_fanout(
+            [f"http://127.0.0.1:{h.server_address[1]}" for h in servers],
+            port=0, k=4)
+        threading.Thread(target=front.serve_forever, daemon=True).start()
+        servers.append(front)
+        base = (f"http://127.0.0.1:{front.server_address[1]}/api/search?"
+                f"query={urllib.parse.quote(query)}&k=4")
+        # walk three pages through the fan-out; compare each to the
+        # unsharded library pager
+        cursor = None
+        lib_cursor = None
+        for _page in range(3):
+            url = base + "&after=" + (urllib.parse.quote(cursor)
+                                      if cursor else "")
+            with urllib.request.urlopen(url, timeout=30) as r:
+                got = _json.loads(r.read())
+            lib_page, lib_cursor = search_after(
+                index_dir, query, k=4, after=lib_cursor)
+            assert [row["docid"] for row in got["topk"]] \
+                == lib_page.column("docid").to_pylist()
+            assert [row["score_r"] for row in got["topk"]] \
+                == lib_page.column("score_r").to_pylist()
+            cursor = got["next_after"]
+            assert (cursor is None) == (lib_cursor is None)
+            if cursor is None:
+                break
+    finally:
+        for h in servers:
+            h.shutdown()
