@@ -137,6 +137,32 @@ class IndexUpdater:
         atomic_write_json(p, sorted(cur))
         os.utime(os.path.join(self.index_dir, "metadata.json"))
 
+    def remove_by_query(self, q: str) -> np.ndarray:
+        """Delete-by-query (the Elasticsearch ``_delete_by_query`` analog):
+        tombstone every LIVE doc matching a boolean-DSL query (index-only
+        atoms — term/wildcard/fuzzy/field/range booleans; phrase/NEAR need
+        a corpus pass and are rejected by the evaluator). Returns the
+        docids removed. Composes the querylang candidate evaluator with
+        ``remove_docids``; the match set is computed against the current
+        live view (already-tombstoned docs are never re-reported)."""
+        from colbert_ray.pipelines.querylang import (
+            _eval_set,
+            node_kinds,
+            parse,
+        )
+        from colbert_ray.state.decoded import DecodedIndex
+
+        idx = DecodedIndex.load_cached(self.index_dir, load_sha=False)
+        ast = parse(q, idx.cfg)
+        if set(node_kinds(ast)) & {"phrase", "near"}:
+            raise ValueError("remove_by_query supports index-only atoms "
+                             "(phrase/NEAR need a corpus pass)")
+        cand = _eval_set(ast, self.index_dir, None, idx, idx.cfg,
+                         "text", "doc_id")
+        if len(cand):
+            self.remove_docids(cand)
+        return np.asarray(cand, dtype=np.int64)
+
     def compact(self, corpus_path, **build_kwargs) -> dict:
         """Full rebuild from the given corpus (statistics refresh) — the
         persist+reindex path. Clears deltas and tombstones."""

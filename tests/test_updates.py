@@ -164,3 +164,32 @@ def test_ql_ranker_over_updated_index(built_index):
     assert len(tid) == 1
     _, tfs = idx.postings_slice_raw(int(tid[0]))
     assert int(np.asarray(tfs, dtype=np.int64).sum()) == 3
+
+
+def test_remove_by_query(built_index, ray_session):
+    """Delete-by-query: the DSL match set is tombstoned, searches stop
+    returning it, a second identical delete removes nothing (live-view
+    evaluation), and corpus-pass atoms are rejected."""
+    import pyarrow as pa2
+
+    from colbert_ray.pipelines.querylang import dsl_search
+    from colbert_ray.pipelines.search import search_table
+
+    up = IndexUpdater(built_index)
+    # pick a real term from the dictionary so the match set is non-empty
+    idx = DecodedIndex.load_cached(built_index, load_sha=False)
+    term = str(idx.dict_terms[len(idx.dict_terms) // 2])
+    victims = dsl_search(built_index, None, term,
+                         k=10**9).column("docid").to_pylist()
+    assert victims
+    removed = up.remove_by_query(term)
+    assert sorted(removed.tolist()) == sorted(victims)
+    os.utime(os.path.join(built_index, "metadata.json"))
+    qt = pa2.table({"qid": pa2.array([0], type=pa2.int64()),
+                    "query": pa2.array([term])})
+    after = search_table(qt, built_index, k=10, with_sha=False)
+    assert after.num_rows == 0
+    # idempotent on the live view
+    assert up.remove_by_query(term).size == 0
+    with pytest.raises(ValueError, match="corpus pass"):
+        up.remove_by_query('"two words"')
