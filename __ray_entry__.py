@@ -1009,6 +1009,44 @@ def _q_collapsed_by_lang(sf_dir: str) -> pd.DataFrame:
     return out[["qid", "docid", "rank", "score_r", "lang", "group_count"]]
 
 
+TV_DOCIDS = (0, 1, 2, 7)
+
+
+def _q_term_vectors(sf_dir: str) -> pd.DataFrame:
+    """Per-doc term vectors (pipelines/termvec.py — ES _termvectors with
+    term_statistics): (docid, term, tf, df) for four fixed docs; tf from
+    a streamed semi-join re-tokenize, df from the dictionary probe."""
+    from colbert_ray.pipelines.termvec import doc_term_vectors
+
+    idx = _ensure_index(sf_dir)
+    return doc_term_vectors(
+        idx, _read(sf_dir, "documents", ["doc_id", "text"]),
+        TV_DOCIDS, cfg=CFG).to_pandas()
+
+
+def _term_vectors_sql() -> str:
+    ids = ", ".join(str(d) for d in TV_DOCIDS)
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {_toks_expr()} AS toks FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS term FROM docs
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+)
+SELECT tf.doc_id AS docid, tf.term,
+       tf.tf::BIGINT AS tf, df.df::BIGINT AS df
+FROM tf JOIN df USING (term)
+WHERE tf.doc_id IN ({ids})
+ORDER BY docid, term
+"""
+
+
 FUNCSCORE_FACTOR = 1.5
 
 
@@ -4254,6 +4292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rescored_bm25_top10": _q_rescored_bm25,
         "significant_terms_top10": _q_significant_terms,
         "funcscore_bm25_top10": _q_funcscore_bm25,
+        "term_vectors_docs": _q_term_vectors,
         "bm25_top10_sharded": _q_bm25_top10_sharded,
         "passage_bm25_top5": _q_passage_bm25_top5,
         "phrase_search_top10": _q_phrase_search,
@@ -5952,6 +5991,7 @@ ORDER BY bm.qid, d.lang, d.source
         "rescored_bm25_top10": _rescored_sql(),
         "significant_terms_top10": _sigterms_sql(),
         "funcscore_bm25_top10": _funcscore_sql(),
+        "term_vectors_docs": _term_vectors_sql(),
         "bm25_top10_sharded": _bm25_sql(),   # sharding must not change results
         "passage_bm25_top5": _passage_bm25_sql(),
         "phrase_search_top10": x_phrase.sql_phrase_search(

@@ -83,3 +83,28 @@ def test_sigterms_oov_and_guards(ray_session, built):
                              cfg=CFG).num_rows == 0
     assert significant_terms(idx, corpus, "alpha", k=0,
                              cfg=CFG).num_rows == 0
+
+
+def test_doc_term_vectors_matches_brute_force(ray_session, built):
+    from colbert_ray.pipelines.termvec import doc_term_vectors
+
+    src, idx = built
+    got = doc_term_vectors(idx, ray.data.read_parquet(src),
+                           [1, 3, 5], cfg=CFG).to_pandas()
+    rows = []
+    all_docs = [sorted(set(t.split())) for t in TEXTS]
+    for d in (1, 3, 5):
+        toks = TEXTS[d - 1].split()
+        for term in sorted(set(toks)):
+            rows.append({"docid": d, "term": term,
+                         "tf": toks.count(term),
+                         "df": sum(term in ts for ts in all_docs)})
+    want = pd.DataFrame(rows)
+    for c in ("docid", "tf", "df"):
+        want[c] = want[c].astype(np.int64)
+    pd.testing.assert_frame_equal(got, want, check_dtype=True)
+    # empty request and unknown docids
+    assert doc_term_vectors(idx, ray.data.read_parquet(src), [],
+                            cfg=CFG).num_rows == 0
+    assert doc_term_vectors(idx, ray.data.read_parquet(src), [99999],
+                            cfg=CFG).num_rows == 0
