@@ -43,8 +43,6 @@ def rescore_search(
     for window docs not containing every query term (bonus 0), else the
     exact min covering span.
     """
-    import ray
-
     from colbert_ray.functions.tokenizer import tokenize_query
     from colbert_ray.pipelines.phrase import (
         _filtered_flat_tokens,
@@ -77,20 +75,13 @@ def rescore_search(
     need = np.intersect1d(w_d, conjunctive_candidates(scorer.idx, words))
     spans = np.zeros(len(w_d), dtype=np.int64)
     if len(need):
-        need_ref = ray.put(need)
+        from colbert_ray.functions.util import broadcast_semi_join
 
-        def verify(batch: pa.Table) -> pa.Table:
-            allowed = ray.get(need_ref)
-            ids = batch.column(id_col).to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            pos = np.clip(np.searchsorted(allowed, ids), 0,
-                          len(allowed) - 1)
-            keep = allowed[pos] == ids
+        def verify(sub: pa.Table) -> pa.Table:
             out = pa.table({"docid": pa.array([], type=pa.int64()),
                             "span": pa.array([], type=pa.int64())})
-            if not keep.any():
+            if not sub.num_rows:
                 return out
-            sub = batch.filter(pa.array(keep))
             parents, flat = _filtered_flat_tokens(sub.column(text_col),
                                                   cfg)
             tokens = flat.to_numpy(zero_copy_only=False)
@@ -110,7 +101,8 @@ def rescore_search(
                              "span": pa.array(out_span,
                                               type=pa.int64())})
 
-        got = (corpus.select_columns([id_col, text_col])
+        got = (broadcast_semi_join(
+                   corpus.select_columns([id_col, text_col]), need, id_col)
                .map_batches(verify, batch_format="pyarrow",
                             zero_copy_batch=True).take_all())
         # w_d is in RANK order, not docid order — map spans by docid

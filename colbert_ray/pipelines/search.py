@@ -526,8 +526,21 @@ def _docmeta_lookup(index_dir: str, field: str, docids) -> pa.Array:
                          filter=pads.field("docid").isin(pa.array(docids)))
     md = meta.column("docid").to_numpy(zero_copy_only=False)
     morder = np.argsort(md)
+    md_sorted = md[morder]
+    docids = np.asarray(docids, dtype=np.int64)
+    if len(md_sorted):
+        pos_c = np.clip(np.searchsorted(md_sorted, docids), 0,
+                        len(md_sorted) - 1)
+        take = morder[pos_c]
+        valid = md_sorted[pos_c] == docids
+    else:
+        take = np.zeros(len(docids), dtype=np.int64)
+        valid = np.zeros(len(docids), dtype=bool)
+    # docids with no base-docmeta row (delta-added docs keep their meta
+    # under deltas/*/docmeta.parquet) read as NULL — a missing field
+    # value, never a neighbor's value or an IndexError
     return meta.column(field).combine_chunks().take(
-        pa.array(morder[np.searchsorted(md[morder], docids)]))
+        pa.array(take, mask=~valid))
 
 
 def collapse_search(index_dir: str, query: str, field: str, k: int = 10,

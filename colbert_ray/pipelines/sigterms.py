@@ -50,12 +50,11 @@ def significant_terms(
     on an updated index with tombstones, compact first for exact
     background stats.
     """
-    import ray
-
     from colbert_ray.functions.tokenizer import (
         doc_term_frequencies,
         tokenize_query,
     )
+    from colbert_ray.functions.util import broadcast_semi_join
     from colbert_ray.state.index import BM25Scorer
 
     scorer = scorer or BM25Scorer(index_dir, k=max(1, k), with_sha=False)
@@ -72,20 +71,13 @@ def significant_terms(
     if not len(d):
         return empty
     n_fg = len(d)
-    fg_ref = ray.put(np.sort(d))
 
-    def fg_partial(batch: pa.Table) -> pa.Table:
+    def fg_partial(sub: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        allowed = ray.get(fg_ref)
-        ids = batch.column(id_col).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        pos = np.clip(np.searchsorted(allowed, ids), 0, len(allowed) - 1)
-        keep = allowed[pos] == ids
-        if not keep.any():
+        if not sub.num_rows:
             return pa.table({"term": pa.array([], type=pa.string()),
                              "fg_df": pa.array([], type=pa.int64())})
-        sub = batch.filter(pa.array(keep))
         _, terms_list, _ = doc_term_frequencies(sub.column(text_col), cfg)
         # doc_term_frequencies lists each term ONCE per doc, so a
         # value_counts over the flattened lists IS the partial df
@@ -95,7 +87,8 @@ def significant_terms(
             "fg_df": vc.field("counts").cast(pa.int64()),
         })
 
-    parts = (corpus.select_columns([id_col, text_col])
+    parts = (broadcast_semi_join(
+                 corpus.select_columns([id_col, text_col]), d, id_col)
              .map_batches(fg_partial, batch_format="pyarrow",
                           zero_copy_batch=True).to_pandas())
     if parts.empty:
@@ -115,6 +108,14 @@ def significant_terms(
     gids = idx.dict_term_ids[pos_c]
     bg_df = (idx.posting_offsets[gids + 1]
              - idx.posting_offsets[gids]).astype(np.int64)
+    # a lossy-pruned term keeps its dictionary entry but has ZERO
+    # postings — bg_pct 0 would put inf at the top of the ranking; it
+    # has no background stats, so drop it like an unknown term
+    live = bg_df > 0
+    if not live.all():
+        terms, fg_df, bg_df = terms[live], fg_df[live], bg_df[live]
+        if not len(terms):
+            return empty
     a = fg_df.astype(np.float64) / np.float64(n_fg)
     b = bg_df.astype(np.float64) / np.float64(idx.n_docs)
     score = np.round((a - b) * a / b, 6)

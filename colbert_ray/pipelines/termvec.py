@@ -33,9 +33,8 @@ def doc_term_vectors(
     same token filter runs here); a term absent from the dictionary
     (possible on a stale index) reports df 0.
     """
-    import ray
-
     from colbert_ray.functions.tokenizer import doc_term_frequencies
+    from colbert_ray.functions.util import broadcast_semi_join
     from colbert_ray.state.decoded import DecodedIndex
 
     cfg = cfg or DecodedIndex.load_cached(index_dir, load_sha=False).cfg
@@ -46,17 +45,9 @@ def doc_term_vectors(
     want = np.unique(np.asarray(list(docids), dtype=np.int64))
     if not len(want):
         return empty
-    want_ref = ray.put(want)
-
-    def extract(batch: pa.Table) -> pa.Table:
-        allowed = ray.get(want_ref)
-        ids = batch.column(id_col).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        pos = np.clip(np.searchsorted(allowed, ids), 0, len(allowed) - 1)
-        keep = allowed[pos] == ids
-        if not keep.any():
+    def extract(sub: pa.Table) -> pa.Table:
+        if not sub.num_rows:
             return empty.select(["docid", "term", "tf"])
-        sub = batch.filter(pa.array(keep))
         _, terms, tfs = doc_term_frequencies(sub.column(text_col), cfg)
         import pyarrow.compute as pc
 
@@ -70,7 +61,8 @@ def doc_term_vectors(
             "tf": tfs.flatten().cast(pa.int64()),
         })
 
-    rows = (corpus.select_columns([id_col, text_col])
+    rows = (broadcast_semi_join(
+                corpus.select_columns([id_col, text_col]), want, id_col)
             .map_batches(extract, batch_format="pyarrow",
                          zero_copy_batch=True).to_pandas())
     if rows.empty:

@@ -136,6 +136,18 @@ def make_server(index_dir: str, port: int = 8893, k: int = 10,
                                scorer=get_scorer("bm25")).to_pylist()
 
     @functools.lru_cache(maxsize=cache_size)
+    def cached_page(query: str, kk: int, after):
+        # pagination is as cacheable as any other mode: the cursor is part
+        # of the key, so repeat pages (and every per-shard call from a
+        # fan-out front end) are O(1) after the first
+        from colbert_ray.pipelines.search import search_after
+
+        page, cursor = search_after(index_dir, query, k=kk, after=after,
+                                    scorer=get_scorer("bm25"))
+        return (page.to_pylist(),
+                None if cursor is None else f"{cursor[0]},{cursor[1]}")
+
+    @functools.lru_cache(maxsize=cache_size)
     def cached_funcscore(query: str, field: str, factor: float, kk: int):
         from colbert_ray.pipelines.search import function_score_search
 
@@ -256,17 +268,12 @@ def make_server(index_dir: str, port: int = 8893, k: int = 10,
             t0 = time.time()
             try:
                 if paginate:
-                    from colbert_ray.pipelines.search import search_after
-
-                    page, cursor = search_after(
-                        index_dir, query, k=kk, after=after,
-                        scorer=get_scorer("bm25"))
+                    rows_, nxt = cached_page(query, kk, after)
                     self._reply(200, {
                         "query": query, "k": kk, "ranker": "bm25",
                         "latency_ms": round((time.time() - t0) * 1000, 3),
-                        "topk": page.to_pylist(),
-                        "next_after": (None if cursor is None
-                                       else f"{cursor[0]},{cursor[1]}"),
+                        "topk": rows_,
+                        "next_after": nxt,
                     })
                     return
                 if collapse:

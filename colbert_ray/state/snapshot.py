@@ -41,6 +41,16 @@ def _walk_files(root: str) -> list[str]:
     return sorted(out)
 
 
+def _safe_rel(rel: str) -> str:
+    """Reject manifest paths that would escape the target tree — a
+    tampered snapshot.json must not be able to write outside dest_dir
+    (checked even with verify=False)."""
+    if os.path.isabs(rel) or ".." in rel.split(os.sep) \
+            or rel.startswith("~"):
+        raise ValueError(f"unsafe path in snapshot manifest: {rel!r}")
+    return rel
+
+
 def _link_or_copy(src: str, dst: str) -> None:
     os.makedirs(os.path.dirname(dst), exist_ok=True)
     try:
@@ -115,6 +125,7 @@ def restore_index(snap_dir: str, dest_dir: str, verify: bool = True) -> dict:
     tmp = f"{dest_dir}.tmp-{uuid.uuid4().hex[:8]}"
     try:
         for rel in manifest["files"]:
+            _safe_rel(rel)
             _link_or_copy(os.path.join(snap_dir, rel),
                           os.path.join(tmp, rel))
         os.makedirs(os.path.dirname(os.path.abspath(dest_dir)),

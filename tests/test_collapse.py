@@ -122,3 +122,31 @@ def test_function_score_guards(ray_session, built):
     with pytest.raises(ValueError, match="unknown field"):
         function_score_search(built, "alpha", field="nope")
     assert function_score_search(built, "zzznope").num_rows == 0
+
+
+def test_collapse_delta_docs_read_null_field(ray_session, built, tmp_path):
+    """Delta-added docs have no base-docmeta row: collapse must surface
+    them as NULL singleton groups, never a neighbor's value or a crash
+    (the review repro: searchsorted off the end / silent wrong value)."""
+    import os
+    import shutil
+
+    from colbert_ray.pipelines.search import function_score_search
+    from colbert_ray.state.updates import IndexUpdater
+
+    idx2 = str(tmp_path / "idx_delta")
+    shutil.copytree(built, idx2)
+    new_ids = IndexUpdater(idx2).add_documents(
+        pa.table({"text": pa.array(["alpha beta gamma zulu"])}),
+        content_col="text")
+    os.utime(os.path.join(idx2, "metadata.json"))
+    got = collapse_search(idx2, "zulu alpha", "lang", k=100).to_pandas()
+    row = got[got["docid"] == new_ids[0]]
+    assert len(row) == 1
+    assert row["lang"].isna().all()
+    assert (row["group_count"] == 1).all()
+    # function_score: missing numeric field -> factor ln(1+0)=0 -> score 0
+    fs = function_score_search(idx2, "zulu", field="doclen",
+                               k=10).to_pandas()
+    frow = fs[fs["docid"] == new_ids[0]]
+    assert len(frow) == 1 and (frow["score_r"] == 0.0).all()

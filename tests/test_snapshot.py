@@ -120,3 +120,25 @@ def test_snapshot_cli_subcommands(ray_session, built, tmp_path):
     assert r2.returncode == 0, r2.stderr
     assert json.loads(r2.stdout.strip().splitlines()[-1])["verified"]
     assert os.path.isfile(os.path.join(dest, "metadata.json"))
+
+
+def test_restore_rejects_traversal_paths(ray_session, built, tmp_path):
+    """A tampered manifest with ../ entries must be rejected even with
+    verify=False — restore may never write outside its target tree."""
+    import json
+
+    _, idx = built
+    snap = str(tmp_path / "snap_t")
+    snapshot_index(idx, snap)
+    mpath = os.path.join(snap, "snapshot.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    m["files"]["../escape.txt"] = {"bytes": 1, "sha256": "0" * 64}
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="unsafe path|missing"):
+        restore_index(snap, str(tmp_path / "d1"), verify=True)
+    with pytest.raises(ValueError, match="unsafe path"):
+        restore_index(snap, str(tmp_path / "d2"), verify=False)
+    assert not os.path.exists(str(tmp_path / "escape.txt"))
+    assert not os.path.exists(str(tmp_path / "d2"))
