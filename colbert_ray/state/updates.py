@@ -163,6 +163,67 @@ class IndexUpdater:
             self.remove_docids(cand)
         return np.asarray(cand, dtype=np.int64)
 
+    def update_by_query(self, corpus, q: str, transform,
+                        *, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        content_col: str = "content") -> pa.Table:
+        """Update-by-query (the Elasticsearch ``_update_by_query``
+        analog): for every live doc matching an index-only boolean query,
+        tombstone it and re-add ``transform(text)`` as a NEW delta doc
+        (docids are immutable in this engine, so an update is
+        remove+add — the same trade Lucene makes). ``transform`` is a
+        vectorized callable ``list[str] -> list[str]`` applied INSIDE the
+        streamed semi-join, so the corpus never materializes; only the
+        matching rows' transformed text returns to the driver (bounded by
+        the match set, like any delta batch). Returns (old_docid,
+        new_docid) aligned rows."""
+        from colbert_ray.functions.util import broadcast_semi_join
+        from colbert_ray.pipelines.querylang import (
+            _eval_set,
+            node_kinds,
+            parse,
+        )
+        from colbert_ray.state.decoded import DecodedIndex
+
+        idx = DecodedIndex.load_cached(self.index_dir, load_sha=False)
+        ast = parse(q, idx.cfg)
+        if set(node_kinds(ast)) & {"phrase", "near"}:
+            raise ValueError("update_by_query supports index-only atoms "
+                             "(phrase/NEAR need a corpus pass)")
+        cand = _eval_set(ast, self.index_dir, None, idx, idx.cfg,
+                         "text", "doc_id")
+        empty = pa.table({"old_docid": pa.array([], type=pa.int64()),
+                          "new_docid": pa.array([], type=pa.int64())})
+        if not len(cand):
+            return empty
+
+        def rewrite(sub: pa.Table) -> pa.Table:
+            if not sub.num_rows:
+                return pa.table({"docid": pa.array([], type=pa.int64()),
+                                 "text": pa.array([], type=pa.string())})
+            return pa.table({
+                "docid": sub.column(id_col).cast(pa.int64()),
+                "text": pa.array(
+                    transform(sub.column(text_col).to_pylist()),
+                    type=pa.string()),
+            })
+
+        rows = (broadcast_semi_join(
+                    corpus.select_columns([id_col, text_col]), cand,
+                    id_col)
+                .map_batches(rewrite, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas())
+        rows = rows.sort_values("docid").reset_index(drop=True)
+        self.remove_docids(rows["docid"].tolist())
+        new_ids = self.add_documents(
+            pa.table({content_col: pa.array(rows["text"],
+                                            type=pa.string())}),
+            content_col=content_col)
+        return pa.table({
+            "old_docid": pa.array(rows["docid"].to_numpy("int64")),
+            "new_docid": pa.array(np.asarray(new_ids, dtype=np.int64)),
+        })
+
     def compact(self, corpus_path, **build_kwargs) -> dict:
         """Full rebuild from the given corpus (statistics refresh) — the
         persist+reindex path. Clears deltas and tombstones."""

@@ -193,3 +193,43 @@ def test_remove_by_query(built_index, ray_session):
     assert up.remove_by_query(term).size == 0
     with pytest.raises(ValueError, match="corpus pass"):
         up.remove_by_query('"two words"')
+
+
+def test_update_by_query(ray_session, tmp_path):
+    """Update-by-query: matching docs are tombstoned and their transformed
+    text re-added as delta docs; searches see the new text and not the
+    old; non-matching docs are untouched."""
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+    import ray.data
+
+    from colbert_ray.pipelines.search import search_table
+
+    texts = ["alpha stale content", "beta stale content",
+             "gamma fresh already", "alpha another stale"]
+    t = pa2.table({
+        "doc_id": pa2.array([1, 2, 3, 4], type=pa2.int64()),
+        "text": pa2.array(texts, type=pa2.string()),
+    })
+    src = str(tmp_path / "d.parquet")
+    pq2.write_table(t, src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, CFG, content_col="text", key_cols=(),
+                meta_cols=(), docid_col="doc_id")
+    up = IndexUpdater(idx)
+    mapping = up.update_by_query(
+        ray.data.read_parquet(src), "alpha AND stale",
+        lambda xs: [x.replace("stale", "refreshed") for x in xs]).to_pandas()
+    assert sorted(mapping["old_docid"]) == [1, 4]
+    assert len(set(mapping["new_docid"]) & {1, 2, 3, 4}) == 0
+    os.utime(os.path.join(idx, "metadata.json"))
+    qt = pa2.table({"qid": pa2.array([0, 1], type=pa2.int64()),
+                    "query": pa2.array(["refreshed", "stale"])})
+    res = search_table(qt, idx, k=10, with_sha=False).to_pandas()
+    got_refreshed = set(res[res["qid"] == 0]["docid"])
+    got_stale = set(res[res["qid"] == 1]["docid"])
+    assert got_refreshed == set(mapping["new_docid"])
+    assert got_stale == {2}                     # doc 2 untouched
+    with pytest.raises(ValueError, match="corpus pass"):
+        up.update_by_query(ray.data.read_parquet(src), '"a b"',
+                           lambda xs: xs)
