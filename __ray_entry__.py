@@ -1009,6 +1009,51 @@ def _q_collapsed_by_lang(sf_dir: str) -> pd.DataFrame:
     return out[["qid", "docid", "rank", "score_r", "lang", "group_count"]]
 
 
+MSM_M = 2
+
+
+def _q_msm_bm25(sf_dir: str) -> pd.DataFrame:
+    """minimum_should_match (pipelines/search.min_should_match_search —
+    the ES/Lucene knob between OR and AND): only docs matching >= 2
+    distinct query terms rank; BM25 order under the rounded policy."""
+    from colbert_ray.pipelines.search import min_should_match_search
+    from colbert_ray.state.index import BM25Scorer
+
+    idx = _ensure_index(sf_dir)
+    scorer = BM25Scorer(idx, k=10, with_sha=False)
+    rows = []
+    for qid, q in QUERY_SET:
+        t = min_should_match_search(idx, q, m=MSM_M, k=10, cfg=CFG,
+                                    scorer=scorer).to_pandas()
+        t.insert(0, "qid", np.int64(qid))
+        rows.append(t)
+    return pd.concat(rows, ignore_index=True)[
+        ["qid", "docid", "rank", "score_r", "n_match"]]
+
+
+def _msm_sql() -> str:
+    base = _bm25_sql()
+    head, _ = base.rsplit("SELECT qid::BIGINT AS qid", 1)
+    return head + f"""
+, nm AS (
+  SELECT qd.qid, tf.doc_id AS docid, count(DISTINCT qd.term) AS n_match
+  FROM (SELECT DISTINCT qid, term FROM q) qd
+  JOIN tf ON tf.term = qd.term
+  GROUP BY qd.qid, tf.doc_id
+)
+SELECT s.qid::BIGINT AS qid, s.docid,
+       row_number() OVER (PARTITION BY s.qid
+                          ORDER BY round(s.score, 6) DESC, s.docid)
+         AS rank,
+       round(s.score, 6) AS score_r, nm.n_match::BIGINT AS n_match
+FROM scores s
+JOIN nm ON nm.qid = s.qid AND nm.docid = s.docid
+WHERE nm.n_match >= {MSM_M}
+QUALIFY rank <= 10
+ORDER BY qid, rank
+"""
+
+
 TV_DOCIDS = (0, 1, 2, 7)
 
 
@@ -4293,6 +4338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "significant_terms_top10": _q_significant_terms,
         "funcscore_bm25_top10": _q_funcscore_bm25,
         "term_vectors_docs": _q_term_vectors,
+        "msm_bm25_top10": _q_msm_bm25,
         "bm25_top10_sharded": _q_bm25_top10_sharded,
         "passage_bm25_top5": _q_passage_bm25_top5,
         "phrase_search_top10": _q_phrase_search,
@@ -5992,6 +6038,7 @@ ORDER BY bm.qid, d.lang, d.source
         "significant_terms_top10": _sigterms_sql(),
         "funcscore_bm25_top10": _funcscore_sql(),
         "term_vectors_docs": _term_vectors_sql(),
+        "msm_bm25_top10": _msm_sql(),
         "bm25_top10_sharded": _bm25_sql(),   # sharding must not change results
         "passage_bm25_top5": _passage_bm25_sql(),
         "phrase_search_top10": x_phrase.sql_phrase_search(

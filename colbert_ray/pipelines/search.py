@@ -663,3 +663,60 @@ def function_score_search(index_dir: str, query: str,
         "base_r": pa.array(base_r[order], type=pa.float64()),
         field: pa.array(v[order], type=pa.float64()),
     })
+
+
+def min_should_match_search(index_dir: str, query: str, m: int = 2,
+                            k: int = 10,
+                            cfg: "EngineConfig | None" = None,
+                            scorer=None) -> pa.Table:
+    """``minimum_should_match`` — the Elasticsearch/Lucene knob between
+    pure OR (m=1, plain BM25) and pure AND (m = n query terms): only docs
+    matching at least ``m`` DISTINCT query terms rank. Returns
+    (docid, rank, score_r, n_match) under the engine's rounded policy.
+
+    Shape: the candidate set is one posting rollup with a vectorized
+    count filter (``phrase.disjunctive_docs`` — O(sum df), index-only),
+    then the standard restricted scoring pass; no corpus scan.
+    """
+    import numpy as np
+
+    from colbert_ray.functions.tokenizer import tokenize_query
+    from colbert_ray.pipelines.phrase import disjunctive_docs
+
+    scorer = scorer or BM25Scorer(index_dir, k=max(1, k), with_sha=False)
+    if scorer.ranker != "bm25":
+        raise ValueError("min_should_match_search supports ranker='bm25' "
+                         "only")
+    cfg = cfg or scorer.idx.cfg
+    empty = pa.table({"docid": pa.array([], type=pa.int64()),
+                      "rank": pa.array([], type=pa.int64()),
+                      "score_r": pa.array([], type=pa.float64()),
+                      "n_match": pa.array([], type=pa.int64())})
+    terms = tokenize_query(query, cfg)[0]
+    tids = scorer.idx.lookup_terms(terms)
+    if not len(tids) or k <= 0:
+        return empty
+    cand_t = disjunctive_docs(index_dir, list(terms),
+                              min_should_match=max(1, m))
+    if cand_t.num_rows == 0:
+        return empty
+    cand = cand_t.column("doc_id").to_numpy(zero_copy_only=False)
+    n_match = cand_t.column("n_match").to_numpy(zero_copy_only=False)
+    if scorer.docid_filter is not None:
+        pos = np.clip(np.searchsorted(scorer.docid_filter, cand), 0,
+                      len(scorer.docid_filter) - 1)
+        keep = scorer.docid_filter[pos] == cand
+        cand, n_match = cand[keep], n_match[keep]
+        if not len(cand):
+            return empty
+    d, s = scorer._all_match_scores(tids, docid_filter=cand)
+    sr = np.round(s, 6)
+    # every candidate matches >= m >= 1 terms, so d == cand (both sorted)
+    nm = n_match[np.searchsorted(cand, d)]
+    order = np.lexsort((d, -sr))[:k]
+    return pa.table({
+        "docid": pa.array(d[order], type=pa.int64()),
+        "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+        "score_r": pa.array(sr[order], type=pa.float64()),
+        "n_match": pa.array(nm[order].astype(np.int64)),
+    })

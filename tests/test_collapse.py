@@ -150,3 +150,32 @@ def test_collapse_delta_docs_read_null_field(ray_session, built, tmp_path):
                                k=10).to_pandas()
     frow = fs[fs["docid"] == new_ids[0]]
     assert len(frow) == 1 and (frow["score_r"] == 0.0).all()
+
+
+def test_min_should_match_brute_force(ray_session, built):
+    from colbert_ray.pipelines.search import min_should_match_search
+
+    texts = ["alpha beta gamma"] * 4 + [
+        "alpha beta", "alpha gamma", "beta gamma delta", "alpha",
+        "beta", "gamma delta", "delta", "epsilon"]
+    qterms = {"alpha", "beta", "gamma"}
+    qt = pa.table({"qid": pa.array([0], type=pa.int64()),
+                   "query": pa.array(["alpha beta gamma"])})
+    full = search_table(qt, built, k=1000, with_sha=False).to_pandas()
+    full["score_r"] = full["score"].round(6)
+    full["n_match"] = [len(qterms & set(texts[d - 1].split()))
+                       for d in full["docid"]]
+    for m in (1, 2, 3):
+        got = min_should_match_search(built, "alpha beta gamma", m=m,
+                                      k=100).to_pandas()
+        want = (full[full["n_match"] >= m]
+                .sort_values(["score_r", "docid"],
+                             ascending=[False, True])
+                .reset_index(drop=True))
+        assert got["docid"].tolist() == want["docid"].tolist()
+        assert got["score_r"].tolist() == want["score_r"].tolist()
+        assert got["n_match"].tolist() == want["n_match"].tolist()
+        assert got["rank"].tolist() == list(range(1, len(got) + 1))
+    # m above the query width matches nothing
+    assert min_should_match_search(built, "alpha beta gamma", m=4,
+                                   k=10).num_rows == 0
