@@ -154,6 +154,14 @@ def main(argv: list[str] | None = None) -> int:
                                                  "(must not exist)")
     rs.add_argument("--no-verify", action="store_true")
 
+    al = sub.add_parser("alias", help="index alias registry: atomic "
+                                      "blue/green cutover (no Ray session)")
+    al.add_argument("--registry", required=True)
+    al.add_argument("--set", dest="set_", metavar="NAME=INDEX_DIR",
+                    default=None)
+    al.add_argument("--drop", default=None, metavar="NAME")
+    al.add_argument("--resolve", default=None, metavar="NAME")
+
     v = sub.add_parser("serve", help="HTTP search endpoint (see colbert_ray.server)")
     v.add_argument("--index", default=None)
     v.add_argument("--fanout", default=None,
@@ -181,6 +189,24 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "stats":
         # pure filesystem introspection — no Ray session
         print(json.dumps(_index_stats(args.index), indent=1, sort_keys=True))
+        return 0
+    if args.cmd == "alias":
+        from colbert_ray.state.aliases import (
+            drop_alias,
+            list_aliases,
+            resolve,
+            set_alias,
+        )
+
+        if args.set_:
+            name, _, target = args.set_.partition("=")
+            print(json.dumps(set_alias(args.registry, name, target)))
+        elif args.drop:
+            print(json.dumps(drop_alias(args.registry, args.drop)))
+        elif args.resolve:
+            print(resolve(args.registry, args.resolve))
+        else:
+            print(json.dumps(list_aliases(args.registry)))
         return 0
     if args.cmd == "snapshot":
         # pure filesystem operation — no Ray session

@@ -142,3 +142,63 @@ def test_restore_rejects_traversal_paths(ray_session, built, tmp_path):
         restore_index(snap, str(tmp_path / "d2"), verify=False)
     assert not os.path.exists(str(tmp_path / "escape.txt"))
     assert not os.path.exists(str(tmp_path / "d2"))
+
+
+def test_aliases_atomic_cutover(ray_session, built, tmp_path):
+    """Alias registry: set/resolve/swap/drop; resolve passes index paths
+    through; swapping an alias re-points searches without touching the
+    old index (the blue/green cutover primitive)."""
+    from colbert_ray.state.aliases import (
+        drop_alias,
+        list_aliases,
+        resolve,
+        set_alias,
+    )
+
+    _, idx = built
+    reg = str(tmp_path / "registry")
+    set_alias(reg, "prod", idx)
+    assert resolve(reg, "prod") == os.path.abspath(idx)
+    assert resolve(reg, idx) == idx            # path passthrough
+    # build a second (restored) index and swap
+    snap = str(tmp_path / "alias_snap")
+    snapshot_index(idx, snap)
+    idx2 = str(tmp_path / "green")
+    restore_index(snap, idx2)
+    set_alias(reg, "prod", idx2)
+    assert resolve(reg, "prod") == os.path.abspath(idx2)
+    import pandas as pd
+    pd.testing.assert_frame_equal(_rank(resolve(reg, "prod")), _rank(idx))
+    # guards
+    with pytest.raises(ValueError, match="not a built index"):
+        set_alias(reg, "bad", str(tmp_path))
+    with pytest.raises(ValueError, match="invalid alias"):
+        set_alias(reg, "../x", idx)
+    with pytest.raises(ValueError, match="neither"):
+        resolve(reg, "nosuchalias")
+    drop_alias(reg, "prod")
+    assert "prod" not in list_aliases(reg)
+
+
+def test_alias_cli(ray_session, built, tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    _, idx = built
+    reg = str(tmp_path / "cli_reg")
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+
+    def run(*extra):
+        r = subprocess.run(
+            [sys.executable, "-m", "colbert_ray.cli", "alias",
+             "--registry", reg, *extra],
+            capture_output=True, text=True, env=env, timeout=60)
+        assert r.returncode == 0, r.stderr
+        return r.stdout.strip().splitlines()[-1]
+
+    assert json.loads(run()) == {}
+    out = json.loads(run("--set", f"prod={idx}"))
+    assert out["prod"] == os.path.abspath(idx)
+    assert run("--resolve", "prod") == os.path.abspath(idx)
+    assert json.loads(run("--drop", "prod")) == {}
