@@ -115,6 +115,22 @@ def main(argv: list[str] | None = None) -> int:
                    help="corpus parquet dir (needed only for DSL phrase "
                         "atoms, which re-verify against the text)")
 
+    pc_ = sub.add_parser("percolate", help="stream documents against "
+                                           "STORED boolean queries "
+                                           "(reverse search)")
+    pc_.add_argument("--queries", required=True,
+                     help="parquet/TSV of (qid, query) boolean-DSL rows")
+    pc_.add_argument("--docs", required=True, help="documents parquet")
+    pc_.add_argument("--text-col", default="text")
+    pc_.add_argument("--id-col", default="doc_id")
+    pc_.add_argument("--fields", default="",
+                     help="comma-separated metadata columns usable in "
+                          "field:/range atoms")
+    pc_.add_argument("--out", default=None,
+                     help="output parquet dir (default: stdout TSV)")
+    pc_.add_argument("--config", default=None,
+                     help="JSON dict of EngineConfig overrides")
+
     e = sub.add_parser("eval", help="MRR/recall/success of a ranking vs qrels")
     e.add_argument("--ranking", required=True)
     e.add_argument("--qrels", required=True)
@@ -308,6 +324,35 @@ def main(argv: list[str] | None = None) -> int:
                              ranker=args.ranker)
             for row in t.to_pylist():
                 print(f"{row['qid']}\t{row['docid']}\t{row['rank']}\t{row['score']}")
+    elif args.cmd == "percolate":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+
+        from colbert_ray.pipelines.percolate import percolate
+        from colbert_ray.sources.readers import read_queries
+
+        qt = pa.Table.from_pandas(read_queries(args.queries).to_pandas(),
+                                  preserve_index=False)
+        stored = list(zip(qt.column("qid").to_pylist(),
+                          qt.column("query").to_pylist()))
+        cfg = EngineConfig().merged(**json.loads(args.config)) if args.config \
+            else EngineConfig()
+        out = percolate(
+            ray.data.read_parquet(args.docs), stored, cfg,
+            text_col=args.text_col, id_col=args.id_col,
+            fields=tuple(x for x in args.fields.split(",") if x))
+        if args.out:
+            out.write_parquet(args.out)
+            print(json.dumps({"out": args.out}))
+        else:
+            t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+            if t.num_rows:
+                t = t.take(pc.sort_indices(
+                    t, sort_keys=[("query_id", "ascending"),
+                                  ("doc_id", "ascending")]))
+            for row in t.to_pylist():
+                print(f"{row['query_id']}\t{row['doc_id']}")
     elif args.cmd == "eval":
         from colbert_ray.pipelines.evaluate import ranking_metrics
         from colbert_ray.sources.readers import read_qrels, read_ranking

@@ -48,12 +48,15 @@ def read_queries(src) -> "ray.data.Dataset":
     ``answers`` list rides along for downstream EM evaluation (M15)."""
 
     def from_tsv(path: str) -> "ray.data.Dataset":
+        # quote_char=False: queries TSV is RAW tab-separated — a leading
+        # '"' is query text (e.g. a boolean-DSL phrase atom), not a CSV
+        # quote to strip (queries.py:41-48 reads with plain split('\t'))
         ds = ray.data.read_csv(
             path,
             read_options=__import__("pyarrow.csv", fromlist=["x"]).ReadOptions(
                 column_names=["qid", "query"]),
             parse_options=__import__("pyarrow.csv", fromlist=["x"]).ParseOptions(
-                delimiter="\t"),
+                delimiter="\t", quote_char=False),
         )
         return ds
 

@@ -149,3 +149,32 @@ def test_fuzzy_atom_percolates():
     ora = con.execute(sql_percolate("documents", qs, CFG)).df()
     pd.testing.assert_frame_equal(eng, ora)
     assert 1 in set(eng["query_id"])      # alpah~2 reaches 'alpha'
+
+
+def test_percolate_cli(ray_session, tmp_path):
+    """CLI percolate subcommand in a fresh process: TSV pairs to stdout
+    equal the library result."""
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq2
+
+    docs_path = str(tmp_path / "docs.parquet")
+    pq2.write_table(DOCS, docs_path)
+    qpath = str(tmp_path / "q.tsv")
+    with open(qpath, "w") as f:
+        for qid, q in QUERIES[:4]:
+            f.write(f"{qid}\t{q}\n")
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "-m", "colbert_ray.cli", "percolate",
+         "--queries", qpath, "--docs", docs_path,
+         "--fields", "lang,source"],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert r.returncode == 0, r.stderr
+    got = [tuple(map(int, line.split("\t")))
+           for line in r.stdout.strip().splitlines() if "\t" in line]
+    want = (percolate(DOCS, QUERIES[:4], CFG, fields=("lang", "source"))
+            .to_pandas().sort_values(["query_id", "doc_id"]))
+    assert got == list(map(tuple, want.to_numpy().tolist()))
