@@ -1009,6 +1009,39 @@ def _q_collapsed_by_lang(sf_dir: str) -> pd.DataFrame:
     return out[["qid", "docid", "rank", "score_r", "lang", "group_count"]]
 
 
+def _q_match_stats(sf_dir: str) -> pd.DataFrame:
+    """Match-set stats aggregation (pipelines/search.match_stats — ES
+    track_total_hits + stats agg): per query, total hits, max rounded
+    score and doclen sum/avg over the FULL match set, index-only."""
+    from colbert_ray.pipelines.search import match_stats
+    from colbert_ray.state.index import BM25Scorer
+
+    idx = _ensure_index(sf_dir)
+    scorer = BM25Scorer(idx, k=1, with_sha=False)
+    rows = []
+    for qid, q in QUERY_SET:
+        t = match_stats(idx, q, cfg=CFG, scorer=scorer).to_pandas()
+        t.insert(0, "qid", np.int64(qid))
+        rows.append(t)
+    return pd.concat(rows, ignore_index=True)[
+        ["qid", "total_hits", "max_score_r", "sum_doclen", "avg_doclen"]]
+
+
+def _match_stats_sql() -> str:
+    base = _bm25_sql()
+    head, _ = base.rsplit("SELECT qid::BIGINT AS qid", 1)
+    return head + """
+SELECT s.qid::BIGINT AS qid,
+       count(*) AS total_hits,
+       max(round(s.score, 6)) AS max_score_r,
+       sum(len(d.toks))::BIGINT AS sum_doclen,
+       round(sum(len(d.toks))::BIGINT / count(*), 6) AS avg_doclen
+FROM scores s JOIN docs d ON d.doc_id = s.docid
+GROUP BY s.qid
+ORDER BY qid
+"""
+
+
 MSM_M = 2
 
 
@@ -4339,6 +4372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funcscore_bm25_top10": _q_funcscore_bm25,
         "term_vectors_docs": _q_term_vectors,
         "msm_bm25_top10": _q_msm_bm25,
+        "match_stats": _q_match_stats,
         "bm25_top10_sharded": _q_bm25_top10_sharded,
         "passage_bm25_top5": _q_passage_bm25_top5,
         "phrase_search_top10": _q_phrase_search,
@@ -6039,6 +6073,7 @@ ORDER BY bm.qid, d.lang, d.source
         "funcscore_bm25_top10": _funcscore_sql(),
         "term_vectors_docs": _term_vectors_sql(),
         "msm_bm25_top10": _msm_sql(),
+        "match_stats": _match_stats_sql(),
         "bm25_top10_sharded": _bm25_sql(),   # sharding must not change results
         "passage_bm25_top5": _passage_bm25_sql(),
         "phrase_search_top10": x_phrase.sql_phrase_search(

@@ -720,3 +720,47 @@ def min_should_match_search(index_dir: str, query: str, m: int = 2,
         "score_r": pa.array(sr[order], type=pa.float64()),
         "n_match": pa.array(nm[order].astype(np.int64)),
     })
+
+
+def match_stats(index_dir: str, query: str,
+                cfg: "EngineConfig | None" = None,
+                scorer=None) -> pa.Table:
+    """Stats aggregation over a query's FULL match set — the ES
+    ``track_total_hits`` + stats-agg analog, computed entirely from the
+    index (posting rollup + the doclens array; no corpus scan): one row
+    (total_hits, max_score_r, sum_doclen, avg_doclen). Aggregates are
+    chosen to be float-policy-safe across the SQL twin: counts and
+    doclen sums are integer-exact, max is a single rounded value; a
+    float AVG over thousands of scores could land on a 7th-digit
+    rounding boundary where numpy (half-even) and SQL (half-away)
+    disagree, so it is deliberately not offered."""
+    import numpy as np
+
+    from colbert_ray.functions.tokenizer import tokenize_query
+
+    scorer = scorer or BM25Scorer(index_dir, k=1, with_sha=False)
+    if scorer.ranker != "bm25":
+        raise ValueError("match_stats supports ranker='bm25' only")
+    cfg = cfg or scorer.idx.cfg
+    empty = pa.table({"total_hits": pa.array([0], type=pa.int64()),
+                      "max_score_r": pa.array([0.0], type=pa.float64()),
+                      "sum_doclen": pa.array([0], type=pa.int64()),
+                      "avg_doclen": pa.array([0.0], type=pa.float64())})
+    tids = scorer.idx.lookup_terms(tokenize_query(query, cfg)[0])
+    if not len(tids):
+        return empty
+    d, s = scorer._all_match_scores(tids, docid_filter=scorer.docid_filter)
+    if not len(d):
+        return empty
+    sr = np.round(s, 6)
+    sum_dl = int(np.asarray(
+        scorer.idx.doclens[d - scorer.idx.docid_base],
+        dtype=np.int64).sum())
+    return pa.table({
+        "total_hits": pa.array([len(d)], type=pa.int64()),
+        "max_score_r": pa.array([round(float(sr.max()), 6)],
+                                type=pa.float64()),
+        "sum_doclen": pa.array([sum_dl], type=pa.int64()),
+        "avg_doclen": pa.array([round(sum_dl / len(d), 6)],
+                               type=pa.float64()),
+    })

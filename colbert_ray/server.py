@@ -136,6 +136,13 @@ def make_server(index_dir: str, port: int = 8893, k: int = 10,
                                scorer=get_scorer("bm25")).to_pylist()
 
     @functools.lru_cache(maxsize=cache_size)
+    def cached_count(query: str):
+        from colbert_ray.pipelines.search import match_stats
+
+        return match_stats(index_dir, query,
+                           scorer=get_scorer("bm25")).to_pylist()[0]
+
+    @functools.lru_cache(maxsize=cache_size)
     def cached_page(query: str, kk: int, after):
         # pagination is as cacheable as any other mode: the cursor is part
         # of the key, so repeat pages (and every per-shard call from a
@@ -253,20 +260,29 @@ def make_server(index_dir: str, port: int = 8893, k: int = 10,
                 self._reply(400, {"error": "boost_factor must be a "
                                            "number"})
                 return
+            count = (params.get("count") or ["0"])[0] in ("1", "true")
             # each result-shaping mode changes the response contract;
             # combining them silently would pick one arbitrarily
             if sum([dsl, paginate, bool(collapse),
-                    bool(boost_field)]) > 1:
+                    bool(boost_field), count]) > 1:
                 self._reply(400, {"error": "dsl/after/collapse/"
-                                           "boost_field are mutually "
-                                           "exclusive"})
+                                           "boost_field/count are "
+                                           "mutually exclusive"})
                 return
-            if (collapse or boost_field) and ranker != "bm25":
-                self._reply(400, {"error": "collapse/boost_field are "
-                                           "bm25-only"})
+            if (collapse or boost_field or count) and ranker != "bm25":
+                self._reply(400, {"error": "collapse/boost_field/count "
+                                           "are bm25-only"})
                 return
             t0 = time.time()
             try:
+                if count:
+                    stats = cached_count(query)
+                    self._reply(200, {
+                        "query": query, "ranker": "bm25",
+                        "latency_ms": round((time.time() - t0) * 1000, 3),
+                        **stats,
+                    })
+                    return
                 if paginate:
                     rows_, nxt = cached_page(query, kk, after)
                     self._reply(200, {

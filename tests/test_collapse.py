@@ -179,3 +179,21 @@ def test_min_should_match_brute_force(ray_session, built):
     # m above the query width matches nothing
     assert min_should_match_search(built, "alpha beta gamma", m=4,
                                    k=10).num_rows == 0
+
+
+def test_match_stats_brute_force(ray_session, built):
+    from colbert_ray.pipelines.search import match_stats
+
+    texts = ["alpha beta gamma"] * 4 + [
+        "alpha beta", "alpha gamma", "beta gamma delta", "alpha",
+        "beta", "gamma delta", "delta", "epsilon"]
+    qt = pa.table({"qid": pa.array([0], type=pa.int64()),
+                   "query": pa.array(["alpha beta gamma"])})
+    full = search_table(qt, built, k=1000, with_sha=False).to_pandas()
+    got = match_stats(built, "alpha beta gamma").to_pylist()[0]
+    assert got["total_hits"] == len(full)
+    assert got["max_score_r"] == round(full["score"].round(6).max(), 6)
+    sum_dl = sum(len(texts[d - 1].split()) for d in full["docid"])
+    assert got["sum_doclen"] == sum_dl
+    assert got["avg_doclen"] == round(sum_dl / len(full), 6)
+    assert match_stats(built, "zzznope").to_pylist()[0]["total_hits"] == 0

@@ -1063,3 +1063,40 @@ def test_fanout_search_after_exact(built):
     finally:
         for h in servers:
             h.shutdown()
+
+
+def test_http_count_mode(built):
+    """count=1 returns the full-match-set stats (track_total_hits
+    analog), equal to the library match_stats; mode mixing 400s."""
+    import json as _json
+    import threading
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    from colbert_ray.pipelines.search import match_stats
+    from colbert_ray.server import make_server
+
+    _, queries_path, index_dir = built
+    httpd = make_server(index_dir, port=0, k=10)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        query = pq.read_table(queries_path).column("query").to_pylist()[0]
+        base = (f"http://127.0.0.1:{port}/api/search?"
+                f"query={urllib.parse.quote(query)}")
+        with urllib.request.urlopen(base + "&count=1", timeout=30) as r:
+            got = _json.loads(r.read())
+        want = match_stats(index_dir, query).to_pylist()[0]
+        assert got["total_hits"] == want["total_hits"] > 0
+        assert got["max_score_r"] == want["max_score_r"]
+        assert "topk" not in got
+        for bad in ("&count=1&dsl=1", "&count=1&after=",
+                    "&count=1&ranker=ql"):
+            try:
+                urllib.request.urlopen(base + bad, timeout=30)
+                raise AssertionError("expected HTTP 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+    finally:
+        httpd.shutdown()
