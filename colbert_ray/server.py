@@ -136,6 +136,18 @@ def make_server(index_dir: str, port: int = 8893, k: int = 10,
                                scorer=get_scorer("bm25")).to_pylist()
 
     @functools.lru_cache(maxsize=cache_size)
+    def cached_fix(query: str) -> str:
+        # did-you-mean: OOV terms -> best Levenshtein-1 dictionary
+        # neighbor (df DESC, term ASC); index-only, so it belongs here
+        from colbert_ray.functions.spelling import correct_terms
+        from colbert_ray.functions.tokenizer import tokenize_query
+
+        idx = get_scorer("bm25").idx
+        toks = tokenize_query(query, idx.cfg)[0]
+        return " ".join(correct_terms(idx.dict_terms, idx.dict_dfs,
+                                      toks))
+
+    @functools.lru_cache(maxsize=cache_size)
     def cached_count(query: str):
         from colbert_ray.pipelines.search import match_stats
 
@@ -261,6 +273,7 @@ def make_server(index_dir: str, port: int = 8893, k: int = 10,
                                            "number"})
                 return
             count = (params.get("count") or ["0"])[0] in ("1", "true")
+            fix = (params.get("fix") or ["0"])[0] in ("1", "true")
             # each result-shaping mode changes the response contract;
             # combining them silently would pick one arbitrarily
             if sum([dsl, paginate, bool(collapse),
@@ -273,14 +286,25 @@ def make_server(index_dir: str, port: int = 8893, k: int = 10,
                 self._reply(400, {"error": "collapse/boost_field/count "
                                            "are bm25-only"})
                 return
+            if fix and (dsl or ranker != "bm25"):
+                self._reply(400, {"error": "fix=1 (did-you-mean) is "
+                                           "bm25-only and not available "
+                                           "with dsl"})
+                return
             t0 = time.time()
+            corrected = None
+            if fix:
+                corrected = cached_fix(query)
+                query = corrected
+            fix_note = ({"corrected_query": corrected}
+                        if corrected is not None else {})
             try:
                 if count:
                     stats = cached_count(query)
                     self._reply(200, {
                         "query": query, "ranker": "bm25",
                         "latency_ms": round((time.time() - t0) * 1000, 3),
-                        **stats,
+                        **fix_note, **stats,
                     })
                     return
                 if paginate:
@@ -290,6 +314,7 @@ def make_server(index_dir: str, port: int = 8893, k: int = 10,
                         "latency_ms": round((time.time() - t0) * 1000, 3),
                         "topk": rows_,
                         "next_after": nxt,
+                        **fix_note,
                     })
                     return
                 if collapse:
@@ -311,6 +336,7 @@ def make_server(index_dir: str, port: int = 8893, k: int = 10,
                 "query": query, "k": kk, "ranker": mode,
                 "latency_ms": round((time.time() - t0) * 1000, 3),
                 "topk": rows,
+                **fix_note,
             })
 
     httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)

@@ -1100,3 +1100,48 @@ def test_http_count_mode(built):
                 assert e.code == 400
     finally:
         httpd.shutdown()
+
+
+def test_http_fix_mode_did_you_mean(built):
+    """fix=1: OOV terms are corrected to their best ED-1 dictionary
+    neighbor before search; the reply carries corrected_query and equals
+    searching the corrected text directly."""
+    import json as _json
+    import threading
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    _, _, index_dir = built
+    from colbert_ray.server import make_server
+
+    httpd = make_server(index_dir, port=0, k=5, with_sha=False)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        idx = DecodedIndex.load_cached(index_dir, load_sha=False)
+        term = next(str(t) for t in idx.dict_terms if len(str(t)) >= 5)
+        typo = term[:2] + term[3:]                # one-char deletion
+        base = f"http://127.0.0.1:{port}/api/search?k=5"
+
+        def get(q, extra=""):
+            url = (base + f"&query={urllib.parse.quote(q)}" + extra)
+            with urllib.request.urlopen(url, timeout=30) as r:
+                return _json.loads(r.read())
+
+        fixed = get(typo, "&fix=1")
+        assert term in fixed["corrected_query"].split()
+        direct = get(fixed["corrected_query"])
+        assert fixed["topk"] == direct["topk"]
+        # count mode composes with fix
+        cnt = get(typo, "&fix=1&count=1")
+        assert cnt["corrected_query"] == fixed["corrected_query"]
+        assert cnt["total_hits"] > 0
+        # dsl + fix -> 400
+        try:
+            get(typo, "&fix=1&dsl=1")
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()
