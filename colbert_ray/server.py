@@ -402,6 +402,27 @@ def make_fanout(shard_urls: list[str], port: int = 8893, k: int = 10,
             r["rank"] = i + 1
         return rows
 
+    def _ask_count(base: str, query: str) -> dict:
+        url = (f"{base}/api/search?"
+               f"query={urllib.parse.quote(query)}&count=1")
+        with urllib.request.urlopen(url, timeout=timeout_s) as r:
+            return json.loads(r.read())
+
+    @functools.lru_cache(maxsize=cache_size)
+    def cached_count(query: str):
+        # exact distributed aggregation: shard match sets partition the
+        # global one (docid-range shards, global stats), so counts/sums
+        # ADD and the rounded max is the max of shard maxes
+        parts = list(pool.map(lambda b: _ask_count(b, query), shard_urls))
+        hits = sum(p["total_hits"] for p in parts)
+        sum_dl = sum(p["sum_doclen"] for p in parts)
+        return {
+            "total_hits": hits,
+            "max_score_r": max(p["max_score_r"] for p in parts),
+            "sum_doclen": sum_dl,
+            "avg_doclen": round(sum_dl / hits, 6) if hits else 0.0,
+        }
+
     def _ask_after(base: str, query: str, kk: int, after: str) -> list[dict]:
         url = (f"{base}/api/search?"
                f"query={urllib.parse.quote(query)}&k={kk}"
@@ -501,11 +522,26 @@ def make_fanout(shard_urls: list[str], port: int = 8893, k: int = 10,
                 self._reply(400, {"error": "only ranker=bm25 is supported "
                                            "on the fan-out front end"})
                 return
-            if params.get("collapse") or params.get("boost_field"):
-                self._reply(400, {"error": "collapse/boost_field are not "
-                                           "wired on the fan-out front "
-                                           "end (the shard group merge is "
-                                           "not implemented)"})
+            if params.get("collapse") or params.get("boost_field") \
+                    or params.get("fix"):
+                self._reply(400, {"error": "collapse/boost_field/fix are "
+                                           "not wired on the fan-out "
+                                           "front end (those cross-shard "
+                                           "merges are not implemented)"})
+                return
+            if (params.get("count") or ["0"])[0] in ("1", "true"):
+                t0 = time.time()
+                try:
+                    stats = cached_count(query)
+                except Exception as e:
+                    self._reply(502, {"error": f"shard fan-out failed: "
+                                               f"{e}"})
+                    return
+                self._reply(200, {
+                    "query": query, "n_shards": len(shard_urls),
+                    "latency_ms": round((time.time() - t0) * 1000, 3),
+                    **stats,
+                })
                 return
             after_vals = params.get("after")
             if after_vals is not None and after_vals[0]:

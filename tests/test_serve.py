@@ -1145,3 +1145,43 @@ def test_http_fix_mode_did_you_mean(built):
             assert e.code == 400
     finally:
         httpd.shutdown()
+
+
+def test_fanout_count_exact(built):
+    """Fan-out count=1: shard stats ADD exactly (docid-range shards
+    partition the match set), equal to the unsharded match_stats."""
+    import json as _json
+    import threading
+    import urllib.parse
+    import urllib.request
+
+    from colbert_ray.pipelines.search import match_stats
+    from colbert_ray.server import make_fanout, make_server
+
+    _, queries_path, index_dir = built
+    idx = DecodedIndex.load_cached(index_dir, load_sha=False)
+    n = len(idx.doclens)
+    query = pq.read_table(queries_path).column("query").to_pylist()[0]
+    servers = []
+    try:
+        for rng_ in ((0, n // 2), (n // 2, 2 ** 62)):
+            h = make_server(index_dir, port=0, k=5, with_sha=False,
+                            docid_range=rng_)
+            threading.Thread(target=h.serve_forever, daemon=True).start()
+            servers.append(h)
+        front = make_fanout(
+            [f"http://127.0.0.1:{h.server_address[1]}" for h in servers],
+            port=0, k=5)
+        threading.Thread(target=front.serve_forever, daemon=True).start()
+        servers.append(front)
+        url = (f"http://127.0.0.1:{front.server_address[1]}/api/search?"
+               f"query={urllib.parse.quote(query)}&count=1")
+        with urllib.request.urlopen(url, timeout=30) as r:
+            got = _json.loads(r.read())
+        want = match_stats(index_dir, query).to_pylist()[0]
+        for key in ("total_hits", "max_score_r", "sum_doclen",
+                    "avg_doclen"):
+            assert got[key] == want[key]
+    finally:
+        for h in servers:
+            h.shutdown()
