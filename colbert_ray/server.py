@@ -25,10 +25,12 @@ function-score results (``function_score_search``) — both index+docmeta
 only, so they belong on the serving tier (rescore/significant-terms need
 a corpus pass and stay offline). The result-shaping modes (dsl, after,
 collapse, boost_field) are mutually exclusive. The fan-out front end
-serves plain bm25 AND ``after=`` pagination (the cursor is a global sort
-key, so one cursor is valid on every shard and the merged page equals
-the unsharded page exactly); it rejects dsl/ql/collapse/boost_field
-(those cross-shard merges are not wired).
+serves plain bm25, ``after=`` pagination (one global cursor is valid on
+every shard; merged pages exact), ``count=1`` (shard stats ADD),
+``collapse=`` (two-phase: shard reps -> union best -> counts summed via
+the shard-internal ``/api/group_counts``) and ``boost_field=`` (per-doc
+global scores union-merge) — each asserted equal to the unsharded
+result; it rejects dsl/ql/fix (not cross-shard-wired).
 
 The scorer holds the mmap-opened serve artifact (DecodedIndex fast path),
 so startup is milliseconds and concurrent handler threads share one
@@ -136,6 +138,32 @@ def make_server(index_dir: str, port: int = 8893, k: int = 10,
                                scorer=get_scorer("bm25")).to_pylist()
 
     @functools.lru_cache(maxsize=cache_size)
+    def cached_group_counts(query: str, field: str, values: tuple):
+        """Shard-internal phase-2 of distributed collapse: match counts
+        for SPECIFIC field values over this shard's match set. With
+        docid-range shards the counts ADD to the global group counts."""
+        import numpy as np
+
+        from colbert_ray.functions.tokenizer import tokenize_query
+        from colbert_ray.pipelines.search import _docmeta_lookup
+
+        scorer = get_scorer("bm25")
+        tids = scorer.idx.lookup_terms(
+            tokenize_query(query, scorer.idx.cfg)[0])
+        if not len(tids):
+            return {v: 0 for v in values}
+        d, _ = scorer._all_match_scores(
+            tids, docid_filter=scorer.docid_filter)
+        if not len(d):
+            return {v: 0 for v in values}
+        vals = _docmeta_lookup(index_dir, field, d).to_pylist()
+        out = {v: 0 for v in values}
+        for v in vals:
+            if v in out:
+                out[v] += 1
+        return out
+
+    @functools.lru_cache(maxsize=cache_size)
     def cached_fix(query: str) -> str:
         # did-you-mean: OOV terms -> best Levenshtein-1 dictionary
         # neighbor (df DESC, term ASC); index-only, so it belongs here
@@ -218,9 +246,32 @@ def make_server(index_dir: str, port: int = 8893, k: int = 10,
                     "suggestions": t.to_pylist(),
                 })
                 return
+            if parsed.path == "/api/group_counts":
+                params = urllib.parse.parse_qs(parsed.query,
+                                               keep_blank_values=True)
+                query = (params.get("query") or [""])[0]
+                field = (params.get("field") or [""])[0]
+                values = tuple(params.get("value") or ())
+                if not (query and field and values):
+                    self._reply(400, {"error": "need query=, field= and "
+                                               ">=1 value= parameters"})
+                    return
+                t0 = time.time()
+                try:
+                    counts = cached_group_counts(query, field, values)
+                except ValueError as e:
+                    self._reply(400, {"error": str(e)})
+                    return
+                self._reply(200, {
+                    "query": query, "field": field,
+                    "latency_ms": round((time.time() - t0) * 1000, 3),
+                    "counts": counts,
+                })
+                return
             if parsed.path != "/api/search":
-                self._reply(404, {"error": "unknown path; use /api/search "
-                                           "or /api/suggest"})
+                self._reply(404, {"error": "unknown path; use /api/search, "
+                                           "/api/group_counts or "
+                                           "/api/suggest"})
                 return
             params = urllib.parse.parse_qs(parsed.query,
                                                keep_blank_values=True)
@@ -423,6 +474,86 @@ def make_fanout(shard_urls: list[str], port: int = 8893, k: int = 10,
             "avg_doclen": round(sum_dl / hits, 6) if hits else 0.0,
         }
 
+    def _ask_collapse(base: str, query: str, field: str,
+                      kk: int) -> list[dict]:
+        url = (f"{base}/api/search?"
+               f"query={urllib.parse.quote(query)}&k={kk}"
+               f"&collapse={urllib.parse.quote(field)}")
+        with urllib.request.urlopen(url, timeout=timeout_s) as r:
+            return json.loads(r.read())["topk"]
+
+    def _ask_group_counts(base: str, query: str, field: str,
+                          values: list) -> dict:
+        vals = "".join(f"&value={urllib.parse.quote(str(v))}"
+                       for v in values)
+        url = (f"{base}/api/group_counts?"
+               f"query={urllib.parse.quote(query)}"
+               f"&field={urllib.parse.quote(field)}{vals}")
+        with urllib.request.urlopen(url, timeout=timeout_s) as r:
+            return json.loads(r.read())["counts"]
+
+    @functools.lru_cache(maxsize=cache_size)
+    def cached_collapse(query: str, field: str, kk: int):
+        """Two-phase exact distributed collapse. Phase 1: every shard's
+        top-kk collapsed reps — a group in the GLOBAL top-kk has its
+        global rep inside some shard's local top-kk (local reps of
+        competing groups score <= their global reps, so fewer than kk
+        local groups can beat it). Phase 2: the selected groups' counts
+        are summed across shards (docid-range shards partition the match
+        set). NULL-field reps are singletons (count 1) and skip phase 2."""
+        parts = list(pool.map(
+            lambda b: _ask_collapse(b, query, field, kk), shard_urls))
+        best: dict = {}
+        for p in parts:
+            for row in p:
+                g = row[field]
+                key = g if g is not None else ("\0null", row["docid"])
+                cur = best.get(key)
+                if cur is None or (-row["score_r"], row["docid"]) \
+                        < (-cur["score_r"], cur["docid"]):
+                    best[key] = row
+        reps = sorted(best.values(),
+                      key=lambda r: (-r["score_r"], r["docid"]))[:kk]
+        named = [r[field] for r in reps if r[field] is not None]
+        counts: dict = {}
+        if named:
+            for part in pool.map(
+                    lambda b: _ask_group_counts(b, query, field, named),
+                    shard_urls):
+                for v, c in part.items():
+                    counts[v] = counts.get(v, 0) + c
+        out = []
+        for i, r in enumerate(reps, 1):
+            out.append({"docid": r["docid"], "rank": i,
+                        "score_r": r["score_r"], field: r[field],
+                        "group_count": (counts.get(r[field], 1)
+                                        if r[field] is not None else 1)})
+        return out
+
+    def _ask_boost(base: str, query: str, field: str, factor: float,
+                   kk: int) -> list[dict]:
+        url = (f"{base}/api/search?"
+               f"query={urllib.parse.quote(query)}&k={kk}"
+               f"&boost_field={urllib.parse.quote(field)}"
+               f"&boost_factor={factor}")
+        with urllib.request.urlopen(url, timeout=timeout_s) as r:
+            return json.loads(r.read())["topk"]
+
+    @functools.lru_cache(maxsize=cache_size)
+    def cached_boost(query: str, field: str, factor: float, kk: int):
+        # function-score is per-doc with GLOBAL stats, so the plain
+        # union-merge argument applies verbatim: global top-k is a subset
+        # of the union of shard top-k under the same (score_r, docid) key
+        parts = list(pool.map(
+            lambda b: _ask_boost(b, query, field, factor, kk),
+            shard_urls))
+        rows = [row for p in parts for row in p]
+        rows.sort(key=lambda r: (-r["score_r"], r["docid"]))
+        rows = rows[:kk]
+        for i, r in enumerate(rows):
+            r["rank"] = i + 1
+        return rows
+
     def _ask_after(base: str, query: str, kk: int, after: str) -> list[dict]:
         url = (f"{base}/api/search?"
                f"query={urllib.parse.quote(query)}&k={kk}"
@@ -522,12 +653,41 @@ def make_fanout(shard_urls: list[str], port: int = 8893, k: int = 10,
                 self._reply(400, {"error": "only ranker=bm25 is supported "
                                            "on the fan-out front end"})
                 return
-            if params.get("collapse") or params.get("boost_field") \
-                    or params.get("fix"):
-                self._reply(400, {"error": "collapse/boost_field/fix are "
-                                           "not wired on the fan-out "
-                                           "front end (those cross-shard "
-                                           "merges are not implemented)"})
+            if params.get("fix"):
+                self._reply(400, {"error": "fix= is not wired on the "
+                                           "fan-out front end"})
+                return
+            collapse_f = (params.get("collapse") or [""])[0]
+            boost_f = (params.get("boost_field") or [""])[0]
+            if collapse_f and boost_f:
+                self._reply(400, {"error": "collapse and boost_field are "
+                                           "mutually exclusive"})
+                return
+            if collapse_f or boost_f:
+                try:
+                    factor = float(
+                        (params.get("boost_factor") or ["1.0"])[0])
+                except ValueError:
+                    self._reply(400, {"error": "boost_factor must be a "
+                                               "number"})
+                    return
+                t0 = time.time()
+                try:
+                    rows = (cached_collapse(query, collapse_f, kk)
+                            if collapse_f else
+                            cached_boost(query, boost_f, factor, kk))
+                except Exception as e:
+                    self._reply(502, {"error": f"shard fan-out failed: "
+                                               f"{e}"})
+                    return
+                self._reply(200, {
+                    "query": query, "k": kk,
+                    "n_shards": len(shard_urls),
+                    "ranker": ("collapse" if collapse_f
+                               else "function_score"),
+                    "latency_ms": round((time.time() - t0) * 1000, 3),
+                    "topk": rows,
+                })
                 return
             if (params.get("count") or ["0"])[0] in ("1", "true"):
                 t0 = time.time()

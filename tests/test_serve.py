@@ -850,8 +850,8 @@ def test_fanout_rejects_unsupported_modes(built):
                 return _json.loads(r.read())
 
         assert len(get("")["topk"]) > 0            # plain path still works
-        for extra in ("&dsl=1", "&ranker=ql", "&collapse=lang",
-                      "&boost_field=doclen", "&after=zzz"):
+        for extra in ("&dsl=1", "&ranker=ql", "&fix=1", "&after=zzz",
+                      "&collapse=lang&boost_field=doclen"):
             try:
                 get(extra)
                 raise AssertionError(f"expected HTTP 400 for {extra}")
@@ -1182,6 +1182,58 @@ def test_fanout_count_exact(built):
         for key in ("total_hits", "max_score_r", "sum_doclen",
                     "avg_doclen"):
             assert got[key] == want[key]
+    finally:
+        for h in servers:
+            h.shutdown()
+
+
+def test_fanout_collapse_and_boost_exact(built):
+    """Fan-out collapse (two-phase: shard reps -> union best -> counts
+    summed) and boost_field (plain union merge on per-doc global scores)
+    both equal the unsharded library results exactly."""
+    import json as _json
+    import threading
+    import urllib.parse
+    import urllib.request
+
+    from colbert_ray.pipelines.search import (
+        collapse_search,
+        function_score_search,
+    )
+    from colbert_ray.server import make_fanout, make_server
+
+    _, queries_path, index_dir = built
+    idx = DecodedIndex.load_cached(index_dir, load_sha=False)
+    n = len(idx.doclens)
+    queries = pq.read_table(queries_path).column("query").to_pylist()[:3]
+    servers = []
+    try:
+        for rng_ in ((0, n // 3), (n // 3, 2 * n // 3),
+                     (2 * n // 3, 2 ** 62)):
+            h = make_server(index_dir, port=0, k=5, with_sha=False,
+                            docid_range=rng_)
+            threading.Thread(target=h.serve_forever, daemon=True).start()
+            servers.append(h)
+        front = make_fanout(
+            [f"http://127.0.0.1:{h.server_address[1]}" for h in servers],
+            port=0, k=5)
+        threading.Thread(target=front.serve_forever, daemon=True).start()
+        servers.append(front)
+        base = f"http://127.0.0.1:{front.server_address[1]}/api/search?k=5"
+        for q in queries:
+            qq = f"&query={urllib.parse.quote(q)}"
+            with urllib.request.urlopen(base + qq + "&collapse=lang",
+                                        timeout=30) as r:
+                got = _json.loads(r.read())["topk"]
+            want = collapse_search(index_dir, q, "lang", k=5).to_pylist()
+            assert got == want, f"collapse mismatch for {q!r}"
+            with urllib.request.urlopen(
+                    base + qq + "&boost_field=doclen&boost_factor=1.5",
+                    timeout=30) as r:
+                got = _json.loads(r.read())["topk"]
+            want = function_score_search(index_dir, q, field="doclen",
+                                         factor=1.5, k=5).to_pylist()
+            assert got == want, f"boost mismatch for {q!r}"
     finally:
         for h in servers:
             h.shutdown()
