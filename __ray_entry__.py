@@ -1028,16 +1028,29 @@ def _q_match_stats(sf_dir: str) -> pd.DataFrame:
 
 
 def _match_stats_sql() -> str:
+    # LEFT JOIN from the qid list: the engine emits a (0, 0.0, 0, 0.0)
+    # row for a zero-match query, so the twin must too — a GROUP BY over
+    # scores alone would silently drop that qid and fail the row-count
+    # gate the day a query stops matching at some scale factor
     base = _bm25_sql()
     head, _ = base.rsplit("SELECT qid::BIGINT AS qid", 1)
     return head + """
-SELECT s.qid::BIGINT AS qid,
-       count(*) AS total_hits,
-       max(round(s.score, 6)) AS max_score_r,
-       sum(len(d.toks))::BIGINT AS sum_doclen,
-       round(sum(len(d.toks))::BIGINT / count(*), 6) AS avg_doclen
-FROM scores s JOIN docs d ON d.doc_id = s.docid
-GROUP BY s.qid
+, agg AS (
+  SELECT s.qid,
+         count(*) AS total_hits,
+         max(round(s.score, 6)) AS max_score_r,
+         sum(len(d.toks))::BIGINT AS sum_doclen,
+         round(sum(len(d.toks))::BIGINT / count(*), 6) AS avg_doclen
+  FROM scores s JOIN docs d ON d.doc_id = s.docid
+  GROUP BY s.qid
+)
+SELECT ql.qid::BIGINT AS qid,
+       coalesce(agg.total_hits, 0)::BIGINT AS total_hits,
+       coalesce(agg.max_score_r, 0.0) AS max_score_r,
+       coalesce(agg.sum_doclen, 0)::BIGINT AS sum_doclen,
+       coalesce(agg.avg_doclen, 0.0) AS avg_doclen
+FROM (SELECT DISTINCT qid FROM q) ql
+LEFT JOIN agg ON agg.qid = ql.qid
 ORDER BY qid
 """
 

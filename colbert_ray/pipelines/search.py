@@ -703,6 +703,8 @@ def min_should_match_search(index_dir: str, query: str, m: int = 2,
     cand = cand_t.column("doc_id").to_numpy(zero_copy_only=False)
     n_match = cand_t.column("n_match").to_numpy(zero_copy_only=False)
     if scorer.docid_filter is not None:
+        if not len(scorer.docid_filter):
+            return empty
         pos = np.clip(np.searchsorted(scorer.docid_filter, cand), 0,
                       len(scorer.docid_filter) - 1)
         keep = scorer.docid_filter[pos] == cand

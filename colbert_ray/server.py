@@ -141,8 +141,11 @@ def make_server(index_dir: str, port: int = 8893, k: int = 10,
     def cached_group_counts(query: str, field: str, values: tuple):
         """Shard-internal phase-2 of distributed collapse: match counts
         for SPECIFIC field values over this shard's match set. With
-        docid-range shards the counts ADD to the global group counts."""
-        import numpy as np
+        docid-range shards the counts ADD to the global group counts.
+        ``values`` arrive as URL strings and are re-coerced against the
+        docmeta column type; the reply is keyed by the ORIGINAL strings,
+        so the front end's string-keyed sum works for numeric fields."""
+        import pyarrow as pa
 
         from colbert_ray.functions.tokenizer import tokenize_query
         from colbert_ray.pipelines.search import _docmeta_lookup
@@ -150,18 +153,28 @@ def make_server(index_dir: str, port: int = 8893, k: int = 10,
         scorer = get_scorer("bm25")
         tids = scorer.idx.lookup_terms(
             tokenize_query(query, scorer.idx.cfg)[0])
-        if not len(tids):
-            return {v: 0 for v in values}
-        d, _ = scorer._all_match_scores(
-            tids, docid_filter=scorer.docid_filter)
+        d = (scorer._all_match_scores(
+                 tids, docid_filter=scorer.docid_filter)[0]
+             if len(tids) else [])
         if not len(d):
             return {v: 0 for v in values}
-        vals = _docmeta_lookup(index_dir, field, d).to_pylist()
-        out = {v: 0 for v in values}
-        for v in vals:
-            if v in out:
-                out[v] += 1
-        return out
+        vals_arr = _docmeta_lookup(index_dir, field, d)
+        if pa.types.is_integer(vals_arr.type):
+            def conv(v):
+                try:
+                    return int(v)
+                except ValueError:
+                    return None
+        elif pa.types.is_string(vals_arr.type) \
+                or pa.types.is_large_string(vals_arr.type):
+            conv = str
+        else:
+            raise ValueError(f"group_counts: unsupported field type "
+                             f"{vals_arr.type}")
+        from collections import Counter
+
+        native_counts = Counter(vals_arr.to_pylist())
+        return {v: native_counts.get(conv(v), 0) for v in values}
 
     @functools.lru_cache(maxsize=cache_size)
     def cached_fix(query: str) -> str:
@@ -412,27 +425,37 @@ def make_fanout(shard_urls: list[str], port: int = 8893, k: int = 10,
 
     pool = ThreadPoolExecutor(max_workers=max(2, len(shard_urls)))
 
-    def _ask(base: str, query: str, kk: int) -> list[dict]:
-        url = (f"{base}/api/search?"
-               f"query={urllib.parse.quote(query)}&k={kk}")
-        with urllib.request.urlopen(url, timeout=timeout_s) as r:
-            return json.loads(r.read())["topk"]
+    def _shard_get(base: str, path: str, params: list) -> dict:
+        """One parameterized shard GET — the single URL builder every
+        fan-out mode shares."""
+        qs = "&".join(f"{k}={urllib.parse.quote(str(v))}"
+                      for k, v in params)
+        with urllib.request.urlopen(f"{base}{path}?{qs}",
+                                    timeout=timeout_s) as r:
+            return json.loads(r.read())
 
-    def _ask_suggest(base: str, prefix: str) -> list[dict]:
-        # ask each shard UNCAPPED-ish (shards cap at their k; pass a large
-        # k so the global merge sees every matching term's partial df)
-        url = (f"{base}/api/suggest?"
-               f"prefix={urllib.parse.quote(prefix)}&k=1000000")
-        with urllib.request.urlopen(url, timeout=timeout_s) as r:
-            return json.loads(r.read())["suggestions"]
+    def _merge_topk(parts: list, score_key: str, kk: int) -> list[dict]:
+        """THE union merge: global top-k is a subset of the union of
+        per-shard top-k under the same (-score, docid) total order."""
+        rows = [row for p in parts for row in p]
+        rows.sort(key=lambda r: (-r[score_key], r["docid"]))
+        rows = rows[:kk]
+        for i, r in enumerate(rows):
+            r["rank"] = i + 1
+        return rows
 
     @functools.lru_cache(maxsize=cache_size)
     def cached_suggest(prefix: str, kk: int):
         # a docid-range shard's df counts ITS postings, so per-shard dfs
         # SUM to the exact global df — merge is an exact distributed
-        # aggregation, then the same (df DESC, term ASC) cut
-        parts = list(pool.map(lambda b: _ask_suggest(b, prefix),
-                              shard_urls))
+        # aggregation, then the same (df DESC, term ASC) cut.
+        # Shards are asked uncapped-ish (k huge) so the global merge sees
+        # every matching term's partial df.
+        parts = list(pool.map(
+            lambda b: _shard_get(b, "/api/suggest",
+                                 [("prefix", prefix),
+                                  ("k", 1_000_000)])["suggestions"],
+            shard_urls))
         total: dict = {}
         for p in parts:
             for row in p:
@@ -443,28 +466,21 @@ def make_fanout(shard_urls: list[str], port: int = 8893, k: int = 10,
 
     @functools.lru_cache(maxsize=cache_size)
     def cached_search(query: str, kk: int):
-        # global top-k is a subset of the union of per-shard top-k, so each
-        # shard is asked for kk and the merge re-ranks exactly
-        parts = list(pool.map(lambda b: _ask(b, query, kk), shard_urls))
-        rows = [row for p in parts for row in p]
-        rows.sort(key=lambda r: (-r["score"], r["docid"]))
-        rows = rows[:kk]
-        for i, r in enumerate(rows):
-            r["rank"] = i + 1
-        return rows
-
-    def _ask_count(base: str, query: str) -> dict:
-        url = (f"{base}/api/search?"
-               f"query={urllib.parse.quote(query)}&count=1")
-        with urllib.request.urlopen(url, timeout=timeout_s) as r:
-            return json.loads(r.read())
+        parts = list(pool.map(
+            lambda b: _shard_get(b, "/api/search",
+                                 [("query", query), ("k", kk)])["topk"],
+            shard_urls))
+        return _merge_topk(parts, "score", kk)
 
     @functools.lru_cache(maxsize=cache_size)
     def cached_count(query: str):
         # exact distributed aggregation: shard match sets partition the
         # global one (docid-range shards, global stats), so counts/sums
         # ADD and the rounded max is the max of shard maxes
-        parts = list(pool.map(lambda b: _ask_count(b, query), shard_urls))
+        parts = list(pool.map(
+            lambda b: _shard_get(b, "/api/search",
+                                 [("query", query), ("count", 1)]),
+            shard_urls))
         hits = sum(p["total_hits"] for p in parts)
         sum_dl = sum(p["sum_doclen"] for p in parts)
         return {
@@ -473,24 +489,6 @@ def make_fanout(shard_urls: list[str], port: int = 8893, k: int = 10,
             "sum_doclen": sum_dl,
             "avg_doclen": round(sum_dl / hits, 6) if hits else 0.0,
         }
-
-    def _ask_collapse(base: str, query: str, field: str,
-                      kk: int) -> list[dict]:
-        url = (f"{base}/api/search?"
-               f"query={urllib.parse.quote(query)}&k={kk}"
-               f"&collapse={urllib.parse.quote(field)}")
-        with urllib.request.urlopen(url, timeout=timeout_s) as r:
-            return json.loads(r.read())["topk"]
-
-    def _ask_group_counts(base: str, query: str, field: str,
-                          values: list) -> dict:
-        vals = "".join(f"&value={urllib.parse.quote(str(v))}"
-                       for v in values)
-        url = (f"{base}/api/group_counts?"
-               f"query={urllib.parse.quote(query)}"
-               f"&field={urllib.parse.quote(field)}{vals}")
-        with urllib.request.urlopen(url, timeout=timeout_s) as r:
-            return json.loads(r.read())["counts"]
 
     @functools.lru_cache(maxsize=cache_size)
     def cached_collapse(query: str, field: str, kk: int):
@@ -502,7 +500,10 @@ def make_fanout(shard_urls: list[str], port: int = 8893, k: int = 10,
         are summed across shards (docid-range shards partition the match
         set). NULL-field reps are singletons (count 1) and skip phase 2."""
         parts = list(pool.map(
-            lambda b: _ask_collapse(b, query, field, kk), shard_urls))
+            lambda b: _shard_get(b, "/api/search",
+                                 [("query", query), ("k", kk),
+                                  ("collapse", field)])["topk"],
+            shard_urls))
         best: dict = {}
         for p in parts:
             for row in p:
@@ -517,8 +518,14 @@ def make_fanout(shard_urls: list[str], port: int = 8893, k: int = 10,
         named = [r[field] for r in reps if r[field] is not None]
         counts: dict = {}
         if named:
+            # values ride the URL as strings; the shard re-coerces them
+            # against the docmeta column type and echoes the SAME string
+            # keys back, so non-string fields count correctly
+            gp = [("query", query), ("field", field)] + \
+                [("value", v) for v in named]
             for part in pool.map(
-                    lambda b: _ask_group_counts(b, query, field, named),
+                    lambda b: _shard_get(b, "/api/group_counts",
+                                         gp)["counts"],
                     shard_urls):
                 for v, c in part.items():
                     counts[v] = counts.get(v, 0) + c
@@ -526,40 +533,21 @@ def make_fanout(shard_urls: list[str], port: int = 8893, k: int = 10,
         for i, r in enumerate(reps, 1):
             out.append({"docid": r["docid"], "rank": i,
                         "score_r": r["score_r"], field: r[field],
-                        "group_count": (counts.get(r[field], 1)
+                        "group_count": (counts.get(str(r[field]), 1)
                                         if r[field] is not None else 1)})
         return out
 
-    def _ask_boost(base: str, query: str, field: str, factor: float,
-                   kk: int) -> list[dict]:
-        url = (f"{base}/api/search?"
-               f"query={urllib.parse.quote(query)}&k={kk}"
-               f"&boost_field={urllib.parse.quote(field)}"
-               f"&boost_factor={factor}")
-        with urllib.request.urlopen(url, timeout=timeout_s) as r:
-            return json.loads(r.read())["topk"]
-
     @functools.lru_cache(maxsize=cache_size)
     def cached_boost(query: str, field: str, factor: float, kk: int):
-        # function-score is per-doc with GLOBAL stats, so the plain
-        # union-merge argument applies verbatim: global top-k is a subset
-        # of the union of shard top-k under the same (score_r, docid) key
+        # function-score is per-doc with GLOBAL stats, so the union merge
+        # applies verbatim
         parts = list(pool.map(
-            lambda b: _ask_boost(b, query, field, factor, kk),
+            lambda b: _shard_get(b, "/api/search",
+                                 [("query", query), ("k", kk),
+                                  ("boost_field", field),
+                                  ("boost_factor", factor)])["topk"],
             shard_urls))
-        rows = [row for p in parts for row in p]
-        rows.sort(key=lambda r: (-r["score_r"], r["docid"]))
-        rows = rows[:kk]
-        for i, r in enumerate(rows):
-            r["rank"] = i + 1
-        return rows
-
-    def _ask_after(base: str, query: str, kk: int, after: str) -> list[dict]:
-        url = (f"{base}/api/search?"
-               f"query={urllib.parse.quote(query)}&k={kk}"
-               f"&after={urllib.parse.quote(after)}")
-        with urllib.request.urlopen(url, timeout=timeout_s) as r:
-            return json.loads(r.read())["topk"]
+        return _merge_topk(parts, "score_r", kk)
 
     @functools.lru_cache(maxsize=cache_size)
     def cached_search_after(query: str, kk: int, after: str):
@@ -570,12 +558,11 @@ def make_fanout(shard_urls: list[str], port: int = 8893, k: int = 10,
         # merged cut is exactly the unsharded page — no composite cursor
         # or scroll state needed
         parts = list(pool.map(
-            lambda b: _ask_after(b, query, kk, after), shard_urls))
-        rows = [row for p in parts for row in p]
-        rows.sort(key=lambda r: (-r["score_r"], r["docid"]))
-        rows = rows[:kk]
-        for i, r in enumerate(rows):
-            r["rank"] = i + 1
+            lambda b: _shard_get(b, "/api/search",
+                                 [("query", query), ("k", kk),
+                                  ("after", after)])["topk"],
+            shard_urls))
+        rows = _merge_topk(parts, "score_r", kk)
         nxt = (f"{rows[-1]['score_r']},{rows[-1]['docid']}" if rows
                else None)
         return rows, nxt
@@ -653,15 +640,21 @@ def make_fanout(shard_urls: list[str], port: int = 8893, k: int = 10,
                 self._reply(400, {"error": "only ranker=bm25 is supported "
                                            "on the fan-out front end"})
                 return
-            if params.get("fix"):
+            if (params.get("fix") or ["0"])[0] in ("1", "true"):
                 self._reply(400, {"error": "fix= is not wired on the "
                                            "fan-out front end"})
                 return
             collapse_f = (params.get("collapse") or [""])[0]
             boost_f = (params.get("boost_field") or [""])[0]
-            if collapse_f and boost_f:
-                self._reply(400, {"error": "collapse and boost_field are "
-                                           "mutually exclusive"})
+            count_f = (params.get("count") or ["0"])[0] in ("1", "true")
+            paginate_f = params.get("after") is not None
+            # mirror the single-node server's mutual exclusivity — the
+            # fan-out must never silently drop one of two combined modes
+            if sum([bool(collapse_f), bool(boost_f), count_f,
+                    paginate_f]) > 1:
+                self._reply(400, {"error": "after/collapse/boost_field/"
+                                           "count are mutually "
+                                           "exclusive"})
                 return
             if collapse_f or boost_f:
                 try:
@@ -689,7 +682,7 @@ def make_fanout(shard_urls: list[str], port: int = 8893, k: int = 10,
                     "topk": rows,
                 })
                 return
-            if (params.get("count") or ["0"])[0] in ("1", "true"):
+            if count_f:
                 t0 = time.time()
                 try:
                     stats = cached_count(query)

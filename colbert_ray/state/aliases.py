@@ -51,7 +51,9 @@ def set_alias(registry_dir: str, name: str, index_dir: str) -> dict:
 
 def drop_alias(registry_dir: str, name: str) -> dict:
     m = list_aliases(registry_dir)
-    m.pop(name, None)
+    if name not in m:
+        return m          # no-op: nothing to drop, nothing to rewrite
+    m.pop(name)
     atomic_write_json(_registry_path(registry_dir), m)
     return m
 

@@ -214,6 +214,18 @@ class IndexUpdater:
                 .map_batches(rewrite, batch_format="pyarrow",
                              zero_copy_batch=True).to_pandas())
         rows = rows.sort_values("docid").reset_index(drop=True)
+        if len(rows) != len(cand):
+            # silently skipping live matches (typically delta docs, whose
+            # text is not in the base corpus) would leave them stale
+            # forever — fail loudly and tell the caller what to include
+            missing = sorted(set(int(c) for c in cand)
+                             - set(int(d) for d in rows["docid"]))
+            raise ValueError(
+                f"update_by_query: {len(missing)} matching docid(s) are "
+                f"not in the supplied corpus (first: {missing[:5]}). "
+                f"Include delta corpora (e.g. deltas added via "
+                f"add_documents) in the corpus argument, or remove those "
+                f"docids explicitly.")
         self.remove_docids(rows["docid"].tolist())
         new_ids = self.add_documents(
             pa.table({content_col: pa.array(rows["text"],

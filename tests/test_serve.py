@@ -1234,6 +1234,27 @@ def test_fanout_collapse_and_boost_exact(built):
             want = function_score_search(index_dir, q, field="doclen",
                                          factor=1.5, k=5).to_pylist()
             assert got == want, f"boost mismatch for {q!r}"
+            # NUMERIC collapse field: group_counts values ride the URL as
+            # strings and must be re-coerced shard-side, not count 0
+            with urllib.request.urlopen(base + qq + "&collapse=doclen",
+                                        timeout=30) as r:
+                got = _json.loads(r.read())["topk"]
+            want = collapse_search(index_dir, q, "doclen",
+                                   k=5).to_pylist()
+            assert got == want, f"numeric collapse mismatch for {q!r}"
+            assert any(row["group_count"] > 1 for row in want), \
+                "fixture too weak: no doclen group with >1 match"
+        # combined modes 400 on the front end like on the shards
+        import urllib.error
+        for bad in ("&collapse=lang&count=1", "&count=1&after=",
+                    "&collapse=lang&after=", "&fix=1"):
+            try:
+                urllib.request.urlopen(
+                    base + f"&query={urllib.parse.quote(queries[0])}"
+                    + bad, timeout=30)
+                raise AssertionError(f"expected HTTP 400 for {bad}")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
     finally:
         for h in servers:
             h.shutdown()
