@@ -1055,6 +1055,44 @@ ORDER BY qid
 """
 
 
+MATCH_SAMPLE_RATE = 0.3
+
+
+def _q_sampled_matches(sf_dir: str) -> pd.DataFrame:
+    """Deterministic match-set sampling (pipelines/search.sampled_matches
+    — reproducible seeded random_score): matching docs surviving the
+    FNV+fmix64 docid hash gate at rate 0.3, with rounded scores."""
+    from colbert_ray.pipelines.search import sampled_matches
+    from colbert_ray.state.index import BM25Scorer
+
+    idx = _ensure_index(sf_dir)
+    scorer = BM25Scorer(idx, k=1, with_sha=False)
+    rows = []
+    for qid, q in QUERY_SET:
+        t = sampled_matches(idx, q, rate=MATCH_SAMPLE_RATE, cfg=CFG,
+                            scorer=scorer).to_pandas()
+        t.insert(0, "qid", np.int64(qid))
+        rows.append(t)
+    return pd.concat(rows, ignore_index=True)[["qid", "docid", "score_r"]]
+
+
+def _sampled_matches_sql() -> str:
+    from colbert_ray.extras.sampling import (
+        sample_threshold,
+        sql_key_hash_expr,
+    )
+
+    base = _bm25_sql()
+    head, _ = base.rsplit("SELECT qid::BIGINT AS qid", 1)
+    h = sql_key_hash_expr("CAST(s.docid AS VARCHAR)")
+    return head + f"""
+SELECT s.qid::BIGINT AS qid, s.docid, round(s.score, 6) AS score_r
+FROM scores s
+WHERE ({h}) <= {sample_threshold(MATCH_SAMPLE_RATE)}::HUGEINT
+ORDER BY qid, docid
+"""
+
+
 MSM_M = 2
 
 
@@ -4386,6 +4424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_vectors_docs": _q_term_vectors,
         "msm_bm25_top10": _q_msm_bm25,
         "match_stats": _q_match_stats,
+        "sampled_bm25_matches": _q_sampled_matches,
         "bm25_top10_sharded": _q_bm25_top10_sharded,
         "passage_bm25_top5": _q_passage_bm25_top5,
         "phrase_search_top10": _q_phrase_search,
@@ -6087,6 +6126,7 @@ ORDER BY bm.qid, d.lang, d.source
         "term_vectors_docs": _term_vectors_sql(),
         "msm_bm25_top10": _msm_sql(),
         "match_stats": _match_stats_sql(),
+        "sampled_bm25_matches": _sampled_matches_sql(),
         "bm25_top10_sharded": _bm25_sql(),   # sharding must not change results
         "passage_bm25_top5": _passage_bm25_sql(),
         "phrase_search_top10": x_phrase.sql_phrase_search(

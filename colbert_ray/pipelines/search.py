@@ -766,3 +766,44 @@ def match_stats(index_dir: str, query: str,
         "avg_doclen": pa.array([round(sum_dl / len(d), 6)],
                                type=pa.float64()),
     })
+
+
+def sampled_matches(index_dir: str, query: str, rate: float = 0.1,
+                    seed: int = 0,
+                    cfg: "EngineConfig | None" = None,
+                    scorer=None) -> pa.Table:
+    """Deterministic sample of a query's match set — the reproducible
+    form of ES's seeded ``random_score``: a matching doc survives iff its
+    docid's FNV-1a+fmix64 hash falls under ``rate`` (the same integer
+    hash gate as ``extras/sampling.hash_sample``, so samples are
+    parallelism-invariant, shuffle-free AND consistent across queries:
+    the same docids survive every gate — the property that makes
+    hash-sampled eval sets comparable between runs). Returns
+    (docid, score_r) in docid order.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from colbert_ray.extras.sampling import sample_threshold
+    from colbert_ray.functions.hashing import U64_MOD, fmix64, fnv1a64_strings
+    from colbert_ray.functions.tokenizer import tokenize_query
+
+    scorer = scorer or BM25Scorer(index_dir, k=1, with_sha=False)
+    if scorer.ranker != "bm25":
+        raise ValueError("sampled_matches supports ranker='bm25' only")
+    cfg = cfg or scorer.idx.cfg
+    empty = pa.table({"docid": pa.array([], type=pa.int64()),
+                      "score_r": pa.array([], type=pa.float64())})
+    tids = scorer.idx.lookup_terms(tokenize_query(query, cfg)[0])
+    if not len(tids):
+        return empty
+    d, s = scorer._all_match_scores(tids, docid_filter=scorer.docid_filter)
+    if not len(d):
+        return empty
+    h = fnv1a64_strings(pc.cast(pa.array(d), pa.string()))
+    if seed:
+        h = h + np.uint64(seed % U64_MOD)
+    keep = fmix64(h) <= np.uint64(sample_threshold(rate))
+    d, sr = d[keep], np.round(s[keep], 6)
+    return pa.table({"docid": pa.array(d, type=pa.int64()),
+                     "score_r": pa.array(sr, type=pa.float64())})

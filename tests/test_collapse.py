@@ -197,3 +197,29 @@ def test_match_stats_brute_force(ray_session, built):
     assert got["sum_doclen"] == sum_dl
     assert got["avg_doclen"] == round(sum_dl / len(full), 6)
     assert match_stats(built, "zzznope").to_pylist()[0]["total_hits"] == 0
+
+
+def test_sampled_matches_deterministic_and_consistent(ray_session, built):
+    """Hash-gate match sampling: reproducible, rate-monotone (a lower
+    rate's survivors are a subset of a higher rate's), and consistent
+    across queries (same docids survive every gate)."""
+    from colbert_ray.pipelines.search import sampled_matches
+
+    a = sampled_matches(built, "alpha beta gamma", rate=0.5).to_pandas()
+    b = sampled_matches(built, "alpha beta gamma", rate=0.5).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    low = set(sampled_matches(built, "alpha beta gamma",
+                              rate=0.2).to_pandas()["docid"])
+    assert low <= set(a["docid"])
+    # cross-query consistency: survival is a property of the DOCID, not
+    # the query — restricted to docs matching both queries, the two
+    # samples select exactly the same docids
+    other = set(sampled_matches(built, "alpha", rate=0.5)
+                .to_pandas()["docid"])
+    alpha_matches = {1, 2, 3, 4, 5, 6, 8}   # docs containing 'alpha'
+    assert set(a["docid"]) & alpha_matches == other
+    assert sampled_matches(built, "zzznope", rate=0.9).num_rows == 0
+    # a different seed permutes the gate (distinct hash stream)
+    seeded = set(sampled_matches(built, "alpha beta gamma", rate=0.5,
+                                 seed=7).to_pandas()["docid"])
+    assert seeded != set(a["docid"])
