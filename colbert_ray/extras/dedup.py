@@ -32,6 +32,58 @@ def _char_ngrams(texts: list[str], n: int = _NGRAM) -> list[set]:
     ]
 
 
+def _char_trigram_codes(texts: list[str]) -> list[np.ndarray]:
+    """Distinct CHAR-trigram codes per text, as sorted uint64 arrays.
+
+    Unlike ``_trigram_codes`` (byte trigrams) this packs unicode CODEPOINTS
+    — three 21-bit codepoints (max 0x10FFFF < 2^21) into 63 bits — so the
+    mapping distinct-char-trigram <-> distinct-code is injective and set
+    sizes / intersections match ``_char_ngrams`` exactly on any text.
+    Vectorized: utf-32 decode gives the codepoint array in one shot."""
+    out = []
+    for t in texts:
+        cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        if len(cp) < 3:
+            out.append(np.empty(0, dtype=np.uint64))
+            continue
+        codes = (cp[:-2] << np.uint64(42)) | (cp[1:-1] << np.uint64(21)) | cp[2:]
+        out.append(np.unique(codes))
+    return out
+
+
+def _code_index(code_sets: list[np.ndarray]):
+    """Flatten per-doc sorted code arrays into ONE (codes, owners) pair
+    sorted by code — the probe-side inverted index for the vectorized
+    verify tiers. Returns (codes, owners, sizes)."""
+    n = len(code_sets)
+    sizes = np.fromiter((len(c) for c in code_sets), dtype=np.int64, count=n)
+    if sizes.sum() == 0:
+        return (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64),
+                sizes)
+    codes = np.concatenate(code_sets)
+    owners = np.repeat(np.arange(n, dtype=np.int64), sizes)
+    order = np.argsort(codes, kind="stable")
+    return codes[order], owners[order], sizes
+
+
+def _intersect_counts(probe: np.ndarray, codes: np.ndarray,
+                      owners: np.ndarray, n_ref: int) -> np.ndarray:
+    """|probe ∩ ref_doc| for EVERY ref doc at once: searchsorted ranges in
+    the flattened (code, owner) index, vectorized gather, bincount by owner.
+    Codes are unique within each doc, so each hit contributes exactly 1."""
+    if len(probe) == 0 or len(codes) == 0:
+        return np.zeros(n_ref, dtype=np.int64)
+    lo = np.searchsorted(codes, probe, side="left")
+    hi = np.searchsorted(codes, probe, side="right")
+    reps = hi - lo
+    total = int(reps.sum())
+    if total == 0:
+        return np.zeros(n_ref, dtype=np.int64)
+    excl = np.cumsum(reps) - reps
+    gather = np.repeat(lo - excl, reps) + np.arange(total)
+    return np.bincount(owners[gather], minlength=n_ref)
+
+
 def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
                 id_col: str = "doc_id") -> "ray.data.Dataset":
     """One representative row per distinct content: (doc_id=min id in group,
@@ -84,35 +136,41 @@ def jaccard_pairs(
     """
     if max_id is not None:
         ds = ds.filter(expr=f"{id_col} < {max_id}")
-    # small bounded side: collect to the driver and broadcast
+    # small bounded side: collect to the driver and broadcast as ONE
+    # flattened sorted (code, owner) index — probed per batch doc with
+    # searchsorted+bincount, so there is no inner loop over ref docs
     ref = ds.select_columns([id_col, text_col]).to_pandas()
     ref = ref.sort_values(id_col).reset_index(drop=True)
     ids = ref[id_col].to_numpy(dtype=np.int64)
-    shingles = _char_ngrams(ref[text_col].tolist())
-    ref_obj = ray.put((ids, shingles))
+    codes, owners, sizes = _code_index(_char_trigram_codes(ref[text_col].tolist()))
+    ref_obj = ray.put((ids, codes, owners, sizes))
 
     def pairs_for(batch: pa.Table) -> pa.Table:
-        r_ids, r_sh = ray.get(ref_obj)
+        r_ids, r_codes, r_owners, r_sizes = ray.get(ref_obj)
         b_ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        b_sh = _char_ngrams(batch.column(text_col).to_pylist())
+        b_sh = _char_trigram_codes(batch.column(text_col).to_pylist())
         out_a, out_b, out_i, out_u = [], [], [], []
         for bid, s in zip(b_ids, b_sh):
-            if not s:
+            if len(s) == 0:
                 continue
-            for rid, rs in zip(r_ids, r_sh):
-                if rid <= bid or not rs:
-                    continue
-                inter = len(s & rs)
-                if inter == 0:
-                    continue
-                union = len(s) + len(rs) - inter
-                if inter * threshold_den >= threshold_num * union:
-                    out_a.append(int(bid)); out_b.append(int(rid))
-                    out_i.append(inter); out_u.append(union)
-        return pa.table({"id_a": pa.array(out_a, type=pa.int64()),
-                         "id_b": pa.array(out_b, type=pa.int64()),
-                         "n_common": pa.array(out_i, type=pa.int64()),
-                         "n_union": pa.array(out_u, type=pa.int64())})
+            inter = _intersect_counts(s, r_codes, r_owners, len(r_ids))
+            union = len(s) + r_sizes - inter
+            keep = ((r_ids > bid) & (inter > 0)
+                    & (inter * threshold_den >= threshold_num * union))
+            if keep.any():
+                k = np.flatnonzero(keep)
+                out_a.append(np.full(len(k), bid, dtype=np.int64))
+                out_b.append(r_ids[k])
+                out_i.append(inter[k]); out_u.append(union[k])
+
+        def cat(parts):
+            return (np.concatenate(parts) if parts
+                    else np.empty(0, dtype=np.int64))
+
+        return pa.table({"id_a": pa.array(cat(out_a), type=pa.int64()),
+                         "id_b": pa.array(cat(out_b), type=pa.int64()),
+                         "n_common": pa.array(cat(out_i), type=pa.int64()),
+                         "n_union": pa.array(cat(out_u), type=pa.int64())})
 
     return ds.select_columns([id_col, text_col]).map_batches(
         pairs_for, batch_format="pyarrow"
@@ -145,28 +203,37 @@ def containment_pairs(
     ref = ds.select_columns([id_col, text_col]).to_pandas()
     ref = ref.sort_values(id_col).reset_index(drop=True)
     ids = ref[id_col].to_numpy(dtype=np.int64)
-    shingles = _char_ngrams(ref[text_col].tolist())
-    ref_obj = ray.put((ids, shingles))
+    codes, owners, sizes = _code_index(_char_trigram_codes(ref[text_col].tolist()))
+    ref_obj = ray.put((ids, codes, owners, sizes))
 
     def pairs_for(batch: pa.Table) -> pa.Table:
-        r_ids, r_sh = ray.get(ref_obj)
+        r_ids, r_codes, r_owners, r_sizes = ray.get(ref_obj)
         b_ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        b_sh = _char_ngrams(batch.column(text_col).to_pylist())
+        b_sh = _char_trigram_codes(batch.column(text_col).to_pylist())
         src, dst, com, ns = [], [], [], []
         for bid, s in zip(b_ids, b_sh):          # batch rows are the SRC side
-            if not s:
+            if len(s) == 0:
                 continue
-            for rid, rs in zip(r_ids, r_sh):
-                if rid == bid or not rs:
-                    continue
-                inter = len(s & rs)
-                if inter * threshold_den >= threshold_num * len(s):
-                    src.append(int(bid)); dst.append(int(rid))
-                    com.append(inter); ns.append(len(s))
-        return pa.table({"id_src": pa.array(src, type=pa.int64()),
-                         "id_dst": pa.array(dst, type=pa.int64()),
-                         "n_common": pa.array(com, type=pa.int64()),
-                         "n_src": pa.array(ns, type=pa.int64())})
+            inter = _intersect_counts(s, r_codes, r_owners, len(r_ids))
+            # empty-shingle ref docs are excluded (r_sizes > 0), matching
+            # the SQL oracle's empty generate_series for short strings
+            keep = ((r_ids != bid) & (r_sizes > 0)
+                    & (inter * threshold_den >= threshold_num * len(s)))
+            if keep.any():
+                k = np.flatnonzero(keep)
+                src.append(np.full(len(k), bid, dtype=np.int64))
+                dst.append(r_ids[k])
+                com.append(inter[k])
+                ns.append(np.full(len(k), len(s), dtype=np.int64))
+
+        def cat(parts):
+            return (np.concatenate(parts) if parts
+                    else np.empty(0, dtype=np.int64))
+
+        return pa.table({"id_src": pa.array(cat(src), type=pa.int64()),
+                         "id_dst": pa.array(cat(dst), type=pa.int64()),
+                         "n_common": pa.array(cat(com), type=pa.int64()),
+                         "n_src": pa.array(cat(ns), type=pa.int64())})
 
     return ds.select_columns([id_col, text_col]).map_batches(
         pairs_for, batch_format="pyarrow"

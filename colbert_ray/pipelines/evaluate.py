@@ -73,6 +73,24 @@ def ranking_metrics(
     return pd.DataFrame(out)
 
 
+def _ranking_restricted_side(
+    ranking: "ray.data.Dataset", corpus: "ray.data.Dataset", cols: list[str]
+) -> tuple["ray.data.Dataset", pd.DataFrame]:
+    """Shared eval-join shape: materialize the BOUNDED ranking (qids x k
+    rows) once, broadcast its docid set, and stream the corpus through
+    ``broadcast_semi_join`` so only hit rows' metadata ever reaches the
+    driver — the ``facet_counts`` direction, O(qids*k) driver memory instead
+    of O(n_docs). Returns (materialized ranking, survivor-side frame)."""
+    from colbert_ray.functions.util import broadcast_semi_join
+
+    ranking = ranking.materialize()
+    docids = (ranking.select_columns(["docid"]).to_pandas()["docid"]
+              .to_numpy(dtype=np.int64))
+    side = broadcast_semi_join(
+        corpus.select_columns(cols), docids, "docid").to_pandas()
+    return ranking, side
+
+
 def annotate_ranking(
     ranking: "ray.data.Dataset",
     corpus: "ray.data.Dataset",
@@ -81,10 +99,16 @@ def annotate_ranking(
 ) -> "ray.data.Dataset":
     """Expand ranking rows with document fields (+ relevance label) —
     annotate-EM analog (utility/evaluate/annotate_EM.py:28-46; J6/J1).
-    The corpus side is joined via broadcast of the needed columns only."""
+
+    Join direction: the ranking is the bounded side (qids x k rows), so its
+    docid set is broadcast and the corpus STREAMS through a semi-join; only
+    the tiny survivor side (<= distinct ranked docids) is then broadcast for
+    the final hash join. The corpus is never materialized on the driver —
+    the cost is one streamed corpus pass either way, so no separate
+    small-corpus fast path is needed."""
     import ray as _ray
 
-    side = corpus.select_columns(list(corpus_cols)).to_pandas()
+    ranking, side = _ranking_restricted_side(ranking, corpus, list(corpus_cols))
     side_ref = _ray.put(side.set_index("docid"))
     gold = None
     if qrels is not None:
@@ -258,10 +282,15 @@ def annotate_exact_match(
 ) -> "ray.data.Dataset":
     """Label each ranked row with answer-EM: does any gold answer for the
     qid appear (normalized substring) in the document text?
-    (annotate_EM.py:28-46 + e2e_test.py:48-55 analog.)"""
+    (annotate_EM.py:28-46 + e2e_test.py:48-55 analog.)
+
+    Same bounded semi-join direction as ``annotate_ranking``: only the
+    ranked docids' texts (qids x k at most) are pulled to the driver, never
+    the whole corpus."""
     import ray as _ray
 
-    side = corpus.select_columns(["docid", text_col]).to_pandas()
+    ranking, side = _ranking_restricted_side(ranking, corpus,
+                                             ["docid", text_col])
     side[text_col] = side[text_col].map(normalize_answer)
     side_ref = _ray.put(side.set_index("docid")[text_col].to_dict())
     ans_ref = _ray.put({

