@@ -483,6 +483,11 @@ def search_after(index_dir: str, query: str, k: int = 10,
     empty = pa.table({"docid": pa.array([], type=pa.int64()),
                       "rank": pa.array([], type=pa.int64()),
                       "score_r": pa.array([], type=pa.float64())})
+    # k <= 0 -> empty page, like the other result-shaping functions
+    # (collapse_search / min_should_match_search / rescore_search); without
+    # this, topk_with_ties(sr, d, 0) indexes order[-1] on an empty selection
+    if k <= 0:
+        return empty, None
     tids = scorer.idx.lookup_terms(tokenize_query(query, cfg)[0])
     if not len(tids):
         return empty, None
@@ -524,6 +529,24 @@ def _docmeta_lookup(index_dir: str, field: str, docids) -> pa.Array:
         return pa.array([], type=dset.schema.field(field).type)
     meta = dset.to_table(columns=["docid", field],
                          filter=pads.field("docid").isin(pa.array(docids)))
+    # overlay delta docmeta (docs added via IndexUpdater live under
+    # deltas/*/docmeta.parquet until compaction — same overlay direction
+    # as DecodedIndex._load_sha); deltas written without this field still
+    # read as NULL, preserving the missing-value semantics below
+    delta_files = sorted(glob.glob(os.path.join(
+        index_dir, "deltas", "delta_*", "docmeta.parquet")))
+    if delta_files:
+        parts = [meta]
+        for f in delta_files:
+            dd = pads.dataset(f)
+            if field in dd.schema.names:
+                dt = dd.to_table(columns=["docid", field],
+                                 filter=pads.field("docid").isin(
+                                     pa.array(docids)))
+                if dt.num_rows:
+                    parts.append(dt)
+        if len(parts) > 1:
+            meta = pa.concat_tables(parts, promote_options="default")
     md = meta.column("docid").to_numpy(zero_copy_only=False)
     morder = np.argsort(md)
     md_sorted = md[morder]
@@ -724,6 +747,20 @@ def min_should_match_search(index_dir: str, query: str, m: int = 2,
     })
 
 
+def _round6_half_away(x: float) -> float:
+    """Round to 6 decimals HALF-AWAY-FROM-ZERO for non-negative x,
+    reproducing DuckDB's double round() (std::round(x*1e6)/1e6) exactly:
+    the fractional part of the scaled double is compared against 0.5 after
+    an exact floor subtraction, so dyadic quotients on the midpoint (e.g.
+    2.0078125) round UP like SQL, where Python/numpy's half-even rounds
+    down — the one divergence class integer/integer averages can hit."""
+    import math
+
+    t = x * 1e6
+    f = math.floor(t)
+    return (f + (1.0 if t - f >= 0.5 else 0.0)) / 1e6
+
+
 def match_stats(index_dir: str, query: str,
                 cfg: "EngineConfig | None" = None,
                 scorer=None) -> pa.Table:
@@ -735,7 +772,11 @@ def match_stats(index_dir: str, query: str,
     doclen sums are integer-exact, max is a single rounded value; a
     float AVG over thousands of scores could land on a 7th-digit
     rounding boundary where numpy (half-even) and SQL (half-away)
-    disagree, so it is deliberately not offered."""
+    disagree, so it is deliberately not offered. avg_doclen IS offered
+    but is the one dyadic-rational risk case (an integer/integer
+    quotient like 257/128 = 2.0078125 sits exactly on the midpoint), so
+    it is rounded HALF-AWAY on the engine side via ``_round6_half_away``
+    — bit-identical to DuckDB's ``round(x, 6)`` = std::round(x*1e6)/1e6."""
     import numpy as np
 
     from colbert_ray.functions.tokenizer import tokenize_query
@@ -763,7 +804,7 @@ def match_stats(index_dir: str, query: str,
         "max_score_r": pa.array([round(float(sr.max()), 6)],
                                 type=pa.float64()),
         "sum_doclen": pa.array([sum_dl], type=pa.int64()),
-        "avg_doclen": pa.array([round(sum_dl / len(d), 6)],
+        "avg_doclen": pa.array([_round6_half_away(sum_dl / len(d))],
                                type=pa.float64()),
     })
 

@@ -174,7 +174,12 @@ def make_server(index_dir: str, port: int = 8893, k: int = 10,
         from collections import Counter
 
         native_counts = Counter(vals_arr.to_pylist())
-        return {v: native_counts.get(conv(v), 0) for v in values}
+        # an unparseable value for an integer field coerces to None, and
+        # None keys the NULL-field group in the Counter — report 0 for the
+        # bogus value instead of silently returning the null-group count
+        return {v: (native_counts.get(cv, 0)
+                    if (cv := conv(v)) is not None else 0)
+                for v in values}
 
     @functools.lru_cache(maxsize=cache_size)
     def cached_fix(query: str) -> str:

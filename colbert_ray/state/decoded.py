@@ -466,7 +466,10 @@ class DecodedIndex:
         # extend doc arrays to the new max docid
         import pyarrow as pa
 
-        dm_all = pa.concat_tables(new_docid_rows)
+        # deltas may carry different optional metadata columns (add_documents
+        # persists whatever the caller supplied) — promote to the union
+        # schema, missing columns null-filled
+        dm_all = pa.concat_tables(new_docid_rows, promote_options="default")
         new_ids = dm_all.column("docid").to_numpy(zero_copy_only=False)
         new_max = max(len(self.doclens) - 1,
                       int(new_ids.max()) if len(new_ids) else -1)

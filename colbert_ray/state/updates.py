@@ -112,6 +112,14 @@ class IndexUpdater:
                 "content_sha256": pa.array(shas, type=pa.string()),
             }
         )
+        # persist any extra (non-content) corpus columns so the docmeta
+        # overlay in pipelines.search._docmeta_lookup sees delta docs'
+        # metadata too (collapse / function-score boost_field on a live-
+        # updated index; delta docs read NULL only for columns the caller
+        # genuinely didn't supply)
+        for name in corpus.column_names:
+            if name != content_col and name not in docmeta.column_names:
+                docmeta = docmeta.append_column(name, corpus.column(name))
 
         d = os.path.join(self.index_dir, "deltas",
                          f"delta_{len(self._delta_dirs()):05d}")

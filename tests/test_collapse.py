@@ -125,9 +125,10 @@ def test_function_score_guards(ray_session, built):
 
 
 def test_collapse_delta_docs_read_null_field(ray_session, built, tmp_path):
-    """Delta-added docs have no base-docmeta row: collapse must surface
-    them as NULL singleton groups, never a neighbor's value or a crash
-    (the review repro: searchsorted off the end / silent wrong value)."""
+    """Delta-added docs whose add_documents call did NOT supply a metadata
+    column read NULL for it (singleton group, never a neighbor's value or
+    a crash) — but columns the delta docmeta DOES carry (doclen always;
+    any user meta supplied to add_documents) are overlaid and must score."""
     import os
     import shutil
 
@@ -145,11 +146,14 @@ def test_collapse_delta_docs_read_null_field(ray_session, built, tmp_path):
     assert len(row) == 1
     assert row["lang"].isna().all()
     assert (row["group_count"] == 1).all()
-    # function_score: missing numeric field -> factor ln(1+0)=0 -> score 0
+    # doclen IS in the delta docmeta: the overlay must surface it, so the
+    # boost factor is ln(1 + doclen) > 0 (it silently scored 0.0 before
+    # the deltas/*/docmeta.parquet overlay in _docmeta_lookup)
     fs = function_score_search(idx2, "zulu", field="doclen",
                                k=10).to_pandas()
     frow = fs[fs["docid"] == new_ids[0]]
-    assert len(frow) == 1 and (frow["score_r"] == 0.0).all()
+    assert len(frow) == 1 and (frow["score_r"] > 0.0).all()
+    assert (frow["doclen"] == 4.0).all()
 
 
 def test_min_should_match_brute_force(ray_session, built):

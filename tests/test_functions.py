@@ -528,3 +528,26 @@ class TestEliasFanoCodec:
         rng = np.random.default_rng(5)
         gaps = np.maximum(1, rng.poisson(7, 200_000)).astype(np.uint64)
         assert len(ef_encode(gaps)) < 0.75 * len(varint_encode(gaps))
+
+
+class TestRound6HalfAway:
+    def test_matches_duckdb_round(self):
+        """_round6_half_away must agree with DuckDB round(x,6) bit-for-bit
+        — including dyadic midpoints where Python/numpy half-even differs
+        (the avg_doclen divergence class)."""
+        import duckdb
+
+        from colbert_ray.pipelines.search import _round6_half_away
+
+        vals = [2.0078125, 257 / 128, 1.0000005, 0.1234565, 3.0000015,
+                7 / 3, 22 / 7, 0.0, 1.0, 12345.6789012345]
+        vals += [n / 128 for n in range(1, 50)]
+        rng = np.random.default_rng(0)
+        vals += [float(v) for v in rng.uniform(0.0, 10_000.0, 200)]
+        con = duckdb.connect()
+        for v in vals:
+            want = con.execute(
+                "SELECT round(?::DOUBLE, 6)", [v]).fetchone()[0]
+            assert _round6_half_away(v) == want, v
+        # the motivating case: half-even would give 2.007812
+        assert _round6_half_away(257 / 128) == 2.007813

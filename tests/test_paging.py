@@ -91,3 +91,11 @@ def test_oov_and_exhausted(ray_session, built):
     # walk past the end: cursor chain terminates
     pages = _all_pages(built, "epsilon", 5)
     assert len(pages) == 1 and pages[0].num_rows == 1
+
+
+def test_k_nonpositive_returns_empty(ray_session, built):
+    # k <= 0 must short-circuit to an empty page like the other
+    # result-shaping functions, not IndexError inside topk_with_ties
+    for k in (0, -3):
+        page, cur = search_after(built, "alpha", k=k, cfg=CFG)
+        assert page.num_rows == 0 and cur is None

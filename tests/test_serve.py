@@ -1258,3 +1258,32 @@ def test_fanout_collapse_and_boost_exact(built):
     finally:
         for h in servers:
             h.shutdown()
+
+
+def test_group_counts_bogus_integer_value_counts_zero(built):
+    """An unparseable value= for an INTEGER docmeta field must report 0,
+    not the NULL-field group's count (None used to key into the Counter)."""
+    import json as _json
+    import threading
+    import urllib.parse
+    import urllib.request
+
+    from colbert_ray.server import make_server
+
+    _, queries_path, index_dir = built
+    httpd = make_server(index_dir, port=0, k=10)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        query = pq.read_table(queries_path).column("query").to_pylist()[0]
+        idx = DecodedIndex.load_cached(index_dir, load_sha=False)
+        real = int(idx.doclens[idx.doclens > 0][0])
+        url = (f"http://127.0.0.1:{port}/api/group_counts?"
+               f"query={urllib.parse.quote(query)}&field=doclen"
+               f"&value=notanint&value={real}")
+        with urllib.request.urlopen(url, timeout=30) as r:
+            counts = _json.loads(r.read())["counts"]
+        assert counts["notanint"] == 0
+        assert str(real) in counts
+    finally:
+        httpd.shutdown()

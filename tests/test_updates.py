@@ -233,3 +233,28 @@ def test_update_by_query(ray_session, tmp_path):
     with pytest.raises(ValueError, match="corpus pass"):
         up.update_by_query(ray.data.read_parquet(src), '"a b"',
                            lambda xs: xs)
+
+
+def test_delta_docmeta_overlay_collapse_and_boost(built_index):
+    """Docs added via IndexUpdater keep metadata under
+    deltas/*/docmeta.parquet; collapse_search / function_score_search must
+    overlay it (not read NULL): same overlay direction as _load_sha."""
+    from colbert_ray.pipelines.search import (
+        collapse_search,
+        function_score_search,
+    )
+
+    up = IndexUpdater(built_index)
+    new_ids = up.add_documents(_added_docs())
+    # both delta docs carry lang="python": ONE collapse group of 2, not
+    # two NULL-field singletons
+    got = collapse_search(built_index, MAGIC, "lang", k=10).to_pandas()
+    assert len(got) == 1
+    assert int(got["group_count"].iloc[0]) == 2
+    assert int(got["docid"].iloc[0]) in {int(i) for i in new_ids}
+    # doclen is in the delta docmeta too: boost_field scores > 0 (a NULL
+    # field value would zero delta docs out until compaction)
+    fs = function_score_search(built_index, MAGIC, field="doclen",
+                               k=10).to_pandas()
+    assert set(fs["docid"]) == {int(i) for i in new_ids}
+    assert (fs["score_r"] > 0).all()
