@@ -38,6 +38,64 @@ from colbert_ray.functions.codec import varint_decode
 _PROC_CACHE: dict = {}
 _PROC_CACHE_MAX = 4
 
+# segment-decode fallback bound (docs): this path bulk-decodes postings AND
+# allocates a dense doclens array in ONE process's heap, so it is O(index) by
+# design — the scale path is the serve/ artifact (mmap) plus docid_range
+# shards. The bound makes the fallback's limit explicit instead of an OOM.
+_MAX_DECODE_DOCS = int(os.environ.get("COLBERT_RAY_MAX_DECODE_DOCS",
+                                      100_000_000))
+
+
+class SplitDoclens:
+    """doclens presented as BASE (often a read-only serve-artifact mmap)
+    plus a small EXTENSION holding delta-added docs, with the ndarray
+    surface the scorers use: ``len``, integer/array indexing, unit-stride
+    slicing, ``np.asarray`` (dense escape hatch).
+
+    Why: folding deltas into an mmap'd 10^9-doc index must not copy the
+    whole doclens into heap — the delta fold costs O(n_delta) with this,
+    and the base keeps paging lazily (shared page-cache across actors)."""
+
+    __slots__ = ("base", "ext")
+
+    def __init__(self, base, ext: np.ndarray):
+        self.base = base
+        self.ext = ext
+
+    def __len__(self) -> int:
+        return len(self.base) + len(self.ext)
+
+    @property
+    def dtype(self):
+        return self.ext.dtype
+
+    def __array__(self, dtype=None, copy=None):
+        # dense escape hatch (O(n_docs)) for call sites that genuinely
+        # need one ndarray; the hot paths below never hit it
+        out = np.concatenate([np.asarray(self.base), self.ext])
+        return out.astype(dtype) if dtype is not None else out
+
+    def __getitem__(self, key):
+        nb = len(self.base)
+        if isinstance(key, slice):
+            lo, hi, step = key.indices(len(self))
+            if step != 1:
+                raise ValueError("SplitDoclens supports unit-stride slices")
+            if hi <= nb:
+                return self.base[lo:hi]          # mmap slice stays lazy
+            if lo >= nb:
+                return self.ext[lo - nb:hi - nb]
+            return SplitDoclens(self.base[lo:], self.ext[:hi - nb])
+        arr = np.asarray(key)
+        if arr.ndim == 0:
+            i = int(arr)
+            return self.base[i] if i < nb else self.ext[i - nb]
+        out = np.empty(arr.shape, dtype=self.ext.dtype)
+        m = arr < nb
+        out[m] = np.asarray(self.base[arr[m]])
+        out[~m] = self.ext[arr[~m] - nb]
+        return out
+
 
 def _gather_binary(arr, order: np.ndarray,
                    return_offsets: bool = False):
@@ -260,6 +318,14 @@ class DecodedIndex:
         )
         docids = docs.column("docid").to_numpy(zero_copy_only=False)
         max_docid = int(docids.max()) if len(docids) else -1
+        if max_docid + 1 > _MAX_DECODE_DOCS:
+            raise ValueError(
+                f"segment-decode fallback over {max_docid + 1:,} docids "
+                f"exceeds COLBERT_RAY_MAX_DECODE_DOCS="
+                f"{_MAX_DECODE_DOCS:,}: this path materializes dense "
+                "per-doc arrays and ALL postings in one heap. Build the "
+                "serve/ artifact (pipelines.build writes it; or re-run "
+                "the serve phase) and/or load docid_range shards instead.")
         doclens = np.zeros(max_docid + 1, dtype=np.int64)
         doclens[docids] = docs.column("doclen").to_numpy(zero_copy_only=False)
 
@@ -430,7 +496,16 @@ class DecodedIndex:
         (IndexUpdater T6 analog). Frozen-statistics semantics: avgdl and the
         idf of PRE-EXISTING terms stay those of the last full build; terms
         first seen in a delta get idf from their delta df (the analog of the
-        reference reusing its trained codec for added passages)."""
+        reference reusing its trained codec for added passages).
+
+        Memory contract: doclens folds in O(n_delta) (``SplitDoclens``
+        extension; an mmap'd base is never copied), but the POSTING arrays
+        are rebuilt densely — O(base postings) heap in this process,
+        transiently even for a ``docid_range`` shard (fold runs before
+        restrict). Deltas are therefore a small/medium-update mechanism by
+        contract (state/updates.py module docstring); past that, compact
+        (full rebuild) refreshes the serve artifact and empties deltas, so
+        serving returns to the pure-mmap O(shard) path."""
         from functools import partial
 
         from colbert_ray.functions.codec import decode_docids_run, decode_tfs_run
@@ -471,12 +546,25 @@ class DecodedIndex:
         # schema, missing columns null-filled
         dm_all = pa.concat_tables(new_docid_rows, promote_options="default")
         new_ids = dm_all.column("docid").to_numpy(zero_copy_only=False)
-        new_max = max(len(self.doclens) - 1,
-                      int(new_ids.max()) if len(new_ids) else -1)
-        doclens = np.zeros(new_max + 1, dtype=np.int64)
-        doclens[: len(self.doclens)] = self.doclens
-        doclens[new_ids] = dm_all.column("doclen").to_numpy(zero_copy_only=False)
-        self.doclens = doclens
+        new_dls = dm_all.column("doclen").to_numpy(zero_copy_only=False)
+        n_base = len(self.doclens)
+        new_max = max(n_base - 1, int(new_ids.max()) if len(new_ids) else -1)
+        if not len(new_ids) or int(new_ids.min()) >= n_base:
+            # pure append — the IndexUpdater contract (delta docids start
+            # past the base max): keep the base array (often a read-only
+            # serve-artifact mmap) UNTOUCHED and attach an O(n_delta)
+            # extension, so the fold never copies O(n_docs) into heap
+            ext = np.zeros(new_max + 1 - n_base, dtype=np.int64)
+            if len(new_ids):
+                ext[new_ids - n_base] = new_dls
+            self.doclens = SplitDoclens(self.doclens, ext)
+        else:
+            # delta targets EXISTING docids (not produced by IndexUpdater,
+            # but tolerated): dense rebuild, documented O(n_docs)
+            doclens = np.zeros(new_max + 1, dtype=np.int64)
+            doclens[:n_base] = np.asarray(self.doclens)
+            doclens[new_ids] = new_dls
+            self.doclens = doclens
         # sha is loaded AFTER fold/restrict (range-filtered); stash the delta
         # doc metadata so _load_sha can overlay the added docs' hashes
         self._delta_docmeta = dm_all

@@ -258,3 +258,44 @@ def test_delta_docmeta_overlay_collapse_and_boost(built_index):
                                k=10).to_pandas()
     assert set(fs["docid"]) == {int(i) for i in new_ids}
     assert (fs["score_r"] > 0).all()
+
+
+def test_delta_fold_keeps_mmap_base_lazy(built_index):
+    """Folding a delta into a serve-artifact (mmap) index must attach an
+    O(n_delta) extension, NOT copy O(n_docs) doclens into heap — the
+    10^9-doc updated-serving memory shape."""
+    from colbert_ray.state.decoded import SplitDoclens
+
+    up = IndexUpdater(built_index)
+    new_ids = up.add_documents(_added_docs())
+    idx = DecodedIndex.load(built_index, load_sha=False)
+    assert isinstance(idx.doclens, SplitDoclens)
+    assert isinstance(idx.doclens.base, np.memmap)   # untouched, lazy
+    assert len(idx.doclens.ext) == len(new_ids)
+    # indexing parity with a dense fold
+    dense = np.asarray(idx.doclens)
+    probe = np.array([0, 1, len(dense) - 2, len(dense) - 1], dtype=np.int64)
+    assert (idx.doclens[probe] == dense[probe]).all()
+    assert idx.doclens[len(dense) - 1] == dense[-1]
+    assert len(idx.doclens) == len(dense)
+    # scoring over the split array still finds the delta docs
+    scorer = BM25Scorer(built_index, k=5)
+    d, s, _ = scorer.score_query(MAGIC)
+    assert set(d.tolist()) == {int(i) for i in new_ids}
+
+
+def test_segment_decode_fallback_bound(built_index, monkeypatch):
+    """The non-mmap fallback materializes dense per-doc arrays in one heap;
+    the documented bound must turn a silent OOM into a clear error."""
+    import shutil
+
+    from colbert_ray.state import decoded as dec
+
+    shutil.rmtree(os.path.join(built_index, "serve"), ignore_errors=True)
+    os.utime(os.path.join(built_index, "metadata.json"))
+    monkeypatch.setattr(dec, "_MAX_DECODE_DOCS", 3)
+    with pytest.raises(ValueError, match="COLBERT_RAY_MAX_DECODE_DOCS"):
+        DecodedIndex.load(built_index, load_sha=False)
+    monkeypatch.setattr(dec, "_MAX_DECODE_DOCS", 100_000_000)
+    idx = DecodedIndex.load(built_index, load_sha=False)   # fallback works
+    assert len(idx.doclens) > 3
