@@ -25,12 +25,17 @@ function-score results (``function_score_search``) — both index+docmeta
 only, so they belong on the serving tier (rescore/significant-terms need
 a corpus pass and stay offline). The result-shaping modes (dsl, after,
 collapse, boost_field) are mutually exclusive. The fan-out front end
-serves plain bm25, ``after=`` pagination (one global cursor is valid on
-every shard; merged pages exact), ``count=1`` (shard stats ADD),
-``collapse=`` (two-phase: shard reps -> union best -> counts summed via
-the shard-internal ``/api/group_counts``) and ``boost_field=`` (per-doc
-global scores union-merge) — each asserted equal to the unsharded
-result; it rejects dsl/ql/fix (not cross-shard-wired).
+serves EVERY mode: plain bm25, ``ranker=ql`` (per-shard QL scores ride
+the global ``cf_by_term`` sidecar, union merge), ``dsl=1`` (shards clip
+boolean candidate sets to their docid range — the sets partition, union
+merge under the DSL order), ``fix=1`` (correction is dictionary-global:
+one shard answers ``/api/fix``, the corrected query then runs any mode),
+``after=`` pagination (one global cursor is valid on every shard; merged
+pages exact), ``count=1`` (shard stats ADD), ``collapse=`` (two-phase:
+shard reps -> union best -> counts summed via the shard-internal
+``/api/group_counts``) and ``boost_field=`` (per-doc global scores
+union-merge) — each asserted equal to the unsharded result in
+tests/test_serve.py.
 
 The scorer holds the mmap-opened serve artifact (DecodedIndex fast path),
 so startup is milliseconds and concurrent handler threads share one
@@ -66,8 +71,9 @@ def make_server(index_dir: str, port: int = 8893, k: int = 10,
 
     A per-request ``ranker=ql`` query parameter serves Dirichlet QL from
     the SAME loaded index (the second scorer shares the process-cached
-    DecodedIndex, so the switch costs no decode). QL is incompatible with
-    docid_range shards (cf would be shard-local) and 400s there.
+    DecodedIndex, so the switch costs no decode). QL works on docid_range
+    shards too: the vocab-sized ``cf_by_term`` sidecar keeps the collection
+    model GLOBAL across restriction, so per-shard QL scores are exact.
     """
     scorers = {"bm25": BM25Scorer(index_dir, k=k, with_sha=with_sha,
                                   docid_range=docid_range)}
@@ -75,18 +81,23 @@ def make_server(index_dir: str, port: int = 8893, k: int = 10,
     def get_scorer(ranker: str):
         sc = scorers.get(ranker)
         if sc is None:
-            if docid_range is not None:
-                raise ValueError("ranker=ql unsupported on a docid_range "
-                                 "shard server")
-            sc = BM25Scorer(index_dir, k=k, with_sha=with_sha, ranker="ql")
+            sc = BM25Scorer(index_dir, k=k, with_sha=with_sha, ranker="ql",
+                            docid_range=docid_range)
             scorers["ql"] = sc
         return sc
 
     @functools.lru_cache(maxsize=cache_size)   # the reference's query cache
     def cached_dsl(query: str, kk: int):
         """Boolean-DSL path (pipelines/querylang) — index-only atoms.
-        Phrase atoms need a corpus pass and 400 here; docid_range shards
-        would make wildcard/NOT sets shard-local, also 400."""
+        Phrase atoms need a corpus pass and 400 here.
+
+        On a docid_range shard the final candidate set is CLIPPED to the
+        shard's range: atoms that consult the shard's restricted postings
+        already return (global ∩ shard), but wildcard/fuzzy/field atoms
+        expand against the full dictionary/docmeta, so without the clip a
+        zero-scoring-term candidate outside the range would be returned by
+        EVERY shard. Clipped, the shard sets partition the global candidate
+        set and the fan-out union merge is exact."""
         from colbert_ray.pipelines.querylang import (
             _eval_set,
             node_kinds,
@@ -94,9 +105,6 @@ def make_server(index_dir: str, port: int = 8893, k: int = 10,
             score_candidates,
         )
 
-        if docid_range is not None:
-            raise ValueError("dsl=1 unsupported on a docid_range shard "
-                             "server (boolean sets would be shard-local)")
         scorer = get_scorer("bm25")
         ast = parse(query, scorer.idx.cfg)
         if set(node_kinds(ast)) & {"phrase", "near"}:
@@ -104,6 +112,9 @@ def make_server(index_dir: str, port: int = 8893, k: int = 10,
                              "dsl_search() offline, not the HTTP endpoint")
         cand = _eval_set(ast, index_dir, None, scorer.idx, scorer.idx.cfg,
                          "text", "doc_id")
+        if docid_range is not None and len(cand):
+            cand = cand[(cand >= scorer.idx.docid_base)
+                        & (cand < scorer.idx.docid_limit)]
         if len(cand) == 0:
             return []
         docids, scores = score_candidates(scorer, ast, cand, kk)
@@ -286,9 +297,27 @@ def make_server(index_dir: str, port: int = 8893, k: int = 10,
                     "counts": counts,
                 })
                 return
+            if parsed.path == "/api/fix":
+                # standalone did-you-mean: index-only (dictionary terms +
+                # GLOBAL dfs, both unrestricted on docid_range shards), so
+                # every shard returns the identical correction — the fan-out
+                # front end asks one shard and reuses the answer
+                params = urllib.parse.parse_qs(parsed.query,
+                                               keep_blank_values=True)
+                query = (params.get("query") or [""])[0]
+                if not query:
+                    self._reply(400, {"error": "missing query parameter"})
+                    return
+                t0 = time.time()
+                self._reply(200, {
+                    "query": query,
+                    "corrected_query": cached_fix(query),
+                    "latency_ms": round((time.time() - t0) * 1000, 3),
+                })
+                return
             if parsed.path != "/api/search":
                 self._reply(404, {"error": "unknown path; use /api/search, "
-                                           "/api/group_counts or "
+                                           "/api/fix, /api/group_counts or "
                                            "/api/suggest"})
                 return
             params = urllib.parse.parse_qs(parsed.query,
@@ -470,12 +499,50 @@ def make_fanout(shard_urls: list[str], port: int = 8893, k: int = 10,
                 for i, (t, df) in enumerate(rows)]
 
     @functools.lru_cache(maxsize=cache_size)
-    def cached_search(query: str, kk: int):
+    def cached_search(query: str, kk: int, ranker: str = "bm25"):
+        # ranker=ql merges identically to bm25: per-shard QL scores use the
+        # GLOBAL collection model (cf_by_term sidecar survives restriction),
+        # so every doc's score is bit-identical to the unsharded scorer and
+        # the (-score, docid) union merge is exact
         parts = list(pool.map(
             lambda b: _shard_get(b, "/api/search",
-                                 [("query", query), ("k", kk)])["topk"],
+                                 [("query", query), ("k", kk),
+                                  ("ranker", ranker)])["topk"],
             shard_urls))
         return _merge_topk(parts, "score", kk)
+
+    @functools.lru_cache(maxsize=cache_size)
+    def cached_dsl(query: str, kk: int):
+        # each shard evaluates the boolean set CLIPPED to its docid range
+        # (shard sets partition the global candidate set) and scores with
+        # global stats; the merge must reproduce the DSL ranking order
+        # (-round(score, 6), docid) — score_candidates' exact lexsort key
+        import numpy as _np
+
+        parts = list(pool.map(
+            lambda b: _shard_get(b, "/api/search",
+                                 [("query", query), ("k", kk),
+                                  ("dsl", 1)])["topk"],
+            shard_urls))
+        rows = [row for p in parts for row in p]
+        if not rows:
+            return []
+        d = _np.array([r["docid"] for r in rows], dtype=_np.int64)
+        s = _np.array([r["score"] for r in rows], dtype=_np.float64)
+        order = _np.lexsort((d, -_np.round(s, 6)))[:kk]
+        out = []
+        for i, j in enumerate(order, 1):
+            r = dict(rows[int(j)])
+            r["rank"] = i
+            out.append(r)
+        return out
+
+    @functools.lru_cache(maxsize=cache_size)
+    def cached_fix(query: str):
+        # the correction is index-only over the UNRESTRICTED dictionary +
+        # global dfs, identical on every shard — ask one
+        return _shard_get(shard_urls[0], "/api/fix",
+                          [("query", query)])["corrected_query"]
 
     @functools.lru_cache(maxsize=cache_size)
     def cached_count(query: str):
@@ -633,33 +700,59 @@ def make_fanout(shard_urls: list[str], port: int = 8893, k: int = 10,
             if not query:
                 self._reply(400, {"error": "missing query parameter"})
                 return
-            # dsl/ranker switches must not be silently dropped: forwarding
-            # a DSL string to shards as a plain query would return wrong
-            # results without any error
-            if (params.get("dsl") or ["0"])[0] in ("1", "true"):
-                self._reply(400, {"error": "dsl is not supported on the "
-                                           "fan-out front end (boolean "
-                                           "sets would be shard-local)"})
+            ranker = (params.get("ranker") or ["bm25"])[0]
+            if ranker not in ("bm25", "ql"):
+                self._reply(400, {"error": "ranker must be bm25 or ql"})
                 return
-            if (params.get("ranker") or ["bm25"])[0] != "bm25":
-                self._reply(400, {"error": "only ranker=bm25 is supported "
-                                           "on the fan-out front end"})
-                return
-            if (params.get("fix") or ["0"])[0] in ("1", "true"):
-                self._reply(400, {"error": "fix= is not wired on the "
-                                           "fan-out front end"})
-                return
+            dsl_f = (params.get("dsl") or ["0"])[0] in ("1", "true")
+            fix_f = (params.get("fix") or ["0"])[0] in ("1", "true")
             collapse_f = (params.get("collapse") or [""])[0]
             boost_f = (params.get("boost_field") or [""])[0]
             count_f = (params.get("count") or ["0"])[0] in ("1", "true")
             paginate_f = params.get("after") is not None
             # mirror the single-node server's mutual exclusivity — the
             # fan-out must never silently drop one of two combined modes
-            if sum([bool(collapse_f), bool(boost_f), count_f,
+            if sum([dsl_f, bool(collapse_f), bool(boost_f), count_f,
                     paginate_f]) > 1:
-                self._reply(400, {"error": "after/collapse/boost_field/"
+                self._reply(400, {"error": "dsl/after/collapse/boost_field/"
                                            "count are mutually "
                                            "exclusive"})
+                return
+            if (collapse_f or boost_f or count_f or paginate_f) \
+                    and ranker != "bm25":
+                self._reply(400, {"error": "after/collapse/boost_field/"
+                                           "count are bm25-only"})
+                return
+            if fix_f and (dsl_f or ranker != "bm25"):
+                self._reply(400, {"error": "fix=1 (did-you-mean) is "
+                                           "bm25-only and not available "
+                                           "with dsl"})
+                return
+            corrected = None
+            if fix_f:
+                try:
+                    corrected = cached_fix(query)
+                except Exception as e:
+                    self._reply(502, {"error": f"shard fan-out failed: "
+                                               f"{e}"})
+                    return
+                query = corrected
+            fix_note = ({"corrected_query": corrected}
+                        if corrected is not None else {})
+            if dsl_f:
+                t0 = time.time()
+                try:
+                    rows = cached_dsl(query, kk)
+                except Exception as e:
+                    self._reply(502, {"error": f"shard fan-out failed: "
+                                               f"{e}"})
+                    return
+                self._reply(200, {
+                    "query": query, "k": kk,
+                    "n_shards": len(shard_urls), "ranker": "dsl",
+                    "latency_ms": round((time.time() - t0) * 1000, 3),
+                    "topk": rows,
+                })
                 return
             if collapse_f or boost_f:
                 try:
@@ -685,6 +778,7 @@ def make_fanout(shard_urls: list[str], port: int = 8893, k: int = 10,
                                else "function_score"),
                     "latency_ms": round((time.time() - t0) * 1000, 3),
                     "topk": rows,
+                    **fix_note,
                 })
                 return
             if count_f:
@@ -698,7 +792,7 @@ def make_fanout(shard_urls: list[str], port: int = 8893, k: int = 10,
                 self._reply(200, {
                     "query": query, "n_shards": len(shard_urls),
                     "latency_ms": round((time.time() - t0) * 1000, 3),
-                    **stats,
+                    **fix_note, **stats,
                 })
                 return
             after_vals = params.get("after")
@@ -719,14 +813,16 @@ def make_fanout(shard_urls: list[str], port: int = 8893, k: int = 10,
                     rows, nxt = cached_search_after(query, kk,
                                                     after_vals[0])
                 else:
-                    rows = cached_search(query, kk)
+                    rows = cached_search(query, kk, ranker)
             except Exception as e:   # a shard down => 502, not a hang
                 self._reply(502, {"error": f"shard fan-out failed: {e}"})
                 return
             body = {
                 "query": query, "k": kk, "n_shards": len(shard_urls),
+                "ranker": ranker,
                 "latency_ms": round((time.time() - t0) * 1000, 3),
                 "topk": rows,
+                **fix_note,
             }
             if after_vals is not None:
                 body["next_after"] = nxt

@@ -205,6 +205,27 @@ def _segment_max(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     return out
 
 
+def _segment_sum_chunked(values, offsets: np.ndarray,
+                         slab: int = 1 << 24) -> np.ndarray:
+    """Per-segment int64 sums of ``values`` (possibly a read-only mmap)
+    addressed by ``offsets`` fenceposts, in bounded slabs of ~``slab``
+    elements — computes per-term collection frequency without ever
+    materializing the whole tf array (O(slab) temp, one sequential pass)."""
+    n = len(offsets) - 1
+    out = np.zeros(n, dtype=np.int64)
+    t = 0
+    while t < n:
+        t2 = int(np.searchsorted(offsets, int(offsets[t]) + slab, "left"))
+        t2 = min(max(t2, t + 1), n)
+        lo, hi = int(offsets[t]), int(offsets[t2])
+        if hi > lo:
+            seg = np.asarray(values[lo:hi], dtype=np.int64)
+            cs = np.concatenate([[0], np.cumsum(seg)])
+            out[t:t2] = cs[offsets[t + 1:t2 + 1] - lo] - cs[offsets[t:t2] - lo]
+        t = t2
+    return out
+
+
 @dataclass
 class DecodedIndex:
     cfg: EngineConfig
@@ -234,6 +255,13 @@ class DecodedIndex:
     # exact build-time collection token count (stats.json); frozen under
     # deltas like avgdl/idf. Used by the Dirichlet-QL ranker's p(t|C).
     total_tokens: int = 0
+    # GLOBAL per-term collection frequency (sum of tfs over the SERVED
+    # postings, deltas folded in) — the Dirichlet-QL collection model.
+    # Vocab-sized, so it survives docid_range restriction intact: that is
+    # what makes sharded ranker=ql score exactly like the unsharded index.
+    # None only for pre-cf serve artifacts loaded unsharded (QL then sums
+    # the served postings on demand, which is identical when unsharded).
+    cf_by_term: np.ndarray | None = None
 
     @property
     def docid_limit(self) -> int:
@@ -304,6 +332,7 @@ class DecodedIndex:
                 block_offsets=np.asarray(arrays["block_offsets"]),
                 block_last_docid=arrays["block_last_docid"],
                 block_max_tfsat=arrays["block_max_tfsat"],
+                cf_by_term=arrays.get("cf_by_term"),
             )
             self._fold_in_deltas(index_dir)
             if docid_range is not None:
@@ -355,6 +384,7 @@ class DecodedIndex:
             doclens[posting_docids].astype(np.float64),
             avgdl, cfg.k1, cfg.b,
         )
+        cf_by_term = _segment_sum_chunked(posting_tfs, posting_offsets)
         # lossy pruning (stages/prune.py) can leave dictionary terms with ZERO
         # postings — reduce only nonempty terms (guard inside _segment_max)
         max_tfsat = _segment_max(posting_tfsat, posting_offsets)
@@ -368,6 +398,7 @@ class DecodedIndex:
             max_tfsat_by_term=max_tfsat,
             doclens=doclens, sha256=None,
             tombstones=np.empty(0, dtype=np.int64),
+            cf_by_term=cf_by_term,
         )
         self._build_block_arrays()
         self._fold_in_deltas(index_dir)
@@ -460,6 +491,14 @@ class DecodedIndex:
         arrays (doclens, tombstones) are sliced to the shard's range —
         per-shard resident memory is ~1/N of ALL index arrays; the whole
         index is never materialized on any node."""
+        # the collection model must survive restriction: per-term GLOBAL cf
+        # is vocab-sized, so compute it from the full tf array (one bounded-
+        # slab pass) BEFORE the postings are sliced away — sharded QL then
+        # scores with exactly the unsharded p(t|C). No-op when the serve
+        # artifact already carries the cf sidecar.
+        if self.cf_by_term is None:
+            self.cf_by_term = _segment_sum_chunked(self.posting_tfs,
+                                                   self.posting_offsets)
         offs = self.posting_offsets
         d = self.posting_docids
         lo_pos = _segmented_searchsorted(d, offs[:-1], offs[1:], int(lo))
@@ -602,6 +641,14 @@ class DecodedIndex:
             idf_new[: n_terms_old] = self.idf_by_term_id
             idf_new[n_terms_old:] = idf_fn(bn_df.astype(np.float64), self.n_docs)
             self.idf_by_term_id = idf_new
+
+        # served-content collection model: delta tfs add to the global cf
+        # (same "cf is the served postings" semantics QL uses unsharded)
+        if self.cf_by_term is not None:
+            cf = np.zeros(n_terms_new, dtype=np.int64)
+            cf[:n_terms_old] = np.asarray(self.cf_by_term)
+            np.add.at(cf, d_gid, dt.astype(np.int64))
+            self.cf_by_term = cf
 
         # rebuild term-major flat posting arrays (stable: old before delta)
         old_rep = np.repeat(np.arange(n_terms_old, dtype=np.int64),

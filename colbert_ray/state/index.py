@@ -56,13 +56,6 @@ class BM25Scorer:
         if ranker not in ("bm25", "ql"):
             raise ValueError(f"unknown ranker {ranker!r} (bm25|ql)")
         if ranker == "ql":
-            if docid_range is not None:
-                # QL's cf_t is computed from the served postings; a
-                # docid-range shard holds only its range's postings, so
-                # shard-local cf would diverge from the global collection
-                # model. Sharded QL needs a cf sidecar (future work).
-                raise ValueError("ranker='ql' does not support docid_range "
-                                 "shards (shard-local cf_t would be wrong)")
             if parent_base is not None:
                 raise ValueError("ranker='ql' + parent_base not supported")
 
@@ -84,6 +77,14 @@ class BM25Scorer:
             # docid_range restriction copies only the shard's ~1/N postings
             self.idx = DecodedIndex.load_cached(
                 index_dir, docid_range=docid_range, load_sha=with_sha)
+        if (ranker == "ql" and docid_range is not None
+                and getattr(self.idx, "cf_by_term", None) is None):
+            # restriction computes the cf sidecar for every load path, so
+            # this only fires for an externally-restricted index object
+            # missing it — shard-local cf would corrupt the global p(t|C)
+            raise ValueError("ranker='ql' on a docid_range shard needs the "
+                             "global cf_by_term sidecar (rebuild the serve "
+                             "artifact or reload via DecodedIndex.load)")
         self.k = k
         self.prune = self.idx.cfg.prune if prune is None else prune
         self.prune_strategy = (self.idx.cfg.prune_strategy
@@ -304,13 +305,18 @@ class BM25Scorer:
         idx = self.idx
         mu = self.mu
         posts = [idx.postings_slice_raw(int(t)) for t in tids]
-        # cf BEFORE any docid filtering — the collection model is global
+        # cf is GLOBAL (the collection model): preferably the vocab-sized
+        # cf_by_term sidecar, which restriction/fold keep global — that is
+        # what makes docid_range-sharded QL exact. The on-demand served-
+        # postings sum is the unsharded-only fallback (pre-cf artifacts).
+        cf_arr = getattr(idx, "cf_by_term", None)
         cache = self.__dict__.setdefault("_cf_cache", {})
         cfs = []
         for tid, (d, tf) in zip(tids, posts):
             c = cache.get(int(tid))
             if c is None:
-                c = float(np.asarray(tf, dtype=np.int64).sum())
+                c = (float(cf_arr[int(tid)]) if cf_arr is not None
+                     else float(np.asarray(tf, dtype=np.int64).sum()))
                 cache[int(tid)] = c
             cfs.append(c)
         if docid_filter is not None:

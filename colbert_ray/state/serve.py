@@ -45,7 +45,14 @@ ARRAY_FILES = {
     "block_last_docid": "block_last_docid.npy", # int64[n_blocks]
     "block_max_tfsat": "block_max_tfsat.npy",   # float64[n_blocks]
     "doclens": "doclens.npy",                   # int64[max_docid + 1]
+    # global per-term collection frequency (sum of tfs): the Dirichlet-QL
+    # collection model. Vocab-sized, so a docid-range shard can keep the
+    # GLOBAL cf even though its postings are sliced — this is what makes
+    # sharded ranker=ql exact. Optional: absent in pre-cf artifacts
+    # (open_arrays tolerates it; QL then requires an unsharded index).
+    "cf_by_term": "cf_by_term.npy",             # int64[n_terms]
 }
+_OPTIONAL_ARRAYS = {"cf_by_term"}
 
 
 def _segment_files(index_dir: str) -> list[str]:
@@ -81,8 +88,13 @@ def open_arrays(index_dir: str) -> dict | None:
     if not serve_valid(index_dir):
         return None
     sdir = os.path.join(index_dir, SERVE_DIR)
-    return {k: np.load(os.path.join(sdir, v), mmap_mode="r")
-            for k, v in ARRAY_FILES.items()}
+    out = {}
+    for k, v in ARRAY_FILES.items():
+        p = os.path.join(sdir, v)
+        if k in _OPTIONAL_ARRAYS and not os.path.exists(p):
+            continue
+        out[k] = np.load(p, mmap_mode="r")
+    return out
 
 
 def block_layout(counts: np.ndarray, block_size: int):
@@ -226,6 +238,8 @@ def _write_term_range(t0: int, t1: int, layout, index_dir: str) -> int:
                      mmap_mode="r")[g0:g1]
     tfsat = np.load(os.path.join(sdir, ARRAY_FILES["posting_tfsat"]),
                     mmap_mode="r")[g0:g1]
+    tfs = np.load(os.path.join(sdir, ARRAY_FILES["posting_tfs"]),
+                  mmap_mode="r")[g0:g1]
     offs = posting_offsets[t0:t1 + 1] - g0
     counts = np.diff(offs)
     nb = -(-counts // bs)
@@ -244,6 +258,12 @@ def _write_term_range(t0: int, t1: int, layout, index_dir: str) -> int:
 
     tfsat_ram = np.asarray(tfsat)
     out_max[t0:t1] = _segment_max(tfsat_ram, offs)
+    # per-term collection frequency (QL sidecar): segment sums via one
+    # exclusive-prefix cumsum over this bounded tf slab
+    out_cf = np.lib.format.open_memmap(
+        os.path.join(sdir, ARRAY_FILES["cf_by_term"]), mode="r+")
+    cs = np.concatenate([[0], np.cumsum(np.asarray(tfs, dtype=np.int64))])
+    out_cf[t0:t1] = cs[offs[1:]] - cs[offs[:-1]]
     if total_blocks:
         term_start_rep = np.repeat(offs[:-1], nb)
         intra = np.arange(total_blocks) - np.repeat(local_block_offsets[:-1], nb)
@@ -258,6 +278,7 @@ def _write_term_range(t0: int, t1: int, layout, index_dir: str) -> int:
         out_max.flush()
         out_blast.flush()
         out_bmax.flush()
+        out_cf.flush()
     return total_blocks
 
 
@@ -354,6 +375,7 @@ def write_serve_artifact(index_dir: str, parallel: bool = True) -> dict:
     _alloc("posting_tfs", (total,), np.int32)
     _alloc("posting_tfsat", (total,), np.float64)
     _alloc("max_tfsat", (n_terms,), np.float64)
+    _alloc("cf_by_term", (n_terms,), np.int64)
     _alloc("block_last_docid", (n_blocks,), np.int64)
     _alloc("block_max_tfsat", (n_blocks,), np.float64)
 
@@ -401,7 +423,8 @@ def write_serve_artifact(index_dir: str, parallel: bool = True) -> dict:
     # every task's writes; flushing here instead of per-task removed the
     # 32x whole-file msync storm) — only then is the manifest made valid
     for name in ("doclens", "posting_docids", "posting_tfs", "posting_tfsat",
-                 "max_tfsat", "block_last_docid", "block_max_tfsat"):
+                 "max_tfsat", "cf_by_term", "block_last_docid",
+                 "block_max_tfsat"):
         np.lib.format.open_memmap(
             os.path.join(sdir, ARRAY_FILES[name]), mode="r+").flush()
 

@@ -84,15 +84,28 @@ def test_ql_tombstones_and_filter():
     assert set(d2) <= set(keep.tolist())
 
 
-def test_ql_rejects_sharded_and_parent_modes(tmp_path):
-    with pytest.raises(ValueError):
-        BM25Scorer(index_dir=str(tmp_path), ranker="ql",
-                   docid_range=(0, 10))
+def test_ql_rejects_parent_and_unknown_modes(tmp_path):
     with pytest.raises(ValueError):
         BM25Scorer(index_dir=str(tmp_path), ranker="ql", with_sha=False,
                    parent_base=100)
     with pytest.raises(ValueError):
         BM25Scorer(index_dir=str(tmp_path), ranker="nope")
+
+
+def test_ql_sharded_needs_cf_sidecar(ray_session):
+    """docid_range QL is only exact with the GLOBAL cf_by_term sidecar:
+    an externally-restricted index object without it must be rejected
+    (shard-local cf would corrupt the collection model)."""
+    import ray
+
+    rng = np.random.default_rng(5)
+    idx = synth_index(rng, n_docs=60, n_terms=6)
+    idx.total_tokens = int(idx.doclens.sum())
+    idx.cf_by_term = None
+    ref = ray.put(idx)
+    with pytest.raises(ValueError, match="cf_by_term"):
+        BM25Scorer(index_ref=ref, ranker="ql", with_sha=False,
+                   docid_range=(0, 30))
 
 
 def test_weighted_terms_matches_plain_when_weight_one():

@@ -825,41 +825,87 @@ def test_http_suggest_endpoint(built):
         httpd.shutdown()
 
 
-def test_fanout_rejects_unsupported_modes(built):
-    """The fan-out front end must 400 on dsl=1 / ranker=ql instead of
-    silently forwarding them to shards as plain BM25 queries."""
+def test_fanout_ql_dsl_fix_exact(built):
+    """The last three fan-out modes (ranker=ql, dsl=, fix=) are EXACT on
+    docid-range shards: QL scores ride the global cf_by_term sidecar, DSL
+    candidate sets are clipped per shard (they partition the global set),
+    and the did-you-mean correction is dictionary-global. Each merged
+    response must equal the unsharded server's, field for field."""
     import json as _json
     import threading
     import urllib.error
+    import urllib.parse
     import urllib.request
 
     from colbert_ray.server import make_fanout, make_server
 
-    _, _, index_dir = built
-    shard = make_server(index_dir, port=0, k=5, with_sha=False)
-    threading.Thread(target=shard.serve_forever, daemon=True).start()
-    front = make_fanout(
-        [f"http://127.0.0.1:{shard.server_address[1]}"], port=0, k=5)
-    threading.Thread(target=front.serve_forever, daemon=True).start()
-    fport = front.server_address[1]
+    _, queries_path, index_dir = built
+    idx = DecodedIndex.load_cached(index_dir, load_sha=False)
+    n = len(idx.doclens)
+    queries = pq.read_table(queries_path).column("query").to_pylist()[:3]
+    servers = []
     try:
-        def get(extra):
-            url = (f"http://127.0.0.1:{fport}/api/search?"
-                   f"query=def+main&k=3{extra}")
+        solo = make_server(index_dir, port=0, k=5, with_sha=False)
+        threading.Thread(target=solo.serve_forever, daemon=True).start()
+        servers.append(solo)
+        for rng_ in ((0, n // 3), (n // 3, 2 * n // 3),
+                     (2 * n // 3, 2 ** 62)):
+            h = make_server(index_dir, port=0, k=5, with_sha=False,
+                            docid_range=rng_)
+            threading.Thread(target=h.serve_forever, daemon=True).start()
+            servers.append(h)
+        front = make_fanout(
+            [f"http://127.0.0.1:{h.server_address[1]}"
+             for h in servers[1:]], port=0, k=5)
+        threading.Thread(target=front.serve_forever, daemon=True).start()
+        servers.append(front)
+
+        def get(port, q, extra=""):
+            url = (f"http://127.0.0.1:{port}/api/search?k=5"
+                   f"&query={urllib.parse.quote(q)}{extra}")
             with urllib.request.urlopen(url, timeout=30) as r:
                 return _json.loads(r.read())
 
-        assert len(get("")["topk"]) > 0            # plain path still works
-        for extra in ("&dsl=1", "&ranker=ql", "&fix=1", "&after=zzz",
+        sport, fport = solo.server_address[1], front.server_address[1]
+        # --- ranker=ql ---
+        for q in queries:
+            got = get(fport, q, "&ranker=ql")
+            want = get(sport, q, "&ranker=ql")
+            assert got["topk"] == want["topk"], f"ql mismatch for {q!r}"
+            assert got["ranker"] == "ql"
+        # --- dsl= (terms, OR, NOT, wildcard — global-dictionary atoms) ---
+        t1 = str(idx.dict_terms[len(idx.dict_terms) // 2])
+        t2 = str(idx.dict_terms[len(idx.dict_terms) // 3])
+        pfx = next(str(t) for t in idx.dict_terms if len(str(t)) >= 4)[:3]
+        for q in (f"{t1} OR {t2}", f"{t1} AND NOT {t2}",
+                  f"{pfx}* OR {t2}"):
+            got = get(fport, q, "&dsl=1")
+            want = get(sport, q, "&dsl=1")
+            assert got["topk"] == want["topk"], f"dsl mismatch for {q!r}"
+        # --- fix= (composes with plain and count like the single server) ---
+        term = next(str(t) for t in idx.dict_terms if len(str(t)) >= 5)
+        typo = term[:2] + term[3:]
+        got = get(fport, typo, "&fix=1")
+        want = get(sport, typo, "&fix=1")
+        assert got["corrected_query"] == want["corrected_query"]
+        assert got["topk"] == want["topk"]
+        gc = get(fport, typo, "&fix=1&count=1")
+        wc = get(sport, typo, "&fix=1&count=1")
+        for key in ("total_hits", "max_score_r", "sum_doclen",
+                    "avg_doclen", "corrected_query"):
+            assert gc[key] == wc[key], key
+        # --- genuinely-invalid inputs still 400 ---
+        for extra in ("&ranker=nope", "&ranker=ql&collapse=lang",
+                      "&fix=1&dsl=1", "&dsl=1&count=1", "&after=zzz",
                       "&collapse=lang&boost_field=doclen"):
             try:
-                get(extra)
+                get(fport, queries[0], extra)
                 raise AssertionError(f"expected HTTP 400 for {extra}")
             except urllib.error.HTTPError as e:
                 assert e.code == 400
     finally:
-        front.shutdown()
-        shard.shutdown()
+        for h in servers:
+            h.shutdown()
 
 
 def test_fanout_suggest_exact_global_df(built):
@@ -1247,7 +1293,7 @@ def test_fanout_collapse_and_boost_exact(built):
         # combined modes 400 on the front end like on the shards
         import urllib.error
         for bad in ("&collapse=lang&count=1", "&count=1&after=",
-                    "&collapse=lang&after=", "&fix=1"):
+                    "&collapse=lang&after="):
             try:
                 urllib.request.urlopen(
                     base + f"&query={urllib.parse.quote(queries[0])}"
