@@ -89,9 +89,13 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    n_run = 0
+    n_rows_only = 0
+    t_sweep = time.time()
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             got = canon(to_pandas(fn(sf_dir)))
@@ -101,6 +105,7 @@ def main():
             continue
         wall = time.time() - t0
         if name not in oracles:
+            n_rows_only += 1
             print(f"[{name}] rows-only: {len(got)} rows, {wall:.1f}s cols={list(got.columns)}")
             continue
         try:
@@ -139,6 +144,16 @@ def main():
               f"schema={'=' if ok_schema else f'{list(got.columns)} vs {list(want.columns)}'} "
               f"{wall:.1f}s")
     ray.shutdown()
+    # One-line CI verdict: the full sweep is THE regression gate for all
+    # queries() entries (156 as of round 5) between driver rounds.
+    sweep_wall = time.time() - t_sweep
+    if failures:
+        print(f"SWEEP RED: {failures}/{n_run} gates failed "
+              f"({n_rows_only} rows-only) in {sweep_wall:.0f}s on {sf_dir}")
+    else:
+        print(f"ALL GREEN: {n_run}/{n_run} gates "
+              f"({n_run - n_rows_only} SQL-gated, {n_rows_only} rows-only) "
+              f"in {sweep_wall:.0f}s on {sf_dir}")
     sys.exit(1 if failures else 0)
 
 
