@@ -58,6 +58,7 @@ import argparse
 import functools
 import json
 import time
+import urllib.error
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -380,8 +381,11 @@ def make_server(index_dir: str, port: int = 8893, k: int = 10,
                                            "boost_field/count are "
                                            "mutually exclusive"})
                 return
-            if (collapse or boost_field or count) and ranker != "bm25":
-                self._reply(400, {"error": "collapse/boost_field/count "
+            if (dsl or collapse or boost_field or count) \
+                    and ranker != "bm25":
+                # dsl included: dsl=1&ranker=ql would otherwise silently
+                # run the BM25-scored DSL path and ignore the requested QL
+                self._reply(400, {"error": "dsl/collapse/boost_field/count "
                                            "are bm25-only"})
                 return
             if fix and (dsl or ranker != "bm25"):
@@ -467,6 +471,21 @@ def make_fanout(shard_urls: list[str], port: int = 8893, k: int = 10,
         with urllib.request.urlopen(f"{base}{path}?{qs}",
                                     timeout=timeout_s) as r:
             return json.loads(r.read())
+
+    def _shard_err(e: Exception) -> tuple[int, dict]:
+        """Map a shard-call failure to (status, body). A shard-side 4xx
+        (DSL syntax error, phrase/NEAR atom, unknown field...) is a CLIENT
+        error and must surface as 400 with the shard's message — wrapping
+        it as 502 would misclassify user input as a server fault and trip
+        5xx monitoring/retries. Anything else (shard down, timeout, 5xx)
+        is a genuine 502."""
+        if isinstance(e, urllib.error.HTTPError) and 400 <= e.code < 500:
+            try:
+                msg = json.loads(e.read()).get("error", str(e))
+            except Exception:
+                msg = str(e)
+            return 400, {"error": msg}
+        return 502, {"error": f"shard fan-out failed: {e}"}
 
     def _merge_topk(parts: list, score_key: str, kk: int) -> list[dict]:
         """THE union merge: global top-k is a subset of the union of
@@ -672,8 +691,7 @@ def make_fanout(shard_urls: list[str], port: int = 8893, k: int = 10,
                 try:
                     rows = cached_suggest(prefix, kk)
                 except Exception as e:
-                    self._reply(502,
-                                {"error": f"shard fan-out failed: {e}"})
+                    self._reply(*_shard_err(e))
                     return
                 self._reply(200, {
                     "prefix": prefix, "k": kk,
@@ -718,9 +736,11 @@ def make_fanout(shard_urls: list[str], port: int = 8893, k: int = 10,
                                            "count are mutually "
                                            "exclusive"})
                 return
-            if (collapse_f or boost_f or count_f or paginate_f) \
+            if (dsl_f or collapse_f or boost_f or count_f or paginate_f) \
                     and ranker != "bm25":
-                self._reply(400, {"error": "after/collapse/boost_field/"
+                # dsl_f included (same rule as the solo server): otherwise
+                # dsl=1&ranker=ql silently drops the requested QL ranking
+                self._reply(400, {"error": "dsl/after/collapse/boost_field/"
                                            "count are bm25-only"})
                 return
             if fix_f and (dsl_f or ranker != "bm25"):
@@ -733,19 +753,26 @@ def make_fanout(shard_urls: list[str], port: int = 8893, k: int = 10,
                 try:
                     corrected = cached_fix(query)
                 except Exception as e:
-                    self._reply(502, {"error": f"shard fan-out failed: "
-                                               f"{e}"})
+                    self._reply(*_shard_err(e))
                     return
                 query = corrected
             fix_note = ({"corrected_query": corrected}
                         if corrected is not None else {})
+            if fix_f and not query:
+                # solo-server parity: a query that corrects to nothing
+                # serves an empty page — forwarding query= to shards
+                # would 400 there and surface as a bogus 502 here
+                self._reply(200, {"query": query, "k": kk,
+                                  "n_shards": len(shard_urls),
+                                  "ranker": ranker, "latency_ms": 0.0,
+                                  "topk": [], **fix_note})
+                return
             if dsl_f:
                 t0 = time.time()
                 try:
                     rows = cached_dsl(query, kk)
                 except Exception as e:
-                    self._reply(502, {"error": f"shard fan-out failed: "
-                                               f"{e}"})
+                    self._reply(*_shard_err(e))
                     return
                 self._reply(200, {
                     "query": query, "k": kk,
@@ -768,8 +795,7 @@ def make_fanout(shard_urls: list[str], port: int = 8893, k: int = 10,
                             if collapse_f else
                             cached_boost(query, boost_f, factor, kk))
                 except Exception as e:
-                    self._reply(502, {"error": f"shard fan-out failed: "
-                                               f"{e}"})
+                    self._reply(*_shard_err(e))
                     return
                 self._reply(200, {
                     "query": query, "k": kk,
@@ -786,8 +812,7 @@ def make_fanout(shard_urls: list[str], port: int = 8893, k: int = 10,
                 try:
                     stats = cached_count(query)
                 except Exception as e:
-                    self._reply(502, {"error": f"shard fan-out failed: "
-                                               f"{e}"})
+                    self._reply(*_shard_err(e))
                     return
                 self._reply(200, {
                     "query": query, "n_shards": len(shard_urls),
@@ -814,8 +839,8 @@ def make_fanout(shard_urls: list[str], port: int = 8893, k: int = 10,
                                                     after_vals[0])
                 else:
                     rows = cached_search(query, kk, ranker)
-            except Exception as e:   # a shard down => 502, not a hang
-                self._reply(502, {"error": f"shard fan-out failed: {e}"})
+            except Exception as e:   # shard 4xx => 400; down/5xx => 502
+                self._reply(*_shard_err(e))
                 return
             body = {
                 "query": query, "k": kk, "n_shards": len(shard_urls),

@@ -87,9 +87,20 @@ class SplitDoclens:
                 return self.ext[lo - nb:hi - nb]
             return SplitDoclens(self.base[lo:], self.ext[:hi - nb])
         arr = np.asarray(key)
+        if arr.dtype == np.bool_:
+            # boolean masks select positions, they don't compare to nb
+            if arr.shape != (len(self),):
+                raise IndexError("boolean mask length must equal len(self)")
+            arr = np.nonzero(arr)[0]
         if arr.ndim == 0:
             i = int(arr)
+            if i < 0:
+                i += len(self)   # ndarray semantics: -1 = overall last doc
+            if not 0 <= i < len(self):
+                raise IndexError(f"index {int(arr)} out of range")
             return self.base[i] if i < nb else self.ext[i - nb]
+        if arr.size and arr.min() < 0:
+            arr = np.where(arr < 0, arr + len(self), arr)
         out = np.empty(arr.shape, dtype=self.ext.dtype)
         m = arr < nb
         out[m] = np.asarray(self.base[arr[m]])
@@ -218,7 +229,16 @@ def _segment_sum_chunked(values, offsets: np.ndarray,
         t2 = int(np.searchsorted(offsets, int(offsets[t]) + slab, "left"))
         t2 = min(max(t2, t + 1), n)
         lo, hi = int(offsets[t]), int(offsets[t2])
-        if hi > lo:
+        if t2 == t + 1 and hi - lo > slab:
+            # ONE term whose df exceeds the slab (a stopword at 10^8+ docs):
+            # sum its run in slab-sized pieces so peak temp stays O(slab),
+            # not O(max per-term df) — no cumsum needed for one segment
+            acc = 0
+            for s in range(lo, hi, slab):
+                acc += int(np.asarray(values[s:min(s + slab, hi)],
+                                      dtype=np.int64).sum())
+            out[t] = acc
+        elif hi > lo:
             seg = np.asarray(values[lo:hi], dtype=np.int64)
             cs = np.concatenate([[0], np.cumsum(seg)])
             out[t:t2] = cs[offsets[t + 1:t2 + 1] - lo] - cs[offsets[t:t2] - lo]
@@ -262,6 +282,24 @@ class DecodedIndex:
     # None only for pre-cf serve artifacts loaded unsharded (QL then sums
     # the served postings on demand, which is identical when unsharded).
     cf_by_term: np.ndarray | None = None
+    # lazy-cf stash: (global posting_tfs, global posting_offsets) captured
+    # by _restrict_to_docid_range on a pre-cf artifact — mmap references,
+    # so holding them costs nothing until ensure_cf_by_term() scans them
+    _cf_pending: tuple | None = None
+
+    def ensure_cf_by_term(self) -> np.ndarray | None:
+        """Global per-term collection frequency, computed LAZILY for
+        restricted pre-cf artifacts: one bounded-slab pass over the
+        ORIGINAL (global, pre-restrict) tf mmap, deferred to first QL use
+        so a BM25-only shard server never pays the full posting_tfs scan
+        at startup. Returns None only when no global tf source exists
+        (unsharded pre-cf load — QL then sums served postings on demand,
+        which is identical when unsharded)."""
+        if self.cf_by_term is None and self._cf_pending is not None:
+            tfs, offs = self._cf_pending
+            self.cf_by_term = _segment_sum_chunked(tfs, offs)
+            self._cf_pending = None
+        return self.cf_by_term
 
     @property
     def docid_limit(self) -> int:
@@ -492,13 +530,20 @@ class DecodedIndex:
         per-shard resident memory is ~1/N of ALL index arrays; the whole
         index is never materialized on any node."""
         # the collection model must survive restriction: per-term GLOBAL cf
-        # is vocab-sized, so compute it from the full tf array (one bounded-
-        # slab pass) BEFORE the postings are sliced away — sharded QL then
-        # scores with exactly the unsharded p(t|C). No-op when the serve
-        # artifact already carries the cf sidecar.
+        # needs the full tf array, which is about to be sliced away. Don't
+        # SCAN it here though — a BM25-only shard server over a pre-cf
+        # artifact would pay a full sequential posting_tfs read at startup
+        # for a sidecar it never uses. Stash the (mmap) references and let
+        # ensure_cf_by_term() run the bounded-slab pass on first QL use.
         if self.cf_by_term is None:
-            self.cf_by_term = _segment_sum_chunked(self.posting_tfs,
-                                                   self.posting_offsets)
+            if isinstance(self.posting_tfs, np.memmap):
+                self._cf_pending = (self.posting_tfs, self.posting_offsets)
+            else:
+                # delta fold already rebuilt DENSE posting arrays —
+                # stashing them would pin O(base postings) heap past
+                # restrict, so pay the (comparatively cheap) scan now
+                self.cf_by_term = _segment_sum_chunked(
+                    self.posting_tfs, self.posting_offsets)
         offs = self.posting_offsets
         d = self.posting_docids
         lo_pos = _segmented_searchsorted(d, offs[:-1], offs[1:], int(lo))

@@ -77,14 +77,19 @@ class BM25Scorer:
             # docid_range restriction copies only the shard's ~1/N postings
             self.idx = DecodedIndex.load_cached(
                 index_dir, docid_range=docid_range, load_sha=with_sha)
-        if (ranker == "ql" and docid_range is not None
-                and getattr(self.idx, "cf_by_term", None) is None):
-            # restriction computes the cf sidecar for every load path, so
-            # this only fires for an externally-restricted index object
-            # missing it — shard-local cf would corrupt the global p(t|C)
-            raise ValueError("ranker='ql' on a docid_range shard needs the "
-                             "global cf_by_term sidecar (rebuild the serve "
-                             "artifact or reload via DecodedIndex.load)")
+        if ranker == "ql" and docid_range is not None:
+            # materialize the lazy cf sidecar now (restriction defers the
+            # global tf scan so BM25-only shards never pay it); a restricted
+            # index with NO global cf source must fail loudly — shard-local
+            # cf would corrupt the global p(t|C)
+            ensure = getattr(self.idx, "ensure_cf_by_term", None)
+            cf = ensure() if ensure is not None else getattr(
+                self.idx, "cf_by_term", None)
+            if cf is None:
+                raise ValueError("ranker='ql' on a docid_range shard needs "
+                                 "the global cf_by_term sidecar (rebuild the "
+                                 "serve artifact or reload via "
+                                 "DecodedIndex.load)")
         self.k = k
         self.prune = self.idx.cfg.prune if prune is None else prune
         self.prune_strategy = (self.idx.cfg.prune_strategy
@@ -309,7 +314,9 @@ class BM25Scorer:
         # cf_by_term sidecar, which restriction/fold keep global — that is
         # what makes docid_range-sharded QL exact. The on-demand served-
         # postings sum is the unsharded-only fallback (pre-cf artifacts).
-        cf_arr = getattr(idx, "cf_by_term", None)
+        ensure = getattr(idx, "ensure_cf_by_term", None)
+        cf_arr = (ensure() if ensure is not None
+                  else getattr(idx, "cf_by_term", None))
         cache = self.__dict__.setdefault("_cf_cache", {})
         cfs = []
         for tid, (d, tf) in zip(tids, posts):
