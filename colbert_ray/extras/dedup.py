@@ -23,13 +23,9 @@ import ray.data
 _NGRAM = 3
 
 
-def _char_ngrams(texts: list[str], n: int = _NGRAM) -> list[set]:
-    # texts shorter than n yield an EMPTY set (matches the SQL oracle's
-    # generate_series(1, len-n+1) which is empty for short strings)
-    return [
-        {t[i:i + n] for i in range(len(t) - n + 1)} if len(t) >= n else set()
-        for t in texts
-    ]
+def _cat(parts: list) -> np.ndarray:
+    """Empty-safe concatenate for per-batch result accumulators."""
+    return np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
 
 
 def _char_trigram_codes(texts: list[str]) -> list[np.ndarray]:
@@ -38,11 +34,12 @@ def _char_trigram_codes(texts: list[str]) -> list[np.ndarray]:
     Unlike ``_trigram_codes`` (byte trigrams) this packs unicode CODEPOINTS
     — three 21-bit codepoints (max 0x10FFFF < 2^21) into 63 bits — so the
     mapping distinct-char-trigram <-> distinct-code is injective and set
-    sizes / intersections match ``_char_ngrams`` exactly on any text.
+    sizes / intersections match the set-of-string-trigrams model
+    exactly on any text (parity asserted in tests/test_dedup.py).
     Vectorized: utf-32 decode gives the codepoint array in one shot."""
     out = []
     for t in texts:
-        cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        cp = np.frombuffer(t.encode("utf-32-le"), dtype="<u4").astype(np.uint64)
         if len(cp) < 3:
             out.append(np.empty(0, dtype=np.uint64))
             continue
@@ -163,14 +160,10 @@ def jaccard_pairs(
                 out_b.append(r_ids[k])
                 out_i.append(inter[k]); out_u.append(union[k])
 
-        def cat(parts):
-            return (np.concatenate(parts) if parts
-                    else np.empty(0, dtype=np.int64))
-
-        return pa.table({"id_a": pa.array(cat(out_a), type=pa.int64()),
-                         "id_b": pa.array(cat(out_b), type=pa.int64()),
-                         "n_common": pa.array(cat(out_i), type=pa.int64()),
-                         "n_union": pa.array(cat(out_u), type=pa.int64())})
+        return pa.table({"id_a": pa.array(_cat(out_a), type=pa.int64()),
+                         "id_b": pa.array(_cat(out_b), type=pa.int64()),
+                         "n_common": pa.array(_cat(out_i), type=pa.int64()),
+                         "n_union": pa.array(_cat(out_u), type=pa.int64())})
 
     return ds.select_columns([id_col, text_col]).map_batches(
         pairs_for, batch_format="pyarrow"
@@ -226,14 +219,10 @@ def containment_pairs(
                 com.append(inter[k])
                 ns.append(np.full(len(k), len(s), dtype=np.int64))
 
-        def cat(parts):
-            return (np.concatenate(parts) if parts
-                    else np.empty(0, dtype=np.int64))
-
-        return pa.table({"id_src": pa.array(cat(src), type=pa.int64()),
-                         "id_dst": pa.array(cat(dst), type=pa.int64()),
-                         "n_common": pa.array(cat(com), type=pa.int64()),
-                         "n_src": pa.array(cat(ns), type=pa.int64())})
+        return pa.table({"id_src": pa.array(_cat(src), type=pa.int64()),
+                         "id_dst": pa.array(_cat(dst), type=pa.int64()),
+                         "n_common": pa.array(_cat(com), type=pa.int64()),
+                         "n_src": pa.array(_cat(ns), type=pa.int64())})
 
     return ds.select_columns([id_col, text_col]).map_batches(
         pairs_for, batch_format="pyarrow"

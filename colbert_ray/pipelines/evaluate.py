@@ -84,10 +84,17 @@ def _ranking_restricted_side(
     from colbert_ray.functions.util import broadcast_semi_join
 
     ranking = ranking.materialize()
-    docids = (ranking.select_columns(["docid"]).to_pandas()["docid"]
-              .to_numpy(dtype=np.int64))
+    rk = ranking.select_columns(["docid"]).to_pandas()
+    # Ray's to_pandas drops the schema at zero rows — an empty ranking (or
+    # one whose docids all miss the corpus) must annotate to empty/NaN, not
+    # KeyError on the missing column
+    docids = (rk["docid"].to_numpy(dtype=np.int64) if "docid" in rk.columns
+              else np.empty(0, dtype=np.int64))
     side = broadcast_semi_join(
         corpus.select_columns(cols), docids, "docid").to_pandas()
+    if "docid" not in side.columns:
+        side = pd.DataFrame({c: pd.Series(
+            dtype=(np.int64 if c == "docid" else object)) for c in cols})
     return ranking, side
 
 

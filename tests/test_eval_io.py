@@ -123,6 +123,41 @@ class TestReadersWriters:
         assert out["repo"].tolist() == ["a", "b", "c", "d", "e"]
         assert out["label"].tolist() == [False, True, False, False, False]
 
+    def test_annotate_empty_ranking_and_dangling_docids(self):
+        """r5 regression: an EMPTY ranking (Ray to_pandas drops the schema
+        at zero rows) and a ranking whose docids all miss the corpus must
+        annotate to empty / NaN rows, not KeyError in the semi-join."""
+        corpus = ray.data.from_arrow(pa.table({
+            "docid": pa.array([1, 2], type=pa.int64()),
+            "repo": pa.array(["a", "b"]),
+            "path": pa.array(["x", "y"]),
+            "lang": pa.array(["py", "py"]),
+        }))
+        empty = ray.data.from_arrow(pa.table({
+            "qid": pa.array([], type=pa.int64()),
+            "docid": pa.array([], type=pa.int64()),
+            "rank": pa.array([], type=pa.int32()),
+            "score": pa.array([], type=pa.float64()),
+        }))
+        assert ev.annotate_ranking(empty, corpus).count() == 0
+        dangling = ray.data.from_arrow(pa.table({
+            "qid": pa.array([0], type=pa.int64()),
+            "docid": pa.array([99], type=pa.int64()),
+            "rank": pa.array([1], type=pa.int32()),
+            "score": pa.array([1.0]),
+        }))
+        out = ev.annotate_ranking(dangling, corpus).to_pandas()
+        assert len(out) == 1 and pd.isna(out["repo"].iloc[0])
+        # annotate_exact_match: same helper, text column side
+        em_corpus = ray.data.from_arrow(pa.table({
+            "docid": pa.array([1], type=pa.int64()),
+            "content": pa.array(["hello world"]),
+        }))
+        em = ev.annotate_exact_match(dangling, em_corpus,
+                                     {0: ["hello"]}).to_pandas()
+        assert len(em) == 1 and not em["answer_em"].iloc[0]
+        assert ev.annotate_exact_match(empty, em_corpus, {}).count() == 0
+
 
 class TestAnswerEM:
     def test_normalize_and_em(self):

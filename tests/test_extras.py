@@ -66,6 +66,33 @@ class TestDedup:
         # doc, and it appears twice in doc 1 — distinct count stays 1
         assert int(out["n_matched"].iloc[0]) == 1
 
+    def test_char_trigram_codes_match_set_model(self):
+        """Parity of the vectorized 21-bit-packed codepoint trigrams with
+        the reference set-of-string-trigrams model (the former _char_ngrams
+        helper, kept here as the spec): same per-text distinct sizes and
+        same pairwise intersection counts, on unicode incl. astral plane."""
+        from colbert_ray.extras.dedup import _char_trigram_codes
+
+        rng = np.random.default_rng(11)
+        alphabet = list("abc défg中文字🎉𐍈") + [chr(0x10FFF), chr(0x10FFFF)]
+        texts = ["", "a", "ab", "aaa", "🎉🎉🎉🎉"] + [
+            "".join(rng.choice(alphabet, size=rng.integers(0, 40)))
+            for _ in range(60)
+        ]
+
+        def ref_sets(ts):
+            return [{t[i:i + 3] for i in range(len(t) - 2)}
+                    if len(t) >= 3 else set() for t in ts]
+
+        codes = _char_trigram_codes(texts)
+        sets = ref_sets(texts)
+        for c, s in zip(codes, sets):
+            assert len(c) == len(s)
+        for i in range(0, len(texts), 7):
+            for j in range(1, len(texts), 11):
+                inter = len(np.intersect1d(codes[i], codes[j]))
+                assert inter == len(sets[i] & sets[j]), (i, j)
+
     def test_jaccard_pairs_integer_exact(self):
         ds = ray.data.from_arrow(_docs_table())
         out = x_dedup.jaccard_pairs(ds, threshold_num=6, threshold_den=10).to_pandas()

@@ -70,7 +70,16 @@ def main():
     # that disagrees (judge repro, round 4: pq_adc_top5/ivfpq_top5 at sf0.001).
     pinned = os.environ.get("GRAFT_ORACLE_SF_DIR")
     if pinned is None:
-        os.environ["GRAFT_ORACLE_SF_DIR"] = sf_dir
+        if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+            os.environ["GRAFT_ORACLE_SF_DIR"] = sf_dir
+        else:
+            # oracle_sql() trains codebooks from ORACLE_SF_DIR's embeddings
+            # at import; a partial target dir must not crash the whole
+            # sweep before any gate runs — keep the entry module's default
+            # and warn that embedding gates would mis-gate against it
+            print(f"WARNING: {sf_dir} has no embeddings.parquet; leaving "
+                  "GRAFT_ORACLE_SF_DIR at the module default — skip the "
+                  "knn/pq/ivf gates against this dir.")
     elif os.path.abspath(pinned) != os.path.abspath(sf_dir):
         print(f"WARNING: GRAFT_ORACLE_SF_DIR={pinned} != target {sf_dir}; "
               "codebook-literal gates (pq_adc_top5, ivfpq_top5, knn ivf family) "
