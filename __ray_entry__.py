@@ -3694,6 +3694,20 @@ def _q_ahash_dup_pairs(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def _q_ahash_banded_pairs(sf_dir: str) -> pd.DataFrame:
+    """The Hamming-LSH SCALE path for perceptual near-dup: disjoint-band
+    blocking + in-bucket verify, EXACT by pigeonhole (a pair within
+    max_hamming bits agrees on >= 1 of max_hamming+1 bands) — so it shares
+    ahash_dup_pairs's SQL twin verbatim. Only 8-byte hashes ride one
+    groupby shuffle; no driver all-pairs."""
+    from colbert_ray.extras.multimodal import banded_ahash_dup_pairs
+
+    return (banded_ahash_dup_pairs(_payloads_ds(sf_dir),
+                                   max_hamming=AHASH_MAX_HAMMING)
+            .to_pandas().sort_values(["id_a", "id_b"])
+            .reset_index(drop=True))
+
+
 def _ahash_cte() -> str:
     """Shared aHash CTE chain (ASCII-guarded: the engine hashes the
     utf-8 BYTES of text; codepoints match only for ASCII)."""
@@ -4552,6 +4566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_dup_groups": _q_audio_dup_groups,
         "video_dup_clusters": _q_video_dup_clusters,
         "ahash_dup_pairs": _q_ahash_dup_pairs,
+        "ahash_banded_pairs": _q_ahash_banded_pairs,
         "media_dedup": _q_media_dedup,
         "video_frame_sample": _q_video_frame_sample,
         # rows-only: gated by the in-process oracle self-check inside the
@@ -6255,6 +6270,7 @@ GROUP BY n ORDER BY doc_id
         "audio_dup_groups": _audio_dup_groups_sql(),
         "video_dup_clusters": _video_dup_clusters_sql(),
         "ahash_dup_pairs": _ahash_pairs_sql(),
+        "ahash_banded_pairs": _ahash_pairs_sql(),
         "embedding_dup_pairs": f"""
 WITH t AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -3002,6 +3002,48 @@ class TestAHash:
         assert (2, 3) in got and (1, 4) in got     # exact dup at hamming 0
         assert (1, 2) not in got
 
+    def test_banded_equals_allpairs(self):
+        """Pigeonhole completeness of the Hamming-LSH scale path: the
+        banded pair set equals the all-pairs result exactly, including
+        pairs whose differing bits straddle every band boundary, at two
+        thresholds and two parallelism levels."""
+        import pandas as pd
+        import ray as _ray
+
+        from colbert_ray.extras.multimodal import (
+            ahash_dup_pairs,
+            banded_ahash_dup_pairs,
+            make_payload_table,
+        )
+
+        rng = np.random.default_rng(17)
+        blobs = [("img" + "x" * int(rng.integers(0, 60)) + str(i // 3))
+                 .encode() for i in range(70)]
+        # adversarial extremes: all-ones hashes (hot all-zero xor bands)
+        blobs += [bytes([9] * 192)] * 4
+        t = make_payload_table(np.arange(len(blobs), dtype=np.int64), blobs)
+        for mh in (8, 3):
+            for nblocks in (1, 6):
+                ds = _ray.data.from_arrow(t).repartition(nblocks)
+                want = (ahash_dup_pairs(ds, max_hamming=mh).to_pandas()
+                        .sort_values(["id_a", "id_b"])
+                        .reset_index(drop=True))
+                got = banded_ahash_dup_pairs(ds, max_hamming=mh).to_pandas()
+                pd.testing.assert_frame_equal(got, want)
+        # pair differing in EXACTLY max_hamming bits, spread one per band:
+        # still caught (d+1 bands, d flips -> one band untouched)
+        base = np.uint64(0)
+        flipped = base
+        B, w = 4, 64 // 4
+        for i in range(3):                       # 3 flips, max_hamming=3
+            flipped |= np.uint64(1) << np.uint64(i * w)
+        h1 = bytes([255, 255, 255] + [0] * 189)  # engine hash: bit 0 only
+        tbl = make_payload_table(np.array([0, 1], dtype=np.int64),
+                                 [h1, h1])
+        ds = _ray.data.from_arrow(tbl)
+        got = banded_ahash_dup_pairs(ds, max_hamming=3).to_pandas()
+        assert got["hamming"].tolist() == [0]    # exact dup found once
+
 
 class TestVideoDupPairs:
     def test_identical_and_disjoint_payloads(self):
