@@ -2197,6 +2197,70 @@ ORDER BY id_a, id_b
 """
 
 
+MUTUAL_IVF_NPROBE = 4
+
+
+def _q_mutual_knn_ivf_pairs(sf_dir: str) -> pd.DataFrame:
+    """IVF-blocked mutual-kNN (extras/simsearch.mutual_knn_pairs_ivf) —
+    the SCALE path the bounded tier documents, now implemented: bucketed
+    neighbor search + shuffle-shaped reciprocity join, nothing O(n) on the
+    driver. Whole embeddings table; FIXED deterministic centroids shared
+    with the SQL twin (same GRAFT_ORACLE_SF_DIR caveat as ivf_knn_top5)."""
+    t = x_sim.mutual_knn_pairs_ivf(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        k=MUTUAL_KNN_K, nprobe=MUTUAL_IVF_NPROBE,
+        centroids=_ivf_centroids(sf_dir))
+    return t.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _mutual_knn_ivf_sql() -> str:
+    """Twin of mutual_knn_pairs_ivf: same centroid literals, same rounded-
+    cosine assignment/probe/rank policy, reciprocity as a self-join of the
+    per-src restricted top-k."""
+    cents = _ivf_centroids(ORACLE_SF_DIR)
+    cent_rows = ",\n    ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            ci, ", ".join(f"{v:.17g}" for v in cents[ci]))
+        for ci in range(len(cents)))
+    return f"""
+WITH cents(cid, cv) AS (VALUES
+    {cent_rows}
+),
+t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ad AS (
+  SELECT t.vec_id, c.cid,
+         round(list_cosine_similarity(t.v, c.cv), 6) AS d
+  FROM t CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cid AS bucket FROM ad
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) = 1
+),
+probe AS (
+  SELECT vec_id, cid FROM ad
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid)
+          <= {MUTUAL_IVF_NPROBE}
+),
+sims AS (
+  SELECT p.vec_id AS src, m.vec_id AS nbr,
+         round(list_cosine_similarity(a.v, b.v), 6) AS c
+  FROM probe p
+       JOIN assign m ON m.bucket = p.cid AND m.vec_id <> p.vec_id
+       JOIN t a ON a.vec_id = p.vec_id
+       JOIN t b ON b.vec_id = m.vec_id
+),
+r AS (
+  SELECT src, nbr, c,
+         row_number() OVER (PARTITION BY src ORDER BY c DESC, nbr) AS rk
+  FROM sims
+)
+SELECT x.src AS id_a, x.nbr AS id_b, x.c AS cosine_r
+FROM r x JOIN r y ON y.src = x.nbr AND y.nbr = x.src
+WHERE x.rk <= {MUTUAL_KNN_K} AND y.rk <= {MUTUAL_KNN_K} AND x.src < x.nbr
+ORDER BY id_a, id_b
+"""
+
+
 def _q_embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
     ds = x_sim.embedding_dup_pairs(
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
@@ -4469,6 +4533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rplsh_dup_pairs": _q_rplsh_dup_pairs,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "mutual_knn_pairs": _q_mutual_knn_pairs,
+        "mutual_knn_ivf_pairs": _q_mutual_knn_ivf_pairs,
         "embedding_covariance": _q_embedding_covariance,
         "embedding_int8": _q_embedding_int8,
         "knn_q8_top5": _q_knn_q8_top5,
@@ -6264,6 +6329,7 @@ GROUP BY n ORDER BY doc_id
         "mmr_knn_top5": _mmr_sql(),
         "rplsh_dup_pairs": _rplsh_sql(),
         "mutual_knn_pairs": _mutual_knn_sql(),
+        "mutual_knn_ivf_pairs": _mutual_knn_ivf_sql(),
         "image_ahash": _image_ahash_sql(),
         "video_dup_pairs": _video_dup_sql(),
         "audio_fingerprints": _audio_fp_sql(),

@@ -1131,3 +1131,128 @@ def mutual_knn_pairs(
     return pa.table({"id_a": pa.array(out_a, type=pa.int64()),
                      "id_b": pa.array(out_b, type=pa.int64()),
                      "cosine_r": pa.array(out_c, type=pa.float64())})
+
+
+def mutual_knn_pairs_ivf(
+    ds: "ray.data.Dataset",
+    k: int = 3,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
+) -> pa.Table:
+    """The IVF-blocked SCALE path ``mutual_knn_pairs`` documents: the same
+    reciprocal-top-k criterion with neighbor search restricted to each
+    vector's ``nprobe`` nearest coarse buckets, and the mutual join run as
+    a SHUFFLE instead of a driver-side set.
+
+    100-TB shape — nothing is O(n) on any single node:
+    1. one map_batches emits each vector once per role: MEMBER row in its
+       assigned bucket, PROBE row in each of its nprobe buckets (vectors
+       ride the exchange; bucket fan-out is 1 + nprobe);
+    2. ``groupby(bucket)``: per-bucket probe x member cosine (rounded, self
+       excluded) -> per-src partial top-k (a member lives in exactly ONE
+       bucket, so (src, nbr) appears at most once globally — no dedup);
+    3. ``groupby(src)``: merge the <= nprobe partials to the global top-k
+       under the same (-cosine_r, nbr) order as the bounded tier;
+    4. the mutual check is a ``groupby`` on the unordered pair key keeping
+       pairs seen from BOTH directions — the only driver-side object is the
+       final (true reciprocal pairs) table.
+
+    Exactly equal to ``mutual_knn_pairs`` whenever every vector's true
+    top-k lives inside its probed buckets (asserted at n_centroids=1 in
+    pytest; recall-gated at realistic settings). Skewed buckets degrade
+    step 2 toward quadratic in the hot bucket — tune n_centroids so
+    ~n/n_centroids stays batch-sized, the standard IVF balance knob."""
+    if centroids is None:
+        centroids = train_kmeans_centroids(ds, n_centroids, vec_col=vec_col)
+    c_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def emit_roles(batch: pa.Table) -> pa.Table:
+        cents = ray.get(c_ref)
+        m = _normalize(_stack(batch, vec_col))
+        ids = batch.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n, dim = m.shape
+        assign = _assign_buckets(m, cents).astype(np.int32)
+        probes = _probe_buckets(m, cents, nprobe).astype(np.int32)
+        buckets = np.concatenate([assign, probes.ravel()])
+        role = np.concatenate([np.zeros(n, dtype=np.int8),
+                               np.ones(n * probes.shape[1], dtype=np.int8)])
+        rid = np.concatenate([ids, np.repeat(ids, probes.shape[1])])
+        vecs = np.concatenate([m, np.repeat(m, probes.shape[1], axis=0)])
+        return pa.table({
+            "bucket": pa.array(buckets),
+            "role": pa.array(role),
+            id_col: pa.array(rid),
+            "vec": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.ravel(), type=pa.float64()), dim),
+        })
+
+    cand_empty = pd.DataFrame({"src": pd.Series(dtype=np.int64),
+                               "nbr": pd.Series(dtype=np.int64),
+                               "cosine_r": pd.Series(dtype=np.float64)})
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        mem = g[g["role"] == 0]
+        prb = g[g["role"] == 1]
+        if mem.empty or prb.empty:
+            return cand_empty
+        mm = np.stack(mem["vec"].to_numpy()).astype(np.float64)
+        mids = mem[id_col].to_numpy(dtype=np.int64)
+        pm = np.stack(prb["vec"].to_numpy()).astype(np.float64)
+        pids = prb[id_col].to_numpy(dtype=np.int64)
+        sims = np.round(pm @ mm.T, 6)
+        sims[pids[:, None] == mids[None, :]] = -np.inf     # self excluded
+        kk = min(k, sims.shape[1])
+        order = np.lexsort((np.broadcast_to(mids, sims.shape), -sims),
+                           axis=1)[:, :kk]
+        cos = np.take_along_axis(sims, order, axis=1).ravel()
+        keep = np.isfinite(cos)
+        return pd.DataFrame({"src": np.repeat(pids, kk)[keep],
+                             "nbr": mids[order].ravel()[keep],
+                             "cosine_r": cos[keep]})
+
+    def src_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine_r", "nbr"],
+                          ascending=[False, True]).head(k)
+        return g[["src", "nbr", "cosine_r"]]
+
+    def pair_key(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        n_ = batch.column("nbr").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "id_a": pa.array(np.minimum(s, n_)),
+            "id_b": pa.array(np.maximum(s, n_)),
+            "cosine_r": batch.column("cosine_r"),
+        })
+
+    pair_empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                               "id_b": pd.Series(dtype=np.int64),
+                               "cosine_r": pd.Series(dtype=np.float64)})
+
+    def mutual(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:             # reciprocal = edge present BOTH ways
+            return pair_empty
+        return g.iloc[:1][["id_a", "id_b", "cosine_r"]]
+
+    out = (ds.select_columns([id_col, vec_col])
+           .map_batches(emit_roles, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("bucket")
+           .map_groups(bucket_topk, batch_format="pandas")
+           .groupby("src")
+           .map_groups(src_topk, batch_format="pandas")
+           .map_batches(pair_key, batch_format="pyarrow")
+           .groupby(["id_a", "id_b"])
+           .map_groups(mutual, batch_format="pandas")
+           .to_pandas())
+    if "id_a" not in out.columns:
+        out = pair_empty
+    out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return pa.table({
+        "id_a": pa.array(out["id_a"].to_numpy(dtype=np.int64)),
+        "id_b": pa.array(out["id_b"].to_numpy(dtype=np.int64)),
+        "cosine_r": pa.array(out["cosine_r"].to_numpy(dtype=np.float64)),
+    })

@@ -2779,6 +2779,34 @@ class TestMutualKnn:
                 .to_pandas())
         pd.testing.assert_frame_equal(out, out2)
 
+    def test_ivf_scale_path(self):
+        """mutual_knn_pairs_ivf: single-bucket == the exact bounded tier;
+        realistic IVF settings keep a recall floor on the test embeddings
+        (deterministic: seeded centroids); parallelism-invariant."""
+        import pyarrow.parquet as pq
+
+        from colbert_ray.extras.simsearch import (
+            mutual_knn_pairs,
+            mutual_knn_pairs_ivf,
+        )
+
+        t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+        ds = ray.data.from_arrow(t)
+        want = mutual_knn_pairs(ds, k=3).to_pandas()
+        got = mutual_knn_pairs_ivf(
+            ray.data.from_arrow(t).repartition(4), k=3,
+            n_centroids=1, nprobe=1).to_pandas()
+        pd.testing.assert_frame_equal(got, want)
+        # approximate at realistic settings, but deterministically so
+        ivf = mutual_knn_pairs_ivf(ds, k=3, n_centroids=16,
+                                   nprobe=8).to_pandas()
+        w = set(zip(want["id_a"], want["id_b"]))
+        g = set(zip(ivf["id_a"], ivf["id_b"]))
+        assert len(w & g) / len(w) >= 0.7       # measured 0.718, seeded
+        ivf2 = mutual_knn_pairs_ivf(ds.repartition(5), k=3,
+                                    n_centroids=16, nprobe=8).to_pandas()
+        pd.testing.assert_frame_equal(ivf, ivf2)
+
 
 class TestOOVRate:
     def test_naive_and_edges(self):
