@@ -334,8 +334,9 @@ def ahash_dup_pairs(payloads: "ray.data.Dataset",
     """Perceptual near-duplicate pairs: Hamming(aHash_a, aHash_b) <=
     ``max_hamming`` (id_a < id_b) — the multimodal analog of simhash
     near-dup. Integer-exact. Bounded all-pairs verify tier (hashes are 8
-    bytes/item, collected once); at corpus scale block by hash bands
-    first (the simhash/LSH pattern)."""
+    bytes/item, collected once); at corpus scale use
+    ``banded_ahash_dup_pairs`` (below) — the SAME exact pair set via
+    disjoint-bit-band blocking + in-bucket verify."""
     hs = image_ahash(payloads).to_pandas().sort_values("item_id")
     ids = hs["item_id"].to_numpy(dtype=np.int64)
     h = hs["ahash"].to_numpy(dtype=np.int64).astype(np.uint64)

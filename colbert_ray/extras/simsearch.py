@@ -1088,9 +1088,10 @@ def mutual_knn_pairs(
     excluded.
 
     Bounded verify tier (broadcast reference matrix, per-batch partial
-    top-k like knn_cosine); at corpus scale the candidate step is IVF/LSH
-    blocking and this runs per block. The mutual join happens on the
-    driver over <= n*k candidate rows."""
+    top-k like knn_cosine); the mutual join happens on the driver over
+    <= n*k candidate rows. At corpus scale use ``mutual_knn_pairs_ivf``
+    (below) — IVF blocking + a shuffle-shaped reciprocity join, nothing
+    O(n) on the driver."""
     if max_id is not None:
         ds = ds.filter(expr=f"{id_col} < {max_id}")
     ref_tbl = ds.select_columns([id_col, vec_col]).to_pandas()
