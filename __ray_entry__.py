@@ -3643,6 +3643,34 @@ def _q_simhash(sf_dir: str) -> pd.DataFrame:
     return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+SIMHASH_MAX_HAMMING = 3      # Manku et al. 2007's web-crawl threshold
+
+
+def _q_simhash_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    """SimHash near-dup pairs (extras/dedup.simhash_dup_pairs): Hamming <=
+    3 over the 63-bit tf-weighted SimHash, mined via the EXACT pigeonhole
+    banding shared with the aHash scale path — signatures-only shuffle,
+    no driver all-pairs."""
+    t = x_dedup.simhash_dup_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        max_hamming=SIMHASH_MAX_HAMMING)
+    return t.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _simhash_pairs_sql() -> str:
+    """All-pairs twin over the simhash CTE (banding is exact by pigeonhole,
+    so the banded engine result equals this quadratic reference)."""
+    base = _simhash_sql().replace("ORDER BY doc_id", "")
+    return f"""
+WITH sigs AS ({base})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+ORDER BY id_a, id_b
+"""
+
+
 def _q_fingerprints(sf_dir: str) -> pd.DataFrame:
     ds = x_text.fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]))
     return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
@@ -4597,6 +4625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_urgent": _q_customers_no_urgent,
         "top_orders_per_cust": _q_top_orders_per_cust,
         "simhash64": _q_simhash,
+        "simhash_dup_pairs": _q_simhash_dup_pairs,
         "fingerprints": _q_fingerprints,
         "lang_id_pred": _q_lang_id,
         "repetition_stats": _q_repetition_stats,
@@ -6464,6 +6493,7 @@ QUALIFY lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NOT NULL
 ORDER BY event_id
 """,
         "simhash64": _simhash_sql(),
+        "simhash_dup_pairs": _simhash_pairs_sql(),
         "lang_id_pred": _lang_id_sql(),
         # the decode stub tiles payload bytes into the 8x8x3 pixel grid, so
         # pixel_mean is the mean of the first 192 cyclically-tiled bytes

@@ -1445,3 +1445,139 @@ def span_window_dedup(
         drop_rows)
     return merged.groupby("bucket").map_groups(
         bucket_rewrite, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Generic Hamming-LSH banding over 64-bit fingerprints (SimHash, aHash, ...)
+# ---------------------------------------------------------------------------
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (unpackbits on the byte view —
+    portable across numpy versions without bitwise_count)."""
+    b = np.ascontiguousarray(x.astype(np.uint64)).view(np.uint8)
+    return np.unpackbits(b.reshape(len(x), 8), axis=1).sum(axis=1) \
+        .astype(np.int64)
+
+
+def _popcount64_2d(x: np.ndarray) -> np.ndarray:
+    flat = np.ascontiguousarray(x).reshape(-1)
+    return _popcount64(flat).reshape(x.shape)
+
+
+def banded_hamming_pairs(
+    hashes: "ray.data.Dataset",
+    hash_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+) -> pa.Table:
+    """All pairs within ``max_hamming`` bits over a 64-bit fingerprint
+    column — EXACT (not probabilistic) via pigeonhole banding: the hash
+    splits into B = max_hamming + 1 DISJOINT bit bands, and a pair
+    differing in <= max_hamming bits leaves at least one band untouched,
+    so every qualifying pair collides on >= 1 exact band value.
+
+    The shared scale engine behind ``simhash_dup_pairs`` (text) and
+    ``multimodal.banded_ahash_dup_pairs`` (images). 100-TB shape: only
+    (band, band_value, id, hash) rows — B x ~28 bytes per item — ride ONE
+    groupby shuffle; verify is an in-bucket chunked vectorized
+    XOR+popcount; a pair is emitted only in its FIRST colliding band
+    (decided locally from the two full hashes riding the bucket), so pair
+    distinctness costs no extra shuffle. Known LSH skew: a hot band value
+    (e.g. the all-zero band of boilerplate-heavy fingerprints) degrades
+    one bucket toward the quadratic verify — raise B or salt-split hot
+    buckets upstream if a corpus exhibits it.
+
+    Returns (id_a < id_b, hamming), sorted."""
+    B = max_hamming + 1
+    if B > 64:
+        raise ValueError("max_hamming must be < 64")
+    base_w, rem = divmod(64, B)
+    widths = np.array([base_w + (1 if i < rem else 0) for i in range(B)],
+                      dtype=np.uint64)
+    los = np.zeros(B, dtype=np.uint64)
+    los[1:] = np.cumsum(widths)[:-1]
+    masks = (np.uint64(1) << widths) - np.uint64(1)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        h = batch.column(hash_col).to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        n = len(ids)
+        vals = (h[None, :] >> los[:, None]) & masks[:, None]     # B x n
+        return pa.table({
+            "band": pa.array(np.repeat(np.arange(B, dtype=np.int32), n)),
+            "band_value": pa.array(vals.reshape(-1).astype(np.int64)),
+            id_col: pa.array(np.tile(ids, B)),
+            "h64": pa.array(np.tile(h, B).astype(np.int64)),
+        })
+
+    empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                          "id_b": pd.Series(dtype=np.int64),
+                          "hamming": pd.Series(dtype=np.int64)})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return empty
+        band_k = int(g["band"].iloc[0])
+        order = np.argsort(g[id_col].to_numpy(), kind="stable")
+        ids = g[id_col].to_numpy(dtype=np.int64)[order]
+        h = g["h64"].to_numpy(dtype=np.int64)[order].astype(np.uint64)
+        out_a, out_b, out_d = [], [], []
+        chunk = 512
+        for lo_i in range(0, len(ids), chunk):
+            hi_i = min(lo_i + chunk, len(ids))
+            x = h[lo_i:hi_i, None] ^ h[None, :]
+            d = _popcount64_2d(x)
+            ai, bi = np.nonzero(d <= max_hamming)
+            keep = (ai + lo_i) < bi                      # upper triangle
+            ai, bi = ai[keep], bi[keep]
+            if not len(ai):
+                continue
+            xs = x[ai, bi]
+            first = np.full(len(xs), B, dtype=np.int64)
+            for i in range(B - 1, -1, -1):
+                agree = ((xs >> los[i]) & masks[i]) == 0
+                first[agree] = i
+            sel = first == band_k
+            out_a.append(ids[ai[sel] + lo_i])
+            out_b.append(ids[bi[sel]])
+            out_d.append(d[ai[sel], bi[sel]].astype(np.int64))
+        if not out_a:
+            return empty
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "hamming": np.concatenate(out_d)})
+
+    out = (hashes
+           .map_batches(explode, batch_format="pyarrow")
+           .groupby(["band", "band_value"])
+           .map_groups(bucket_pairs, batch_format="pandas")
+           .to_pandas())
+    if "id_a" not in out.columns:        # zero-pair corpus: schema dropped
+        out = empty
+    out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return pa.table({
+        "id_a": pa.array(out["id_a"].to_numpy(dtype=np.int64)),
+        "id_b": pa.array(out["id_b"].to_numpy(dtype=np.int64)),
+        "hamming": pa.array(out["hamming"].to_numpy(dtype=np.int64)),
+    })
+
+
+def simhash_dup_pairs(
+    ds: "ray.data.Dataset",
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """SimHash near-duplicate pairs — the classic web-scale text near-dup
+    criterion (Charikar 2002; Manku et al. 2007 used Hamming distance 3 on
+    64-bit SimHashes for Google's crawl dedup): fingerprint every doc with
+    ``simhash`` (vectorized FNV-1a token hashes, tf-weighted ±1 bit
+    reduction), then mine all pairs within ``max_hamming`` bits via the
+    EXACT pigeonhole banding of ``banded_hamming_pairs`` — one groupby
+    shuffle of 8-byte signatures, never the text, never a driver-side
+    all-pairs sweep."""
+    return banded_hamming_pairs(simhash(ds, text_col=text_col,
+                                        id_col=id_col),
+                                "simhash", id_col, max_hamming=max_hamming)

@@ -354,108 +354,17 @@ def ahash_dup_pairs(payloads: "ray.data.Dataset",
     })
 
 
-def _popcount64_2d(x: np.ndarray) -> np.ndarray:
-    """Popcount of a 2-D uint64 array, elementwise."""
-    flat = np.ascontiguousarray(x).reshape(-1)
-    return _popcount64(flat).reshape(x.shape)
-
-
 def banded_ahash_dup_pairs(payloads: "ray.data.Dataset",
                            max_hamming: int = 8) -> pa.Table:
     """The scale path ``ahash_dup_pairs`` documents: the SAME exact pair set
     (Hamming <= max_hamming, id_a < id_b) via Hamming-LSH banding instead of
-    a driver-side all-pairs sweep.
+    a driver-side all-pairs sweep. Thin wrapper over the generic
+    ``extras.dedup.banded_hamming_pairs`` (shared with ``simhash_dup_pairs``
+    — one banding/verify implementation for every 64-bit fingerprint)."""
+    from colbert_ray.extras.dedup import banded_hamming_pairs
 
-    EXACT by pigeonhole — not probabilistic like minhash banding: the 64-bit
-    hash splits into B = max_hamming + 1 DISJOINT bit bands, and a pair
-    differing in <= max_hamming bits leaves at least one band untouched, so
-    every qualifying pair collides on >= 1 exact band value. 100-TB shape:
-    only (band, band_value, id, hash) rows — B x ~28 bytes per item — ride
-    ONE groupby shuffle; the verify is an in-bucket chunked vectorized
-    XOR+popcount (the minhash ``bucket_pairs`` precedent); a pair is emitted
-    only in its FIRST colliding band (decided locally from the two full
-    hashes riding the bucket), so pair distinctness costs no extra shuffle.
-    Known LSH skew — a hot band value (e.g. the all-zero band of near-black
-    images) — degrades one bucket toward the quadratic verify; salt-split
-    hot buckets upstream if a corpus exhibits it."""
-    import pandas as pd
-
-    B = max_hamming + 1
-    if B > 64:
-        raise ValueError("max_hamming must be < 64")
-    base_w, rem = divmod(64, B)
-    widths = np.array([base_w + (1 if i < rem else 0) for i in range(B)],
-                      dtype=np.uint64)
-    los = np.zeros(B, dtype=np.uint64)
-    los[1:] = np.cumsum(widths)[:-1]
-    masks = (np.uint64(1) << widths) - np.uint64(1)
-
-    def explode(batch: pa.Table) -> pa.Table:
-        ids = batch.column("item_id").to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        h = batch.column("ahash").to_numpy(zero_copy_only=False) \
-            .astype(np.uint64)
-        n = len(ids)
-        vals = (h[None, :] >> los[:, None]) & masks[:, None]     # B x n
-        return pa.table({
-            "band": pa.array(np.repeat(np.arange(B, dtype=np.int32), n)),
-            "band_value": pa.array(vals.reshape(-1).astype(np.int64)),
-            "item_id": pa.array(np.tile(ids, B)),
-            "ahash": pa.array(np.tile(h, B).astype(np.int64)),
-        })
-
-    empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
-                          "id_b": pd.Series(dtype=np.int64),
-                          "hamming": pd.Series(dtype=np.int64)})
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return empty
-        band_k = int(g["band"].iloc[0])
-        order = np.argsort(g["item_id"].to_numpy(), kind="stable")
-        ids = g["item_id"].to_numpy(dtype=np.int64)[order]
-        h = g["ahash"].to_numpy(dtype=np.int64)[order].astype(np.uint64)
-        out_a, out_b, out_d = [], [], []
-        chunk = 512
-        for lo_i in range(0, len(ids), chunk):
-            hi_i = min(lo_i + chunk, len(ids))
-            x = h[lo_i:hi_i, None] ^ h[None, :]
-            d = _popcount64_2d(x)
-            ai, bi = np.nonzero(d <= max_hamming)
-            keep = (ai + lo_i) < bi                      # upper triangle
-            ai, bi = ai[keep], bi[keep]
-            if not len(ai):
-                continue
-            xs = x[ai, bi]
-            # emit-once rule: this pair belongs to the FIRST band whose
-            # bits agree — computable locally from the pair's xor
-            first = np.full(len(xs), B, dtype=np.int64)
-            for i in range(B - 1, -1, -1):
-                agree = ((xs >> los[i]) & masks[i]) == 0
-                first[agree] = i
-            sel = first == band_k
-            out_a.append(ids[ai[sel] + lo_i])
-            out_b.append(ids[bi[sel]])
-            out_d.append(d[ai[sel], bi[sel]].astype(np.int64))
-        if not out_a:
-            return empty
-        return pd.DataFrame({"id_a": np.concatenate(out_a),
-                             "id_b": np.concatenate(out_b),
-                             "hamming": np.concatenate(out_d)})
-
-    out = (image_ahash(payloads)
-           .map_batches(explode, batch_format="pyarrow")
-           .groupby(["band", "band_value"])
-           .map_groups(bucket_pairs, batch_format="pandas")
-           .to_pandas())
-    if "id_a" not in out.columns:        # zero-pair corpus: schema dropped
-        out = empty
-    out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
-    return pa.table({
-        "id_a": pa.array(out["id_a"].to_numpy(dtype=np.int64)),
-        "id_b": pa.array(out["id_b"].to_numpy(dtype=np.int64)),
-        "hamming": pa.array(out["hamming"].to_numpy(dtype=np.int64)),
-    })
+    return banded_hamming_pairs(image_ahash(payloads), "ahash", "item_id",
+                                max_hamming=max_hamming)
 
 
 class FrameHashSampler(FrameSampler):

@@ -181,6 +181,37 @@ class TestDedup:
         assert s1[0] == s1[1]                 # identical docs -> identical sig
         assert s1[0] != s1[3]
 
+    def test_simhash_dup_pairs_banding_exact(self):
+        """simhash_dup_pairs (pigeonhole-banded) == the brute-force
+        Hamming filter over the signatures, on a corpus with planted
+        near-dups, at two thresholds and two parallelism levels."""
+        import itertools
+
+        texts = [f"alpha beta gamma delta w{i} x{i} common tail words"
+                 for i in range(30)]
+        texts += [t + " extra" for t in texts[:6]]      # planted near-dups
+        texts += [texts[0], ""]                         # exact dup + empty
+        t = pa.table({"doc_id": pa.array(np.arange(len(texts)),
+                                         type=pa.int64()),
+                      "text": pa.array(texts)})
+        sigs = (x_dedup.simhash(ray.data.from_arrow(t)).to_pandas()
+                .sort_values("doc_id"))
+        h = sigs["simhash"].to_numpy(dtype=np.int64).astype(np.uint64)
+        ids = sigs["doc_id"].to_numpy(dtype=np.int64)
+        for mh in (0, 4):
+            want = sorted(
+                (int(ids[i]), int(ids[j]),
+                 int(bin(int(h[i]) ^ int(h[j])).count("1")))
+                for i, j in itertools.combinations(range(len(ids)), 2)
+                if bin(int(h[i]) ^ int(h[j])).count("1") <= mh)
+            for nblocks in (1, 5):
+                got = x_dedup.simhash_dup_pairs(
+                    ray.data.from_arrow(t).repartition(nblocks),
+                    max_hamming=mh).to_pandas()
+                assert (list(map(tuple, got.to_numpy())) == want), (mh,
+                                                                    nblocks)
+            assert want, mh        # the planted dups make every tier real
+
 
 def _cc_oracle(edges: list[tuple[int, int]]) -> dict[int, int]:
     """Naive union-find: node -> component-min."""
