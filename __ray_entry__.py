@@ -4626,6 +4626,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_cust": _q_top_orders_per_cust,
         "simhash64": _q_simhash,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "code_clone_pairs": _q_code_clone_pairs,
         "fingerprints": _q_fingerprints,
         "lang_id_pred": _q_lang_id,
         "repetition_stats": _q_repetition_stats,
@@ -6067,6 +6069,90 @@ ORDER BY doc_id
 """
 
 
+WINNOW_K = 5
+WINNOW_W = 4
+CLONE_MIN_SHARED = 2
+
+
+def _q_winnow_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Winnowed k-gram fingerprints (extras/dedup.winnow_fingerprints):
+    the MOSS local-fingerprint selection — every w-gram window keeps its
+    leftmost-minimum k-gram polynomial-FNV hash; distinct (doc, fp)."""
+    ds = x_dedup.winnow_fingerprints(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        k=WINNOW_K, w=WINNOW_W)
+    return (ds.to_pandas().sort_values(["doc_id", "fp"])
+            .reset_index(drop=True))
+
+
+def _q_code_clone_pairs(sf_dir: str) -> pd.DataFrame:
+    """MOSS-style clone pairs (extras/dedup.code_clone_pairs): docs sharing
+    >= 2 distinct winnowed fingerprints — partial-overlap near-dup mining
+    via ONE groupby(fp) shuffle of 16-byte rows, never the text."""
+    t = x_dedup.code_clone_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        k=WINNOW_K, w=WINNOW_W, min_shared=CLONE_MIN_SHARED)
+    return t.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _winnow_cte() -> str:
+    """Shared winnowing CTE chain: per-doc token FNV hashes -> k-gram
+    Horner hashes (HUGEINT mod 2^64) -> per-window leftmost-minimum
+    selection (ORDER BY gh, gi mirrors the engine's argmin tie-break);
+    docs with fewer than w grams get one clipped window."""
+    from colbert_ray.functions.hashing import FNV_PRIME, sql_fnv1a64_expr
+
+    toks, fnv = _toks_expr(), sql_fnv1a64_expr("term")
+    M, B, k, w = 1 << 64, int(FNV_PRIME), WINNOW_K, WINNOW_W
+    return f"""
+d AS (SELECT doc_id, {toks} AS toks FROM documents),
+tok AS (
+  SELECT doc_id, s.i, toks[s.i] AS term
+  FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) s
+),
+th AS (SELECT doc_id, i, {fnv} AS h FROM tok),
+hl AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM th GROUP BY doc_id),
+kg AS (
+  SELECT hl.doc_id, s.i AS gi,
+         list_reduce(list_prepend(0::HUGEINT, hs[s.i:s.i + {k - 1}]),
+                     (a, x) -> ((a * {B}::HUGEINT + x) % {M}::HUGEINT)) AS gh
+  FROM hl, LATERAL (
+    SELECT unnest(generate_series(1, len(hs) - {k} + 1)) AS i) s
+),
+ng AS (SELECT doc_id, count(*) AS n FROM kg GROUP BY doc_id),
+wins AS (
+  SELECT kg.doc_id, t.t, kg.gi, kg.gh
+  FROM ng, LATERAL (
+    SELECT unnest(generate_series(1, greatest(1, ng.n - {w} + 1))) AS t) t
+  JOIN kg ON kg.doc_id = ng.doc_id
+         AND kg.gi BETWEEN t.t AND t.t + {w} - 1
+),
+sel AS (
+  SELECT doc_id, t, gi, gh FROM wins
+  QUALIFY row_number() OVER (PARTITION BY doc_id, t ORDER BY gh, gi) = 1
+),
+fps AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN gh >= {2 ** 63}::HUGEINT
+              THEN (gh - {M}::HUGEINT)::BIGINT ELSE gh::BIGINT END AS fp
+  FROM sel
+)"""
+
+
+def _winnow_sql() -> str:
+    return f"WITH {_winnow_cte()}\nSELECT doc_id, fp FROM fps ORDER BY doc_id, fp"
+
+
+def _clone_pairs_sql() -> str:
+    return f"""
+WITH {_winnow_cte()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {CLONE_MIN_SHARED}
+ORDER BY id_a, id_b
+"""
+
+
 def _simhash_sql() -> str:
     """Same 63-bit SimHash as extras/dedup.simhash (FNV token hashes,
     tf-weighted ±1 bit votes) in SQL."""
@@ -6494,6 +6580,8 @@ ORDER BY event_id
 """,
         "simhash64": _simhash_sql(),
         "simhash_dup_pairs": _simhash_pairs_sql(),
+        "winnow_fingerprints": _winnow_sql(),
+        "code_clone_pairs": _clone_pairs_sql(),
         "lang_id_pred": _lang_id_sql(),
         # the decode stub tiles payload bytes into the 8x8x3 pixel grid, so
         # pixel_mean is the mean of the first 192 cyclically-tiled bytes

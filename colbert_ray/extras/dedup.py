@@ -1581,3 +1581,162 @@ def simhash_dup_pairs(
     return banded_hamming_pairs(simhash(ds, text_col=text_col,
                                         id_col=id_col),
                                 "simhash", id_col, max_hamming=max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints + code-clone pair mining (MOSS)
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(
+    ds: "ray.data.Dataset",
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Winnowed k-gram fingerprints per document (Schleimer/Wilkerson/Aiken
+    2003 — the MOSS local-fingerprinting algorithm): hash every k-token
+    gram (polynomial-FNV, the ``fingerprints`` rolling hash restricted to a
+    window), slide a w-gram window over the gram stream and keep each
+    window's LEFTMOST minimum — a position-robust fingerprint subset that
+    guarantees any shared token run of length >= k + w - 1 contributes at
+    least one COMMON selected fingerprint to both documents (the winnowing
+    coverage theorem), which is what makes partial-overlap clone detection
+    work where doc-level hashes see nothing.
+
+    Fully vectorized across the batch: one flat token-hash stream, k
+    shifted multiply-adds for the gram hashes (doc boundaries masked), one
+    ``sliding_window_view`` argmin for the window minima; documents with
+    fewer than w grams contribute the minimum over all their grams
+    (single clipped window), documents shorter than k tokens contribute
+    nothing. Output: DISTINCT (doc, fingerprint) rows — signed-int64
+    bit pattern of the uint64 hash."""
+    from colbert_ray.config import EngineConfig
+    from colbert_ray.functions.hashing import FNV_PRIME, fnv1a64_strings
+    from colbert_ray.functions.tokenizer import tokenize_column
+
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    cfg = EngineConfig()
+    B = FNV_PRIME
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        toks = tokenize_column(batch.column(text_col), cfg)
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = offsets - offsets[0]
+        th = fnv1a64_strings(toks.flatten())
+        empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                          "fp": pa.array([], type=pa.int64())})
+        total = len(th)
+        if total < k:
+            return empty
+        # gram hash at start i: sum_j th[i+j] * B^(k-1-j)  (mod 2^64 by
+        # uint64 wraparound) — k shifted multiply-adds, no per-doc loop
+        pw = np.empty(k, dtype=np.uint64)
+        pw[0] = 1
+        if k > 1:       # vectorized accumulate: uint64 wraparound IS the mod
+            np.multiply.accumulate(np.full(k - 1, B, dtype=np.uint64),
+                                   out=pw[1:])
+        n_g = total - k + 1
+        g = np.zeros(n_g, dtype=np.uint64)
+        for j in range(k):
+            g += th[j:j + n_g] * pw[k - 1 - j]
+        # valid gram starts: whole gram inside one doc
+        lens = np.diff(offsets)
+        parents = np.repeat(np.arange(len(lens)), lens)
+        valid = parents[:n_g] == parents[k - 1:]
+        g = g[valid]
+        gp = parents[:n_g][valid]              # gram -> doc row
+        if not len(g):
+            return empty
+        # per-doc gram fenceposts (grams of a doc are contiguous)
+        g_lens = np.bincount(gp, minlength=len(lens))
+        g_offs = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(g_lens, out=g_offs[1:])
+        sel = []
+        # long docs (>= w grams): one argmin per sliding window
+        if len(g) >= w:
+            wins = np.lib.stride_tricks.sliding_window_view(g, w)
+            starts = np.arange(len(g) - w + 1)
+            ok = gp[starts] == gp[starts + w - 1]
+            if ok.any():
+                s_ok = starts[ok]
+                sel.append(s_ok + np.argmin(wins[ok], axis=1))
+        # short docs (1 <= n_grams < w): min over all their grams
+        short = np.flatnonzero((g_lens >= 1) & (g_lens < w))
+        if len(short):
+            for r in short:                    # O(#short docs), tiny
+                lo, hi = g_offs[r], g_offs[r + 1]
+                sel.append(np.array([lo + int(np.argmin(g[lo:hi]))]))
+        if not sel:
+            return empty
+        pick = np.unique(np.concatenate(sel))
+        rows = np.stack([ids[gp[pick]], g[pick].astype(np.int64)], axis=1)
+        rows = np.unique(rows, axis=0)         # distinct (doc, fp)
+        return pa.table({id_col: pa.array(rows[:, 0]),
+                         "fp": pa.array(rows[:, 1])})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def code_clone_pairs(
+    ds: "ray.data.Dataset",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """MOSS-style clone pairs: documents sharing >= ``min_shared`` DISTINCT
+    winnowed fingerprints (id_a < id_b, n_shared) — partial-overlap
+    near-dup detection for source code (and any token stream), where a
+    copied function inside an otherwise-different file still collides.
+
+    Shuffle shape (the ``video_dup_pairs`` shared-fingerprint precedent):
+    winnowed (doc, fp) rows — 16 bytes each, never the text — ride ONE
+    ``groupby(fp)`` exchange; each fingerprint bucket emits its doc pairs;
+    a second groupby on the pair key counts distinct shared fingerprints.
+    ``max_df`` (optional) drops fingerprints shared by more than that many
+    docs — the standard boilerplate/license-header filter; None keeps the
+    operator oracle-exact against the quadratic SQL twin."""
+    fps = winnow_fingerprints(ds, k=k, w=w, text_col=text_col,
+                              id_col=id_col)
+
+    pair_empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                               "id_b": pd.Series(dtype=np.int64)})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g[id_col].to_numpy(dtype=np.int64))
+        if len(ids) < 2 or (max_df is not None and len(ids) > max_df):
+            return pair_empty
+        ai, bi = np.triu_indices(len(ids), 1)
+        return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bi]})
+
+    def count_shared(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < min_shared:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64),
+                                 "n_shared": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"id_a": g["id_a"].iloc[:1],
+                             "id_b": g["id_b"].iloc[:1],
+                             "n_shared": [np.int64(len(g))]})
+
+    out = (fps.groupby("fp")
+           .map_groups(bucket_pairs, batch_format="pandas")
+           .groupby(["id_a", "id_b"])
+           .map_groups(count_shared, batch_format="pandas")
+           .to_pandas())
+    if "id_a" not in out.columns:
+        out = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                            "id_b": pd.Series(dtype=np.int64),
+                            "n_shared": pd.Series(dtype=np.int64)})
+    out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return pa.table({
+        "id_a": pa.array(out["id_a"].to_numpy(dtype=np.int64)),
+        "id_b": pa.array(out["id_b"].to_numpy(dtype=np.int64)),
+        "n_shared": pa.array(out["n_shared"].to_numpy(dtype=np.int64)),
+    })

@@ -3151,3 +3151,86 @@ class TestAudioFingerprint:
         g = audio_dup_groups(ds).to_pandas()
         assert len(g) == 1
         assert (int(g["rep_id"].iloc[0]), int(g["n_items"].iloc[0])) == (1, 2)
+
+
+class TestWinnowing:
+    def test_matches_naive_reference(self):
+        """Engine winnowing == the straightforward per-doc loop (same
+        k-gram Horner hash, leftmost-min window selection, clipped single
+        window for short docs) across parameter corners."""
+        import warnings
+
+        from colbert_ray.config import EngineConfig
+        from colbert_ray.extras.dedup import winnow_fingerprints
+        from colbert_ray.functions.hashing import FNV_PRIME, fnv1a64_strings
+        from colbert_ray.functions.tokenizer import tokenize_column
+
+        def ref(texts, k, w):
+            cfg = EngineConfig()
+            out = set()
+            for did, t in enumerate(texts):
+                toks = tokenize_column(pa.array([t]), cfg) \
+                    .flatten().to_pylist()
+                if len(toks) < k:
+                    continue
+                th = fnv1a64_strings(pa.array(toks))
+                grams = []
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore")
+                    for i in range(len(toks) - k + 1):
+                        gh = np.uint64(0)
+                        for j in range(k):
+                            gh = gh * FNV_PRIME + th[i + j]
+                        grams.append(gh)
+                n = len(grams)
+                sel = ({int(np.argmin(grams))} if n < w else
+                       {t0 + int(np.argmin(grams[t0:t0 + w]))
+                        for t0 in range(n - w + 1)})
+                out |= {(did, int(grams[s].astype(np.int64))) for s in sel}
+            return out
+
+        rng = np.random.default_rng(5)
+        vocab = [f"tok{i}" for i in range(40)]
+        texts = [" ".join(rng.choice(vocab, size=int(rng.integers(0, 30))))
+                 for _ in range(40)] + ["a b", "", "x x x"]
+        t = pa.table({"doc_id": pa.array(np.arange(len(texts)),
+                                         type=pa.int64()),
+                      "text": pa.array(texts)})
+        for k, w in ((4, 3), (1, 1), (2, 6)):
+            got = x_dedup.winnow_fingerprints(
+                ray.data.from_arrow(t).repartition(4), k=k, w=w).to_pandas()
+            gset = set(zip(got["doc_id"].astype(int), got["fp"].astype(int)))
+            assert gset == ref(texts, k, w), (k, w)
+
+    def test_coverage_guarantee_and_clone_pairs(self):
+        """The winnowing theorem: a shared token run of length >= k+w-1
+        forces >= 1 COMMON selected fingerprint — an embedded clone is
+        found even when the surrounding docs differ completely."""
+        from colbert_ray.extras.dedup import code_clone_pairs
+
+        k, w = 4, 3
+        clone = "alpha beta gamma delta epsilon zeta eta theta"  # 8 >= k+w-1
+        texts = [
+            f"unrelated preamble {clone} unrelated tail one two three",
+            f"totally different start {clone} and another ending here",
+            "no shared content in this document at all whatsoever",
+        ]
+        t = pa.table({"doc_id": pa.array([10, 20, 30], type=pa.int64()),
+                      "text": pa.array(texts)})
+        out = code_clone_pairs(ray.data.from_arrow(t), k=k, w=w,
+                               min_shared=1).to_pandas()
+        pairs = set(zip(out["id_a"], out["id_b"]))
+        assert (10, 20) in pairs
+        assert not any(30 in p for p in pairs)
+        # parallelism invariance
+        out2 = code_clone_pairs(ray.data.from_arrow(t).repartition(3),
+                                k=k, w=w, min_shared=1).to_pandas()
+        pd.testing.assert_frame_equal(out, out2)
+        # max_df boilerplate filter: a fingerprint in all 3 docs is dropped
+        t3 = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                       "text": pa.array([clone, clone, clone])})
+        full = code_clone_pairs(ray.data.from_arrow(t3), k=k, w=w,
+                                min_shared=1).to_pandas()
+        capped = code_clone_pairs(ray.data.from_arrow(t3), k=k, w=w,
+                                  min_shared=1, max_df=2).to_pandas()
+        assert len(full) == 3 and len(capped) == 0
