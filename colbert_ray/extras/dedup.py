@@ -20,6 +20,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from colbert_ray.functions.hashing import popcount64 as _popcount64_2d
+
 _NGRAM = 3
 
 
@@ -1451,18 +1453,6 @@ def span_window_dedup(
 # Generic Hamming-LSH banding over 64-bit fingerprints (SimHash, aHash, ...)
 # ---------------------------------------------------------------------------
 
-def _popcount64(x: np.ndarray) -> np.ndarray:
-    """Vectorized popcount of a uint64 array (unpackbits on the byte view —
-    portable across numpy versions without bitwise_count)."""
-    b = np.ascontiguousarray(x.astype(np.uint64)).view(np.uint8)
-    return np.unpackbits(b.reshape(len(x), 8), axis=1).sum(axis=1) \
-        .astype(np.int64)
-
-
-def _popcount64_2d(x: np.ndarray) -> np.ndarray:
-    flat = np.ascontiguousarray(x).reshape(-1)
-    return _popcount64(flat).reshape(x.shape)
-
 
 def banded_hamming_pairs(
     hashes: "ray.data.Dataset",
@@ -1496,7 +1486,10 @@ def banded_hamming_pairs(
                       dtype=np.uint64)
     los = np.zeros(B, dtype=np.uint64)
     los[1:] = np.cumsum(widths)[:-1]
-    masks = (np.uint64(1) << widths) - np.uint64(1)
+    # masks built in Python ints: numpy uint64 << 64 (the B=1 full-width
+    # band of max_hamming=0) is shift-count UB — on a mod-64 SIMD path it
+    # would yield mask 0 and silently collapse the corpus into ONE bucket
+    masks = np.array([(1 << int(w)) - 1 for w in widths], dtype=np.uint64)
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
@@ -1527,10 +1520,13 @@ def banded_hamming_pairs(
         chunk = 512
         for lo_i in range(0, len(ids), chunk):
             hi_i = min(lo_i + chunk, len(ids))
-            x = h[lo_i:hi_i, None] ^ h[None, :]
+            # columns start at lo_i: pairs (p < q) with p in this chunk
+            # have q > p >= lo_i, so columns below lo_i can never keep —
+            # slicing halves the XOR/popcount work on a degenerate bucket
+            x = h[lo_i:hi_i, None] ^ h[None, lo_i:]
             d = _popcount64_2d(x)
             ai, bi = np.nonzero(d <= max_hamming)
-            keep = (ai + lo_i) < bi                      # upper triangle
+            keep = ai < bi                               # upper triangle
             ai, bi = ai[keep], bi[keep]
             if not len(ai):
                 continue
@@ -1541,7 +1537,7 @@ def banded_hamming_pairs(
                 first[agree] = i
             sel = first == band_k
             out_a.append(ids[ai[sel] + lo_i])
-            out_b.append(ids[bi[sel]])
+            out_b.append(ids[bi[sel] + lo_i])
             out_d.append(d[ai[sel], bi[sel]].astype(np.int64))
         if not out_a:
             return empty
@@ -1682,6 +1678,58 @@ def winnow_fingerprints(
         fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def shared_key_pairs(
+    rows: "ray.data.Dataset",
+    key_col: str,
+    id_col: str,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> "ray.data.Dataset":
+    """Pairs of ids sharing >= ``min_shared`` DISTINCT ``key_col`` values —
+    the generic shared-fingerprint pair miner behind ``code_clone_pairs``
+    (winnowed fps) and ``multimodal.video_dup_pairs`` (frame aHashes).
+    Input rows must already be DISTINCT (id, key). Shuffle shape: one
+    ``groupby(key)`` exchange, in-group pair expansion (bounded by the
+    key's duplication count; ``max_df`` drops boilerplate keys shared by
+    more docs than that), then ONE pair-key count groupby. Returns a
+    Dataset of (id_a < id_b, n_shared)."""
+
+    pair_empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                               "id_b": pd.Series(dtype=np.int64)})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g[id_col].to_numpy(dtype=np.int64))
+        if len(ids) < 2 or (max_df is not None and len(ids) > max_df):
+            return pair_empty
+        ai, bi = np.triu_indices(len(ids), 1)
+        return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bi]})
+
+    def count_shared(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < min_shared:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64),
+                                 "n_shared": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"id_a": g["id_a"].iloc[:1],
+                             "id_b": g["id_b"].iloc[:1],
+                             "n_shared": [np.int64(len(g))]})
+
+    def _pin(schema: pa.Schema):
+        def fix(t: pa.Table) -> pa.Table:
+            return schema.empty_table() if t.num_rows == 0 else t.cast(schema)
+        return fix
+
+    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    out_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                            ("n_shared", pa.int64())])
+    return (rows.groupby(key_col)
+            .map_groups(bucket_pairs, batch_format="pandas")
+            .map_batches(_pin(pair_schema), batch_format="pyarrow")
+            .groupby(["id_a", "id_b"])
+            .map_groups(count_shared, batch_format="pandas")
+            .map_batches(_pin(out_schema), batch_format="pyarrow"))
+
+
+
 def code_clone_pairs(
     ds: "ray.data.Dataset",
     k: int = 5,
@@ -1705,31 +1753,8 @@ def code_clone_pairs(
     operator oracle-exact against the quadratic SQL twin."""
     fps = winnow_fingerprints(ds, k=k, w=w, text_col=text_col,
                               id_col=id_col)
-
-    pair_empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
-                               "id_b": pd.Series(dtype=np.int64)})
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g[id_col].to_numpy(dtype=np.int64))
-        if len(ids) < 2 or (max_df is not None and len(ids) > max_df):
-            return pair_empty
-        ai, bi = np.triu_indices(len(ids), 1)
-        return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bi]})
-
-    def count_shared(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < min_shared:
-            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
-                                 "id_b": pd.Series(dtype=np.int64),
-                                 "n_shared": pd.Series(dtype=np.int64)})
-        return pd.DataFrame({"id_a": g["id_a"].iloc[:1],
-                             "id_b": g["id_b"].iloc[:1],
-                             "n_shared": [np.int64(len(g))]})
-
-    out = (fps.groupby("fp")
-           .map_groups(bucket_pairs, batch_format="pandas")
-           .groupby(["id_a", "id_b"])
-           .map_groups(count_shared, batch_format="pandas")
-           .to_pandas())
+    out = shared_key_pairs(fps, "fp", id_col, min_shared=min_shared,
+                           max_df=max_df).to_pandas()
     if "id_a" not in out.columns:
         out = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
                             "id_b": pd.Series(dtype=np.int64),

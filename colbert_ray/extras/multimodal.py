@@ -18,6 +18,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from colbert_ray.functions.hashing import popcount64 as _popcount64
+
 PAYLOAD_SCHEMA = pa.schema(
     [
         ("item_id", pa.int64()),
@@ -322,11 +324,6 @@ def image_ahash(payloads: "ray.data.Dataset",
                                 concurrency=concurrency)
 
 
-def _popcount64(x: np.ndarray) -> np.ndarray:
-    """Vectorized popcount of a uint64 array (unpackbits on the byte view
-    — portable across numpy versions without bitwise_count)."""
-    b = x.astype(np.uint64).view(np.uint8).reshape(len(x), 8)
-    return np.unpackbits(b, axis=1).sum(axis=1).astype(np.int64)
 
 
 def ahash_dup_pairs(payloads: "ray.data.Dataset",
@@ -406,44 +403,16 @@ def video_dup_pairs(
     expansion (bounded by the hash's duplication count), then ONE
     (id_a, id_b) count groupby. Videos never re-decode and payloads never
     shuffle — only 8-byte fingerprints move."""
-    import pandas as pd
+    from colbert_ray.extras.dedup import shared_key_pairs
 
     fh = ds.map_batches(
         FrameHashSampler,
         fn_constructor_kwargs={"stride": stride, "max_frames": max_frames},
         batch_format="pyarrow", concurrency=concurrency,
         zero_copy_batch=True)
-
-    empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
-                          "id_b": pd.Series(dtype=np.int64)})
-
-    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["item_id"].to_numpy(dtype=np.int64))
-        if len(ids) < 2:
-            return empty
-        ai, bi = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bi]})
-
-    def finish(g: pd.DataFrame) -> pd.DataFrame:
-        n = len(g)
-        if n < min_shared:
-            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
-                                 "id_b": pd.Series(dtype=np.int64),
-                                 "n_shared": pd.Series(dtype=np.int64)})
-        return pd.DataFrame({"id_a": [int(g["id_a"].iloc[0])],
-                             "id_b": [int(g["id_b"].iloc[0])],
-                             "n_shared": [n]})
-
-    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
-    out_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
-                            ("n_shared", pa.int64())])
-
-    return (fh.groupby("fhash").map_groups(group_pairs,
-                                           batch_format="pandas")
-            .map_batches(pin_schema(pair_schema), batch_format="pyarrow")
-            .groupby(["id_a", "id_b"]).map_groups(finish,
-                                                  batch_format="pandas")
-            .map_batches(pin_schema(out_schema), batch_format="pyarrow"))
+    # FrameHashSampler already emits DISTINCT (item, fhash) rows, the
+    # helper's input contract
+    return shared_key_pairs(fh, "fhash", "item_id", min_shared=min_shared)
 
 
 AUDIO_FP_WINDOWS = 32

@@ -147,3 +147,14 @@ def sql_fmix64_expr(expr: str) -> str:
     s = _sql_mulmod64(s, int(_FMIX_C2))
     s = _sql_xorshift33(s)
     return s
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array of any shape (unpackbits on
+    the byte view — portable across numpy versions without bitwise_count).
+    The single shared implementation behind the Hamming-distance dedup
+    paths (simhash/aHash pair mining)."""
+    flat = np.ascontiguousarray(x.astype(np.uint64)).reshape(-1)
+    out = np.unpackbits(flat.view(np.uint8).reshape(len(flat), 8),
+                        axis=1).sum(axis=1).astype(np.int64)
+    return out.reshape(x.shape)

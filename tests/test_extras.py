@@ -3089,19 +3089,30 @@ class TestAHash:
                         .reset_index(drop=True))
                 got = banded_ahash_dup_pairs(ds, max_hamming=mh).to_pandas()
                 pd.testing.assert_frame_equal(got, want)
-        # pair differing in EXACTLY max_hamming bits, spread one per band:
-        # still caught (d+1 bands, d flips -> one band untouched)
-        base = np.uint64(0)
-        flipped = base
-        B, w = 4, 64 // 4
-        for i in range(3):                       # 3 flips, max_hamming=3
-            flipped |= np.uint64(1) << np.uint64(i * w)
-        h1 = bytes([255, 255, 255] + [0] * 189)  # engine hash: bit 0 only
-        tbl = make_payload_table(np.array([0, 1], dtype=np.int64),
-                                 [h1, h1])
-        ds = _ray.data.from_arrow(tbl)
-        got = banded_ahash_dup_pairs(ds, max_hamming=3).to_pandas()
-        assert got["hamming"].tolist() == [0]    # exact dup found once
+        # pigeonhole edge on the generic engine, crafted hashes: a pair
+        # differing in EXACTLY max_hamming bits spread ONE PER BAND (the
+        # worst case — d flips touch d of the d+1 bands) must be found at
+        # threshold d and dropped at d-1; and max_hamming=0 (ONE 64-bit
+        # band, the former shift-by-64 UB) must bucket exact dups only
+        from colbert_ray.extras.dedup import banded_hamming_pairs
+
+        B = 4                                    # max_hamming=3 -> 4 bands
+        flipped = 0
+        for i in range(3):
+            flipped |= 1 << (i * (64 // B))      # bits 0, 16, 32
+        tbl = pa.table({"item_id": pa.array([0, 1, 2], type=pa.int64()),
+                        "h": pa.array([0, flipped, 0], type=pa.int64())})
+        ds3 = _ray.data.from_arrow(tbl)
+        got3 = banded_hamming_pairs(ds3, "h", "item_id",
+                                    max_hamming=3).to_pandas()
+        assert set(zip(got3["id_a"], got3["id_b"], got3["hamming"])) == {
+            (0, 1, 3), (0, 2, 0), (1, 2, 3)}
+        got2b = banded_hamming_pairs(ds3, "h", "item_id",
+                                     max_hamming=2).to_pandas()
+        assert set(zip(got2b["id_a"], got2b["id_b"])) == {(0, 2)}
+        got0 = banded_hamming_pairs(ds3, "h", "item_id",
+                                    max_hamming=0).to_pandas()
+        assert set(zip(got0["id_a"], got0["id_b"])) == {(0, 2)}
 
 
 class TestVideoDupPairs:
