@@ -363,6 +363,17 @@ def run_bench() -> dict:
         ).to_pandas()
         timings["minhash_dedup"] = round(time.time() - t0, 3)
 
+        # round-5 dedup additions at scale: SimHash pair mining via the
+        # exact pigeonhole Hamming banding, and MOSS winnowing clone pairs
+        t0 = time.time()
+        x_dedup.simhash_dup_pairs(
+            rd.read_parquet(doc_path, columns=["doc_id", "text"]))
+        timings["simhash_dedup"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        x_dedup.code_clone_pairs(
+            rd.read_parquet(doc_path, columns=["doc_id", "text"]))
+        timings["clone_pairs"] = round(time.time() - t0, 3)
+
         emb_path = os.path.join(SF_DIR, "embeddings.parquet")
         et = pq.read_table(emb_path, columns=["vec_id", "embedding"])
         qv = np.stack([np.asarray(v, dtype=np.float64)
